@@ -1,0 +1,272 @@
+"""Environment core.
+
+TPU re-design of ``/root/reference/src/gym_electric_motor/core.py``:
+``ElectricMotorEnvironment`` wires a physical system, reference generator,
+reward function and constraint monitor into two pure device functions
+
+* ``reset(key) -> (EnvState, obs)``
+* ``step(EnvState, action) -> (EnvState, obs, reward, terminated)``
+
+with ``obs = (filtered normalized state vector, next reference observation)``
+exactly as the reference's observation tuple (core.py:317, 365-371).
+
+``VectorEnv`` vmaps these over an env batch and scans them over time — the
+scale-out path the reference lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constraints import ConstraintMonitor, LimitConstraint
+from .physical_systems import PhysicsState
+from .references import ReferenceSpec, ScalarRefSpec
+from .rewards import WeightedSumOfErrors
+from .utils.pytree import struct
+
+
+# ---------------------------------------------------------------------------
+# Minimal space descriptors (gymnasium-compatible but dependency-free)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Discrete:
+    n: int
+
+    def sample(self, rng=None):
+        rng = rng or np.random
+        return int(rng.integers(self.n) if hasattr(rng, "integers") else rng.randint(self.n))
+
+    def contains(self, x):
+        return 0 <= int(x) < self.n
+
+    @property
+    def shape(self):
+        return ()
+
+
+@dataclasses.dataclass
+class MultiDiscrete:
+    nvec: tuple
+
+    def sample(self, rng=None):
+        rng = rng or np.random
+        return np.array([int(rng.integers(n) if hasattr(rng, "integers") else rng.randint(n)) for n in self.nvec])
+
+    def contains(self, x):
+        return all(0 <= int(v) < n for v, n in zip(x, self.nvec))
+
+    @property
+    def shape(self):
+        return (len(self.nvec),)
+
+
+@dataclasses.dataclass
+class Box:
+    low: np.ndarray
+    high: np.ndarray
+
+    def sample(self, rng=None):
+        rng = rng or np.random
+        u = rng.uniform(size=np.asarray(self.low).shape)
+        low = np.nan_to_num(self.low, neginf=-1.0)
+        high = np.nan_to_num(self.high, posinf=1.0)
+        return low + u * (high - low)
+
+    def contains(self, x):
+        return bool(np.all(x >= self.low - 1e-9) and np.all(x <= self.high + 1e-9))
+
+    @property
+    def shape(self):
+        return np.asarray(self.low).shape
+
+
+def make_space(descriptor):
+    kind = descriptor[0]
+    if kind == "discrete":
+        return Discrete(descriptor[1])
+    if kind == "multidiscrete":
+        return MultiDiscrete(tuple(descriptor[1]))
+    if kind == "box":
+        return Box(np.asarray(descriptor[1]), np.asarray(descriptor[2]))
+    raise ValueError(descriptor)
+
+
+# ---------------------------------------------------------------------------
+# Env state
+# ---------------------------------------------------------------------------
+
+
+@struct
+class EnvState:
+    phys: PhysicsState
+    refs: tuple  # per-sub-generator reference states
+    system_state: jnp.ndarray  # normalized full state (cached for reward/constraints)
+    key: jnp.ndarray  # per-env PRNG key (folded per episode)
+    step_count: jnp.ndarray  # int32 steps in current episode
+    episode: jnp.ndarray  # int32 episode counter
+
+
+class ElectricMotorEnvironment:
+    """Functional environment (host-side wiring, pure device functions)."""
+
+    def __init__(
+        self,
+        physical_system,
+        reference_generator,
+        reward_function: Optional[WeightedSumOfErrors] = None,
+        constraints=(),
+        state_filter=None,
+        constraint_monitor: Optional[ConstraintMonitor] = None,
+    ):
+        self.physical_system = physical_system
+        ps = physical_system
+        if isinstance(reference_generator, ScalarRefSpec):
+            reference_generator = ReferenceSpec([reference_generator])
+        self.reference_generator = reference_generator.bind(
+            ps.state_names, ps.limits, ps.nominal_state, ps.state_space_low,
+            ps.state_space_high, ps.tau,
+        )
+        self.reward_function = (reward_function or WeightedSumOfErrors()).bind(
+            ps.state_names, ps.state_space_low, ps.state_space_high,
+            self.reference_generator.referenced_states(),
+        )
+        if constraint_monitor is None:
+            constraint_monitor = ConstraintMonitor(constraints=tuple(constraints))
+        self.constraint_monitor = constraint_monitor.bind(
+            ps.state_names, ps.limits, ps.state_space_high
+        )
+        self.state_names = list(ps.state_names)
+        if state_filter is None:
+            self._state_filter = np.arange(len(self.state_names))
+        else:
+            self._state_filter = np.array(
+                [self.state_names.index(s) for s in state_filter], dtype=np.int32
+            )
+        self.tau = ps.tau
+        self.limits = np.asarray(ps.limits)[self._state_filter]
+
+        self.action_space = make_space(ps.action_space)
+        lo, hi = self.reference_generator.reference_space()
+        self.observation_space = (
+            Box(np.asarray(ps.state_space_low)[self._state_filter],
+                np.asarray(ps.state_space_high)[self._state_filter]),
+            Box(lo, hi),
+        )
+        self.reference_names = self.reference_generator.reference_names
+
+    # ---------------- device functions ----------------
+
+    def _observe(self, system_state, ref_obs):
+        return system_state[jnp.asarray(self._state_filter)], ref_obs
+
+    def reset(self, key):
+        """core.py:300-319."""
+        k_phys, k_ref, k_next = jax.random.split(key, 3)
+        phys, system_state = self.physical_system.reset(k_phys)
+        refs, _ref_array, ref_obs = self.reference_generator.reset(k_ref)
+        state = EnvState(
+            phys=phys,
+            refs=refs,
+            system_state=system_state,
+            key=k_next,
+            step_count=jnp.zeros((), jnp.int32),
+            episode=jnp.zeros((), jnp.int32),
+        )
+        return state, self._observe(system_state, ref_obs)
+
+    def step(self, state: EnvState, action):
+        """core.py:328-371 — simulate, reference, constraints, reward,
+        termination, next reference observation."""
+        k_noise, k_key = jax.random.split(state.key)
+        noise = jax.random.normal(k_noise, ()) if self.physical_system.load.needs_noise else None
+        phys, system_state = self.physical_system.simulate(state.phys, action, noise)
+        ref_values = self.reference_generator.current_values(state.refs)
+        reference = self.reference_generator.to_reference_array(ref_values)
+        violation = self.constraint_monitor.check_constraints(system_state)
+        reward = self.reward_function.reward(
+            system_state, reference, state.phys.k, action, violation
+        )
+        terminated = violation >= 1.0
+        refs, ref_obs = self.reference_generator.advance(state.refs)
+        new_state = EnvState(
+            phys=phys,
+            refs=refs,
+            system_state=system_state,
+            key=k_key,
+            step_count=state.step_count + 1,
+            episode=state.episode,
+        )
+        return new_state, self._observe(system_state, ref_obs), reward, terminated
+
+    def step_autoreset(self, state: EnvState, action):
+        """Step with in-kernel episode auto-reset.
+
+        On termination the env re-initializes from a key folded with the
+        episode counter — the functional analogue of the reference's
+        ``next_generator()`` per-episode reseeding (random_component.py:85-87)
+        which keeps episode k reproducible regardless of episode lengths.
+        """
+        new_state, obs, reward, terminated = self.step(state, action)
+        episode = state.episode + terminated.astype(jnp.int32)
+        reset_key = jax.random.fold_in(state.key, episode)
+        reset_state, reset_obs = self.reset(reset_key)
+        reset_state = reset_state.replace(episode=episode)
+
+        def pick(a, b):
+            return jnp.where(terminated, a, b)
+
+        merged = jax.tree.map(pick, reset_state, new_state.replace(episode=episode))
+        obs = tuple(jax.tree.map(pick, reset_obs, obs))
+        return merged, obs, reward, terminated
+
+
+# ---------------------------------------------------------------------------
+# Vectorized env (the TPU scale-out path)
+# ---------------------------------------------------------------------------
+
+
+class VectorEnv:
+    """``n_envs`` independent envs stepped in lockstep via vmap.
+
+    ``rollout`` scans a policy over T steps inside one jitted program, which
+    amortizes dispatch to ~zero and lets XLA fuse the whole step chain.
+    """
+
+    def __init__(self, env: ElectricMotorEnvironment, n_envs: int):
+        self.env = env
+        self.n_envs = n_envs
+        self._reset = jax.jit(jax.vmap(env.reset))
+        self._step = jax.jit(jax.vmap(env.step_autoreset))
+
+    def reset(self, key):
+        keys = jax.random.split(key, self.n_envs)
+        return self._reset(keys)
+
+    def step(self, state, actions):
+        return self._step(state, actions)
+
+    def rollout(self, state, policy_fn, n_steps: int, sample_key=None):
+        """Run ``n_steps`` with ``policy_fn(obs, key) -> actions``; returns the
+        final state plus summed rewards/termination counts (on device)."""
+
+        def body(carry, _):
+            state, key = carry
+            key, k_act = jax.random.split(key)
+            obs = (
+                state.system_state[:, jnp.asarray(self.env._state_filter)],
+                jax.vmap(self.env.reference_generator.current_values)(state.refs),
+            )
+            actions = policy_fn(obs, k_act)
+            state, _obs, reward, terminated = self._step(state, actions)
+            return (state, key), (jnp.sum(reward), jnp.sum(terminated))
+
+        key = sample_key if sample_key is not None else jax.random.PRNGKey(0)
+        (state, _), (rewards, terms) = jax.lax.scan(body, (state, key), None, length=n_steps)
+        return state, rewards, terms

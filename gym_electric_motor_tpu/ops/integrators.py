@@ -1,0 +1,76 @@
+"""Fixed-step ODE integrators for the per-control-cycle hot loop.
+
+The reference integrates each sub-interval with scipy solvers whose RHS calls
+back into Python (``/root/reference/src/gym_electric_motor/physical_systems/solvers.py``).
+On TPU the integration must be a pure traced function so XLA can fuse the
+whole env step into one kernel.  We therefore provide fixed-step explicit
+schemes:
+
+* ``euler``  - matches the reference's ``EulerSolver`` (``solvers.py:79-136``)
+  including the ``nsteps`` sub-cycling, used for bit-parity testing.
+* ``heun``   - 2nd-order, one extra RHS evaluation.
+* ``rk4``    - classic 4th order; the default replacement for the reference's
+  adaptive dopri5 (``solvers.py:139-184``) at the small control periods
+  (tau = 1e-5 .. 1e-4 s) used by all 54 environments.
+
+Each integrator has signature ``(f, y, t, dt, *args) -> y'`` where ``f(t, y,
+*args)`` returns dy/dt.  ``substeps`` cuts ``dt`` into equal sub-cycles (a
+static Python int, unrolled at trace time; the loop count is <= 4 in
+practice).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+
+def euler_step(f, y, t, dt, *args):
+    return y + dt * f(t, y, *args)
+
+
+def heun_step(f, y, t, dt, *args):
+    k1 = f(t, y, *args)
+    k2 = f(t + dt, y + dt * k1, *args)
+    return y + 0.5 * dt * (k1 + k2)
+
+
+def rk4_step(f, y, t, dt, *args):
+    half = 0.5 * dt
+    k1 = f(t, y, *args)
+    k2 = f(t + half, y + half * k1, *args)
+    k3 = f(t + half, y + half * k2, *args)
+    k4 = f(t + dt, y + dt * k3, *args)
+    return y + (dt / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
+
+_STEPPERS = {
+    "euler": euler_step,
+    "heun": heun_step,
+    "rk4": rk4_step,
+}
+
+
+def make_integrator(kind: str = "rk4", substeps: int = 1) -> Callable:
+    """Return ``integrate(f, y, t, dt, *args) -> y_next``.
+
+    ``kind`` and ``substeps`` are static configuration; the sub-step loop is
+    unrolled at trace time (substeps is small).
+
+    Note: the reference's EulerSolver nsteps-variant evaluates the RHS at
+    ``t + dt_sub`` (the *end* of each sub step, ``solvers.py:840-843``) while
+    its 1-step variant evaluates at ``t`` — we mirror the 1-step convention
+    for every sub step, which matches ``EulerSolver(nsteps=1)`` exactly.
+    """
+    stepper = _STEPPERS[kind]
+    if substeps == 1:
+        return stepper
+
+    inv = 1.0 / substeps
+
+    def integrate(f, y, t, dt, *args):
+        dt_sub = dt * inv
+        for i in range(substeps):
+            y = stepper(f, y, t + i * dt_sub, dt_sub, *args)
+        return y
+
+    return integrate

@@ -1,0 +1,753 @@
+"""SCML (Supply-Converter-Motor-Load) physical systems.
+
+TPU re-design of
+``/root/reference/src/gym_electric_motor/physical_systems/physical_systems.py``:
+the mutable ``SCMLSystem`` object becomes a host-side *builder* that closes
+over the component specs and emits two pure device functions,
+
+* ``reset(key) -> (PhysicsState, system_state)``
+* ``simulate(state, action, key) -> (PhysicsState', system_state)``
+
+``system_state`` is the normalized full observation vector (state / limits).
+The converter's data-dependent switching-time loop is compiled into a fixed
+(at most two) sub-interval schedule (see ``models/converters.py``); each
+sub-interval integrates the concatenated load+motor ODE with a fixed-step
+scheme from ``ops/integrators.py``.
+
+Family variants mirror the reference classes:
+  DcMotorSystem              physical_systems.py:290-318
+  SynchronousMotorSystem     physical_systems.py:418-561
+  ExternallyExcitedSynchronousMotorSystem  physical_systems.py:564-693
+  SquirrelCageInductionMotorSystem         physical_systems.py:696-847
+  DoublyFedInductionMotorSystem            physical_systems.py:850-1113
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.converters import ConverterSpec
+from .models.loads import LoadSpec
+from .models.motors import MotorSpec
+from .models.supplies import SupplySpec
+from .ops.integrators import make_integrator
+from .ops.transforms import (
+    abc_to_alphabeta,
+    abc_to_dq,
+    alphabeta_to_abc,
+    alphabeta_to_dq,
+    dq_to_abc,
+    dq_to_alphabeta,
+    wrap_angle,
+)
+from .utils.pytree import static_field, struct
+
+
+@struct
+class PhysicsState:
+    """Per-env physical state carried across steps."""
+
+    ode_state: jnp.ndarray  # concatenated [mechanical states, motor ODE states]
+    conv_state: jnp.ndarray  # persistent half-bridge switching states (int32)
+    sup_state: jnp.ndarray  # supply-internal state (RC voltage / AC phase)
+    t: jnp.ndarray  # simulation time
+    k: jnp.ndarray  # step counter (int32)
+
+
+def _sample_initializer(initializer, state_names, bounds_low, bounds_high):
+    """Build ``sample(key) -> values`` from an initializer spec.
+
+    Mirrors ``ElectricMotor.initialize`` (electric_motor.py:179-268) /
+    ``MechanicalLoad.initialize`` (mechanical_load.py:228-295): constant
+    values, uniform in [low, high], or truncated normal.
+    ``state_names`` orders the produced values.
+    """
+    states = initializer.get("states") or {state: 0.0 for state in state_names}
+    names = list(states.keys())
+    const_values = np.array([float(states[n]) for n in names])
+    lower = np.asarray(bounds_low, dtype=np.float64)
+    upper = np.asarray(bounds_high, dtype=np.float64)
+    interval = initializer.get("interval")
+    if interval is not None:
+        iv = np.asarray(interval, dtype=np.float64)
+        lower = np.clip(lower, iv.T[0], None)
+        upper = np.clip(upper, None, iv.T[1])
+    random_dist = initializer.get("random_init")
+    random_params = initializer.get("random_params") or (None, None)
+
+    if random_dist is None:
+        def sample(key):
+            return jnp.asarray(const_values)
+    elif random_dist == "uniform":
+        def sample(key):
+            u = jax.random.uniform(key, (len(names),))
+            return jnp.asarray(upper - lower) * u + jnp.asarray(lower)
+    elif random_dist in ("normal", "gaussian"):
+        mue = random_params[0]
+        sigma = random_params[1] or 1.0
+        mu = np.full(len(names), mue) if mue is not None else (upper - lower) / 2 + lower
+
+        def sample(key):
+            a = jnp.asarray((lower - mu) / sigma)
+            b = jnp.asarray((upper - mu) / sigma)
+            z = jax.random.truncated_normal(key, a, b, (len(names),))
+            return z * sigma + jnp.asarray(mu)
+    else:
+        raise NotImplementedError(random_dist)
+    return names, sample
+
+
+@dataclasses.dataclass
+class SCMLSystem:
+    """Base builder: DC drive train (``DcMotorSystem``)."""
+
+    supply: SupplySpec
+    converter: ConverterSpec
+    motor: MotorSpec
+    load: LoadSpec
+    tau: float = 1e-4
+    solver: str = "rk4"
+    substeps: int = 1
+    dtype: object = jnp.float32
+
+    def __post_init__(self):
+        self.converter.tau = self.tau
+        self.n_mech = len(self.load.state_names)
+        self.state_names = self._build_state_names()
+        self.state_positions = {n: i for i, n in enumerate(self.state_names)}
+        self._set_limits()
+        self._build_state_space()
+        self.mp = self.motor.mp(self.dtype)
+        self.lp = self.load.lp(self.motor.parameter["j_rotor"], self.dtype)
+        self.sp = self.supply.sp(self.dtype)
+        self.integrate = make_integrator(self.solver, self.substeps)
+        self._build_initializers()
+
+    # ---------------- host-side construction ----------------
+
+    def _build_state_names(self):
+        return (
+            list(self.load.state_names)
+            + ["torque"]
+            + list(self.motor.currents)
+            + list(self.motor.voltages)
+            + ["u_sup"]
+        )
+
+    def _set_limits(self):
+        """physical_systems.py:105-123."""
+        limits = np.zeros(len(self.state_names))
+        nominal = np.zeros(len(self.state_names))
+        for i, s in enumerate(self.state_names):
+            motor_lim = self.motor.limits.get(s, np.inf)
+            load_lim = self.load.limits.get(s, np.inf)
+            limits[i] = min(motor_lim, load_lim)
+            motor_nom = self.motor.nominal.get(s, np.inf)
+            load_nom = self.load.nominal.get(s, np.inf)
+            nominal[i] = min(motor_nom, load_nom)
+        for j in self._u_sup_indices():
+            limits[j] = self.supply.u_nominal
+            nominal[j] = self.supply.u_nominal
+        self.limits = limits
+        self.nominal_state = nominal
+
+    def _u_sup_indices(self):
+        base = self.state_positions["u_sup"]
+        return range(base, base + self.supply.voltage_len)
+
+    def _build_state_space(self):
+        """DC variant: polarity-aware box from the motor/converter topology
+        (physical_systems.py:305-318)."""
+        low, high = self._motor_state_space()
+        low_arr = np.array([low.get(s, -1.0) for s in self.state_names])
+        high_arr = np.array([high.get(s, 1.0) for s in self.state_names])
+        sup_lo, sup_hi = self.supply.supply_range
+        for j in self._u_sup_indices():
+            high_arr[j] = sup_hi / self.supply.u_nominal
+            low_arr[j] = sup_lo / self.supply.u_nominal if sup_lo != sup_hi else 0.0
+        self.state_space_low = low_arr
+        self.state_space_high = high_arr
+
+    def _motor_state_space(self):
+        """Per-DC-motor ``get_state_space`` rules (dc_*_motor.py)."""
+        cur_lo = self.converter.currents[0]
+        volt_lo = self.converter.voltages[0]
+        kind = self.motor.kind
+        if kind == "PermExDc":
+            low = {
+                "omega": -1 if volt_lo[0] == -1 else 0,
+                "torque": -1 if cur_lo[0] == -1 else 0,
+                "i": -1 if cur_lo[0] == -1 else 0,
+                "u": -1 if volt_lo[0] == -1 else 0,
+            }
+        elif kind == "SeriesDc":
+            low = {
+                "omega": 0,
+                "torque": 0,
+                "i": -1 if cur_lo[0] == -1 else 0,
+                "u": -1 if volt_lo[0] == -1 else 0,
+            }
+        elif kind == "ShuntDc":
+            low = {
+                "omega": 0,
+                "torque": -1 if cur_lo[0] == -1 else 0,
+                "i_a": -1 if cur_lo[0] == -1 else 0,
+                "i_e": -1 if cur_lo[0] == -1 else 0,
+                "u": -1 if volt_lo[0] == -1 else 0,
+            }
+        else:  # ExtExDc (dc_motor.py:129-151)
+            low = {
+                "omega": -1 if (volt_lo[0] == -1 or volt_lo[1] == -1) else 0,
+                "torque": -1 if (cur_lo[0] == -1 or cur_lo[1] == -1) else 0,
+                "i_a": -1 if cur_lo[0] == -1 else 0,
+                "i_e": -1 if cur_lo[1] == -1 else 0,
+                "u_a": -1 if volt_lo[0] == -1 else 0,
+                "u_e": -1 if volt_lo[1] == -1 else 0,
+            }
+        high = {k: 1 for k in low}
+        return low, high
+
+    def _init_bounds(self, names):
+        """Initialization bounds: upper = nominal, lower = upper * space_low
+        at the state's position."""
+        idx = [self.state_positions[n] for n in names]
+        upper = np.abs(np.array([self.nominal_state[i] for i in idx]))
+        lower = upper * np.array([self.state_space_low[i] for i in idx])
+        return lower, upper
+
+    def _build_initializers(self):
+        m_names = list(self.motor.initializer.get("states", {}).keys()) or list(self.motor.ode_states)
+        m_lo, m_hi = self._motor_init_bounds(m_names)
+        _, sample_motor = _sample_initializer(self.motor.initializer, m_names, m_lo, m_hi)
+        # scatter sampled values into the motor-ODE layout by name
+        ode_states = list(self.motor.ode_states)
+        m_scatter = np.array([ode_states.index(n) for n in m_names], dtype=np.int32)
+        n_motor_ode = len(ode_states)
+
+        def sample_motor_ode(key):
+            vals = sample_motor(key)
+            out = jnp.zeros((n_motor_ode,), dtype=vals.dtype)
+            return out.at[jnp.asarray(m_scatter)].set(vals)
+
+        self._sample_motor = sample_motor_ode
+        l_names = list(self.load.initializer.get("states", {}).keys()) or list(self.load.state_names)
+        l_lo, l_hi = self._init_bounds(l_names)
+        _, self._sample_load = _sample_initializer(self.load.initializer, l_names, l_lo, l_hi)
+
+    def _motor_init_bounds(self, names):
+        return self._init_bounds(names)
+
+    @property
+    def action_space(self):
+        return self.converter.action_space
+
+    # ---------------- device functions ----------------
+
+    @property
+    def motor_slice(self):
+        return slice(self.n_mech, None)
+
+    def _rhs(self, t, y, u_in, noise):
+        """Concatenated load + motor ODE (physical_systems.py:205-236)."""
+        motor_state = y[self.motor_slice]
+        torque = self.motor.torque(self.mp, motor_state)
+        d_mech = self.load.ode(self.lp, t, y[: self.n_mech], torque, noise)
+        d_motor = self.motor.ode(self.mp, motor_state, u_in, y[0])
+        return jnp.concatenate([d_mech, d_motor])
+
+    def _converter_intervals(self, conv_state, action, i_in, ps, u_transform):
+        """Run the (statically unrolled) sub-interval schedule.
+
+        ``u_transform(u_terminal, ode_state) -> u_for_ode`` maps terminal
+        voltages into the ODE input frame (identity for DC; Park transforms
+        for the three-phase systems).  Returns the final ode_state, terminal
+        voltage, supply voltage and updated converter/supply states.
+        """
+        raise NotImplementedError  # family-specific simulate() below
+
+    def _u_terminal(self, bridge_states, action, i_in, u_sup):
+        u_frac = self.converter.u_frac(bridge_states, action, i_in)
+        if self.supply.voltage_len == 1:
+            return u_frac * u_sup[0]
+        return u_frac * u_sup  # NoConverter + polyphase supply
+
+    def reset(self, key):
+        """physical_systems.py:256-287 (component order: motor, load, supply)."""
+        k_motor, k_load, k_sup = jax.random.split(key, 3)
+        motor_state = self._sample_motor(k_motor).astype(self.dtype)
+        mech_state = self._sample_load(k_load).astype(self.dtype)
+        ode_state = jnp.concatenate([mech_state, motor_state])
+        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup = u_sup.astype(self.dtype)
+        conv_state = self.converter.init_state()
+        u_in = jnp.asarray(self.converter.u_reset, dtype=self.dtype) * u_sup[0]
+        torque = self.motor.torque(self.mp, motor_state)
+        system_state = self._assemble_reset(mech_state, torque, motor_state, u_in, u_sup)
+        ps = PhysicsState(
+            ode_state=ode_state,
+            conv_state=conv_state,
+            sup_state=sup_state,
+            t=jnp.zeros((), self.dtype),
+            k=jnp.zeros((), jnp.int32),
+        )
+        return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+    def _assemble_reset(self, mech_state, torque, motor_state, u_in, u_sup):
+        currents = motor_state[: len(self.motor.currents)]
+        return jnp.concatenate([mech_state, jnp.stack([torque]), currents, u_in, u_sup])
+
+    def simulate(self, ps: PhysicsState, action, noise=None):
+        """One control period (physical_systems.py:171-203)."""
+        ode = ps.ode_state
+        i_in = self.motor.i_in(self.mp, ode[self.motor_slice])
+        intervals = self.converter.interval_states(ps.conv_state, action)
+        durations = self.converter.interval_durations()
+        cur = ps.conv_state
+        sup_state = ps.sup_state
+        t = ps.t
+        u_in = None
+        u_sup = None
+        for j, dur in enumerate(durations):
+            i_sup = self.converter.i_sup(cur, action, i_in)
+            u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
+            u_sup = u_sup.astype(self.dtype)
+            u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            ode = self.integrate(self._rhs, ode, t, dur, u_in, noise)
+            cur = intervals[j]
+            t = t + dur
+            i_in = self.motor.i_in(self.mp, ode[self.motor_slice])
+        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        currents = ode[self.motor_slice][: len(self.motor.currents)]
+        system_state = jnp.concatenate(
+            [ode[: self.n_mech], jnp.stack([torque]), currents, u_in, u_sup]
+        )
+        new_ps = PhysicsState(
+            ode_state=ode,
+            conv_state=cur,
+            sup_state=sup_state,
+            t=ps.t + self.tau,
+            k=ps.k + 1,
+        )
+        return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+
+class DcMotorSystem(SCMLSystem):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Synchronous motors (PMSM / SynRM)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SynchronousMotorSystem(SCMLSystem):
+    """physical_systems.py:418-561.  ODE in the dq frame; converter voltages
+    are transformed abc->dq with the current rotor angle per sub-interval."""
+
+    control_space: str = "abc"
+
+    def _build_state_names(self):
+        return list(self.load.state_names) + [
+            "torque",
+            "i_a", "i_b", "i_c", "i_sd", "i_sq",
+            "u_a", "u_b", "u_c", "u_sd", "u_sq",
+            "epsilon", "u_sup",
+        ]
+
+    def _build_state_space(self):
+        low = -np.ones(len(self.state_names))
+        high = np.ones(len(self.state_names))
+        for j in self._u_sup_indices():
+            low[j] = 0.0
+        self.state_space_low = low
+        self.state_space_high = high
+
+    @property
+    def action_space(self):
+        if self.control_space == "dq":
+            return ("box", -np.ones(2), np.ones(2))
+        return self.converter.action_space
+
+    @property
+    def eps_idx(self):
+        """Index of epsilon inside the ode_state vector."""
+        return self.n_mech + len(self.motor.currents)
+
+    def _i_dq(self, ode):
+        return ode[self.n_mech: self.n_mech + 2]
+
+    def reset(self, key):
+        k_motor, k_load, k_sup = jax.random.split(key, 3)
+        motor_state = self._sample_motor(k_motor).astype(self.dtype)
+        mech_state = self._sample_load(k_load).astype(self.dtype)
+        ode_state = jnp.concatenate([mech_state, motor_state])
+        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup = u_sup.astype(self.dtype)
+        eps = ode_state[self.eps_idx]
+        eps = jnp.where(eps > jnp.pi, eps - 2 * jnp.pi, eps)
+        conv_state = self.converter.init_state()
+        u_abc = jnp.asarray(self.converter.u_reset, dtype=self.dtype) * u_sup[0]
+        u_dq = abc_to_dq(u_abc, eps)
+        i_dq = self._i_dq(ode_state)
+        i_abc = dq_to_abc(i_dq, eps)
+        torque = self.motor.torque(self.mp, motor_state)
+        system_state = jnp.concatenate(
+            [mech_state, jnp.stack([torque]), i_abc, i_dq, u_abc, u_dq, jnp.stack([eps]), u_sup]
+        )
+        ps = PhysicsState(ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
+                          t=jnp.zeros((), self.dtype), k=jnp.zeros((), jnp.int32))
+        return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+    def simulate(self, ps: PhysicsState, action, noise=None):
+        """physical_systems.py:487-525."""
+        ode = ps.ode_state
+        eps = ode[self.eps_idx]
+        if self.control_space == "dq":
+            action = dq_to_abc(action, eps)
+        i_in = dq_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]), eps)
+        intervals = self.converter.interval_states(ps.conv_state, action)
+        durations = self.converter.interval_durations()
+        cur = ps.conv_state
+        sup_state = ps.sup_state
+        t = ps.t
+        u_in = u_dq = u_sup = None
+        for j, dur in enumerate(durations):
+            i_sup = self.converter.i_sup(cur, action, i_in)
+            u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
+            u_sup = u_sup.astype(self.dtype)
+            u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            u_dq = abc_to_dq(u_in, eps)
+            ode = self.integrate(self._rhs, ode, t, dur, u_dq, noise)
+            cur = intervals[j]
+            t = t + dur
+            eps = ode[self.eps_idx]
+            i_in = dq_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]), eps)
+        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        mech = ode[: self.n_mech]
+        i_dq = self._i_dq(ode)
+        # NB: the reference converts i_dq with the epsilon from *before* the
+        # final integration (physical_systems.py:516-525); we keep that.
+        i_abc = dq_to_abc(i_dq, eps)
+        eps_out = wrap_angle(ode[self.eps_idx])
+        system_state = jnp.concatenate(
+            [mech, jnp.stack([torque]), i_abc, i_dq, u_in, u_dq, jnp.stack([eps_out]), u_sup]
+        )
+        new_ps = PhysicsState(ode_state=ode, conv_state=cur, sup_state=sup_state,
+                              t=ps.t + self.tau, k=ps.k + 1)
+        return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+
+@dataclasses.dataclass
+class EESMSystem(SynchronousMotorSystem):
+    """physical_systems.py:564-693.  Converter output = 3 stator phases + 1
+    excitation voltage; dq transform applies to the stator part only."""
+
+    def _build_state_names(self):
+        return list(self.load.state_names) + [
+            "torque",
+            "i_a", "i_b", "i_c", "i_sd", "i_sq", "i_e",
+            "u_a", "u_b", "u_c", "u_sd", "u_sq", "u_e",
+            "epsilon", "u_sup",
+        ]
+
+    def reset(self, key):
+        k_motor, k_load, k_sup = jax.random.split(key, 3)
+        motor_state = self._sample_motor(k_motor).astype(self.dtype)
+        mech_state = self._sample_load(k_load).astype(self.dtype)
+        ode_state = jnp.concatenate([mech_state, motor_state])
+        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup = u_sup.astype(self.dtype)
+        eps = ode_state[self.eps_idx]
+        eps = jnp.where(eps > jnp.pi, eps - 2 * jnp.pi, eps)
+        conv_state = self.converter.init_state()
+        u_out = jnp.asarray(self.converter.u_reset, dtype=self.dtype) * u_sup[0]
+        u_abc, u_e = u_out[:3], u_out[3:]
+        u_dq = abc_to_dq(u_abc, eps)
+        i_dq_e = motor_state[:3]
+        i_abc = dq_to_abc(i_dq_e[:2], eps)
+        torque = self.motor.torque(self.mp, motor_state)
+        system_state = jnp.concatenate(
+            [mech_state, jnp.stack([torque]), i_abc, i_dq_e, u_abc, u_dq, u_e,
+             jnp.stack([eps]), u_sup]
+        )
+        ps = PhysicsState(ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
+                          t=jnp.zeros((), self.dtype), k=jnp.zeros((), jnp.int32))
+        return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+    def simulate(self, ps: PhysicsState, action, noise=None):
+        """physical_systems.py:619-657."""
+        ode = ps.ode_state
+        eps = ode[self.eps_idx]
+        i_dq_e = self.motor.i_in(self.mp, ode[self.motor_slice])
+        i_in = jnp.concatenate([dq_to_abc(i_dq_e[:2], eps), i_dq_e[2:]])
+        intervals = self.converter.interval_states(ps.conv_state, action)
+        durations = self.converter.interval_durations()
+        cur = ps.conv_state
+        sup_state = ps.sup_state
+        t = ps.t
+        u_in = u_dq_e = u_sup = None
+        for j, dur in enumerate(durations):
+            i_sup = self.converter.i_sup(cur, action, i_in)
+            u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
+            u_sup = u_sup.astype(self.dtype)
+            u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            u_dq_e = jnp.concatenate([abc_to_dq(u_in[:3], eps), u_in[3:]])
+            ode = self.integrate(self._rhs, ode, t, dur, u_dq_e, noise)
+            cur = intervals[j]
+            t = t + dur
+            eps = ode[self.eps_idx]
+            i_dq_e = self.motor.i_in(self.mp, ode[self.motor_slice])
+            i_in = jnp.concatenate([dq_to_abc(i_dq_e[:2], eps), i_dq_e[2:]])
+        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        mech = ode[: self.n_mech]
+        i_dq_e = ode[self.motor_slice][:3]
+        i_abc = dq_to_abc(i_dq_e[:2], eps)
+        eps_out = wrap_angle(ode[self.eps_idx])
+        system_state = jnp.concatenate(
+            [mech, jnp.stack([torque]), i_abc, i_dq_e, u_in[:3], u_dq_e,
+             jnp.stack([eps_out]), u_sup]
+        )
+        new_ps = PhysicsState(ode_state=ode, conv_state=cur, sup_state=sup_state,
+                              t=ps.t + self.tau, k=ps.k + 1)
+        return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Induction machines
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SCIMSystem(SCMLSystem):
+    """physical_systems.py:696-847.  ODE in the stator-fixed alpha/beta frame;
+    the field angle eps_fs = atan2(psi_rbeta, psi_ralpha) orients the dq
+    output quantities."""
+
+    control_space: str = "abc"
+
+    def _build_state_names(self):
+        return list(self.load.state_names) + [
+            "torque",
+            "i_sa", "i_sb", "i_sc", "i_sd", "i_sq",
+            "u_sa", "u_sb", "u_sc", "u_sd", "u_sq",
+            "epsilon", "u_sup",
+        ]
+
+    def _build_state_space(self):
+        low = -np.ones(len(self.state_names))
+        high = np.ones(len(self.state_names))
+        for j in self._u_sup_indices():
+            low[j] = 0.0
+        self.state_space_low = low
+        self.state_space_high = high
+
+    @property
+    def action_space(self):
+        if self.control_space == "dq":
+            return ("box", -np.ones(2), np.ones(2))
+        return self.converter.action_space
+
+    @property
+    def eps_idx(self):
+        return self.n_mech + 4
+
+    def _motor_init_bounds(self, names):
+        """Induction-motor init bounds (electric_motor.py:199-213): the flux
+        states are not part of the observable system state, so their bounds
+        come from the initial limits (here: the omega=0 flux limit
+        ``l_m * i_sd_nominal``, induction_motor.py:268-269); every bound is
+        symmetric."""
+        mp = self.motor.parameter
+        psi_max = mp["l_m"] * self.motor.nominal.get("i_sd", self.motor.nominal.get("i", 1.0))
+        per_name = {
+            "i_salpha": self.motor.nominal.get("i", 1.0),
+            "i_sbeta": self.motor.nominal.get("i", 1.0),
+            "psi_ralpha": psi_max,
+            "psi_rbeta": psi_max,
+            "epsilon": np.pi,
+        }
+        upper = np.array([abs(per_name[n]) for n in names])
+        return -upper, upper
+
+    def _flux(self, ode):
+        return ode[self.n_mech + 2: self.n_mech + 4]
+
+    def _field_angle(self, ode):
+        psi = self._flux(ode)
+        return jnp.arctan2(psi[1], psi[0])
+
+    def reset(self, key):
+        """SCIM resets the load first — the motor init may depend on omega
+        (physical_systems.py:816-847)."""
+        k_motor, k_load, k_sup = jax.random.split(key, 3)
+        mech_state = self._sample_load(k_load).astype(self.dtype)
+        motor_state = self._sample_motor(k_motor).astype(self.dtype)
+        ode_state = jnp.concatenate([mech_state, motor_state])
+        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup = u_sup.astype(self.dtype)
+        eps = ode_state[self.eps_idx]
+        eps = jnp.where(eps > jnp.pi, eps - 2 * jnp.pi, eps)
+        eps_fs = self._field_angle(ode_state)
+        conv_state = self.converter.init_state()
+        u_abc = jnp.asarray(self.converter.u_reset, dtype=self.dtype) * u_sup[0]
+        u_dq = abc_to_dq(u_abc, eps_fs)
+        i_dq = alphabeta_to_dq(ode_state[self.n_mech: self.n_mech + 2], eps_fs)
+        i_abc = dq_to_abc(i_dq, eps_fs)
+        torque = self.motor.torque(self.mp, motor_state)
+        system_state = jnp.concatenate(
+            [mech_state, jnp.stack([torque]), i_abc, i_dq, u_abc, u_dq, jnp.stack([eps]), u_sup]
+        )
+        ps = PhysicsState(ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
+                          t=jnp.zeros((), self.dtype), k=jnp.zeros((), jnp.int32))
+        return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+    def simulate(self, ps: PhysicsState, action, noise=None):
+        """physical_systems.py:771-814."""
+        ode = ps.ode_state
+        eps_fs = self._field_angle(ode)
+        if self.control_space == "dq":
+            action = dq_to_abc(action, eps_fs)
+        i_in = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
+        intervals = self.converter.interval_states(ps.conv_state, action)
+        durations = self.converter.interval_durations()
+        cur = ps.conv_state
+        sup_state = ps.sup_state
+        t = ps.t
+        u_in = u_alphabeta = u_sup = None
+        for j, dur in enumerate(durations):
+            i_sup = self.converter.i_sup(cur, action, i_in)
+            u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
+            u_sup = u_sup.astype(self.dtype)
+            u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            u_alphabeta = abc_to_alphabeta(u_in)
+            ode = self.integrate(self._rhs, ode, t, dur, u_alphabeta, noise)
+            cur = intervals[j]
+            t = t + dur
+            eps_fs = self._field_angle(ode)
+            i_in = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
+        u_dq = abc_to_dq(u_in, eps_fs)
+        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        mech = ode[: self.n_mech]
+        i_dq = alphabeta_to_dq(ode[self.n_mech: self.n_mech + 2], eps_fs)
+        i_abc = dq_to_abc(i_dq, eps_fs)
+        eps_out = wrap_angle(ode[self.eps_idx])
+        system_state = jnp.concatenate(
+            [mech, jnp.stack([torque]), i_abc, i_dq, u_in, u_dq, jnp.stack([eps_out]), u_sup]
+        )
+        new_ps = PhysicsState(ode_state=ode, conv_state=cur, sup_state=sup_state,
+                              t=ps.t + self.tau, k=ps.k + 1)
+        return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+    def _rhs(self, t, y, u_alphabeta, noise):
+        motor_state = y[self.motor_slice]
+        torque = self.motor.torque(self.mp, motor_state)
+        d_mech = self.load.ode(self.lp, t, y[: self.n_mech], torque, noise)
+        d_motor = self.motor.ode(self.mp, motor_state, u_alphabeta, y[0])
+        return jnp.concatenate([d_mech, d_motor])
+
+
+@dataclasses.dataclass
+class DFIMSystem(SCIMSystem):
+    """physical_systems.py:850-1113.  Dual-fed machine: stator (abc) and rotor
+    (def) converters; rotor currents reconstructed from the fluxes."""
+
+    def _build_state_names(self):
+        return list(self.load.state_names) + [
+            "torque",
+            "i_sa", "i_sb", "i_sc", "i_sd", "i_sq",
+            "i_ra", "i_rb", "i_rc", "i_rd", "i_rq",
+            "u_sa", "u_sb", "u_sc", "u_sd", "u_sq",
+            "u_ra", "u_rb", "u_rc", "u_rd", "u_rq",
+            "epsilon", "u_sup",
+        ]
+
+    def _rotor_current(self, ode):
+        """physical_systems.py:954-966."""
+        mp = self.mp
+        l_r = mp["l_m"] + mp["l_sigr"]
+        i_s = ode[self.n_mech: self.n_mech + 2]
+        psi_r = self._flux(ode)
+        return psi_r / l_r - mp["l_m"] / l_r * i_s
+
+    def reset(self, key):
+        k_motor, k_load, k_sup = jax.random.split(key, 3)
+        mech_state = self._sample_load(k_load).astype(self.dtype)
+        motor_state = self._sample_motor(k_motor).astype(self.dtype)
+        ode_state = jnp.concatenate([mech_state, motor_state])
+        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup = u_sup.astype(self.dtype)
+        eps_el = ode_state[self.eps_idx]
+        eps_el = jnp.where(eps_el > jnp.pi, eps_el - 2 * jnp.pi, eps_el)
+        eps_field = self._field_angle(ode_state)
+        eps_field = jnp.where(eps_field > jnp.pi, eps_field - 2 * jnp.pi, eps_field)
+        conv_state = self.converter.init_state()
+        u_out = jnp.asarray(self.converter.u_reset, dtype=self.dtype) * u_sup[0]
+        u_sabc, u_rdef = u_out[:3], u_out[3:6]
+        u_sdq = abc_to_dq(u_sabc, eps_field)
+        u_rdq = abc_to_dq(u_rdef, eps_field - eps_el)
+        i_sdq = alphabeta_to_dq(ode_state[self.n_mech: self.n_mech + 2], eps_field)
+        i_sabc = dq_to_abc(i_sdq, eps_field)
+        i_rdq = alphabeta_to_dq(self._rotor_current(ode_state), eps_field - eps_el)
+        i_rdef = dq_to_abc(i_rdq, eps_field - eps_el)
+        torque = self.motor.torque(self.mp, motor_state)
+        system_state = jnp.concatenate(
+            [mech_state, jnp.stack([torque]), i_sabc, i_sdq, i_rdef, i_rdq,
+             u_sabc, u_sdq, u_rdef, u_rdq, jnp.stack([eps_el]), u_sup]
+        )
+        ps = PhysicsState(ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
+                          t=jnp.zeros((), self.dtype), k=jnp.zeros((), jnp.int32))
+        return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
+
+    def simulate(self, ps: PhysicsState, action, noise=None):
+        """physical_systems.py:968-1054."""
+        ode = ps.ode_state
+        eps_field = self._field_angle(ode)
+        eps_el = ode[self.eps_idx]
+        i_sabc = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
+        i_rdef = alphabeta_to_abc(self._rotor_current(ode))
+        i_in = jnp.concatenate([i_sabc, i_rdef])
+        intervals = self.converter.interval_states(ps.conv_state, action)
+        durations = self.converter.interval_durations()
+        cur = ps.conv_state
+        sup_state = ps.sup_state
+        t = ps.t
+        u_in = u_sup = None
+        u_sabc = u_rdef = u_sdq = u_rdq = None
+        for j, dur in enumerate(durations):
+            i_sup = self.converter.i_sup(cur, action, i_in)
+            u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
+            u_sup = u_sup.astype(self.dtype)
+            u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            u_sabc, u_rdef = u_in[:3], u_in[3:6]
+            u_rdq = abc_to_dq(u_rdef, eps_field - eps_el)
+            u_salphabeta = abc_to_alphabeta(u_sabc)
+            u_ralphabeta = dq_to_alphabeta(u_rdq, eps_field)
+            u_sr = (u_salphabeta, u_ralphabeta)
+            ode = self.integrate(self._rhs, ode, t, dur, u_sr, noise)
+            cur = intervals[j]
+            t = t + dur
+            eps_field = self._field_angle(ode)
+            eps_el = ode[self.eps_idx]
+            i_sabc = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
+            i_rdef = alphabeta_to_abc(self._rotor_current(ode))
+            i_in = jnp.concatenate([i_sabc, i_rdef])
+        u_sdq = abc_to_dq(u_sabc, eps_field)
+        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        mech = ode[: self.n_mech]
+        i_sdq = alphabeta_to_dq(ode[self.n_mech: self.n_mech + 2], eps_field)
+        i_sabc_out = dq_to_abc(i_sdq, eps_field)
+        i_rdq = alphabeta_to_dq(self._rotor_current(ode), eps_field)
+        i_rdef_out = dq_to_abc(i_rdq, eps_field - eps_el)
+        eps_out = wrap_angle(ode[self.eps_idx])
+        system_state = jnp.concatenate(
+            [mech, jnp.stack([torque]), i_sabc_out, i_sdq, i_rdef_out, i_rdq,
+             u_sabc, u_sdq, u_rdef, u_rdq, jnp.stack([eps_out]), u_sup]
+        )
+        new_ps = PhysicsState(ode_state=ode, conv_state=cur, sup_state=sup_state,
+                              t=ps.t + self.tau, k=ps.k + 1)
+        return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)

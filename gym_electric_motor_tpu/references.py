@@ -1,0 +1,326 @@
+"""Reference generators as on-device stochastic processes.
+
+The reference package precomputes a host-side numpy trajectory per random-
+length sub-episode and replays one value per step
+(``/root/reference/src/gym_electric_motor/reference_generators/``).  On TPU
+that buffer round-trip would dominate the step time, so every generator is
+re-expressed as either
+
+* a *closed-form* function of the step index and per-sub-episode parameters
+  (sinusoid, step, triangle, sawtooth, const), or
+* a *one-draw-per-step recurrence* carried in the env state (Wiener, Laplace
+  processes: ``value' = clip(value + draw, margin)``, exactly the loop in
+  ``wiener_process_reference_generator.py:30-49``),
+
+with the sub-episode re-randomization (length 500..2000, new process
+parameters) performed in-kernel via ``lax.cond`` when ``k`` reaches the
+sub-episode length (``subepisoded_reference_generator.py:96-117``).
+
+State layout per scalar generator (stacked for composite generators):
+``value`` (current normalized reference), ``k``, ``ep_len``, ``p[6]``
+(kind-specific parameters), ``key``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+P_SIGMA, P_AMPLITUDE, P_FREQUENCY, P_OFFSET, P_PHASE, P_WIDTH = range(6)
+N_P = 6
+
+
+def _uniform_in(key, lo, hi):
+    return (hi - lo) * jax.random.uniform(key, ()) + lo
+
+
+def _triangular01(key, left=0.0, mode=0.5, right=1.0):
+    """Triangular(0, 0.5, 1) sample via inverse CDF (step_reference_generator.py:346)."""
+    u = jax.random.uniform(key, ())
+    fc = (mode - left) / (right - left)
+    lo_branch = left + jnp.sqrt(u * (right - left) * (mode - left))
+    hi_branch = right - jnp.sqrt((1.0 - u) * (right - left) * (right - mode))
+    return jnp.where(u < fc, lo_branch, hi_branch)
+
+
+@dataclasses.dataclass
+class ScalarRefSpec:
+    """One generator referencing one state variable."""
+
+    kind: str  # 'wiener' | 'laplace' | 'sinusoidal' | 'step' | 'triangle' | 'sawtooth' | 'const'
+    reference_state: str
+    sigma_range: tuple = (1e-3, 1e-1)
+    amplitude_range: Optional[tuple] = None
+    frequency_range: tuple = (1.0, 10.0)
+    offset_range: Optional[tuple] = None
+    episode_lengths: tuple = (500, 2000)
+    limit_margin: Optional[object] = None  # float | (lo, hi) | None
+    initial_range: Optional[tuple] = None  # wiener only
+    reference_value: float = 0.5  # const only
+    # resolved at bind time:
+    tau: float = None
+    margin: tuple = None  # (lo, hi) floats
+    state_index: int = None
+
+    def bind(self, state_names, limits, nominal, state_space_low, state_space_high, tau):
+        """Resolve limit margins against the physical system
+        (subepisoded_reference_generator.py:46-66)."""
+        idx = list(state_names).index(self.reference_state)
+        lo_s, hi_s = float(state_space_low[idx]), float(state_space_high[idx])
+        if self.limit_margin is None:
+            ratio = float(nominal[idx] / limits[idx])
+            margin = (ratio * lo_s, ratio * hi_s)
+        elif isinstance(self.limit_margin, (float, int)):
+            margin = (float(self.limit_margin) * lo_s, float(self.limit_margin) * hi_s)
+        else:
+            margin = (float(self.limit_margin[0]) * lo_s, float(self.limit_margin[1]) * hi_s)
+        bound = dataclasses.replace(self, tau=tau, margin=margin, state_index=idx)
+        if bound.kind in ("sinusoidal", "step", "triangle", "sawtooth"):
+            mlo, mhi = margin
+            amp = bound.amplitude_range or (0.0, np.inf)
+            amp = tuple(np.clip(amp, 0.0, (mhi - mlo) / 2.0))
+            off = bound.offset_range or (-np.inf, np.inf)
+            off = tuple(np.clip(off, mlo, mhi))
+            bound = dataclasses.replace(bound, amplitude_range=amp, offset_range=off)
+        if bound.kind == "wiener" and bound.initial_range is None:
+            bound = dataclasses.replace(bound, initial_range=margin)
+        return bound
+
+    # ---------------- device functions ----------------
+
+    def _draw_params(self, key):
+        """Draw per-sub-episode parameters; returns (ep_len, p[6])."""
+        keys = jax.random.split(key, 7)
+        lo, hi = self.episode_lengths
+        ep_len = jnp.floor(_uniform_in(keys[0], float(lo), float(hi))).astype(jnp.int32)
+        p = jnp.zeros((N_P,))
+        if self.kind in ("wiener", "laplace"):
+            log_r = np.log10(np.asarray(self.sigma_range, dtype=np.float64))
+            sigma = 10.0 ** _uniform_in(keys[1], float(log_r[0]), float(log_r[1]))
+            p = p.at[P_SIGMA].set(sigma)
+        elif self.kind in ("sinusoidal", "step", "triangle", "sawtooth"):
+            mlo, mhi = self.margin
+            amp = _uniform_in(keys[1], *map(float, self.amplitude_range))
+            freq = _uniform_in(keys[2], *map(float, self.frequency_range))
+            if self.kind == "step":
+                off_lo = jnp.clip(jnp.asarray(self.offset_range[0]), mlo + amp, mhi - amp)
+                off_hi = jnp.clip(jnp.asarray(self.offset_range[1]), mlo + amp, mhi - amp)
+            else:
+                off_lo = jnp.clip(jnp.asarray(self.offset_range[0]), -mhi + amp, mhi - amp)
+                off_hi = jnp.clip(jnp.asarray(self.offset_range[1]), -mhi + amp, mhi - amp)
+            offset = _uniform_in(keys[3], off_lo, off_hi)
+            if self.kind == "step":
+                phase = jax.random.uniform(keys[4], ())  # fraction of a period
+                width = _triangular01(keys[5])  # duty ratio
+            elif self.kind == "triangle":
+                phase = jax.random.uniform(keys[4], ()) * 2.0 * jnp.pi
+                width = jax.random.uniform(keys[5], ())
+            elif self.kind == "sawtooth":
+                phase = jax.random.uniform(keys[4], ()) * 2.0 * jnp.pi
+                width = jnp.ones(())
+            else:
+                phase = jax.random.uniform(keys[4], ()) * 2.0 * jnp.pi
+                width = jnp.ones(())
+            p = p.at[P_AMPLITUDE].set(amp).at[P_FREQUENCY].set(freq)
+            p = p.at[P_OFFSET].set(offset).at[P_PHASE].set(phase).at[P_WIDTH].set(width)
+        return ep_len, p
+
+    def _closed_form(self, p, k):
+        """Reference value at sub-episode step ``k`` for waveform kinds."""
+        t = k.astype(jnp.float32) * self.tau
+        amp, freq = p[P_AMPLITUDE], p[P_FREQUENCY]
+        offset, phase, width = p[P_OFFSET], p[P_PHASE], p[P_WIDTH]
+        if self.kind == "sinusoidal":
+            ref = amp * jnp.sin(2.0 * jnp.pi * freq * t + phase) + offset
+        elif self.kind == "step":
+            # square wave with duty ratio `width`, phase-rolled
+            # (step_reference_generator.py:338-358)
+            steps_per_period = 1.0 / (freq * self.tau)
+            shift = jnp.floor(steps_per_period * phase)
+            t_shift = (k.astype(jnp.float32) - shift) * self.tau
+            x = freq * jnp.mod(t_shift, 1.0 / freq) - width
+            ref = amp * jnp.sign(x) + offset
+        else:  # triangle / sawtooth via the scipy sawtooth(phi, width) closed form
+            phi = 2.0 * jnp.pi * freq * t + phase
+            tmod = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
+            w = width
+            rising = 2.0 * tmod / jnp.maximum(w, 1e-12) - 1.0
+            falling = (2.0 * (1.0 - tmod) / jnp.maximum(1.0 - w, 1e-12)) - 1.0
+            wave = jnp.where(tmod < w, rising, falling)
+            ref = amp * wave + offset
+        return jnp.clip(ref, self.margin[0], self.margin[1])
+
+    def reset(self, key, initial_reference=None):
+        """Returns (state dict, initial reference value, first observation)."""
+        if self.kind == "const":
+            value = jnp.asarray(self.reference_value)
+            state = dict(value=value, k=jnp.zeros((), jnp.int32),
+                         ep_len=jnp.zeros((), jnp.int32), p=jnp.zeros((N_P,)), key=key)
+            return state, value, value
+        k_init, k_regen, key_next = jax.random.split(key, 3)
+        if initial_reference is not None:
+            value0 = jnp.asarray(initial_reference)
+        elif self.kind == "wiener":
+            lo, hi = self.initial_range
+            value0 = _uniform_in(k_init, float(lo), float(hi))
+        else:
+            value0 = jnp.zeros(())
+        ep_len, p = self._draw_params(k_regen)
+        state = dict(value=value0, k=jnp.zeros((), jnp.int32), ep_len=ep_len, p=p, key=key_next)
+        # the first observation is the value at k=0 of the fresh sub-episode
+        state, obs = self.advance(state)
+        return state, value0, obs
+
+    def advance(self, state):
+        """One step of ``get_reference_observation``
+        (subepisoded_reference_generator.py:96-105): regenerate if the
+        sub-episode ended, then emit the value at ``k`` and increment ``k``."""
+        if self.kind == "const":
+            return state, state["value"]
+
+        def regen(st):
+            k_regen, k_draw, key_next = jax.random.split(st["key"], 3)
+            ep_len, p = self._draw_params(k_regen)
+            return dict(value=st["value"], k=jnp.zeros((), jnp.int32), ep_len=ep_len,
+                        p=p, key=key_next)
+
+        state = jax.lax.cond(state["k"] >= state["ep_len"], regen, lambda st: st, state)
+
+        if self.kind in ("wiener", "laplace"):
+            key_draw, key_next = jax.random.split(state["key"])
+            sigma = state["p"][P_SIGMA]
+            if self.kind == "wiener":
+                draw = sigma * jax.random.normal(key_draw, ())
+            else:
+                draw = sigma * jax.random.laplace(key_draw, ())
+            value = jnp.clip(state["value"] + draw, self.margin[0], self.margin[1])
+            new = dict(value=value, k=state["k"] + 1, ep_len=state["ep_len"],
+                       p=state["p"], key=key_next)
+        else:
+            value = self._closed_form(state["p"], state["k"])
+            new = dict(value=value, k=state["k"] + 1, ep_len=state["ep_len"],
+                       p=state["p"], key=state["key"])
+        return new, value
+
+
+@dataclasses.dataclass
+class ReferenceSpec:
+    """Composite reference generator (the env-facing object).
+
+    Equivalent to ``MultipleReferenceGenerator`` for len > 1 and to a single
+    generator otherwise.  ``reference_names`` / ``referenced_states`` follow
+    the reference semantics so rewards and observations line up.
+    """
+
+    subs: list  # list[ScalarRefSpec]
+    n_states: int = None
+    ref_indices: np.ndarray = None
+
+    @property
+    def reference_names(self):
+        return [s.reference_state for s in self.subs]
+
+    @property
+    def n_refs(self):
+        return len(self.subs)
+
+    def bind(self, state_names, limits, nominal, low, high, tau):
+        subs = [s.bind(state_names, limits, nominal, low, high, tau) for s in self.subs]
+        return dataclasses.replace(
+            self,
+            subs=subs,
+            n_states=len(state_names),
+            ref_indices=np.array([s.state_index for s in subs], dtype=np.int32),
+        )
+
+    def referenced_states(self):
+        mask = np.zeros(self.n_states, dtype=bool)
+        mask[self.ref_indices] = True
+        return mask
+
+    def reference_space(self):
+        lo = np.array([s.margin[0] if s.kind != "const" else s.reference_value for s in self.subs])
+        hi = np.array([s.margin[1] if s.kind != "const" else s.reference_value for s in self.subs])
+        return lo, hi
+
+    # -------- device functions --------
+
+    def reset(self, key):
+        keys = jax.random.split(key, len(self.subs))
+        states, values0, obs = [], [], []
+        for s, k in zip(self.subs, keys):
+            st, v0, ob = s.reset(k)
+            states.append(st)
+            values0.append(v0)
+            obs.append(ob)
+        ref_array = self.to_reference_array(jnp.stack(values0))
+        return tuple(states), ref_array, jnp.stack(obs)
+
+    def advance(self, states):
+        new_states, obs = [], []
+        for s, st in zip(self.subs, states):
+            st2, v = s.advance(st)
+            new_states.append(st2)
+            obs.append(v)
+        return tuple(new_states), jnp.stack(obs)
+
+    def current_values(self, states):
+        return jnp.stack([st["value"] for st in states])
+
+    def to_reference_array(self, values):
+        """Scatter the per-generator values into a full state-sized array."""
+        ref = jnp.zeros((self.n_states,), dtype=values.dtype)
+        return ref.at[jnp.asarray(self.ref_indices)].set(values)
+
+
+# Convenience constructors mirroring the reference class names -------------
+
+
+def WienerProcessReference(reference_state="omega", sigma_range=(1e-3, 1e-1),
+                           initial_range=None, episode_lengths=(500, 2000),
+                           limit_margin=None) -> ScalarRefSpec:
+    return ScalarRefSpec("wiener", reference_state, sigma_range=sigma_range,
+                         initial_range=initial_range, episode_lengths=episode_lengths,
+                         limit_margin=limit_margin)
+
+
+def LaplaceProcessReference(reference_state="omega", sigma_range=(1e-3, 1e-1),
+                            episode_lengths=(500, 2000), limit_margin=None) -> ScalarRefSpec:
+    return ScalarRefSpec("laplace", reference_state, sigma_range=sigma_range,
+                         episode_lengths=episode_lengths, limit_margin=limit_margin)
+
+
+def SinusoidalReference(reference_state="omega", amplitude_range=None, frequency_range=(1, 10),
+                        offset_range=None, episode_lengths=(500, 2000), limit_margin=None) -> ScalarRefSpec:
+    return ScalarRefSpec("sinusoidal", reference_state, amplitude_range=amplitude_range,
+                         frequency_range=frequency_range, offset_range=offset_range,
+                         episode_lengths=episode_lengths, limit_margin=limit_margin)
+
+
+def StepReference(reference_state="omega", amplitude_range=None, frequency_range=(1, 10),
+                  offset_range=None, episode_lengths=(500, 2000), limit_margin=None) -> ScalarRefSpec:
+    return ScalarRefSpec("step", reference_state, amplitude_range=amplitude_range,
+                         frequency_range=frequency_range, offset_range=offset_range,
+                         episode_lengths=episode_lengths, limit_margin=limit_margin)
+
+
+def TriangularReference(reference_state="omega", amplitude_range=None, frequency_range=(1, 10),
+                        offset_range=None, episode_lengths=(500, 2000), limit_margin=None) -> ScalarRefSpec:
+    return ScalarRefSpec("triangle", reference_state, amplitude_range=amplitude_range,
+                         frequency_range=frequency_range, offset_range=offset_range,
+                         episode_lengths=episode_lengths, limit_margin=limit_margin)
+
+
+def SawtoothReference(reference_state="omega", amplitude_range=None, frequency_range=(1, 10),
+                      offset_range=None, episode_lengths=(500, 2000), limit_margin=None) -> ScalarRefSpec:
+    return ScalarRefSpec("sawtooth", reference_state, amplitude_range=amplitude_range,
+                         frequency_range=frequency_range, offset_range=offset_range,
+                         episode_lengths=episode_lengths, limit_margin=limit_margin)
+
+
+def ConstReference(reference_state="omega", reference_value=0.5) -> ScalarRefSpec:
+    return ScalarRefSpec("const", reference_state, reference_value=reference_value)
