@@ -121,13 +121,39 @@ class ConverterSpec:
         """Per-interval half-bridge states; index 0 applies first.
 
         Returns a tuple of (n_state,) int arrays of length ``n_intervals``.
+
+        Interlocking semantics follow the reference exactly
+        (converters.py:271-276, 300-310): a half-bridge whose commanded state
+        differs from its previous state (neither being all-off) is opened for
+        the *entire* control cycle — ``convert`` keeps ``pattern[0]`` for both
+        sub-intervals because ``t - tau/1000 > start + t_int`` never holds at
+        the sub-interval start times, and the stored switching state then ends
+        at 0 so the following cycle takes the no-interlock path and applies
+        its command immediately.
         """
         if self.action_type != "finite" or self.n_state == 0:
             return (conv_state,) * self.n_intervals
         cmd = self.bridge_actions(action)
         if self.n_intervals == 1:
             return (cmd,)
-        return (_hb_interlock_pattern(conv_state, cmd), cmd)
+        inter = _hb_interlock_pattern(conv_state, cmd)
+        return (inter, inter)
+
+    def interlock_flag(self, conv_state, action):
+        """Traced bool: does any half-bridge interlock this cycle?
+
+        When False the reference emits a *single* sub-interval (its merged
+        switching-time list is just ``[t + tau]``), i.e. ``i_sup``/``convert``
+        run once and their values hold for the whole control period.  The
+        simulate loop uses this flag to freeze the interval-1 signals at the
+        interval-0 values in that case.  Returns None when the schedule is
+        statically single-interval.
+        """
+        if self.n_intervals == 1 or self.action_type != "finite" or self.n_state == 0:
+            return None
+        cmd = self.bridge_actions(action)
+        inter = _hb_interlock_pattern(conv_state, cmd)
+        return jnp.any(inter != cmd)
 
 
 # ---------------------------------------------------------------------------

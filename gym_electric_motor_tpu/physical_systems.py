@@ -306,6 +306,7 @@ class SCMLSystem:
         i_in = self.motor.i_in(self.mp, ode[self.motor_slice])
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
+        flag = self.converter.interlock_flag(ps.conv_state, action)
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
@@ -313,9 +314,16 @@ class SCMLSystem:
         u_sup = None
         for j, dur in enumerate(durations):
             i_sup = self.converter.i_sup(cur, action, i_in)
+            if j > 0 and flag is not None:
+                # No interlock this cycle => the reference runs a single
+                # sub-interval; freeze the signals at interval-0 values.
+                i_sup = jnp.where(flag, i_sup, prev_i_sup)
             u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
             u_sup = u_sup.astype(self.dtype)
             u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            if j > 0 and flag is not None:
+                u_in = jnp.where(flag, u_in, prev_u_in)
+            prev_i_sup, prev_u_in = i_sup, u_in
             ode = self.integrate(self._rhs, ode, t, dur, u_in, noise)
             cur = intervals[j]
             t = t + dur
@@ -412,15 +420,21 @@ class SynchronousMotorSystem(SCMLSystem):
         i_in = dq_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]), eps)
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
+        flag = self.converter.interlock_flag(ps.conv_state, action)
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_dq = u_sup = None
         for j, dur in enumerate(durations):
             i_sup = self.converter.i_sup(cur, action, i_in)
+            if j > 0 and flag is not None:
+                i_sup = jnp.where(flag, i_sup, prev_i_sup)
             u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
             u_sup = u_sup.astype(self.dtype)
             u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            if j > 0 and flag is not None:
+                u_in = jnp.where(flag, u_in, prev_u_in)
+            prev_i_sup, prev_u_in = i_sup, u_in
             u_dq = abc_to_dq(u_in, eps)
             ode = self.integrate(self._rhs, ode, t, dur, u_dq, noise)
             cur = intervals[j]
@@ -487,15 +501,21 @@ class EESMSystem(SynchronousMotorSystem):
         i_in = jnp.concatenate([dq_to_abc(i_dq_e[:2], eps), i_dq_e[2:]])
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
+        flag = self.converter.interlock_flag(ps.conv_state, action)
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_dq_e = u_sup = None
         for j, dur in enumerate(durations):
             i_sup = self.converter.i_sup(cur, action, i_in)
+            if j > 0 and flag is not None:
+                i_sup = jnp.where(flag, i_sup, prev_i_sup)
             u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
             u_sup = u_sup.astype(self.dtype)
             u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            if j > 0 and flag is not None:
+                u_in = jnp.where(flag, u_in, prev_u_in)
+            prev_i_sup, prev_u_in = i_sup, u_in
             u_dq_e = jnp.concatenate([abc_to_dq(u_in[:3], eps), u_in[3:]])
             ode = self.integrate(self._rhs, ode, t, dur, u_dq_e, noise)
             cur = intervals[j]
@@ -615,15 +635,21 @@ class SCIMSystem(SCMLSystem):
         i_in = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
+        flag = self.converter.interlock_flag(ps.conv_state, action)
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_alphabeta = u_sup = None
         for j, dur in enumerate(durations):
             i_sup = self.converter.i_sup(cur, action, i_in)
+            if j > 0 and flag is not None:
+                i_sup = jnp.where(flag, i_sup, prev_i_sup)
             u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
             u_sup = u_sup.astype(self.dtype)
             u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            if j > 0 and flag is not None:
+                u_in = jnp.where(flag, u_in, prev_u_in)
+            prev_i_sup, prev_u_in = i_sup, u_in
             u_alphabeta = abc_to_alphabeta(u_in)
             ode = self.integrate(self._rhs, ode, t, dur, u_alphabeta, noise)
             cur = intervals[j]
@@ -713,6 +739,7 @@ class DFIMSystem(SCIMSystem):
         i_in = jnp.concatenate([i_sabc, i_rdef])
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
+        flag = self.converter.interlock_flag(ps.conv_state, action)
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
@@ -720,9 +747,14 @@ class DFIMSystem(SCIMSystem):
         u_sabc = u_rdef = u_sdq = u_rdq = None
         for j, dur in enumerate(durations):
             i_sup = self.converter.i_sup(cur, action, i_in)
+            if j > 0 and flag is not None:
+                i_sup = jnp.where(flag, i_sup, prev_i_sup)
             u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state, ps.t, i_sup)
             u_sup = u_sup.astype(self.dtype)
             u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            if j > 0 and flag is not None:
+                u_in = jnp.where(flag, u_in, prev_u_in)
+            prev_i_sup, prev_u_in = i_sup, u_in
             u_sabc, u_rdef = u_in[:3], u_in[3:6]
             u_rdq = abc_to_dq(u_rdef, eps_field - eps_el)
             u_salphabeta = abc_to_alphabeta(u_sabc)
