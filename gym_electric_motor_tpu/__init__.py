@@ -10,7 +10,7 @@ TPU meshes.
 
 __version__ = "0.1.0"
 
-from . import constraints, core, ops, physical_systems, references, rewards
+from . import constraints, controllers, core, ops, physical_systems, references, rewards, wrappers
 from .core import ElectricMotorEnvironment, VectorEnv
 from .envs import ENV_IDS, make, make_functional
 
@@ -26,4 +26,5 @@ __all__ = [
     "references",
     "rewards",
     "constraints",
+    "wrappers",
 ]

@@ -212,6 +212,7 @@ def make_functional(
     substeps=1,
     control_space="abc",
     dtype=None,
+    physical_system_wrappers=(),
 ) -> ElectricMotorEnvironment:
     """Build the functional environment for a reference env id.
 
@@ -243,6 +244,19 @@ def make_functional(
     if dtype is not None:
         kwargs["dtype"] = dtype
     system = system_cls(**kwargs)
+    physical_system_wrappers = tuple(physical_system_wrappers)
+    if motor_name == "ShuntDc":
+        # All reference ShuntDc envs append a CurrentSumProcessor by default
+        # (e.g. envs/gym_dcm/shunt_dc_motor_env/finite_cc_shunt_dc_env.py:192)
+        from ..wrappers import CurrentSumProcessor
+
+        physical_system_wrappers = physical_system_wrappers + (
+            CurrentSumProcessor(("i_a", "i_e")),
+        )
+    if physical_system_wrappers:
+        from ..wrappers import apply_wrappers
+
+        system = apply_wrappers(system, physical_system_wrappers)
 
     return ElectricMotorEnvironment(
         physical_system=system,
