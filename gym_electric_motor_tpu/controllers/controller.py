@@ -1,0 +1,475 @@
+"""The auto-tuned cascade controller (functional ``gem_controllers``).
+
+``GemController.make(env, env_id)`` reproduces the reference's cascade
+construction and symmetric-optimum tuning
+(``/root/reference/src/gem_controllers/gem_controller.py:29-99``):
+
+    InputStage (denormalize)
+    -> [SC: PI speed controller -> torque clip -> anti-windup]
+    -> [TC: operation-point selection (torque -> currents) -> current clip]
+    -> CC: PI current controller + EMF feedforward -> voltage clip
+           -> [AC: dq -> abc with advance angle]
+    -> OutputStage (normalize / discretize)
+
+but emits a *pure function* ``control(ctrl_state, state, reference)`` over an
+explicit controller-state pytree (the PI integrators), so the whole closed
+loop runs jitted/vmapped/scanned on device.
+
+Faithfulness notes (verified against the reference source):
+* The clipped voltage is used only for anti-windup; the *unclipped* voltage
+  goes through the abc transformation to the output stage, exactly as in
+  ``pi_current_controller.py:146-177``.
+* The abc advance angle uses the mechanical omega without the pole-pair
+  factor (``abc_transformation.py:55-57``).
+* ``DiscOutputStage.to_b6_discrete`` raises NotImplementedError in the
+  reference; here it is implemented as per-phase two-level switching mapped
+  onto the Discrete(8) B6 action table (an extension).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.transforms import dq_to_abc
+from . import readers
+
+
+def _state_arrays(env):
+    ps = env.physical_system
+    return (
+        list(ps.state_names),
+        np.asarray(ps.limits, dtype=np.float64),
+        np.asarray(ps.state_space_low, dtype=np.float64),
+        np.asarray(ps.state_space_high, dtype=np.float64),
+    )
+
+
+@dataclasses.dataclass
+class GemController:
+    """Host-side tuned cascade; pure device functions for the control law."""
+
+    env_id: str
+    motor_type: str
+    control_task: str
+    action_type: str
+    tau: float
+    # indices into the full state vector
+    current_idx: np.ndarray
+    voltage_idx: np.ndarray
+    omega_idx: int
+    torque_idx: int
+    angle_idx: int | None
+    limits: np.ndarray
+    # CC gains
+    cc_p_gain: np.ndarray
+    cc_i_gain: np.ndarray
+    cc_d_gain: np.ndarray | None
+    cc_action_range: tuple
+    # EMF feedforward
+    decoupling: bool
+    emf_current_idx: np.ndarray
+    l_emf: np.ndarray
+    psi_emf: np.ndarray
+    pole_pairs: float
+    # clipping (CC): 'absolute' | 'squared'
+    cc_clip_kind: str
+    cc_clip_limits: np.ndarray  # absolute: (lo, hi); squared: limits
+    # abc transformation
+    transform: bool
+    advance_factor: float
+    n_output_voltages: int
+    # TC stage
+    ops_kind: str | None = None
+    ops_params: dict = dataclasses.field(default_factory=dict)
+    tc_clip_kind: str = "absolute"
+    tc_clip_limits: np.ndarray = None
+    # SC stage
+    sc_p_gain: np.ndarray = None
+    sc_i_gain: np.ndarray = None
+    sc_clip_range: tuple = None
+    # output stage
+    output_kind: str = "cont"  # 'cont' | 'disc' | 'multidisc' | 'b6'
+    output_limits: np.ndarray = None
+    disc_levels: tuple = None  # (low_level, high_level) arrays
+    disc_actions: tuple = None  # (low, idle, high) per component
+    n_ref: int = 1
+    ref_limits: np.ndarray = None
+
+    # ------------------------------------------------------------------
+    # Construction / tuning
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def make(cls, env, env_id, decoupling=True, current_safety_margin=0.2, a=4,
+             base_current_controller="PI"):
+        """gem_controller.py:29-99 + per-stage tune() calls."""
+        action_type, control_task, motor_type = readers.split_env_id(env_id)
+        if motor_type == "DFIM":
+            raise NotImplementedError(
+                "The reference gem_controllers has no DFIM support "
+                "(parameter_reader.voltages lacks 'DFIM'); neither does this port."
+            )
+        state_names, limits, low, high = _state_arrays(env)
+        mtr = motor_type
+        tau = env.physical_system.tau
+
+        currents = readers.currents[mtr]
+        voltages = readers.voltages[mtr]
+        current_idx = np.array([state_names.index(c) for c in currents])
+        voltage_idx = np.array([state_names.index(v) for v in voltages])
+        omega_idx = state_names.index("omega")
+        torque_idx = state_names.index("torque")
+
+        # --- CC: PI gains by the symmetric optimum (pi_controller.py:60-86)
+        l_ = readers.l_reader[mtr](env)
+        cc_p = l_ / (tau * a)
+        cc_i = cc_p / (tau * a**2)
+        cc_d = cc_p * tau if base_current_controller == "PID" else None
+        v_lims = limits[voltage_idx]
+        cc_range = (low[voltage_idx] * v_lims, high[voltage_idx] * v_lims)
+
+        # --- EMF feedforward (emf_feedforward.py:80-103)
+        emf_idx = np.array([state_names.index(c) for c in readers.emf_currents[mtr]])
+        l_emf = readers.l_emf_reader[mtr](env)
+        psi_emf = readers.psi_reader[mtr](env)
+        p = float(readers.p_reader[mtr](env))
+
+        # --- CC clipping (pi_current_controller.py:99-106)
+        if mtr in readers.ac_motors:
+            cc_clip_kind = "squared"
+            cc_clip_limits = v_lims
+        else:
+            cc_clip_kind = "absolute"
+            cc_clip_limits = np.stack(cc_range)
+
+        # --- abc transformation
+        transform = mtr in readers.ac_motors
+        angle_idx = None
+        if transform:
+            if mtr in readers.induction_motors:
+                if "psi_angle" not in state_names:
+                    raise ValueError(
+                        f"{mtr} control requires a FluxObserver wrapper "
+                        f"('psi_angle' state missing), cf. abc_transformation.py:63-66"
+                    )
+                angle_idx = state_names.index("psi_angle")
+            else:
+                angle_idx = state_names.index("epsilon")
+        out_volt_names = readers.get_output_voltages(mtr, action_type)
+        n_out = len(out_volt_names)
+
+        ctrl = cls(
+            env_id=env_id, motor_type=mtr, control_task=control_task,
+            action_type=action_type, tau=tau,
+            current_idx=current_idx, voltage_idx=voltage_idx,
+            omega_idx=omega_idx, torque_idx=torque_idx, angle_idx=angle_idx,
+            limits=limits,
+            cc_p_gain=cc_p, cc_i_gain=np.clip(cc_i, 0.0, np.inf), cc_d_gain=cc_d,
+            cc_action_range=cc_range,
+            decoupling=decoupling, emf_current_idx=emf_idx, l_emf=l_emf,
+            psi_emf=psi_emf, pole_pairs=p,
+            cc_clip_kind=cc_clip_kind, cc_clip_limits=cc_clip_limits,
+            transform=transform, advance_factor=0.5, n_output_voltages=n_out,
+        )
+
+        # --- TC stage (torque_controller.py:94-111)
+        if control_task in ("TC", "SC"):
+            ctrl._tune_torque_stage(env, current_safety_margin, limits, low, high)
+        # --- SC stage (pi_speed_controller.py:86-100)
+        if control_task == "SC":
+            j_total = float(env.physical_system.load.j_load
+                            + env.physical_system.motor.parameter["j_rotor"])
+            t_n = float(np.min(ctrl.cc_p_gain / ctrl.cc_i_gain))
+            sc_p = j_total / (a * t_n)
+            ctrl.sc_p_gain = np.array([sc_p])
+            ctrl.sc_i_gain = np.array([sc_p / (a * t_n)])
+            t_lim = limits[torque_idx]
+            ctrl.sc_clip_range = (
+                np.array([low[torque_idx] * t_lim]),
+                np.array([high[torque_idx] * t_lim]),
+            )
+
+        # --- output stage
+        ctrl._tune_output_stage(env, state_names, limits, low, high, out_volt_names)
+
+        # --- reference input scaling (input_stage.py:42-58)
+        ref_idx = [state_names.index(r) for r in env.reference_names]
+        ctrl.n_ref = len(ref_idx)
+        ctrl.ref_limits = limits[np.array(ref_idx)]
+        return ctrl
+
+    def _tune_torque_stage(self, env, margin, limits, low, high):
+        mtr = self.motor_type
+        cur_lims = limits[self.current_idx] * (1 - margin)
+        if mtr in readers.dc_motors:
+            self.tc_clip_kind = "absolute"
+            self.tc_clip_limits = np.stack(
+                (low[self.current_idx] * cur_lims, high[self.current_idx] * cur_lims)
+            )
+        else:
+            self.tc_clip_kind = "squared"
+            self.tc_clip_limits = limits[self.current_idx]
+        mp = env.physical_system.motor.parameter
+        if mtr == "PermExDc":
+            self.ops_kind = "permex"
+            self.ops_params = dict(
+                psi=float(mp["psi_e"]),
+                v_lim=float(limits[self.voltage_idx][0]),
+                r=float(mp["r_a"]),
+            )
+        elif mtr == "SeriesDc":
+            self.ops_kind = "series"
+            self.ops_params = dict(l_prime=float(mp["l_e_prime"]))
+        elif mtr == "ShuntDc":
+            self.ops_kind = "shunt"
+            i_lims = limits[self.current_idx] * (1 - margin)
+            i_e_idx = list(env.physical_system.state_names).index("i_e")
+            self.ops_params = dict(
+                l_prime=float(mp["l_e_prime"]),
+                i_a_limit=float(i_lims[0]),
+                i_e_limit=float(limits[i_e_idx] * (1 - margin)),
+                i_e_idx=i_e_idx,
+            )
+        elif mtr == "ExtExDc":
+            self.ops_kind = "extex"
+            i_e_idx = list(env.physical_system.state_names).index("i_e")
+            self.ops_params = dict(
+                l_prime=float(mp["l_e_prime"]),
+                r_a_sqrt=float(np.sqrt(mp["r_a"])),
+                r_e_sqrt=float(np.sqrt(mp["r_e"])),
+                i_e_idx=i_e_idx,
+            )
+        elif mtr in ("PMSM", "SynRM"):
+            from .pmsm_ops import tune_pmsm_ops
+
+            self.ops_kind = "pmsm"
+            self.ops_params = tune_pmsm_ops(env, self.env_id, margin)
+        else:
+            raise NotImplementedError(
+                f"Torque/speed control for {mtr} is not implemented yet"
+            )
+
+    def _tune_output_stage(self, env, state_names, limits, low, high, out_volt_names):
+        out_idx = np.array([state_names.index(v) for v in out_volt_names])
+        self.output_limits = limits[out_idx]
+        if self.action_type == "Cont":
+            self.output_kind = "cont"
+            return
+        # Finite (disc_output_stage.py:118-160)
+        v_range_low = low[out_idx] * self.output_limits
+        v_range_high = high[out_idx] * self.output_limits
+        low_level = -0.33 * (v_range_high - v_range_low)
+        high_level = 0.33 * (v_range_high - v_range_low)
+        self.disc_levels = (low_level, high_level)
+        space = env.physical_system.action_space
+        kind = space[0]
+        if kind == "discrete":
+            n = space[1]
+            if n == 8:
+                self.output_kind = "b6"
+            else:
+                self.output_kind = "disc"
+                # disc_output_stage.py:163-171
+                self.disc_actions = ((0 if n == 2 else 2), 0, 1)
+        elif kind == "multidiscrete":
+            self.output_kind = "multidisc"
+            acts = []
+            for n in space[1]:
+                if n == 8:
+                    acts.append("b6")
+                else:
+                    acts.append(((0 if n == 2 else 2), 0, 1))
+            self.disc_actions = tuple(acts)
+        else:
+            raise ValueError(f"Unsupported finite action space {space}")
+
+    # ------------------------------------------------------------------
+    # Device functions
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        """Initial controller state (the PI integrators)."""
+        cs = {"cc_integrator": jnp.zeros(len(self.current_idx))}
+        if self.cc_d_gain is not None:
+            cs["cc_last_error"] = jnp.zeros(len(self.current_idx))
+        if self.control_task == "SC":
+            cs["sc_integrator"] = jnp.zeros(1)
+        if self.ops_kind == "pmsm":
+            from .pmsm_ops import pmsm_ops_reset
+
+            cs.update(pmsm_ops_reset())
+        return cs
+
+    def _clip(self, kind, lims, ref):
+        if kind == "absolute":
+            lo, hi = jnp.asarray(lims[0]), jnp.asarray(lims[1])
+            clipped = jnp.clip(ref, lo, hi)
+        else:  # squared_clipping_stage.py:35-53
+            rel = jnp.sum((ref / jnp.asarray(lims)) ** 2)
+            clipped = jnp.where(rel < 1.0, ref, ref / rel)
+        return clipped, ref - clipped
+
+    def control(self, cs, state_norm, reference_norm):
+        """One control cycle: normalized (state, reference) -> env action.
+
+        Mirrors GymElectricMotorAdapter.control (gem_adapter.py:70-95) with
+        the stage chain of the configured task.
+        """
+        cs = dict(cs)
+        state = state_norm * jnp.asarray(self.limits, state_norm.dtype)
+        ref = reference_norm * jnp.asarray(self.ref_limits, state_norm.dtype)
+
+        # ---- SC: speed -> torque (pi_speed_controller.py:102-121)
+        if self.control_task == "SC":
+            omega = state[self.omega_idx]
+            err = ref - omega
+            torque_ref = (jnp.asarray(self.sc_p_gain) * err
+                          + jnp.asarray(self.sc_i_gain) * cs["sc_integrator"])
+            t_clipped, t_diff = self._clip("absolute", self.sc_clip_range, torque_ref)
+            cs["sc_integrator"] = cs["sc_integrator"] + self.tau * err * (t_diff == 0.0)
+            ref = t_clipped
+
+        # ---- TC: torque -> currents (torque_controller.py:113-136)
+        if self.control_task in ("TC", "SC"):
+            ref = self._operation_point(cs, state, ref)
+            ref, _ = self._clip(self.tc_clip_kind, self.tc_clip_limits, ref)
+
+        # ---- CC: currents -> voltages (pi_current_controller.py:146-177)
+        i_meas = state[jnp.asarray(self.current_idx)]
+        err = ref - i_meas
+        u = jnp.asarray(self.cc_p_gain) * err + jnp.asarray(self.cc_i_gain) * cs["cc_integrator"]
+        if self.cc_d_gain is not None:
+            u = u + jnp.asarray(self.cc_d_gain) * (err - cs["cc_last_error"]) / self.tau
+            cs["cc_last_error"] = err
+        if self.decoupling:
+            omega_el = state[self.omega_idx] * self.pole_pairs
+            u = u + (jnp.asarray(self.l_emf) * state[jnp.asarray(self.emf_current_idx)]
+                     + jnp.asarray(self.psi_emf)) * omega_el
+        _u_clipped, u_diff = self._clip(self.cc_clip_kind, self.cc_clip_limits, u)
+        # anti-windup BEFORE output: integrate only non-clipped channels
+        # (anti_windup.py:49-59)
+        cs["cc_integrator"] = cs["cc_integrator"] + self.tau * err * (u_diff == 0.0)
+
+        # ---- abc transformation on the *unclipped* voltage
+        # (pi_current_controller.py:160-167 — reference quirk kept)
+        if self.transform:
+            adv = state[self.angle_idx] + self.advance_factor * self.tau * state[self.omega_idx]
+            abc = dq_to_abc(u[:2], adv)
+            u_out = jnp.concatenate([abc, u[2:]]) if u.shape[0] > 2 else abc
+        else:
+            u_out = u
+
+        # ---- output stage
+        action = self._output(u_out)
+        return cs, action
+
+    def _operation_point(self, cs, state, torque_ref):
+        """DC analytic OPS (permex/series/shunt/extex_dc_ops.py) and the
+        PMSM/SynRM LUT-based selection."""
+        k = self.ops_kind
+        p = self.ops_params
+        t = torque_ref[0] if torque_ref.ndim else torque_ref
+        if k == "permex":
+            # NOTE: the reference's speed-dependent current cap
+            # (permex_dc_ops.py:71-81) is dead code — tune() never sets
+            # self._resistance, so _max_current_per_speed returns an empty
+            # array and the min/max comparisons are always False.  Matching
+            # the reference's *actual* behavior: i_ref = T/psi, uncapped (the
+            # torque-stage clipping still applies).
+            return (t / p["psi"])[None]
+        if k == "series":
+            return jnp.sqrt(jnp.maximum(t, 0.0) / p["l_prime"])[None]
+        if k == "shunt":
+            i_e = state[p["i_e_idx"]]
+            i_e_safe = jnp.where(jnp.abs(i_e) < 1e-4, jnp.sign(i_e) * 1e-4 + (i_e == 0) * 1e-4, i_e)
+            i_ref = t / p["l_prime"] / i_e_safe
+            i_ref = jnp.where(i_e > p["i_e_limit"], -p["i_a_limit"], i_ref)
+            i_ref = jnp.where(i_e < -p["i_e_limit"], p["i_a_limit"], i_ref)
+            return i_ref[None]
+        if k == "extex":
+            i_e_ref = jnp.sqrt(p["r_a_sqrt"] * jnp.abs(t) / (p["r_e_sqrt"] * p["l_prime"]))
+            i_a_ref = t / p["l_prime"] / jnp.maximum(state[p["i_e_idx"]], 1e-4)
+            return jnp.stack([i_a_ref, i_e_ref])
+        if k == "pmsm":
+            from .pmsm_ops import pmsm_select_operating_point
+
+            return pmsm_select_operating_point(self, cs, state, t)
+        raise NotImplementedError(k)
+
+    def _b6_action(self, u3, levels):
+        """Per-phase two-level switching -> Discrete(8) index of the B6
+        subaction table (converters.py:788-797). Extension: the reference's
+        to_b6_discrete raises NotImplementedError."""
+        upper = (u3 >= levels).astype(jnp.int32)
+        return 4 * upper[0] + 2 * upper[1] + upper[2]
+
+    def _output(self, u_out):
+        lims = jnp.asarray(self.output_limits, u_out.dtype)
+        if self.output_kind == "cont":
+            return u_out / lims  # cont_output_stage.py:23-24
+        low_level, high_level = self.disc_levels
+        if self.output_kind == "b6":
+            return self._b6_action(u_out[:3], jnp.asarray(0.5 * (low_level + high_level))[:3])
+        if self.output_kind == "disc":
+            low_a, idle_a, high_a = self.disc_actions
+            lvl = jnp.select(
+                [u_out <= jnp.asarray(low_level), u_out >= jnp.asarray(high_level)],
+                [jnp.full_like(u_out, low_a), jnp.full_like(u_out, high_a)],
+                jnp.full_like(u_out, idle_a),
+            ).astype(jnp.int32)
+            return lvl[0]
+        # multidisc: map each sub-range of the output voltages
+        actions = []
+        pos = 0
+        for acts in self.disc_actions:
+            if acts == "b6":
+                seg = u_out[pos: pos + 3]
+                mid = 0.5 * (jnp.asarray(low_level)[pos: pos + 3]
+                             + jnp.asarray(high_level)[pos: pos + 3])
+                actions.append(self._b6_action(seg, mid))
+                pos += 3
+            else:
+                low_a, idle_a, high_a = acts
+                v = u_out[pos]
+                a = jnp.where(v <= low_level[pos], low_a,
+                              jnp.where(v >= high_level[pos], high_a, idle_a))
+                actions.append(a.astype(jnp.int32))
+                pos += 1
+        return jnp.stack(actions)
+
+    # ------------------------------------------------------------------
+    # Closed-loop convenience (gem_controller.py:144-173)
+    # ------------------------------------------------------------------
+
+    def control_environment(self, env, n_steps, key=None, n_envs=None):
+        """Run the tuned controller against its environment on device.
+
+        Returns a dict of stacked per-step arrays (states, references,
+        rewards, terminations).  With ``n_envs`` the loop is vmapped.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        def single(key):
+            state, (obs, ref_obs) = env.reset(key)
+            cs = self.reset()
+
+            def body(carry, _):
+                state, cs, obs, ref_obs = carry
+                cs, action = self.control(cs, obs, ref_obs)
+                state, (obs2, ref2), reward, term = env.step_autoreset(state, action)
+                return (state, cs, obs2, ref2), (obs2, ref2, reward, term)
+
+            _, (states, refs, rewards, terms) = jax.lax.scan(
+                body, (state, cs, obs, ref_obs), None, length=n_steps
+            )
+            return dict(states=states, references=refs, rewards=rewards,
+                        terminations=terms)
+
+        if n_envs is None:
+            return jax.jit(single)(key)
+        keys = jax.random.split(key, n_envs)
+        return jax.jit(jax.vmap(single))(keys)
