@@ -582,14 +582,14 @@ def _im_spec(kind, defaults, default_limits, default_nominal, io_voltages, io_cu
              motor_parameter=None, nominal_values=None, limit_values=None, motor_initializer=None,
              initial_limits=None):
     parameter = update_parameter_dict(defaults, motor_parameter or {})
-    # induction_motor.py:146-176 — expand placeholder u/i to IO quantities
+    # The reference keeps the 'u'/'i' placeholders in the limit dict and fills
+    # the per-quantity IO entries via the agenda only — phase voltage limits
+    # are HALF the placeholder 'u' (squirrel_cage_induction_motor.py:131-144,
+    # doubly_fed_induction_motor.py:135-152).  User-provided per-quantity
+    # limit_values take precedence (they pre-populate the dict).
     limits = dict(default_limits)
-    limits.update({u: limits["u"] for u in io_voltages})
-    limits.update({i: limits["i"] for i in io_currents})
-    nominal = dict(default_nominal)
-    nominal.update({u: nominal["u"] for u in io_voltages})
-    nominal.update({i: nominal["i"] for i in io_currents})
     limits.update(limit_values or {})
+    nominal = dict(default_nominal)
     nominal.update(nominal_values or {})
 
     voltage_limit = 0.5 * limits["u"]

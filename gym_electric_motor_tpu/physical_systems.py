@@ -313,6 +313,8 @@ class SCMLSystem:
         u_in = None
         u_sup = None
         for j, dur in enumerate(durations):
+            if j > 0:
+                i_in = self.motor.i_in(self.mp, ode[self.motor_slice])
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
                 # No interlock this cycle => the reference runs a single
@@ -327,7 +329,6 @@ class SCMLSystem:
             ode = self.integrate(self._rhs, ode, t, dur, u_in, noise)
             cur = intervals[j]
             t = t + dur
-            i_in = self.motor.i_in(self.mp, ode[self.motor_slice])
         torque = self.motor.torque(self.mp, ode[self.motor_slice])
         currents = ode[self.motor_slice][: len(self.motor.currents)]
         system_state = jnp.concatenate(
@@ -426,6 +427,12 @@ class SynchronousMotorSystem(SCMLSystem):
         t = ps.t
         u_in = u_dq = u_sup = None
         for j, dur in enumerate(durations):
+            if j > 0:
+                # the rotor angle / input currents are refreshed only BETWEEN
+                # sub-intervals (physical_systems.py:496-506): the outputs
+                # after the loop use the pre-final-integration epsilon
+                eps = ode[self.eps_idx]
+                i_in = dq_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]), eps)
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
                 i_sup = jnp.where(flag, i_sup, prev_i_sup)
@@ -439,13 +446,11 @@ class SynchronousMotorSystem(SCMLSystem):
             ode = self.integrate(self._rhs, ode, t, dur, u_dq, noise)
             cur = intervals[j]
             t = t + dur
-            eps = ode[self.eps_idx]
-            i_in = dq_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]), eps)
         torque = self.motor.torque(self.mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq = self._i_dq(ode)
-        # NB: the reference converts i_dq with the epsilon from *before* the
-        # final integration (physical_systems.py:516-525); we keep that.
+        # the reference converts i_dq with the epsilon from *before* the
+        # final integration (physical_systems.py:516-521)
         i_abc = dq_to_abc(i_dq, eps)
         eps_out = wrap_angle(ode[self.eps_idx])
         system_state = jnp.concatenate(
@@ -507,6 +512,10 @@ class EESMSystem(SynchronousMotorSystem):
         t = ps.t
         u_in = u_dq_e = u_sup = None
         for j, dur in enumerate(durations):
+            if j > 0:
+                eps = ode[self.eps_idx]
+                i_dq_e = self.motor.i_in(self.mp, ode[self.motor_slice])
+                i_in = jnp.concatenate([dq_to_abc(i_dq_e[:2], eps), i_dq_e[2:]])
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
                 i_sup = jnp.where(flag, i_sup, prev_i_sup)
@@ -520,9 +529,6 @@ class EESMSystem(SynchronousMotorSystem):
             ode = self.integrate(self._rhs, ode, t, dur, u_dq_e, noise)
             cur = intervals[j]
             t = t + dur
-            eps = ode[self.eps_idx]
-            i_dq_e = self.motor.i_in(self.mp, ode[self.motor_slice])
-            i_in = jnp.concatenate([dq_to_abc(i_dq_e[:2], eps), i_dq_e[2:]])
         torque = self.motor.torque(self.mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq_e = ode[self.motor_slice][:3]
@@ -641,6 +647,11 @@ class SCIMSystem(SCMLSystem):
         t = ps.t
         u_in = u_alphabeta = u_sup = None
         for j, dur in enumerate(durations):
+            if j > 0:
+                # field angle refresh only BETWEEN sub-intervals; outputs use
+                # the pre-final-integration angle (physical_systems.py:783-812)
+                eps_fs = self._field_angle(ode)
+                i_in = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
                 i_sup = jnp.where(flag, i_sup, prev_i_sup)
@@ -654,8 +665,6 @@ class SCIMSystem(SCMLSystem):
             ode = self.integrate(self._rhs, ode, t, dur, u_alphabeta, noise)
             cur = intervals[j]
             t = t + dur
-            eps_fs = self._field_angle(ode)
-            i_in = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
         u_dq = abc_to_dq(u_in, eps_fs)
         torque = self.motor.torque(self.mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
@@ -746,6 +755,14 @@ class DFIMSystem(SCIMSystem):
         u_in = u_sup = None
         u_sabc = u_rdef = u_sdq = u_rdq = None
         for j, dur in enumerate(durations):
+            if j > 0:
+                # frame angles refresh only BETWEEN sub-intervals
+                # (physical_systems.py:1004-1008); outputs use the stale ones
+                eps_field = self._field_angle(ode)
+                eps_el = ode[self.eps_idx]
+                i_sabc = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
+                i_rdef = alphabeta_to_abc(self._rotor_current(ode))
+                i_in = jnp.concatenate([i_sabc, i_rdef])
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
                 i_sup = jnp.where(flag, i_sup, prev_i_sup)
@@ -763,11 +780,6 @@ class DFIMSystem(SCIMSystem):
             ode = self.integrate(self._rhs, ode, t, dur, u_sr, noise)
             cur = intervals[j]
             t = t + dur
-            eps_field = self._field_angle(ode)
-            eps_el = ode[self.eps_idx]
-            i_sabc = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
-            i_rdef = alphabeta_to_abc(self._rotor_current(ode))
-            i_in = jnp.concatenate([i_sabc, i_rdef])
         u_sdq = abc_to_dq(u_sabc, eps_field)
         torque = self.motor.torque(self.mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
