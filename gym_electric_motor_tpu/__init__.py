@@ -10,7 +10,19 @@ TPU meshes.
 
 __version__ = "0.1.0"
 
-from . import constraints, controllers, core, ops, physical_systems, references, rewards, wrappers
+from . import (
+    callbacks,
+    constraints,
+    controllers,
+    core,
+    observers,
+    ops,
+    physical_systems,
+    references,
+    rewards,
+    visualization,
+    wrappers,
+)
 from .core import ElectricMotorEnvironment, VectorEnv
 from .envs import ENV_IDS, make, make_functional
 

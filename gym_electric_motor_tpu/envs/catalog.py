@@ -268,16 +268,23 @@ def make_functional(
 
 
 def make(env_id: str, **kwargs):
-    """Gymnasium-style single-env adapter around :func:`make_functional`."""
+    """Gymnasium-style single-env adapter around :func:`make_functional`.
+
+    ``callbacks`` / ``visualization`` / ``render_mode`` hook the host step
+    loop like the reference env (core.py:287-289)."""
     from .gym_adapter import GymnasiumEnv
 
     n_envs = kwargs.pop("n_envs", None)
+    callbacks = kwargs.pop("callbacks", ())
+    visualization = kwargs.pop("visualization", None)
+    render_mode = kwargs.pop("render_mode", None)
     env = make_functional(env_id, **kwargs)
     if n_envs:
         from ..core import VectorEnv
 
         return VectorEnv(env, n_envs)
-    return GymnasiumEnv(env)
+    return GymnasiumEnv(env, callbacks=callbacks, visualization=visualization,
+                        render_mode=render_mode)
 
 
 def registry():

@@ -92,8 +92,15 @@ class ScalarRefSpec:
 
     # ---------------- device functions ----------------
 
-    def _draw_params(self, key):
-        """Draw per-sub-episode parameters; returns (ep_len, p[6])."""
+    def _draw_params(self, key, mlo=None, mhi=None):
+        """Draw per-sub-episode parameters; returns (ep_len, p[6]).
+
+        ``mlo``/``mhi`` are the (possibly dynamic) limit margins carried in
+        the generator state — dynamic so curriculum callbacks like
+        RampingLimitMargin (callbacks.py:11-125) can widen them per episode
+        without recompilation."""
+        if mlo is None:
+            mlo, mhi = self.margin
         keys = jax.random.split(key, 7)
         lo, hi = self.episode_lengths
         ep_len = jnp.floor(_uniform_in(keys[0], float(lo), float(hi))).astype(jnp.int32)
@@ -103,15 +110,20 @@ class ScalarRefSpec:
             sigma = 10.0 ** _uniform_in(keys[1], float(log_r[0]), float(log_r[1]))
             p = p.at[P_SIGMA].set(sigma)
         elif self.kind in ("sinusoidal", "step", "triangle", "sawtooth"):
-            mlo, mhi = self.margin
-            amp = _uniform_in(keys[1], *map(float, self.amplitude_range))
+            # re-clip the static ranges against the dynamic margins
+            # (subepisoded_reference_generator.py:46-66 applied per draw)
+            amp_lo = jnp.clip(jnp.asarray(float(self.amplitude_range[0])), 0.0, (mhi - mlo) / 2.0)
+            amp_hi = jnp.clip(jnp.asarray(float(self.amplitude_range[1])), 0.0, (mhi - mlo) / 2.0)
+            amp = _uniform_in(keys[1], amp_lo, amp_hi)
             freq = _uniform_in(keys[2], *map(float, self.frequency_range))
+            off_static = (jnp.clip(jnp.asarray(float(self.offset_range[0])), mlo, mhi),
+                          jnp.clip(jnp.asarray(float(self.offset_range[1])), mlo, mhi))
             if self.kind == "step":
-                off_lo = jnp.clip(jnp.asarray(self.offset_range[0]), mlo + amp, mhi - amp)
-                off_hi = jnp.clip(jnp.asarray(self.offset_range[1]), mlo + amp, mhi - amp)
+                off_lo = jnp.clip(off_static[0], mlo + amp, mhi - amp)
+                off_hi = jnp.clip(off_static[1], mlo + amp, mhi - amp)
             else:
-                off_lo = jnp.clip(jnp.asarray(self.offset_range[0]), -mhi + amp, mhi - amp)
-                off_hi = jnp.clip(jnp.asarray(self.offset_range[1]), -mhi + amp, mhi - amp)
+                off_lo = jnp.clip(off_static[0], -mhi + amp, mhi - amp)
+                off_hi = jnp.clip(off_static[1], -mhi + amp, mhi - amp)
             offset = _uniform_in(keys[3], off_lo, off_hi)
             if self.kind == "step":
                 phase = jax.random.uniform(keys[4], ())  # fraction of a period
@@ -129,7 +141,7 @@ class ScalarRefSpec:
             p = p.at[P_OFFSET].set(offset).at[P_PHASE].set(phase).at[P_WIDTH].set(width)
         return ep_len, p
 
-    def _closed_form(self, p, k):
+    def _closed_form(self, p, k, mlo, mhi):
         """Reference value at sub-episode step ``k`` for waveform kinds."""
         t = k.astype(jnp.float32) * self.tau
         amp, freq = p[P_AMPLITUDE], p[P_FREQUENCY]
@@ -152,16 +164,20 @@ class ScalarRefSpec:
             falling = (2.0 * (1.0 - tmod) / jnp.maximum(1.0 - w, 1e-12)) - 1.0
             wave = jnp.where(tmod < w, rising, falling)
             ref = amp * wave + offset
-        return jnp.clip(ref, self.margin[0], self.margin[1])
+        return jnp.clip(ref, mlo, mhi)
 
     def reset(self, key, initial_reference=None):
         """Returns (state dict, initial reference value, first observation)."""
         if self.kind == "const":
             value = jnp.asarray(self.reference_value)
             state = dict(value=value, k=jnp.zeros((), jnp.int32),
-                         ep_len=jnp.zeros((), jnp.int32), p=jnp.zeros((N_P,)), key=key)
+                         ep_len=jnp.zeros((), jnp.int32), p=jnp.zeros((N_P,)), key=key,
+                         mlo=jnp.asarray(float(self.reference_value)),
+                         mhi=jnp.asarray(float(self.reference_value)))
             return state, value, value
         k_init, k_regen, key_next = jax.random.split(key, 3)
+        mlo = jnp.asarray(float(self.margin[0]))
+        mhi = jnp.asarray(float(self.margin[1]))
         if initial_reference is not None:
             value0 = jnp.asarray(initial_reference)
         elif self.kind == "wiener":
@@ -169,8 +185,9 @@ class ScalarRefSpec:
             value0 = _uniform_in(k_init, float(lo), float(hi))
         else:
             value0 = jnp.zeros(())
-        ep_len, p = self._draw_params(k_regen)
-        state = dict(value=value0, k=jnp.zeros((), jnp.int32), ep_len=ep_len, p=p, key=key_next)
+        ep_len, p = self._draw_params(k_regen, mlo, mhi)
+        state = dict(value=value0, k=jnp.zeros((), jnp.int32), ep_len=ep_len, p=p,
+                     key=key_next, mlo=mlo, mhi=mhi)
         # the first observation is the value at k=0 of the fresh sub-episode
         state, obs = self.advance(state)
         return state, value0, obs
@@ -178,15 +195,18 @@ class ScalarRefSpec:
     def advance(self, state):
         """One step of ``get_reference_observation``
         (subepisoded_reference_generator.py:96-105): regenerate if the
-        sub-episode ended, then emit the value at ``k`` and increment ``k``."""
+        sub-episode ended, then emit the value at ``k`` and increment ``k``.
+
+        The limit margins ride in the state ("mlo"/"mhi") so curriculum
+        callbacks can widen them without retracing."""
         if self.kind == "const":
             return state, state["value"]
 
         def regen(st):
             k_regen, k_draw, key_next = jax.random.split(st["key"], 3)
-            ep_len, p = self._draw_params(k_regen)
-            return dict(value=st["value"], k=jnp.zeros((), jnp.int32), ep_len=ep_len,
-                        p=p, key=key_next)
+            ep_len, p = self._draw_params(k_regen, st["mlo"], st["mhi"])
+            return {**st, "k": jnp.zeros((), jnp.int32), "ep_len": ep_len,
+                    "p": p, "key": key_next}
 
         state = jax.lax.cond(state["k"] >= state["ep_len"], regen, lambda st: st, state)
 
@@ -197,13 +217,11 @@ class ScalarRefSpec:
                 draw = sigma * jax.random.normal(key_draw, ())
             else:
                 draw = sigma * jax.random.laplace(key_draw, ())
-            value = jnp.clip(state["value"] + draw, self.margin[0], self.margin[1])
-            new = dict(value=value, k=state["k"] + 1, ep_len=state["ep_len"],
-                       p=state["p"], key=key_next)
+            value = jnp.clip(state["value"] + draw, state["mlo"], state["mhi"])
+            new = {**state, "value": value, "k": state["k"] + 1, "key": key_next}
         else:
-            value = self._closed_form(state["p"], state["k"])
-            new = dict(value=value, k=state["k"] + 1, ep_len=state["ep_len"],
-                       p=state["p"], key=state["key"])
+            value = self._closed_form(state["p"], state["k"], state["mlo"], state["mhi"])
+            new = {**state, "value": value, "k": state["k"] + 1}
         return new, value
 
 
