@@ -77,12 +77,11 @@ class RampingLimitMargin(Callback):
         """Write the current margin into every sub-generator's device state."""
         if getattr(self._env, "_state", None) is None:
             return
+        from .references import set_margins
+
         state = self._env._state
         lo, hi = self._limit_margin
-        new_refs = tuple(
-            {**r, "mlo": jnp.asarray(lo, r["mlo"].dtype), "mhi": jnp.asarray(hi, r["mhi"].dtype)}
-            for r in state.refs
-        )
+        new_refs = tuple(set_margins(r, lo, hi) for r in state.refs)
         self._env._state = state.replace(refs=new_refs)
 
     def _update_limit_margin(self):

@@ -25,7 +25,7 @@ import numpy as np
 
 from .constraints import ConstraintMonitor, LimitConstraint
 from .physical_systems import PhysicsState
-from .references import ReferenceSpec, ScalarRefSpec
+from .references import ReferenceSpec, ScalarRefSpec, SwitchedRefSpec
 from .rewards import WeightedSumOfErrors
 from .utils.pytree import struct
 
@@ -127,7 +127,7 @@ class ElectricMotorEnvironment:
     ):
         self.physical_system = physical_system
         ps = physical_system
-        if isinstance(reference_generator, ScalarRefSpec):
+        if isinstance(reference_generator, (ScalarRefSpec, SwitchedRefSpec)):
             reference_generator = ReferenceSpec([reference_generator])
         self.reference_generator = reference_generator.bind(
             ps.state_names, ps.limits, ps.nominal_state, ps.state_space_low,

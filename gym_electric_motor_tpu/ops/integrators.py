@@ -43,10 +43,41 @@ def rk4_step(f, y, t, dt, *args):
     return y + (dt / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
 
 
+# Dormand-Prince 5(4) coefficients — the tableau behind the reference's
+# default ``ScipyOdeSolver(integrator='dopri5')`` (solvers.py:139-184).  At
+# the fixed control periods (tau <= 1e-4 s) the adaptive step control is
+# unnecessary, so the 5th-order solution is evaluated at fixed dt; XLA
+# unrolls the 6 RHS evaluations into one fused kernel.
+_DP_A = (
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+)
+_DP_C = (1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0)
+_DP_B = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84)
+
+
+def rk45_step(f, y, t, dt, *args):
+    ks = [f(t, y, *args)]
+    for ci, ai in zip(_DP_C, _DP_A):
+        y_stage = y
+        for a, k in zip(ai, ks):
+            y_stage = y_stage + dt * a * k
+        ks.append(f(t + ci * dt, y_stage, *args))
+    out = y
+    for b, k in zip(_DP_B, ks):
+        out = out + dt * b * k
+    return out
+
+
 _STEPPERS = {
     "euler": euler_step,
     "heun": heun_step,
     "rk4": rk4_step,
+    "rk45": rk45_step,
+    "dopri5": rk45_step,
 }
 
 

@@ -226,6 +226,121 @@ class ScalarRefSpec:
 
 
 @dataclasses.dataclass
+class SwitchedRefSpec:
+    """Randomly switches between sub-generators of the same state every
+    100..10000 steps with probabilities ``p``
+    (switched_reference_generator.py:8-95).
+
+    All sub-generator states share one pytree structure, so the active one is
+    advanced with ``lax.switch`` and a switch event re-initializes the chosen
+    sub-generator from the current reference value — fully on device.
+    """
+
+    subs: list  # list[ScalarRefSpec] referencing the same state
+    p: tuple = None
+    super_episode_lengths: tuple = (100, 10000)
+    kind: str = "switched"
+
+    def __post_init__(self):
+        assert len(self.subs) > 0, "No sub generator was passed."
+        states = {s.reference_state for s in self.subs}
+        assert len(states) == 1, "The sub generators reference different states."
+        if isinstance(self.super_episode_lengths, (int, float)):
+            self.super_episode_lengths = (
+                int(self.super_episode_lengths), int(self.super_episode_lengths) + 1
+            )
+        if self.p is None:
+            self.p = tuple(1.0 / len(self.subs) for _ in self.subs)
+
+    @property
+    def reference_state(self):
+        return self.subs[0].reference_state
+
+    @property
+    def margin(self):
+        los = [s.margin[0] for s in self.subs]
+        his = [s.margin[1] for s in self.subs]
+        return (min(los), max(his))
+
+    @property
+    def state_index(self):
+        return self.subs[0].state_index
+
+    def bind(self, state_names, limits, nominal, state_space_low, state_space_high, tau):
+        return dataclasses.replace(
+            self,
+            subs=[s.bind(state_names, limits, nominal, state_space_low,
+                         state_space_high, tau) for s in self.subs],
+        )
+
+    def _draw_schedule(self, key):
+        k_choice, k_len = jax.random.split(key)
+        active = jax.random.choice(k_choice, len(self.subs), p=jnp.asarray(self.p))
+        lo, hi = self.super_episode_lengths
+        remaining = jax.random.randint(k_len, (), int(lo), int(hi))
+        return active.astype(jnp.int32), remaining.astype(jnp.int32)
+
+    def reset(self, key, initial_reference=None):
+        k_sched, k_subs, key_next = jax.random.split(key, 3)
+        active, remaining = self._draw_schedule(k_sched)
+        sub_states, values, obses = [], [], []
+        for i, s in enumerate(self.subs):
+            st, v0, ob = s.reset(jax.random.fold_in(k_subs, i), initial_reference)
+            sub_states.append(st)
+            values.append(v0)
+            obses.append(ob)
+        value0 = jnp.stack(values)[active]
+        obs = jnp.stack(obses)[active]
+        state = dict(subs=tuple(sub_states), active=active, remaining=remaining,
+                     value=obs, key=key_next)
+        return state, value0, obs
+
+    def advance(self, state):
+        n = len(self.subs)
+
+        def do_switch(st):
+            k_sched, k_reset, key_next = jax.random.split(st["key"], 3)
+            active, remaining = self._draw_schedule(k_sched)
+            new_subs = []
+            for i, s in enumerate(self.subs):
+                # re-init the (possibly) newly chosen sub from the current value
+                ns, _v0, _ob = s.reset(jax.random.fold_in(k_reset, i),
+                                       initial_reference=st["value"])
+                sel = jax.tree.map(
+                    lambda a, b, i=i: jnp.where(active == i, a, b), ns, st["subs"][i]
+                )
+                new_subs.append(sel)
+            return {**st, "subs": tuple(new_subs), "active": active,
+                    "remaining": remaining, "key": key_next}
+
+        state = jax.lax.cond(state["remaining"] <= 0, do_switch, lambda s: s, state)
+
+        def make_branch(i):
+            def branch(subs):
+                ns, v = self.subs[i].advance(subs[i])
+                return tuple(ns if j == i else subs[j] for j in range(n)), v
+            return branch
+
+        new_subs, value = jax.lax.switch(
+            state["active"], [make_branch(i) for i in range(n)], state["subs"]
+        )
+        return {**state, "subs": new_subs, "value": value,
+                "remaining": state["remaining"] - 1}, value
+
+
+def set_margins(ref_state, mlo, mhi):
+    """Impose dynamic limit margins onto a (possibly nested) generator state —
+    used by curriculum callbacks (callbacks.py RampingLimitMargin)."""
+    out = dict(ref_state)
+    if "mlo" in out:
+        out["mlo"] = jnp.asarray(mlo, out["mlo"].dtype)
+        out["mhi"] = jnp.asarray(mhi, out["mhi"].dtype)
+    if "subs" in out:
+        out["subs"] = tuple(set_margins(s, mlo, mhi) for s in out["subs"])
+    return out
+
+
+@dataclasses.dataclass
 class ReferenceSpec:
     """Composite reference generator (the env-facing object).
 
@@ -255,9 +370,13 @@ class ReferenceSpec:
             ref_indices=np.array([s.state_index for s in subs], dtype=np.int32),
         )
 
+    # (SwitchedRefSpec instances are valid subs: they provide the same
+    # bind/reset/advance/margin/state_index contract as ScalarRefSpec.)
+
     def referenced_states(self):
         mask = np.zeros(self.n_states, dtype=bool)
-        mask[self.ref_indices] = True
+        if len(self.ref_indices):
+            mask[self.ref_indices] = True
         return mask
 
     def reference_space(self):
@@ -268,6 +387,8 @@ class ReferenceSpec:
     # -------- device functions --------
 
     def reset(self, key):
+        if not self.subs:  # ZeroReferenceGenerator (zero_reference_generator.py:7-22)
+            return (), jnp.zeros((self.n_states,)), jnp.zeros((0,))
         keys = jax.random.split(key, len(self.subs))
         states, values0, obs = [], [], []
         for s, k in zip(self.subs, keys):
@@ -279,6 +400,8 @@ class ReferenceSpec:
         return tuple(states), ref_array, jnp.stack(obs)
 
     def advance(self, states):
+        if not self.subs:
+            return (), jnp.zeros((0,))
         new_states, obs = [], []
         for s, st in zip(self.subs, states):
             st2, v = s.advance(st)
@@ -287,11 +410,15 @@ class ReferenceSpec:
         return tuple(new_states), jnp.stack(obs)
 
     def current_values(self, states):
+        if not self.subs:
+            return jnp.zeros((0,))
         return jnp.stack([st["value"] for st in states])
 
     def to_reference_array(self, values):
         """Scatter the per-generator values into a full state-sized array."""
-        ref = jnp.zeros((self.n_states,), dtype=values.dtype)
+        ref = jnp.zeros((self.n_states,), dtype=values.dtype if values.size else jnp.float32)
+        if not len(self.ref_indices):
+            return ref
         return ref.at[jnp.asarray(self.ref_indices)].set(values)
 
 
@@ -342,3 +469,15 @@ def SawtoothReference(reference_state="omega", amplitude_range=None, frequency_r
 
 def ConstReference(reference_state="omega", reference_value=0.5) -> ScalarRefSpec:
     return ScalarRefSpec("const", reference_state, reference_value=reference_value)
+
+
+def SwitchedReference(sub_generators, p=None, super_episode_length=(100, 10000)) -> SwitchedRefSpec:
+    """switched_reference_generator.py:8-95."""
+    return SwitchedRefSpec(list(sub_generators), p=tuple(p) if p else None,
+                           super_episode_lengths=super_episode_length)
+
+
+def ZeroReferenceGenerator() -> "ReferenceSpec":
+    """zero_reference_generator.py:7-22 — no referenced states, empty
+    reference observation."""
+    return ReferenceSpec([])

@@ -24,7 +24,8 @@ def exact(y0, t):
     return eAt @ y0 + np.linalg.solve(A, (eAt - np.eye(2)) @ (B * U))
 
 
-@pytest.mark.parametrize("kind,tol", [("euler", 2e-2), ("heun", 2e-4), ("rk4", 1e-7)])
+@pytest.mark.parametrize("kind,tol", [("euler", 2e-2), ("heun", 2e-4), ("rk4", 1e-7),
+                                      ("rk45", 1e-7), ("dopri5", 1e-7)])
 def test_accuracy(kind, tol):
     integrate = make_integrator(kind, substeps=1)
     y = jnp.array([1.0, -0.5], dtype=jnp.float64 if False else jnp.float32)
