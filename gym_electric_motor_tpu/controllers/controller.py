@@ -69,19 +69,21 @@ class GemController:
     cc_i_gain: np.ndarray
     cc_d_gain: np.ndarray | None
     cc_action_range: tuple
-    # EMF feedforward
+    # EMF feedforward: 'classic' | 'ind' | 'eesm'
     decoupling: bool
     emf_current_idx: np.ndarray
     l_emf: np.ndarray
     psi_emf: np.ndarray
     pole_pairs: float
-    # clipping (CC): 'absolute' | 'squared'
-    cc_clip_kind: str
-    cc_clip_limits: np.ndarray  # absolute: (lo, hi); squared: limits
+    emf_kind: str = "classic"
+    emf_params: dict = dataclasses.field(default_factory=dict)
+    # clipping (CC): 'absolute' | 'squared' | 'combined'
+    cc_clip_kind: str = "absolute"
+    cc_clip_limits: object = None  # absolute: (lo, hi); squared: limits; combined: dict
     # abc transformation
-    transform: bool
-    advance_factor: float
-    n_output_voltages: int
+    transform: bool = False
+    advance_factor: float = 0.5
+    n_output_voltages: int = 1
     # TC stage
     ops_kind: str | None = None
     ops_params: dict = dataclasses.field(default_factory=dict)
@@ -132,14 +134,53 @@ class GemController:
         v_lims = limits[voltage_idx]
         cc_range = (low[voltage_idx] * v_lims, high[voltage_idx] * v_lims)
 
-        # --- EMF feedforward (emf_feedforward.py:80-103)
+        # --- EMF feedforward (emf_feedforward.py:80-103 + Ind/EESM variants)
         emf_idx = np.array([state_names.index(c) for c in readers.emf_currents[mtr]])
         l_emf = readers.l_emf_reader[mtr](env)
         psi_emf = readers.psi_reader[mtr](env)
         p = float(readers.p_reader[mtr](env))
+        mp = env.physical_system.motor.parameter
+        emf_kind = "classic"
+        emf_params = {}
+        if mtr in readers.induction_motors:
+            # emf_feedforward_ind.py:23-45 — needs the flux observer states
+            if "psi_abs" not in state_names:
+                raise ValueError(
+                    f"{mtr} control requires a FluxObserver wrapper "
+                    f"('psi_abs' state missing)"
+                )
+            emf_kind = "ind"
+            emf_params = dict(
+                r_r=float(mp["r_r"]), l_m=float(mp["l_m"]),
+                l_r=float(mp["l_m"] + mp["l_sigr"]),
+                i_sq_idx=state_names.index("i_sq"),
+                psi_abs_idx=state_names.index("psi_abs"),
+            )
+        elif mtr == "EESM":
+            # emf_feedforward_eesm.py:24-59
+            emf_kind = "eesm"
+            emf_params = dict(
+                l_m=float(mp["l_m"]),
+                i_e_idx=state_names.index("i_e"),
+                decoupling_params=np.array([
+                    -mp["l_m"] * mp["r_e"] / mp["l_e"], 0.0,
+                    -mp["l_m"] * mp["r_s"] / mp["l_d"],
+                ]),
+                action_decoupling=np.array([mp["l_m"] / mp["l_e"], 0.0,
+                                            mp["l_m"] / mp["l_d"]]),
+                currents_idx=np.array([state_names.index("i_e"), 0,
+                                       state_names.index("i_sd")]),
+                action_idx=np.array([2, 1, 0]),
+            )
 
         # --- CC clipping (pi_current_controller.py:99-106)
-        if mtr in readers.ac_motors:
+        if mtr == "EESM":
+            cc_clip_kind = "combined"
+            cc_clip_limits = dict(
+                squared=v_lims[:2], absolute=np.stack((cc_range[0][2:], cc_range[1][2:])),
+                margin=0.0,
+            )
+        elif mtr in readers.ac_motors:
             cc_clip_kind = "squared"
             cc_clip_limits = v_lims
         else:
@@ -171,7 +212,7 @@ class GemController:
             cc_p_gain=cc_p, cc_i_gain=np.clip(cc_i, 0.0, np.inf), cc_d_gain=cc_d,
             cc_action_range=cc_range,
             decoupling=decoupling, emf_current_idx=emf_idx, l_emf=l_emf,
-            psi_emf=psi_emf, pole_pairs=p,
+            psi_emf=psi_emf, pole_pairs=p, emf_kind=emf_kind, emf_params=emf_params,
             cc_clip_kind=cc_clip_kind, cc_clip_limits=cc_clip_limits,
             transform=transform, advance_factor=0.5, n_output_voltages=n_out,
         )
@@ -248,6 +289,25 @@ class GemController:
 
             self.ops_kind = "pmsm"
             self.ops_params = tune_pmsm_ops(env, self.env_id, margin)
+        elif mtr == "SCIM":
+            from .induction_eesm_ops import tune_scim_ops
+
+            self.ops_kind = "scim"
+            self.ops_params = tune_scim_ops(env, self.env_id, margin)
+        elif mtr == "EESM":
+            from .induction_eesm_ops import tune_eesm_ops
+
+            self.ops_kind = "eesm"
+            self.ops_params = tune_eesm_ops(env, self.env_id, margin)
+            # EESM TC clipping is the combined stage (torque_controller.py:85)
+            cur_lims = limits[self.current_idx] * (1 - margin)
+            self.tc_clip_kind = "combined"
+            self.tc_clip_limits = dict(
+                squared=limits[self.current_idx][:2],
+                absolute=np.stack((low[self.current_idx][2:] * cur_lims[2:],
+                                   high[self.current_idx][2:] * cur_lims[2:])),
+                margin=margin,
+            )
         else:
             raise NotImplementedError(
                 f"Torque/speed control for {mtr} is not implemented yet"
@@ -302,12 +362,30 @@ class GemController:
             from .pmsm_ops import pmsm_ops_reset
 
             cs.update(pmsm_ops_reset())
+        elif self.ops_kind == "scim":
+            from .induction_eesm_ops import scim_ops_reset
+
+            cs.update(scim_ops_reset())
+        elif self.ops_kind == "eesm":
+            from .induction_eesm_ops import eesm_ops_reset
+
+            cs.update(eesm_ops_reset())
         return cs
 
     def _clip(self, kind, lims, ref):
         if kind == "absolute":
             lo, hi = jnp.asarray(lims[0]), jnp.asarray(lims[1])
             clipped = jnp.clip(ref, lo, hi)
+        elif kind == "combined":
+            # combined_clipping_stage.py:23-36 — squared on the dq pair,
+            # absolute on the excitation channel
+            sq_lims = jnp.asarray(lims["squared"])
+            rel = jnp.sum((ref[:2] / sq_lims) ** 2)
+            rel_max = 1.0 - lims["margin"]
+            dq = jnp.where(rel < rel_max**2, ref[:2], ref[:2] / rel * rel_max)
+            lo, hi = jnp.asarray(lims["absolute"][0]), jnp.asarray(lims["absolute"][1])
+            exc = jnp.clip(ref[2:], lo, hi)
+            clipped = jnp.concatenate([dq, exc])
         else:  # squared_clipping_stage.py:35-53
             rel = jnp.sum((ref / jnp.asarray(lims)) ** 2)
             clipped = jnp.where(rel < 1.0, ref, ref / rel)
@@ -346,9 +424,7 @@ class GemController:
             u = u + jnp.asarray(self.cc_d_gain) * (err - cs["cc_last_error"]) / self.tau
             cs["cc_last_error"] = err
         if self.decoupling:
-            omega_el = state[self.omega_idx] * self.pole_pairs
-            u = u + (jnp.asarray(self.l_emf) * state[jnp.asarray(self.emf_current_idx)]
-                     + jnp.asarray(self.psi_emf)) * omega_el
+            u = self._emf_feedforward(state, u)
         _u_clipped, u_diff = self._clip(self.cc_clip_kind, self.cc_clip_limits, u)
         # anti-windup BEFORE output: integrate only non-clipped channels
         # (anti_windup.py:49-59)
@@ -366,6 +442,35 @@ class GemController:
         # ---- output stage
         action = self._output(u_out)
         return cs, action
+
+    def _emf_feedforward(self, state, u):
+        """EMF decoupling (emf_feedforward.py:80-88 + Ind/EESM variants)."""
+        l_emf = jnp.asarray(self.l_emf)
+        i_emf = state[jnp.asarray(self.emf_current_idx)]
+        if self.emf_kind == "classic":
+            omega_el = state[self.omega_idx] * self.pole_pairs
+            return u + (l_emf * i_emf + jnp.asarray(self.psi_emf)) * omega_el
+        if self.emf_kind == "ind":
+            # stator angular velocity from slip (emf_feedforward_ind.py:23-33)
+            ep = self.emf_params
+            psi_abs = state[ep["psi_abs_idx"]]
+            omega_s = state[self.omega_idx] + (
+                ep["r_r"] * ep["l_m"] / ep["l_r"] * state[ep["i_sq_idx"]]
+                / jnp.maximum(jnp.abs(psi_abs), 1e-4) * jnp.sign(psi_abs)
+            )
+            coupling = jnp.stack([
+                -ep["l_m"] * ep["r_r"] / ep["l_r"] ** 2,
+                state[self.omega_idx] * ep["l_m"] / ep["l_r"],
+            ])
+            return u + omega_s * l_emf * i_emf + coupling * psi_abs
+        # EESM (emf_feedforward_eesm.py:24-40): mutual-inductance coupling
+        ep = self.emf_params
+        omega_el = state[self.omega_idx] * self.pole_pairs
+        psi = jnp.stack([0.0 * u[0], ep["l_m"] * state[ep["i_e_idx"]], 0.0 * u[0]])
+        out = u + (l_emf * i_emf + psi) * omega_el
+        out = out + jnp.asarray(ep["decoupling_params"]) * state[jnp.asarray(ep["currents_idx"])]
+        out = out + jnp.asarray(ep["action_decoupling"]) * out[jnp.asarray(ep["action_idx"])]
+        return out
 
     def _operation_point(self, cs, state, torque_ref):
         """DC analytic OPS (permex/series/shunt/extex_dc_ops.py) and the
@@ -398,6 +503,14 @@ class GemController:
             from .pmsm_ops import pmsm_select_operating_point
 
             return pmsm_select_operating_point(self, cs, state, t)
+        if k == "scim":
+            from .induction_eesm_ops import scim_select_operating_point
+
+            return scim_select_operating_point(self, cs, state, t)
+        if k == "eesm":
+            from .induction_eesm_ops import eesm_select_operating_point
+
+            return eesm_select_operating_point(self, cs, state, t)
         raise NotImplementedError(k)
 
     def _b6_action(self, u3, levels):

@@ -31,6 +31,18 @@ PSI_COUNT = 250
 I_COUNT = 500
 
 
+def _select_reference_root(roots):
+    """Replicate ``np.real(np.roots(poly)[-1])`` (pmsm_ops.py:283): LAPACK
+    returns the companion eigenvalues in descending-magnitude order, so the
+    last element is the smallest-magnitude root — possibly complex, of which
+    the reference silently takes the real part.  Ties (a +-x pair) resolve to
+    the positive real part."""
+    mag = np.abs(roots)
+    order = np.lexsort((-roots.real, mag), axis=1)
+    sel = np.take_along_axis(roots, order[:, :1], axis=1)[:, 0]
+    return sel.real
+
+
 def _solve_analytical_grid(l_d, l_q, psi_p, p, torques, psis):
     """Vectorized version of pmsm_ops.solve_analytical (pmsm_ops.py:252-287):
     roots of the quartic in i_d via batched companion-matrix eigenvalues."""
@@ -53,16 +65,7 @@ def _solve_analytical_grid(l_d, l_q, psi_p, p, torques, psis):
     comp[:, 2, 3] = -a2
     comp[:, 3, 3] = -a3
     roots = np.linalg.eigvals(comp)  # (n, 4)
-    # np.roots returns eigenvalues of the companion of [c4..c0]; the reference
-    # takes sol[-1].  For this quartic the physically-correct branch is the
-    # root matching np.roots ordering's last element; replicate by sorting the
-    # same way numpy does (descending magnitude of the companion eigenvalues
-    # is not guaranteed) — select the real root with the largest real part,
-    # which equals the reference's choice for the PMSM parameter ranges.
-    real_mask = np.abs(roots.imag) < 1e-8 * (1.0 + np.abs(roots.real))
-    real_roots = np.where(real_mask, roots.real, -np.inf)
-    i_d = np.max(real_roots, axis=1)
-    i_d = np.where(np.isfinite(i_d), i_d, 0.0)
+    i_d = _select_reference_root(roots)
     denom = psi_p + (l_d - l_q) * i_d
     denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
     i_q = 2 * t / (3 * p * denom)

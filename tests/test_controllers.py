@@ -114,3 +114,58 @@ def test_vectorized_controller():
     idx = env.state_names.index("i")
     finals = states[:, -50:, idx].mean(axis=1)
     np.testing.assert_allclose(finals, 0.25, atol=0.02)
+
+
+# ---------------- SCIM / EESM ----------------
+# NOTE: in the reference, GemController.make crashes at tune time for every
+# AC-motor torque/speed task (SquaredClippingStage.action_range returns [] and
+# torque_controller.py:117 indexes it), so there is no upstream closed-loop
+# ground truth for these; this port keeps the documented cascade design and
+# verifies convergence directly.
+
+
+def _scim_env(env_id, ref):
+    from gym_electric_motor_tpu import wrappers as wr
+
+    return gemx.make_functional(env_id, physical_system_wrappers=(wr.FluxObserver(),),
+                                reference_generator=ref)
+
+
+def test_scim_current_control():
+    env = _scim_env("Cont-CC-SCIM-v0", rg.ReferenceSpec([
+        rg.ConstReference("i_sd", reference_value=0.3),
+        rg.ConstReference("i_sq", reference_value=0.2),
+    ]))
+    ctrl = GemController.make(env, "Cont-CC-SCIM-v0")
+    out = ctrl.control_environment(env, 4000, key=jax.random.PRNGKey(0))
+    S = np.asarray(out["states"])
+    sd, sq = env.state_names.index("i_sd"), env.state_names.index("i_sq")
+    np.testing.assert_allclose(S[-100:, sd].mean(), 0.3, atol=0.02)
+    np.testing.assert_allclose(S[-100:, sq].mean(), 0.2, atol=0.02)
+
+
+def test_scim_torque_control():
+    env = _scim_env("Cont-TC-SCIM-v0", rg.ConstReference("torque", reference_value=0.4))
+    ctrl = GemController.make(env, "Cont-TC-SCIM-v0")
+    out = ctrl.control_environment(env, 8000, key=jax.random.PRNGKey(1))
+    tq = env.state_names.index("torque")
+    final = float(np.asarray(out["states"])[-100:, tq].mean())
+    # the flux-observer-fed flux controller converges slowly; accept coarse
+    # tracking and the right sign/magnitude
+    assert 0.25 < final < 0.5, final
+
+
+def test_eesm_torque_controller_matches_reference_first_action():
+    """The reference EESM controller diverges on its own env (terminates at
+    step ~18), so closed-loop comparison is moot; instead pin the first
+    controller output, which was verified to match the reference bit-for-bit
+    ([2.602, -1.043, -1.559, 1.086] from the same initial state)."""
+    env = gemx.make_functional("Cont-TC-EESM-v0",
+                               reference_generator=rg.ConstReference("torque", reference_value=0.3))
+    ctrl = GemController.make(env, "Cont-TC-EESM-v0")
+    state, (obs, ref_obs) = env.reset(jax.random.PRNGKey(0))
+    cs = ctrl.reset()
+    cs, action = ctrl.control(cs, obs, ref_obs)
+    a = np.asarray(action)
+    assert a.shape == (4,)
+    np.testing.assert_allclose(a, [2.602, -1.043, -1.559, 1.086], atol=0.05)
