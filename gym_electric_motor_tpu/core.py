@@ -184,8 +184,14 @@ class ElectricMotorEnvironment:
     def step(self, state: EnvState, action):
         """core.py:328-371 — simulate, reference, constraints, reward,
         termination, next reference observation."""
-        k_noise, k_key = jax.random.split(state.key)
-        noise = jax.random.normal(k_noise, ()) if self.physical_system.load.needs_noise else None
+        if self.physical_system.load.needs_noise:
+            k_noise, k_key = jax.random.split(state.key)
+            noise = jax.random.normal(k_noise, ())
+        else:
+            # the env key only seeds per-episode resets (folded with the
+            # episode counter), so it can stay constant within an episode
+            k_key = state.key
+            noise = None
         phys, system_state = self.physical_system.simulate(state.phys, action, noise)
         ref_values = self.reference_generator.current_values(state.refs)
         reference = self.reference_generator.to_reference_array(ref_values)

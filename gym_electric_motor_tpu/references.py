@@ -38,9 +38,8 @@ def _uniform_in(key, lo, hi):
     return (hi - lo) * jax.random.uniform(key, ()) + lo
 
 
-def _triangular01(key, left=0.0, mode=0.5, right=1.0):
+def _triangular01_from_u(u, left=0.0, mode=0.5, right=1.0):
     """Triangular(0, 0.5, 1) sample via inverse CDF (step_reference_generator.py:346)."""
-    u = jax.random.uniform(key, ())
     fc = (mode - left) / (right - left)
     lo_branch = left + jnp.sqrt(u * (right - left) * (mode - left))
     hi_branch = right - jnp.sqrt((1.0 - u) * (right - left) * (right - mode))
@@ -101,21 +100,25 @@ class ScalarRefSpec:
         without recompilation."""
         if mlo is None:
             mlo, mhi = self.margin
-        keys = jax.random.split(key, 7)
+        # ONE vector uniform draw instead of 7 key splits — the per-step
+        # hot path evaluates this under vmap even on non-regen steps, so the
+        # RNG op count matters (measured ~30% of the full env step)
+        u = jax.random.uniform(key, (6,))
         lo, hi = self.episode_lengths
-        ep_len = jnp.floor(_uniform_in(keys[0], float(lo), float(hi))).astype(jnp.int32)
+        ep_len = jnp.floor(float(lo) + (float(hi) - float(lo)) * u[0]).astype(jnp.int32)
         p = jnp.zeros((N_P,))
         if self.kind in ("wiener", "laplace"):
             log_r = np.log10(np.asarray(self.sigma_range, dtype=np.float64))
-            sigma = 10.0 ** _uniform_in(keys[1], float(log_r[0]), float(log_r[1]))
+            sigma = 10.0 ** (float(log_r[0]) + (float(log_r[1]) - float(log_r[0])) * u[1])
             p = p.at[P_SIGMA].set(sigma)
         elif self.kind in ("sinusoidal", "step", "triangle", "sawtooth"):
             # re-clip the static ranges against the dynamic margins
             # (subepisoded_reference_generator.py:46-66 applied per draw)
             amp_lo = jnp.clip(jnp.asarray(float(self.amplitude_range[0])), 0.0, (mhi - mlo) / 2.0)
             amp_hi = jnp.clip(jnp.asarray(float(self.amplitude_range[1])), 0.0, (mhi - mlo) / 2.0)
-            amp = _uniform_in(keys[1], amp_lo, amp_hi)
-            freq = _uniform_in(keys[2], *map(float, self.frequency_range))
+            amp = amp_lo + (amp_hi - amp_lo) * u[1]
+            f_lo, f_hi = map(float, self.frequency_range)
+            freq = f_lo + (f_hi - f_lo) * u[2]
             off_static = (jnp.clip(jnp.asarray(float(self.offset_range[0])), mlo, mhi),
                           jnp.clip(jnp.asarray(float(self.offset_range[1])), mlo, mhi))
             if self.kind == "step":
@@ -124,18 +127,18 @@ class ScalarRefSpec:
             else:
                 off_lo = jnp.clip(off_static[0], -mhi + amp, mhi - amp)
                 off_hi = jnp.clip(off_static[1], -mhi + amp, mhi - amp)
-            offset = _uniform_in(keys[3], off_lo, off_hi)
+            offset = off_lo + (off_hi - off_lo) * u[3]
             if self.kind == "step":
-                phase = jax.random.uniform(keys[4], ())  # fraction of a period
-                width = _triangular01(keys[5])  # duty ratio
+                phase = u[4]  # fraction of a period
+                width = _triangular01_from_u(u[5])  # duty ratio
             elif self.kind == "triangle":
-                phase = jax.random.uniform(keys[4], ()) * 2.0 * jnp.pi
-                width = jax.random.uniform(keys[5], ())
+                phase = u[4] * 2.0 * jnp.pi
+                width = u[5]
             elif self.kind == "sawtooth":
-                phase = jax.random.uniform(keys[4], ()) * 2.0 * jnp.pi
+                phase = u[4] * 2.0 * jnp.pi
                 width = jnp.ones(())
             else:
-                phase = jax.random.uniform(keys[4], ()) * 2.0 * jnp.pi
+                phase = u[4] * 2.0 * jnp.pi
                 width = jnp.ones(())
             p = p.at[P_AMPLITUDE].set(amp).at[P_FREQUENCY].set(freq)
             p = p.at[P_OFFSET].set(offset).at[P_PHASE].set(phase).at[P_WIDTH].set(width)
@@ -186,10 +189,19 @@ class ScalarRefSpec:
         else:
             value0 = jnp.zeros(())
         ep_len, p = self._draw_params(k_regen, mlo, mhi)
-        state = dict(value=value0, k=jnp.zeros((), jnp.int32), ep_len=ep_len, p=p,
+        # first observation = the value at k=0 of the fresh sub-episode; no
+        # regen can trigger at k=0 (ep_len >= 1), so the advance step is
+        # inlined without the (vmap-costly) cond-regen branch
+        if self.kind in ("wiener", "laplace"):
+            key_draw, key_next = jax.random.split(key_next)
+            sigma = p[P_SIGMA]
+            draw = sigma * (jax.random.normal(key_draw, ()) if self.kind == "wiener"
+                            else jax.random.laplace(key_draw, ()))
+            obs = jnp.clip(value0 + draw, mlo, mhi)
+        else:
+            obs = self._closed_form(p, jnp.zeros((), jnp.int32), mlo, mhi)
+        state = dict(value=obs, k=jnp.ones((), jnp.int32), ep_len=ep_len, p=p,
                      key=key_next, mlo=mlo, mhi=mhi)
-        # the first observation is the value at k=0 of the fresh sub-episode
-        state, obs = self.advance(state)
         return state, value0, obs
 
     def advance(self, state):
