@@ -221,10 +221,35 @@ def make_functional(
     action, task, motor_name = _parse_env_id(env_id)
     tau = tau if tau is not None else (1e-5 if action == "Finite" else 1e-4)
 
-    supply = supply or sp.ideal_voltage_supply(_supply_u(action, task, motor_name))
-    converter = converter or _default_converter(action, motor_name, tau)
-    motor_spec = motor or mt.MOTOR_FACTORIES[motor_name]()
-    if load is None:
+    # The env-arg pattern (utils.py:5-16): every component accepts an
+    # instance (spec) or a dict of keyword overrides merged into the default
+    # factory call.
+    if isinstance(supply, dict):
+        kw = dict(u_nominal=_supply_u(action, task, motor_name))
+        kw.update(supply)
+        supply = sp.ideal_voltage_supply(**kw)
+    else:
+        supply = supply or sp.ideal_voltage_supply(_supply_u(action, task, motor_name))
+    if isinstance(converter, dict):
+        default_conv = _default_converter(action, motor_name, tau)
+        converter = cv.CONVERTER_FACTORIES[default_conv.kind](tau=tau, **converter) \
+            if default_conv.kind in cv.CONVERTER_FACTORIES and "Multi" not in default_conv.kind \
+            else default_conv
+    else:
+        converter = converter or _default_converter(action, motor_name, tau)
+    if isinstance(motor, dict):
+        motor_spec = mt.MOTOR_FACTORIES[motor_name](**motor)
+    else:
+        motor_spec = motor or mt.MOTOR_FACTORIES[motor_name]()
+    if isinstance(load, dict):
+        if task == "SC":
+            params = _SC_LOAD.get((action, motor_name), dict(a=0.01, b=0.01, c=0.0, j_load=1e-5))
+            params = dict(params)
+            params.update(load.get("load_parameter", load))
+            load = ld.polynomial_static_load(params)
+        else:
+            load = ld.constant_speed_load(**load)
+    elif load is None:
         if task == "SC":
             load = ld.polynomial_static_load(
                 _SC_LOAD.get((action, motor_name), dict(a=0.01, b=0.01, c=0.0, j_load=1e-5))
