@@ -229,8 +229,41 @@ class ElectricMotorEnvironment:
             return jnp.where(terminated, a, b)
 
         merged = jax.tree.map(pick, reset_state, new_state.replace(episode=episode))
+        # motor parameters are sticky across in-kernel resets so per-env
+        # domain randomization survives episode boundaries (plain systems
+        # only; wrapped systems nest their state)
+        if getattr(state.phys, "mp", None) is not None:
+            merged = merged.replace(phys=merged.phys.replace(mp=state.phys.mp))
         obs = tuple(jax.tree.map(pick, reset_obs, obs))
         return merged, obs, reward, terminated
+
+    def randomize_motor_parameters(self, state: EnvState, key, spread=0.1, params=None):
+        """Per-env multiplicative domain randomization of the motor
+        parameters: each selected parameter is scaled by a factor drawn
+        uniformly from [1 - spread, 1 + spread].
+
+        Works on single or vmapped (batched) env states — the parameters live
+        in the state pytree (``state.phys.mp``), so no retracing or
+        recompilation happens; the randomized batch steps through the same
+        compiled program.  No reference counterpart (the reference binds
+        parameters at construction time).
+        """
+        mp = state.phys.mp
+        if mp is None:
+            raise ValueError(
+                "Motor parameters are compile-time constants by default; build "
+                "the env with dynamic_params=True (make_functional(..., "
+                "dynamic_params=True)) to carry them in the state pytree."
+            )
+        names = list(params) if params is not None else list(mp.keys())
+        keys = jax.random.split(key, len(names))
+        new_mp = dict(mp)
+        for n, k in zip(names, keys):
+            factor = jax.random.uniform(
+                k, jnp.shape(mp[n]), minval=1.0 - spread, maxval=1.0 + spread
+            )
+            new_mp[n] = mp[n] * factor
+        return state.replace(phys=state.phys.replace(mp=new_mp))
 
 
 # ---------------------------------------------------------------------------

@@ -213,6 +213,7 @@ def make_functional(
     control_space="abc",
     dtype=None,
     physical_system_wrappers=(),
+    dynamic_params=False,
 ) -> ElectricMotorEnvironment:
     """Build the functional environment for a reference env id.
 
@@ -263,7 +264,8 @@ def make_functional(
 
     system_cls = _SYSTEM_CLASSES[motor_name]
     kwargs = dict(supply=supply, converter=converter, motor=motor_spec, load=load,
-                  tau=tau, solver=solver, substeps=substeps)
+                  tau=tau, solver=solver, substeps=substeps,
+                  dynamic_params=dynamic_params)
     if system_cls in (SynchronousMotorSystem, SCIMSystem):
         kwargs["control_space"] = control_space
     if dtype is not None:

@@ -25,6 +25,7 @@ Family variants mirror the reference classes:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,7 @@ class PhysicsState:
     sup_state: jnp.ndarray  # supply-internal state (RC voltage / AC phase)
     t: jnp.ndarray  # simulation time
     k: jnp.ndarray  # step counter (int32)
+    mp: dict = None  # motor parameters (per-env pytree -> domain randomization)
 
 
 def _sample_initializer(initializer, state_names, bounds_low, bounds_high):
@@ -113,6 +115,8 @@ class SCMLSystem:
     solver: str = "rk4"
     substeps: int = 1
     dtype: object = jnp.float32
+    dynamic_params: bool = False  # carry motor params in the state pytree
+
 
     def __post_init__(self):
         self.converter.tau = self.tau
@@ -251,12 +255,12 @@ class SCMLSystem:
     def motor_slice(self):
         return slice(self.n_mech, None)
 
-    def _rhs(self, t, y, u_in, noise):
+    def _rhs(self, mp, t, y, u_in, noise):
         """Concatenated load + motor ODE (physical_systems.py:205-236)."""
         motor_state = y[self.motor_slice]
-        torque = self.motor.torque(self.mp, motor_state)
+        torque = self.motor.torque(mp, motor_state)
         d_mech = self.load.ode(self.lp, t, y[: self.n_mech], torque, noise)
-        d_motor = self.motor.ode(self.mp, motor_state, u_in, y[0])
+        d_motor = self.motor.ode(mp, motor_state, u_in, y[0])
         return jnp.concatenate([d_mech, d_motor])
 
     def _converter_intervals(self, conv_state, action, i_in, ps, u_transform):
@@ -277,6 +281,7 @@ class SCMLSystem:
 
     def reset(self, key):
         """physical_systems.py:256-287 (component order: motor, load, supply)."""
+        mp = self.mp
         k_motor, k_load, k_sup = jax.random.split(key, 3)
         motor_state = self._sample_motor(k_motor).astype(self.dtype)
         mech_state = self._sample_load(k_load).astype(self.dtype)
@@ -285,10 +290,11 @@ class SCMLSystem:
         u_sup = u_sup.astype(self.dtype)
         conv_state = self.converter.init_state()
         u_in = jnp.asarray(self.converter.u_reset, dtype=self.dtype) * u_sup[0]
-        torque = self.motor.torque(self.mp, motor_state)
+        torque = self.motor.torque(mp, motor_state)
         system_state = self._assemble_reset(mech_state, torque, motor_state, u_in, u_sup)
         ps = PhysicsState(
             ode_state=ode_state,
+            mp=(mp if self.dynamic_params else None),
             conv_state=conv_state,
             sup_state=sup_state,
             t=jnp.zeros((), self.dtype),
@@ -303,7 +309,9 @@ class SCMLSystem:
     def simulate(self, ps: PhysicsState, action, noise=None):
         """One control period (physical_systems.py:171-203)."""
         ode = ps.ode_state
-        i_in = self.motor.i_in(self.mp, ode[self.motor_slice])
+        mp = ps.mp if ps.mp is not None else self.mp
+        rhs = partial(self._rhs, mp)
+        i_in = self.motor.i_in(mp, ode[self.motor_slice])
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
         flag = self.converter.interlock_flag(ps.conv_state, action)
@@ -314,7 +322,7 @@ class SCMLSystem:
         u_sup = None
         for j, dur in enumerate(durations):
             if j > 0:
-                i_in = self.motor.i_in(self.mp, ode[self.motor_slice])
+                i_in = self.motor.i_in(mp, ode[self.motor_slice])
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
                 # No interlock this cycle => the reference runs a single
@@ -326,16 +334,17 @@ class SCMLSystem:
             if j > 0 and flag is not None:
                 u_in = jnp.where(flag, u_in, prev_u_in)
             prev_i_sup, prev_u_in = i_sup, u_in
-            ode = self.integrate(self._rhs, ode, t, dur, u_in, noise)
+            ode = self.integrate(rhs, ode, t, dur, u_in, noise)
             cur = intervals[j]
             t = t + dur
-        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        torque = self.motor.torque(mp, ode[self.motor_slice])
         currents = ode[self.motor_slice][: len(self.motor.currents)]
         system_state = jnp.concatenate(
             [ode[: self.n_mech], jnp.stack([torque]), currents, u_in, u_sup]
         )
         new_ps = PhysicsState(
             ode_state=ode,
+            mp=ps.mp,
             conv_state=cur,
             sup_state=sup_state,
             t=ps.t + self.tau,
@@ -391,6 +400,7 @@ class SynchronousMotorSystem(SCMLSystem):
         return ode[self.n_mech: self.n_mech + 2]
 
     def reset(self, key):
+        mp = self.mp
         k_motor, k_load, k_sup = jax.random.split(key, 3)
         motor_state = self._sample_motor(k_motor).astype(self.dtype)
         mech_state = self._sample_load(k_load).astype(self.dtype)
@@ -404,21 +414,23 @@ class SynchronousMotorSystem(SCMLSystem):
         u_dq = abc_to_dq(u_abc, eps)
         i_dq = self._i_dq(ode_state)
         i_abc = dq_to_abc(i_dq, eps)
-        torque = self.motor.torque(self.mp, motor_state)
+        torque = self.motor.torque(mp, motor_state)
         system_state = jnp.concatenate(
             [mech_state, jnp.stack([torque]), i_abc, i_dq, u_abc, u_dq, jnp.stack([eps]), u_sup]
         )
-        ps = PhysicsState(ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
+        ps = PhysicsState(mp=(mp if self.dynamic_params else None), ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
                           t=jnp.zeros((), self.dtype), k=jnp.zeros((), jnp.int32))
         return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
 
     def simulate(self, ps: PhysicsState, action, noise=None):
         """physical_systems.py:487-525."""
         ode = ps.ode_state
+        mp = ps.mp if ps.mp is not None else self.mp
+        rhs = partial(self._rhs, mp)
         eps = ode[self.eps_idx]
         if self.control_space == "dq":
             action = dq_to_abc(action, eps)
-        i_in = dq_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]), eps)
+        i_in = dq_to_abc(self.motor.i_in(mp, ode[self.motor_slice]), eps)
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
         flag = self.converter.interlock_flag(ps.conv_state, action)
@@ -432,7 +444,7 @@ class SynchronousMotorSystem(SCMLSystem):
                 # sub-intervals (physical_systems.py:496-506): the outputs
                 # after the loop use the pre-final-integration epsilon
                 eps = ode[self.eps_idx]
-                i_in = dq_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]), eps)
+                i_in = dq_to_abc(self.motor.i_in(mp, ode[self.motor_slice]), eps)
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
                 i_sup = jnp.where(flag, i_sup, prev_i_sup)
@@ -443,10 +455,10 @@ class SynchronousMotorSystem(SCMLSystem):
                 u_in = jnp.where(flag, u_in, prev_u_in)
             prev_i_sup, prev_u_in = i_sup, u_in
             u_dq = abc_to_dq(u_in, eps)
-            ode = self.integrate(self._rhs, ode, t, dur, u_dq, noise)
+            ode = self.integrate(rhs, ode, t, dur, u_dq, noise)
             cur = intervals[j]
             t = t + dur
-        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq = self._i_dq(ode)
         # the reference converts i_dq with the epsilon from *before* the
@@ -456,7 +468,7 @@ class SynchronousMotorSystem(SCMLSystem):
         system_state = jnp.concatenate(
             [mech, jnp.stack([torque]), i_abc, i_dq, u_in, u_dq, jnp.stack([eps_out]), u_sup]
         )
-        new_ps = PhysicsState(ode_state=ode, conv_state=cur, sup_state=sup_state,
+        new_ps = PhysicsState(mp=(mp if self.dynamic_params else None), ode_state=ode, conv_state=cur, sup_state=sup_state,
                               t=ps.t + self.tau, k=ps.k + 1)
         return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
 
@@ -475,6 +487,7 @@ class EESMSystem(SynchronousMotorSystem):
         ]
 
     def reset(self, key):
+        mp = self.mp
         k_motor, k_load, k_sup = jax.random.split(key, 3)
         motor_state = self._sample_motor(k_motor).astype(self.dtype)
         mech_state = self._sample_load(k_load).astype(self.dtype)
@@ -489,20 +502,22 @@ class EESMSystem(SynchronousMotorSystem):
         u_dq = abc_to_dq(u_abc, eps)
         i_dq_e = motor_state[:3]
         i_abc = dq_to_abc(i_dq_e[:2], eps)
-        torque = self.motor.torque(self.mp, motor_state)
+        torque = self.motor.torque(mp, motor_state)
         system_state = jnp.concatenate(
             [mech_state, jnp.stack([torque]), i_abc, i_dq_e, u_abc, u_dq, u_e,
              jnp.stack([eps]), u_sup]
         )
-        ps = PhysicsState(ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
+        ps = PhysicsState(mp=(mp if self.dynamic_params else None), ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
                           t=jnp.zeros((), self.dtype), k=jnp.zeros((), jnp.int32))
         return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
 
     def simulate(self, ps: PhysicsState, action, noise=None):
         """physical_systems.py:619-657."""
         ode = ps.ode_state
+        mp = ps.mp if ps.mp is not None else self.mp
+        rhs = partial(self._rhs, mp)
         eps = ode[self.eps_idx]
-        i_dq_e = self.motor.i_in(self.mp, ode[self.motor_slice])
+        i_dq_e = self.motor.i_in(mp, ode[self.motor_slice])
         i_in = jnp.concatenate([dq_to_abc(i_dq_e[:2], eps), i_dq_e[2:]])
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
@@ -514,7 +529,7 @@ class EESMSystem(SynchronousMotorSystem):
         for j, dur in enumerate(durations):
             if j > 0:
                 eps = ode[self.eps_idx]
-                i_dq_e = self.motor.i_in(self.mp, ode[self.motor_slice])
+                i_dq_e = self.motor.i_in(mp, ode[self.motor_slice])
                 i_in = jnp.concatenate([dq_to_abc(i_dq_e[:2], eps), i_dq_e[2:]])
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
@@ -526,10 +541,10 @@ class EESMSystem(SynchronousMotorSystem):
                 u_in = jnp.where(flag, u_in, prev_u_in)
             prev_i_sup, prev_u_in = i_sup, u_in
             u_dq_e = jnp.concatenate([abc_to_dq(u_in[:3], eps), u_in[3:]])
-            ode = self.integrate(self._rhs, ode, t, dur, u_dq_e, noise)
+            ode = self.integrate(rhs, ode, t, dur, u_dq_e, noise)
             cur = intervals[j]
             t = t + dur
-        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq_e = ode[self.motor_slice][:3]
         i_abc = dq_to_abc(i_dq_e[:2], eps)
@@ -538,7 +553,7 @@ class EESMSystem(SynchronousMotorSystem):
             [mech, jnp.stack([torque]), i_abc, i_dq_e, u_in[:3], u_dq_e,
              jnp.stack([eps_out]), u_sup]
         )
-        new_ps = PhysicsState(ode_state=ode, conv_state=cur, sup_state=sup_state,
+        new_ps = PhysicsState(mp=(mp if self.dynamic_params else None), ode_state=ode, conv_state=cur, sup_state=sup_state,
                               t=ps.t + self.tau, k=ps.k + 1)
         return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
 
@@ -610,6 +625,7 @@ class SCIMSystem(SCMLSystem):
     def reset(self, key):
         """SCIM resets the load first — the motor init may depend on omega
         (physical_systems.py:816-847)."""
+        mp = self.mp
         k_motor, k_load, k_sup = jax.random.split(key, 3)
         mech_state = self._sample_load(k_load).astype(self.dtype)
         motor_state = self._sample_motor(k_motor).astype(self.dtype)
@@ -624,21 +640,23 @@ class SCIMSystem(SCMLSystem):
         u_dq = abc_to_dq(u_abc, eps_fs)
         i_dq = alphabeta_to_dq(ode_state[self.n_mech: self.n_mech + 2], eps_fs)
         i_abc = dq_to_abc(i_dq, eps_fs)
-        torque = self.motor.torque(self.mp, motor_state)
+        torque = self.motor.torque(mp, motor_state)
         system_state = jnp.concatenate(
             [mech_state, jnp.stack([torque]), i_abc, i_dq, u_abc, u_dq, jnp.stack([eps]), u_sup]
         )
-        ps = PhysicsState(ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
+        ps = PhysicsState(mp=(mp if self.dynamic_params else None), ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
                           t=jnp.zeros((), self.dtype), k=jnp.zeros((), jnp.int32))
         return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
 
     def simulate(self, ps: PhysicsState, action, noise=None):
         """physical_systems.py:771-814."""
         ode = ps.ode_state
+        mp = ps.mp if ps.mp is not None else self.mp
+        rhs = partial(self._rhs, mp)
         eps_fs = self._field_angle(ode)
         if self.control_space == "dq":
             action = dq_to_abc(action, eps_fs)
-        i_in = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
+        i_in = alphabeta_to_abc(self.motor.i_in(mp, ode[self.motor_slice]))
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
         flag = self.converter.interlock_flag(ps.conv_state, action)
@@ -651,7 +669,7 @@ class SCIMSystem(SCMLSystem):
                 # field angle refresh only BETWEEN sub-intervals; outputs use
                 # the pre-final-integration angle (physical_systems.py:783-812)
                 eps_fs = self._field_angle(ode)
-                i_in = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
+                i_in = alphabeta_to_abc(self.motor.i_in(mp, ode[self.motor_slice]))
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
                 i_sup = jnp.where(flag, i_sup, prev_i_sup)
@@ -662,11 +680,11 @@ class SCIMSystem(SCMLSystem):
                 u_in = jnp.where(flag, u_in, prev_u_in)
             prev_i_sup, prev_u_in = i_sup, u_in
             u_alphabeta = abc_to_alphabeta(u_in)
-            ode = self.integrate(self._rhs, ode, t, dur, u_alphabeta, noise)
+            ode = self.integrate(rhs, ode, t, dur, u_alphabeta, noise)
             cur = intervals[j]
             t = t + dur
         u_dq = abc_to_dq(u_in, eps_fs)
-        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq = alphabeta_to_dq(ode[self.n_mech: self.n_mech + 2], eps_fs)
         i_abc = dq_to_abc(i_dq, eps_fs)
@@ -674,15 +692,15 @@ class SCIMSystem(SCMLSystem):
         system_state = jnp.concatenate(
             [mech, jnp.stack([torque]), i_abc, i_dq, u_in, u_dq, jnp.stack([eps_out]), u_sup]
         )
-        new_ps = PhysicsState(ode_state=ode, conv_state=cur, sup_state=sup_state,
+        new_ps = PhysicsState(mp=(mp if self.dynamic_params else None), ode_state=ode, conv_state=cur, sup_state=sup_state,
                               t=ps.t + self.tau, k=ps.k + 1)
         return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
 
-    def _rhs(self, t, y, u_alphabeta, noise):
+    def _rhs(self, mp, t, y, u_alphabeta, noise):
         motor_state = y[self.motor_slice]
-        torque = self.motor.torque(self.mp, motor_state)
+        torque = self.motor.torque(mp, motor_state)
         d_mech = self.load.ode(self.lp, t, y[: self.n_mech], torque, noise)
-        d_motor = self.motor.ode(self.mp, motor_state, u_alphabeta, y[0])
+        d_motor = self.motor.ode(mp, motor_state, u_alphabeta, y[0])
         return jnp.concatenate([d_mech, d_motor])
 
 
@@ -701,15 +719,15 @@ class DFIMSystem(SCIMSystem):
             "epsilon", "u_sup",
         ]
 
-    def _rotor_current(self, ode):
+    def _rotor_current(self, mp, ode):
         """physical_systems.py:954-966."""
-        mp = self.mp
         l_r = mp["l_m"] + mp["l_sigr"]
         i_s = ode[self.n_mech: self.n_mech + 2]
         psi_r = self._flux(ode)
         return psi_r / l_r - mp["l_m"] / l_r * i_s
 
     def reset(self, key):
+        mp = self.mp
         k_motor, k_load, k_sup = jax.random.split(key, 3)
         mech_state = self._sample_load(k_load).astype(self.dtype)
         motor_state = self._sample_motor(k_motor).astype(self.dtype)
@@ -727,24 +745,26 @@ class DFIMSystem(SCIMSystem):
         u_rdq = abc_to_dq(u_rdef, eps_field - eps_el)
         i_sdq = alphabeta_to_dq(ode_state[self.n_mech: self.n_mech + 2], eps_field)
         i_sabc = dq_to_abc(i_sdq, eps_field)
-        i_rdq = alphabeta_to_dq(self._rotor_current(ode_state), eps_field - eps_el)
+        i_rdq = alphabeta_to_dq(self._rotor_current(mp, ode_state), eps_field - eps_el)
         i_rdef = dq_to_abc(i_rdq, eps_field - eps_el)
-        torque = self.motor.torque(self.mp, motor_state)
+        torque = self.motor.torque(mp, motor_state)
         system_state = jnp.concatenate(
             [mech_state, jnp.stack([torque]), i_sabc, i_sdq, i_rdef, i_rdq,
              u_sabc, u_sdq, u_rdef, u_rdq, jnp.stack([eps_el]), u_sup]
         )
-        ps = PhysicsState(ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
+        ps = PhysicsState(mp=(mp if self.dynamic_params else None), ode_state=ode_state, conv_state=conv_state, sup_state=sup_state,
                           t=jnp.zeros((), self.dtype), k=jnp.zeros((), jnp.int32))
         return ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
 
     def simulate(self, ps: PhysicsState, action, noise=None):
         """physical_systems.py:968-1054."""
         ode = ps.ode_state
+        mp = ps.mp if ps.mp is not None else self.mp
+        rhs = partial(self._rhs, mp)
         eps_field = self._field_angle(ode)
         eps_el = ode[self.eps_idx]
-        i_sabc = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
-        i_rdef = alphabeta_to_abc(self._rotor_current(ode))
+        i_sabc = alphabeta_to_abc(self.motor.i_in(mp, ode[self.motor_slice]))
+        i_rdef = alphabeta_to_abc(self._rotor_current(mp, ode))
         i_in = jnp.concatenate([i_sabc, i_rdef])
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
@@ -760,8 +780,8 @@ class DFIMSystem(SCIMSystem):
                 # (physical_systems.py:1004-1008); outputs use the stale ones
                 eps_field = self._field_angle(ode)
                 eps_el = ode[self.eps_idx]
-                i_sabc = alphabeta_to_abc(self.motor.i_in(self.mp, ode[self.motor_slice]))
-                i_rdef = alphabeta_to_abc(self._rotor_current(ode))
+                i_sabc = alphabeta_to_abc(self.motor.i_in(mp, ode[self.motor_slice]))
+                i_rdef = alphabeta_to_abc(self._rotor_current(mp, ode))
                 i_in = jnp.concatenate([i_sabc, i_rdef])
             i_sup = self.converter.i_sup(cur, action, i_in)
             if j > 0 and flag is not None:
@@ -777,21 +797,21 @@ class DFIMSystem(SCIMSystem):
             u_salphabeta = abc_to_alphabeta(u_sabc)
             u_ralphabeta = dq_to_alphabeta(u_rdq, eps_field)
             u_sr = (u_salphabeta, u_ralphabeta)
-            ode = self.integrate(self._rhs, ode, t, dur, u_sr, noise)
+            ode = self.integrate(rhs, ode, t, dur, u_sr, noise)
             cur = intervals[j]
             t = t + dur
         u_sdq = abc_to_dq(u_sabc, eps_field)
-        torque = self.motor.torque(self.mp, ode[self.motor_slice])
+        torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_sdq = alphabeta_to_dq(ode[self.n_mech: self.n_mech + 2], eps_field)
         i_sabc_out = dq_to_abc(i_sdq, eps_field)
-        i_rdq = alphabeta_to_dq(self._rotor_current(ode), eps_field)
+        i_rdq = alphabeta_to_dq(self._rotor_current(mp, ode), eps_field)
         i_rdef_out = dq_to_abc(i_rdq, eps_field - eps_el)
         eps_out = wrap_angle(ode[self.eps_idx])
         system_state = jnp.concatenate(
             [mech, jnp.stack([torque]), i_sabc_out, i_sdq, i_rdef_out, i_rdq,
              u_sabc, u_sdq, u_rdef, u_rdq, jnp.stack([eps_out]), u_sup]
         )
-        new_ps = PhysicsState(ode_state=ode, conv_state=cur, sup_state=sup_state,
+        new_ps = PhysicsState(mp=(mp if self.dynamic_params else None), ode_state=ode, conv_state=cur, sup_state=sup_state,
                               t=ps.t + self.tau, k=ps.k + 1)
         return new_ps, system_state / jnp.asarray(self.limits, dtype=self.dtype)
