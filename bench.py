@@ -30,20 +30,35 @@ N_REPS = int(os.environ.get("BENCH_REPS", 3))
 BASELINE_STEPS_PER_S = 10e6
 
 
-def main():
-    env = gemx.make_functional("Finite-CC-PMSM-v0")
-    n_actions = env.action_space.n
+def measure(env_id):
+    env = gemx.make_functional(env_id)
+    space = env.action_space
+    kind = space.__class__.__name__
 
     reset = jax.jit(jax.vmap(env.reset))
     step = jax.vmap(env.step_autoreset)
+
+    if kind == "Discrete":
+        def sample_actions(key):
+            return jax.random.randint(key, (N_ENVS,), 0, space.n)
+    elif kind == "MultiDiscrete":
+        nvec = jnp.asarray(space.nvec)
+
+        def sample_actions(key):
+            u = jax.random.uniform(key, (N_ENVS, len(space.nvec)))
+            return (u * nvec).astype(jnp.int32)
+    else:
+        dim = space.shape[0]
+
+        def sample_actions(key):
+            return jax.random.uniform(key, (N_ENVS, dim), minval=-1.0, maxval=1.0)
 
     @jax.jit
     def rollout(state, key):
         def body(carry, _):
             state, key = carry
             key, k_act = jax.random.split(key)
-            actions = jax.random.randint(k_act, (N_ENVS,), 0, n_actions)
-            state, _obs, reward, term = step(state, actions)
+            state, _obs, reward, term = step(state, sample_actions(k_act))
             return (state, key), None
 
         (state, _), _ = jax.lax.scan(body, (state, key), None, length=N_STEPS)
@@ -63,7 +78,19 @@ def main():
         checksum.block_until_ready()
         dt = time.perf_counter() - t0
         best = max(best, N_ENVS * N_STEPS / dt)
+    return best
 
+
+def main():
+    if os.environ.get("BENCH_ALL"):
+        # the full BASELINE.json config set; per-config numbers to stderr
+        for env_id in ("Finite-CC-PermExDc-v0", "Cont-SC-SeriesDc-v0",
+                       "Cont-SC-ShuntDc-v0", "Finite-CC-PMSM-v0",
+                       "Cont-TC-SCIM-v0", "Finite-CC-EESM-v0", "Cont-CC-DFIM-v0"):
+            v = measure(env_id)
+            print(f"{env_id}: {v / 1e6:.1f}M env-steps/s", file=sys.stderr)
+
+    best = measure("Finite-CC-PMSM-v0")
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(best, 1),

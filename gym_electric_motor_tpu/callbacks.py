@@ -9,7 +9,6 @@ for device-side batched rollouts, use the metric hooks of
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 
 class Callback:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constraints import ConstraintMonitor, LimitConstraint
+from .constraints import ConstraintMonitor
 from .physical_systems import PhysicsState
 from .references import ReferenceSpec, ScalarRefSpec, SwitchedRefSpec
 from .rewards import WeightedSumOfErrors

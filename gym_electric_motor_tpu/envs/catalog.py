@@ -11,7 +11,7 @@ the reference env classes and are overridable through ``make()`` kwargs
 from __future__ import annotations
 
 from .. import references as rg
-from ..constraints import ConstraintMonitor, LimitConstraint, SquaredConstraint
+from ..constraints import LimitConstraint, SquaredConstraint
 from ..core import ElectricMotorEnvironment
 from ..models import converters as cv
 from ..models import loads as ld

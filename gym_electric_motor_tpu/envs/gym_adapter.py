@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..callbacks import Callback, ElectricMotorVisualization
+from ..callbacks import Callback
 from ..core import ElectricMotorEnvironment
 
 

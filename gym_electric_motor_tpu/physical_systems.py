@@ -45,7 +45,7 @@ from .ops.transforms import (
     dq_to_alphabeta,
     wrap_angle,
 )
-from .utils.pytree import static_field, struct
+from .utils.pytree import struct
 
 
 @struct

@@ -19,8 +19,6 @@ Parity map (reference file:line):
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
