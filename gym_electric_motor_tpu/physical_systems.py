@@ -622,6 +622,31 @@ class SCIMSystem(SCMLSystem):
         psi = self._flux(ode)
         return jnp.arctan2(psi[1], psi[0])
 
+    def _build_initializers(self):
+        super()._build_initializers()
+        if not self.motor.initializer.get("random_init"):
+            return
+        # Random-field-angle flux initialization
+        # (squirrel_cage_induction_motor.py:146-157): per reset a magnetic
+        # field angle eps_mag ~ U(-pi, pi) orients the rotor flux; the drawn
+        # flux magnitude (bounded by l_m * i_sd_nominal) is split into its
+        # alphabeta components along that angle.
+        base_sample = self._sample_motor
+        ode_states = list(self.motor.ode_states)
+        ia = ode_states.index("psi_ralpha")
+        ib = ode_states.index("psi_rbeta")
+
+        def sample(key):
+            k1, k2 = jax.random.split(key)
+            vals = base_sample(k1)
+            eps_mag = jax.random.uniform(k2, (), minval=-jnp.pi, maxval=jnp.pi)
+            mag = jnp.abs(vals[ia])
+            vals = vals.at[ia].set(mag * jnp.cos(eps_mag))
+            vals = vals.at[ib].set(mag * jnp.sin(eps_mag))
+            return vals
+
+        self._sample_motor = sample
+
     def reset(self, key):
         """SCIM resets the load first — the motor init may depend on omega
         (physical_systems.py:816-847)."""

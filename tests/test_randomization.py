@@ -70,3 +70,24 @@ def test_truncnorm_initializer():
     assert len(set(np.round(vals, 6))) >= 6
     # bounded by the nominal-value interval
     assert all(abs(v) * 210.0 <= 97.0 + 1e-3 for v in vals)
+
+
+def test_scim_random_flux_init():
+    """Induction-motor random init orients the rotor flux by a random field
+    angle (squirrel_cage_induction_motor.py:146-157)."""
+    from gym_electric_motor_tpu.models import motors as mt2
+
+    motor = mt2.scim(motor_initializer={"random_init": "uniform"})
+    env = gemx.make_functional("Cont-CC-SCIM-v0", motor=motor)
+    mp = env.physical_system.motor.parameter
+    psi_max = mp["l_m"] * env.physical_system.motor.nominal.get("i_sd", 1.0)
+    angles, mags = [], []
+    for seed in range(12):
+        state, _ = env.reset(jax.random.PRNGKey(seed))
+        ode = np.asarray(state.phys.ode_state)
+        psi = ode[3:5]  # [psi_ralpha, psi_rbeta] after 1 mech state + 2 currents
+        angles.append(np.arctan2(psi[1], psi[0]))
+        mags.append(np.hypot(*psi))
+    assert max(mags) <= psi_max + 1e-6
+    assert np.std(angles) > 0.5  # angles spread over the circle
+    assert len(set(np.round(mags, 8))) > 8  # magnitudes random too
