@@ -81,6 +81,25 @@ def measure(env_id):
     return best
 
 
+def measure_fused():
+    """The fused Pallas rollout for the flagship config: the whole T-step
+    loop runs inside one kernel with all state resident in VMEM."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_pmsm_rollout
+
+    env = gemx.make_functional("Finite-CC-PMSM-v0")
+    rollout = make_fused_pmsm_rollout(env, N_STEPS, N_ENVS, action_mode="random")
+    z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
+    out = rollout(1, z, z, z)
+    jax.block_until_ready(out)
+    best = 0.0
+    for rep in range(N_REPS):
+        t0 = time.perf_counter()
+        out = rollout(2 + rep, z, z, z)
+        jax.block_until_ready(out)
+        best = max(best, N_ENVS * N_STEPS / (time.perf_counter() - t0))
+    return best
+
+
 def main():
     if os.environ.get("BENCH_ALL"):
         # the full BASELINE.json config set; per-config numbers to stderr
@@ -90,7 +109,18 @@ def main():
             v = measure(env_id)
             print(f"{env_id}: {v / 1e6:.1f}M env-steps/s", file=sys.stderr)
 
-    best = measure("Finite-CC-PMSM-v0")
+    xla = measure("Finite-CC-PMSM-v0")
+    print(f"Finite-CC-PMSM-v0 (general XLA path): {xla / 1e6:.1f}M env-steps/s",
+          file=sys.stderr)
+    try:
+        fused = measure_fused()
+        print(f"Finite-CC-PMSM-v0 (fused Pallas rollout): {fused / 1e6:.1f}M "
+              f"env-steps/s", file=sys.stderr)
+    except Exception as e:  # pallas path needs real TPU hardware
+        print(f"fused Pallas rollout unavailable ({e!r}); using XLA path",
+              file=sys.stderr)
+        fused = 0.0
+    best = max(xla, fused)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(best, 1),
