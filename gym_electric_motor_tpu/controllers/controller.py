@@ -69,12 +69,14 @@ class GemController:
     cc_i_gain: np.ndarray
     cc_d_gain: np.ndarray | None
     cc_action_range: tuple
+    cc_mode: str = "pi"  # 'pi' | 'pid' | 'p' | 'three_point'
+    cc_hysteresis: np.ndarray = None
     # EMF feedforward: 'classic' | 'ind' | 'eesm'
-    decoupling: bool
-    emf_current_idx: np.ndarray
-    l_emf: np.ndarray
-    psi_emf: np.ndarray
-    pole_pairs: float
+    decoupling: bool = True
+    emf_current_idx: np.ndarray = None
+    l_emf: np.ndarray = None
+    psi_emf: np.ndarray = None
+    pole_pairs: float = 0.0
     emf_kind: str = "classic"
     emf_params: dict = dataclasses.field(default_factory=dict)
     # clipping (CC): 'absolute' | 'squared' | 'combined'
@@ -130,9 +132,16 @@ class GemController:
         l_ = readers.l_reader[mtr](env)
         cc_p = l_ / (tau * a)
         cc_i = cc_p / (tau * a**2)
-        cc_d = cc_p * tau if base_current_controller == "PID" else None
+        cc_mode = {"PI": "pi", "PID": "pid", "P": "p",
+                   "ThreePoint": "three_point"}[base_current_controller]
+        if cc_mode == "p":
+            cc_i = np.zeros_like(cc_i)
+        cc_d = cc_p * tau if cc_mode == "pid" else None
         v_lims = limits[voltage_idx]
         cc_range = (low[voltage_idx] * v_lims, high[voltage_idx] * v_lims)
+        # three-point hysteresis: 1% of the voltage range
+        # (three_point_controller.py _tune_current_controller)
+        cc_hysteresis = 0.01 * (cc_range[1] - cc_range[0])
 
         # --- EMF feedforward (emf_feedforward.py:80-103 + Ind/EESM variants)
         emf_idx = np.array([state_names.index(c) for c in readers.emf_currents[mtr]])
@@ -210,7 +219,7 @@ class GemController:
             omega_idx=omega_idx, torque_idx=torque_idx, angle_idx=angle_idx,
             limits=limits,
             cc_p_gain=cc_p, cc_i_gain=np.clip(cc_i, 0.0, np.inf), cc_d_gain=cc_d,
-            cc_action_range=cc_range,
+            cc_action_range=cc_range, cc_mode=cc_mode, cc_hysteresis=cc_hysteresis,
             decoupling=decoupling, emf_current_idx=emf_idx, l_emf=l_emf,
             psi_emf=psi_emf, pole_pairs=p, emf_kind=emf_kind, emf_params=emf_params,
             cc_clip_kind=cc_clip_kind, cc_clip_limits=cc_clip_limits,
@@ -419,10 +428,19 @@ class GemController:
         # ---- CC: currents -> voltages (pi_current_controller.py:146-177)
         i_meas = state[jnp.asarray(self.current_idx)]
         err = ref - i_meas
-        u = jnp.asarray(self.cc_p_gain) * err + jnp.asarray(self.cc_i_gain) * cs["cc_integrator"]
-        if self.cc_d_gain is not None:
-            u = u + jnp.asarray(self.cc_d_gain) * (err - cs["cc_last_error"]) / self.tau
-            cs["cc_last_error"] = err
+        if self.cc_mode == "three_point":
+            # hysteresis selection (three_point_controller.py:95-101)
+            h = jnp.asarray(self.cc_hysteresis)
+            hi = jnp.asarray(self.cc_action_range[1])
+            lo = jnp.asarray(self.cc_action_range[0])
+            u = jnp.where(i_meas + h < ref, hi,
+                          jnp.where(i_meas - h > ref, lo, jnp.zeros_like(hi)))
+        else:
+            u = (jnp.asarray(self.cc_p_gain) * err
+                 + jnp.asarray(self.cc_i_gain) * cs["cc_integrator"])
+            if self.cc_d_gain is not None:
+                u = u + jnp.asarray(self.cc_d_gain) * (err - cs["cc_last_error"]) / self.tau
+                cs["cc_last_error"] = err
         if self.decoupling:
             u = self._emf_feedforward(state, u)
         _u_clipped, u_diff = self._clip(self.cc_clip_kind, self.cc_clip_limits, u)

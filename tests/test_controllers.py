@@ -169,3 +169,32 @@ def test_eesm_torque_controller_matches_reference_first_action():
     a = np.asarray(action)
     assert a.shape == (4,)
     np.testing.assert_allclose(a, [2.602, -1.043, -1.559, 1.086], atol=0.05)
+
+
+def test_three_point_controller():
+    """Bang-bang current control with a hysteresis band
+    (three_point_controller.py) still tracks the reference."""
+    # Finite env (tau=1e-5): one full-voltage step slews ~30A, inside the
+    # hysteresis regime; at Cont tau=1e-4 bang-bang overshoots the limit in a
+    # single step (as it would in the reference)
+    env = gemx.make_functional(
+        "Finite-CC-PermExDc-v0",
+        reference_generator=rg.ConstReference("i", reference_value=0.3),
+    )
+    ctrl = GemController.make(env, "Finite-CC-PermExDc-v0",
+                              base_current_controller="ThreePoint")
+    out = ctrl.control_environment(env, 3000, key=jax.random.PRNGKey(0))
+    idx = env.state_names.index("i")
+    final = float(np.asarray(out["states"][-500:, idx]).mean())
+    assert abs(final - 0.3) < 0.06, final
+
+
+def test_block_diagram():
+    from gym_electric_motor_tpu.controllers.block_diagram import build_block_diagram
+
+    env = gemx.make_functional("Cont-SC-PMSM-v0")
+    ctrl = GemController.make(env, "Cont-SC-PMSM-v0")
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "bd.png")
+    fig = build_block_diagram(ctrl, save_as=path)
+    assert fig is not None and os.path.getsize(path) > 5000
