@@ -23,6 +23,9 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
+import jax.numpy as jnp
+
 
 def euler_step(f, y, t, dt, *args):
     return y + dt * f(t, y, *args)
@@ -72,12 +75,30 @@ def rk45_step(f, y, t, dt, *args):
     return out
 
 
+def semi_implicit_euler_step(f, y, t, dt, *args):
+    """Linearly-implicit (Rosenbrock-style) Euler step for stiff systems —
+    the role of the reference's jacobian-consuming implicit integrators
+    (``ScipySolveIvpSolver`` with Radau/BDF/LSODA, solvers.py:187-249).
+
+    Solves ``(I - dt J) dy = dt f(y)`` with the exact jacobian from forward
+    autodiff — the TPU-native replacement for the reference's hand-written
+    ``electrical_jacobian`` methods (electric_motors/*.py).  The state
+    dimension is 1-23, so the dense solve is a tiny fused kernel.
+    """
+    fy = f(t, y, *args)
+    J = jax.jacfwd(lambda yy: f(t, yy, *args))(y)
+    n = y.shape[0]
+    A = jnp.eye(n, dtype=y.dtype) - dt * J
+    return y + jnp.linalg.solve(A, dt * fy)
+
+
 _STEPPERS = {
     "euler": euler_step,
     "heun": heun_step,
     "rk4": rk4_step,
     "rk45": rk45_step,
     "dopri5": rk45_step,
+    "implicit_euler": semi_implicit_euler_step,
 }
 
 

@@ -2,6 +2,7 @@
 mirroring the reference's solver tests which integrate a known system
 (``/root/reference/tests/test_physical_systems/test_solvers.py:18-50``)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -62,3 +63,41 @@ def test_rk4_convergence_order():
     e1, e2 = err(2), err(4)
     # 4th order: halving dt should reduce error by ~16x (allow slack for f32)
     assert e2 < e1 / 6
+
+
+def test_semi_implicit_euler_stiff_stability():
+    """On a stiff linear system the explicit Euler step diverges at dt
+    beyond 2/|lambda_max| while the linearly-implicit step stays stable and
+    accurate."""
+    A_stiff = np.array([[-4000.0, 0.0], [1.0, -1.0]])
+
+    def rhs_stiff(t, y, u):
+        return jnp.asarray(A_stiff) @ y + jnp.asarray([1.0, 0.0]) * u
+
+    dt = 1e-3  # explicit euler: |1 + dt*(-4000)| = 3 > 1 -> divergence
+    y_exp = jnp.array([1.0, 1.0])
+    y_imp = jnp.array([1.0, 1.0])
+    exp_step = make_integrator("euler")
+    imp_step = make_integrator("implicit_euler")
+    for k in range(50):
+        y_exp = exp_step(rhs_stiff, y_exp, k * dt, dt, 1.0)
+        y_imp = imp_step(rhs_stiff, y_imp, k * dt, dt, 1.0)
+    assert not np.all(np.isfinite(np.asarray(y_exp))) or np.max(np.abs(np.asarray(y_exp))) > 1e10
+    ref = exact_of(A_stiff, np.array([1.0, 1.0]), np.array([1.0, 0.0]), 1.0, 50 * dt)
+    np.testing.assert_allclose(np.asarray(y_imp), ref, rtol=0.1)
+
+
+def exact_of(A_, y0, B_, u, t):
+    eAt = expm(A_ * t)
+    return eAt @ y0 + np.linalg.solve(A_, (eAt - np.eye(len(y0))) @ (B_ * u))
+
+
+def test_implicit_euler_in_env():
+    """The implicit solver drops into the env builder like any other."""
+    import gym_electric_motor_tpu as gemx
+
+    env = gemx.make_functional("Cont-CC-PermExDc-v0", solver="implicit_euler")
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    for _ in range(5):
+        state, (s, r), rew, term = env.step(state, jnp.asarray([0.4]))
+    assert np.all(np.isfinite(np.asarray(s)))
