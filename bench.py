@@ -67,15 +67,16 @@ def measure(env_id):
 
     keys = jax.random.split(jax.random.PRNGKey(0), N_ENVS)
     state, _obs = reset(keys)
-    # warmup / compile
+    # warmup / compile (fetch the checksum: through the axon tunnel,
+    # block_until_ready alone does not reliably wait for completion)
     state, checksum = rollout(state, jax.random.PRNGKey(1))
-    checksum.block_until_ready()
+    float(checksum)
 
     best = 0.0
     for rep in range(N_REPS):
         t0 = time.perf_counter()
         state, checksum = rollout(state, jax.random.PRNGKey(2 + rep))
-        checksum.block_until_ready()
+        float(checksum)
         dt = time.perf_counter() - t0
         best = max(best, N_ENVS * N_STEPS / dt)
     return best
@@ -83,20 +84,21 @@ def measure(env_id):
 
 def measure_fused():
     """The fused Pallas rollout for the flagship config: the whole T-step
-    loop runs inside one kernel with all state resident in VMEM."""
+    loop runs inside one kernel with all state resident in VMEM.  A longer
+    rollout amortizes the fixed dispatch/tunnel overhead (~30 ms/call)."""
     from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_pmsm_rollout
 
+    n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
     env = gemx.make_functional("Finite-CC-PMSM-v0")
-    rollout = make_fused_pmsm_rollout(env, N_STEPS, N_ENVS, action_mode="random")
+    rollout = make_fused_pmsm_rollout(env, n_steps, N_ENVS, action_mode="random")
     z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
-    out = rollout(1, z, z, z)
-    jax.block_until_ready(out)
+    float(rollout(1, z, z, z)[3].sum())  # warmup; fetch forces completion
     best = 0.0
     for rep in range(N_REPS):
         t0 = time.perf_counter()
         out = rollout(2 + rep, z, z, z)
-        jax.block_until_ready(out)
-        best = max(best, N_ENVS * N_STEPS / (time.perf_counter() - t0))
+        float(out[3].sum())
+        best = max(best, N_ENVS * n_steps / (time.perf_counter() - t0))
     return best
 
 

@@ -122,10 +122,15 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
 
     shape = (R, LANE)
 
+    # both reference generators (i_sd*, i_sq*) live stacked in one
+    # (2R, LANE) buffer: rows [0:R] = i_sd*, rows [R:2R] = i_sq* — one
+    # vector op advances both
+    shape2 = (2 * R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
     def kernel_random(seed_ref, i_sd_ref, i_sq_ref, eps_ref,
                       out_i_sd, out_i_sq, out_eps, out_reward, out_terms,
-                      rsd_ref, rsq_ref, ksd_ref, ksq_ref, lsd_ref, lsq_ref,
-                      ssd_ref, ssq_ref):
+                      rv_ref, rk_ref, rl_ref, rs_ref):
         pltpu.prng_seed(seed_ref[0])
         out_i_sd[:] = i_sd_ref[:]
         out_i_sq[:] = i_sq_ref[:]
@@ -133,34 +138,19 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
-        def init_refgen(value_ref, k_ref, len_ref, sig_ref):
-            u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            value_ref[:] = (2.0 * u - 1.0) * margin
-            k_ref[:] = jnp.zeros(shape, jnp.float32)
-            _draw_params(len_ref, sig_ref, jnp.ones(shape, dtype=jnp.bool_))
-
-        def _draw_params(len_ref, sig_ref, mask):
-            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
             new_len = jnp.floor(500.0 + 1500.0 * u1)
-            new_sig = jnp.power(10.0, -3.0 + 2.0 * u2)  # log-uniform [1e-3, 1e-1]
-            len_ref[:] = jnp.where(mask, new_len, len_ref[:])
-            sig_ref[:] = jnp.where(mask, new_sig, sig_ref[:])
+            new_sig = jnp.exp(LN10 * (-3.0 + 2.0 * u2))  # log-uniform [1e-3, 1e-1]
+            rl_ref[:] = jnp.where(mask, new_len, rl_ref[:])
+            rs_ref[:] = jnp.where(mask, new_sig, rs_ref[:])
 
-        def advance_ref(value_ref, k_ref, len_ref, sig_ref, draw, reset_mask):
-            # sub-episode regeneration (subepisoded_reference_generator.py:96-105)
-            regen = (k_ref[:] >= len_ref[:]) | reset_mask
-            _draw_params(len_ref, sig_ref, regen)
-            k_ref[:] = jnp.where(regen, 0.0, k_ref[:])
-            value = jnp.clip(value_ref[:] + sig_ref[:] * draw, -margin, margin)
-            # on env reset: re-uniform the value
-            u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            value = jnp.where(reset_mask, (2.0 * u - 1.0) * margin, value)
-            value_ref[:] = value
-            k_ref[:] = k_ref[:] + 1.0
-
-        init_refgen(rsd_ref, ksd_ref, lsd_ref, ssd_ref)
-        init_refgen(rsq_ref, ksq_ref, lsq_ref, ssq_ref)
+        # init both generators
+        u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+        rv_ref[:] = (2.0 * u - 1.0) * margin
+        rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+        _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
 
         def body(t, _):
             bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
@@ -171,8 +161,9 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
             i_sd_n = i_sd * (1.0 / i_lim)
             i_sq_n = i_sq * (1.0 / i_lim)
             violated = (i_sd_n * i_sd_n + i_sq_n * i_sq_n) > 1.0
-            wse = -(w_over_span * jnp.abs(i_sd_n - rsd_ref[:])
-                    + w_over_span * jnp.abs(i_sq_n - rsq_ref[:]))
+            refs = rv_ref[:]
+            wse = -(w_over_span * jnp.abs(i_sd_n - refs[:R])
+                    + w_over_span * jnp.abs(i_sq_n - refs[R:]))
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
@@ -183,9 +174,18 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
             out_i_sq[:] = jnp.where(violated, zero, i_sq)
             out_eps[:] = jnp.where(violated, zero, eps)
 
-            nd, nq = _normal_pair(shape)
-            advance_ref(rsd_ref, ksd_ref, lsd_ref, ssd_ref, nd, violated)
-            advance_ref(rsq_ref, ksq_ref, lsq_ref, ssq_ref, nq, violated)
+            # Wiener advance for both refs in one (2R, LANE) pass
+            reset2 = jnp.concatenate([violated, violated], axis=0)
+            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                np.float32(TWO_PI) * u2)
+            regen = (rk_ref[:] >= rl_ref[:]) | reset2
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+            u3 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+            rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
@@ -220,7 +220,7 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
                 out_shape=out_shapes,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem, vmem, vmem],
                 out_specs=tuple(vmem for _ in range(5)),
-                scratch_shapes=[pltpu.VMEM(shape, jnp.float32) for _ in range(8)],
+                scratch_shapes=[pltpu.VMEM((2 * R, LANE), jnp.float32) for _ in range(4)],
             )(jnp.asarray([seed], jnp.int32), i_sd0, i_sq0, eps0)
 
         return rollout
