@@ -110,6 +110,19 @@ def main():
                        "Cont-TC-SCIM-v0", "Finite-CC-EESM-v0", "Cont-CC-DFIM-v0"):
             v = measure(env_id)
             print(f"{env_id}: {v / 1e6:.1f}M env-steps/s", file=sys.stderr)
+        # second fused kernel (DC family)
+        from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_permex_rollout
+
+        envp = gemx.make_functional("Finite-CC-PermExDc-v0")
+        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
+        rollp = make_fused_permex_rollout(envp, n_steps, N_ENVS)
+        z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
+        float(rollp(1, z)[1].sum())
+        t0 = time.perf_counter()
+        float(rollp(2, z)[1].sum())
+        v = N_ENVS * n_steps / (time.perf_counter() - t0)
+        print(f"Finite-CC-PermExDc-v0 (fused Pallas rollout): {v / 1e6:.1f}M "
+              f"env-steps/s", file=sys.stderr)
 
     xla = measure("Finite-CC-PMSM-v0")
     print(f"Finite-CC-PMSM-v0 (general XLA path): {xla / 1e6:.1f}M env-steps/s",

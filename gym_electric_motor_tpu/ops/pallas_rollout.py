@@ -236,3 +236,101 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
         )(i_sd0, i_sq0, eps0, actions)
 
     return rollout
+
+
+def make_fused_permex_rollout(env, n_steps, n_envs, interpret=False):
+    """Fused rollout for Finite-CC-PermExDc-v0 — the same VMEM-resident
+    design as the PMSM kernel, specialized to the 1-state DC drive:
+    4QC converter table (converters.py:313-368), RK4 armature ODE
+    (dc_permanently_excited_motor.py:71-84), Wiener current reference,
+    WSE reward, limit-constraint termination and in-kernel reset."""
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    r_a, l_a, psi_e = float(mp["r_a"]), float(mp["l_a"]), float(mp["psi_e"])
+    omega = float(ps.load.omega_fixed)
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i")])
+    margin = float(ps.nominal_state[names.index("i")] / i_lim)
+    w_over_span = 1.0 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    emf = psi_e * omega
+    shape = (R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    def rhs(i, u):
+        return (-emf - r_a * i + u) * (1.0 / l_a)
+
+    def kernel(seed_ref, i0_ref, out_i, out_reward, out_terms,
+               rv_ref, rk_ref, rl_ref, rs_ref):
+        pltpu.prng_seed(seed_ref[0])
+        out_i[:] = i0_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            # CC PermExDc sigma range (1e-2, 1e-1) (catalog _REF_SIGMA)
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-2.0 + 1.0 * u2)), rs_ref[:])
+
+        u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        rv_ref[:] = (2.0 * u - 1.0) * margin
+        rk_ref[:] = jnp.zeros(shape, jnp.float32)
+        _draw_params(jnp.ones(shape, dtype=jnp.bool_))
+
+        def body(t, _):
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+            a = bits & 3
+            # 4QC voltage table: a=1 -> +u_sup, a=2 -> -u_sup, else 0
+            u_in = (jnp.where(a == 1, 1.0, 0.0) - jnp.where(a == 2, 1.0, 0.0)) * u_sup
+            i = out_i[:]
+            k1 = rhs(i, u_in)
+            k2 = rhs(i + 0.5 * tau * k1, u_in)
+            k3 = rhs(i + 0.5 * tau * k2, u_in)
+            k4 = rhs(i + tau * k3, u_in)
+            i = i + (tau / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
+            i_n = i * (1.0 / i_lim)
+            violated = jnp.abs(i_n) > 1.0
+            reward = jnp.where(violated, violation_reward,
+                               -w_over_span * jnp.abs(i_n - rv_ref[:]))
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            out_i[:] = jnp.where(violated, jnp.zeros(shape, jnp.float32), i)
+
+            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                np.float32(TWO_PI) * u2)
+            regen = (rk_ref[:] >= rl_ref[:]) | violated
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+            u3 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            rv_ref[:] = jnp.where(violated, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(3))
+
+    @jax.jit
+    def rollout(seed, i0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem],
+            out_specs=tuple(vmem for _ in range(3)),
+            scratch_shapes=[pltpu.VMEM(shape, jnp.float32) for _ in range(4)],
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), i0)
+
+    return rollout
