@@ -334,3 +334,138 @@ def make_fused_permex_rollout(env, n_steps, n_envs, interpret=False):
         )(jnp.asarray([seed], jnp.int32), i0)
 
     return rollout
+
+
+def make_fused_scim_rollout(env, n_steps, n_envs, interpret=False):
+    """Fused rollout for Cont-TC-SCIM-v0 — the stiffest family: 5-state
+    alpha/beta induction ODE (induction_motor.py:287-313, rotor shorted),
+    continuous B6 duty-cycle converter, Wiener torque reference, WSE torque
+    reward and the squared dq-current constraint (which needs no field-angle
+    atan2: the Park rotation preserves the current norm)."""
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    l_m = float(mp["l_m"])
+    l_s = float(mp["l_m"] + mp["l_sigs"])
+    l_r = float(mp["l_m"] + mp["l_sigr"])
+    r_s, r_r, p = float(mp["r_s"]), float(mp["r_r"]), float(mp["p"])
+    sigma = (l_s * l_r - l_m**2) / (l_s * l_r)
+    tau_r = l_r / r_r
+    tau_sig = sigma * l_s / (r_s + r_r * l_m**2 / l_r**2)
+    c_psi = l_m * r_r / (sigma * l_s * l_r**2)
+    c_w = l_m * p / (sigma * l_r * l_s)
+    c_u = 1.0 / (sigma * l_s)
+    k_t = 1.5 * p * l_m / l_r
+
+    omega = float(ps.load.omega_fixed)
+    tau = float(ps.tau)
+    u_half = 0.5 * float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    t_lim = float(lim[names.index("torque")])
+    t_margin = float(ps.nominal_state[names.index("torque")] / t_lim)
+    w_over_span = 1.0 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    p_omega = p * omega
+    shape = (R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    def rhs(i_sa, i_sb, ps_a, ps_b, u_a, u_b):
+        di_sa = -i_sa / tau_sig + c_psi * ps_a + c_w * omega * ps_b + c_u * u_a
+        di_sb = -i_sb / tau_sig + c_psi * ps_b - c_w * omega * ps_a + c_u * u_b
+        dps_a = (l_m * i_sa - ps_a) / tau_r - p_omega * ps_b
+        dps_b = (l_m * i_sb - ps_b) / tau_r + p_omega * ps_a
+        return di_sa, di_sb, dps_a, dps_b
+
+    def kernel(seed_ref, isa_ref, isb_ref, psa_ref, psb_ref,
+               out_isa, out_isb, out_psa, out_psb, out_reward, out_terms,
+               rv_ref, rk_ref, rl_ref, rs_ref):
+        pltpu.prng_seed(seed_ref[0])
+        out_isa[:] = isa_ref[:]
+        out_isb[:] = isb_ref[:]
+        out_psa[:] = psa_ref[:]
+        out_psb[:] = psb_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        rv_ref[:] = (2.0 * u - 1.0) * t_margin
+        rk_ref[:] = jnp.zeros(shape, jnp.float32)
+        _draw_params(jnp.ones(shape, dtype=jnp.bool_))
+
+        def body(t, _):
+            # continuous B6: u_phase = a * u_sup / 2 per phase
+            ua = (2.0 * _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)) - 1.0) * u_half
+            ub = (2.0 * _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)) - 1.0) * u_half
+            uc = (2.0 * _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)) - 1.0) * u_half
+            u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+            u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+
+            isa, isb = out_isa[:], out_isb[:]
+            pa, pb = out_psa[:], out_psb[:]
+            k1 = rhs(isa, isb, pa, pb, u_al, u_be)
+            k2 = rhs(isa + 0.5 * tau * k1[0], isb + 0.5 * tau * k1[1],
+                     pa + 0.5 * tau * k1[2], pb + 0.5 * tau * k1[3], u_al, u_be)
+            k3 = rhs(isa + 0.5 * tau * k2[0], isb + 0.5 * tau * k2[1],
+                     pa + 0.5 * tau * k2[2], pb + 0.5 * tau * k2[3], u_al, u_be)
+            k4 = rhs(isa + tau * k3[0], isb + tau * k3[1],
+                     pa + tau * k3[2], pb + tau * k3[3], u_al, u_be)
+            sixth = tau / 6.0
+            isa = isa + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
+            isb = isb + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+            pa = pa + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
+            pb = pb + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
+
+            torque = k_t * (pa * isb - pb * isa)
+            t_n = torque * (1.0 / t_lim)
+            # |i_dq| == |i_alphabeta| (rotation-invariant) -> no atan2 needed
+            violated = (isa * isa + isb * isb) * (1.0 / (i_lim * i_lim)) > 1.0
+            reward = jnp.where(violated, violation_reward,
+                               -w_over_span * jnp.abs(t_n - rv_ref[:]))
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isa[:] = jnp.where(violated, zero, isa)
+            out_isb[:] = jnp.where(violated, zero, isb)
+            out_psa[:] = jnp.where(violated, zero, pa)
+            out_psb[:] = jnp.where(violated, zero, pb)
+
+            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                np.float32(TWO_PI) * u2)
+            regen = (rk_ref[:] >= rl_ref[:]) | violated
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -t_margin, t_margin)
+            u3 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            rv_ref[:] = jnp.where(violated, (2.0 * u3 - 1.0) * t_margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(6))
+
+    @jax.jit
+    def rollout(seed, isa0, isb0, psa0, psb0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 4,
+            out_specs=tuple(vmem for _ in range(6)),
+            scratch_shapes=[pltpu.VMEM(shape, jnp.float32) for _ in range(4)],
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), isa0, isb0, psa0, psb0)
+
+    return rollout
