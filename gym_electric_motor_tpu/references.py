@@ -108,8 +108,9 @@ class ScalarRefSpec:
         ep_len = jnp.floor(float(lo) + (float(hi) - float(lo)) * u[0]).astype(jnp.int32)
         p = jnp.zeros((N_P,))
         if self.kind in ("wiener", "laplace"):
-            log_r = np.log10(np.asarray(self.sigma_range, dtype=np.float64))
-            sigma = 10.0 ** (float(log_r[0]) + (float(log_r[1]) - float(log_r[0])) * u[1])
+            log_r = np.log(np.asarray(self.sigma_range, dtype=np.float64))
+            # exp instead of 10**x — pow lowers to a far slower kernel
+            sigma = jnp.exp(float(log_r[0]) + (float(log_r[1]) - float(log_r[0])) * u[1])
             p = p.at[P_SIGMA].set(sigma)
         elif self.kind in ("sinusoidal", "step", "triangle", "sawtooth"):
             # re-clip the static ranges against the dynamic margins

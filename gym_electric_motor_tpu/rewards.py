@@ -73,7 +73,15 @@ class WeightedSumOfErrors:
     def reward(self, state, reference, k=None, action=None, violation_degree=0.0):
         """(1 - d) * r_wse + d * r_violation (weighted_sum_of_errors.py:125-129)."""
         w = jnp.asarray(self._weights, dtype=state.dtype)
-        n = jnp.asarray(self._n, dtype=state.dtype)
         length = jnp.asarray(self._state_length, dtype=state.dtype)
-        wse = -jnp.sum(w * (jnp.abs(state - reference) / length) ** n) + self._bias_value
+        err = jnp.abs(state - reference) / length
+        # specialize the common integer powers — the generic pow lowering is
+        # drastically slower and sits in the per-step hot path
+        if np.all(self._n == 1):
+            powed = err
+        elif np.all(self._n == 2):
+            powed = err * err
+        else:
+            powed = err ** jnp.asarray(self._n, dtype=state.dtype)
+        wse = -jnp.sum(w * powed) + self._bias_value
         return (1.0 - violation_degree) * wse + violation_degree * self._violation_value
