@@ -10,6 +10,15 @@ Prints ONE JSON line:
    "vs_baseline": value / 10e6}
 where the baseline is the driver-set north star of 10M env-steps/s/chip
 (BASELINE.md; the reference publishes no numbers of its own).
+
+Modes (env vars):
+  BENCH_ALL=1    also measure every BASELINE.json config + all fused kernels;
+                 per-config numbers go to stderr AND BENCH_RESULTS.json.
+  BENCH_MESH=N   data-parallel scaling bench: ShardedVectorEnv over an
+                 N-device mesh (real devices if available, else a virtual
+                 N-device CPU mesh), reporting steps/s/device + efficiency.
+
+All results of a run are persisted machine-readably to BENCH_RESULTS.json.
 """
 
 import json
@@ -17,8 +26,22 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+# --- BENCH_MESH needs its device topology fixed BEFORE jax initializes ---
+_MESH_N = int(os.environ.get("BENCH_MESH", 0))
+if _MESH_N:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={_MESH_N}"
+        ).strip()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+if _MESH_N and len(jax.devices()) < _MESH_N:
+    # not enough real chips: fall back to the virtual CPU mesh (the CI path;
+    # the axon sitecustomize ignores JAX_PLATFORMS so set it via the config)
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,6 +51,33 @@ N_ENVS = int(os.environ.get("BENCH_N_ENVS", 16384))
 N_STEPS = int(os.environ.get("BENCH_N_STEPS", 1000))
 N_REPS = int(os.environ.get("BENCH_REPS", 3))
 BASELINE_STEPS_PER_S = 10e6
+RESULTS = {}  # name -> steps/s (persisted to BENCH_RESULTS.json)
+
+
+def _log(msg):
+    print(msg, file=sys.stderr)
+
+
+def _retry(fn, what, attempts=3, base_delay=5.0):
+    """Bounded retry for the first device round-trips of a program.
+
+    Round-1 post-mortem: the driver's capture died on a single transient
+    FAILED_PRECONDITION from the TPU tunnel during the very first traced
+    call.  Transient backend errors deserve a couple of retries (with cache
+    clearing, so retracing re-stages everything); real bugs still fail after
+    `attempts` tries.
+    """
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - backend errors vary by platform
+            if attempt == attempts - 1:
+                raise
+            _log(f"[retry] {what} failed (attempt {attempt + 1}/{attempts}): "
+                 f"{type(e).__name__}: {e}")
+            jax.clear_caches()
+            time.sleep(base_delay * (attempt + 1))
+    return None
 
 
 def measure(env_id):
@@ -66,11 +116,16 @@ def measure(env_id):
         return state, jnp.sum(state.system_state)
 
     keys = jax.random.split(jax.random.PRNGKey(0), N_ENVS)
-    state, _obs = reset(keys)
+    state, _obs = _retry(lambda: reset(keys), f"reset({env_id})")
     # warmup / compile (fetch the checksum: through the axon tunnel,
     # block_until_ready alone does not reliably wait for completion)
-    state, checksum = rollout(state, jax.random.PRNGKey(1))
-    float(checksum)
+
+    def warmup():
+        s, checksum = rollout(state, jax.random.PRNGKey(1))
+        float(checksum)
+        return s
+
+    state = _retry(warmup, f"warmup({env_id})")
 
     best = 0.0
     for rep in range(N_REPS):
@@ -79,6 +134,20 @@ def measure(env_id):
         float(checksum)
         dt = time.perf_counter() - t0
         best = max(best, N_ENVS * N_STEPS / dt)
+    RESULTS[f"{env_id}/xla"] = best
+    return best
+
+
+def _measure_fused_kernel(name, build, call, n_steps):
+    """Shared warmup+timing loop for the fused Pallas rollouts."""
+    rollout = build()
+    _retry(lambda: call(rollout, 1), f"fused warmup({name})")
+    best = 0.0
+    for rep in range(N_REPS):
+        t0 = time.perf_counter()
+        call(rollout, 2 + rep)
+        best = max(best, N_ENVS * n_steps / (time.perf_counter() - t0))
+    RESULTS[f"{name}/pallas"] = best
     return best
 
 
@@ -90,52 +159,131 @@ def measure_fused():
 
     n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
     env = gemx.make_functional("Finite-CC-PMSM-v0")
-    rollout = make_fused_pmsm_rollout(env, n_steps, N_ENVS, action_mode="random")
     z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
-    float(rollout(1, z, z, z)[3].sum())  # warmup; fetch forces completion
-    best = 0.0
-    for rep in range(N_REPS):
-        t0 = time.perf_counter()
-        out = rollout(2 + rep, z, z, z)
-        float(out[3].sum())
-        best = max(best, N_ENVS * n_steps / (time.perf_counter() - t0))
-    return best
+    return _measure_fused_kernel(
+        "Finite-CC-PMSM-v0",
+        lambda: make_fused_pmsm_rollout(env, n_steps, N_ENVS, action_mode="random"),
+        lambda r, seed: float(r(seed, z, z, z)[3].sum()),
+        n_steps,
+    )
+
+
+def measure_mesh(n_devices):
+    """Weak-scaling bench: N_ENVS-per-device over a 1-D env mesh."""
+    from gym_electric_motor_tpu.parallel.sharded import ShardedVectorEnv, make_env_mesh
+
+    env = gemx.make_functional("Finite-CC-PMSM-v0")
+    space_n = env.action_space.n
+    per_dev = int(os.environ.get("BENCH_MESH_ENVS_PER_DEV", 2048))
+    n_steps = int(os.environ.get("BENCH_MESH_STEPS", 200))
+
+    def policy(obs, key):
+        return jax.random.randint(key, (obs[0].shape[0],), 0, space_n)
+
+    def run(n_dev):
+        mesh = make_env_mesh(n_dev)
+        venv = ShardedVectorEnv(env, per_dev * n_dev, mesh)
+        n_total = per_dev * n_dev
+        state, _ = _retry(lambda: venv.reset(jax.random.PRNGKey(0)),
+                          f"mesh reset({n_dev}dev)")
+
+        def roll(st, seed):
+            st, rewards, _terms = venv.rollout(st, policy, n_steps,
+                                               jax.random.PRNGKey(seed))
+            float(rewards.sum())
+            return st
+
+        st = _retry(lambda: roll(state, 1), f"mesh warmup({n_dev}dev)")
+        best = 0.0
+        for rep in range(N_REPS):
+            t0 = time.perf_counter()
+            st = roll(st, 2 + rep)
+            best = max(best, n_total * n_steps / (time.perf_counter() - t0))
+        return best
+
+    single = run(1)
+    full = run(n_devices)
+    eff = full / (n_devices * single)
+    RESULTS["mesh/1dev"] = single
+    RESULTS[f"mesh/{n_devices}dev"] = full
+    RESULTS[f"mesh/{n_devices}dev_efficiency"] = eff
+    _log(f"mesh scaling: 1 dev {single / 1e6:.1f}M -> {n_devices} dev "
+         f"{full / 1e6:.1f}M env-steps/s ({full / n_devices / 1e6:.1f}M/dev, "
+         f"{eff * 100:.1f}% linear)")
+    return full, eff
+
+
+def _persist():
+    payload = {
+        "n_envs": N_ENVS,
+        "n_steps": N_STEPS,
+        "backend": jax.default_backend(),
+        "device_count": jax.device_count(),
+        "results_steps_per_s": {k: round(v, 1) for k, v in RESULTS.items()},
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_RESULTS.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+        f.write("\n")
 
 
 def main():
+    if _MESH_N:
+        full, eff = measure_mesh(_MESH_N)
+        _persist()
+        print(json.dumps({
+            "metric": "mesh_env_steps_per_s",
+            "value": round(full, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(full / (BASELINE_STEPS_PER_S * _MESH_N), 4),
+        }))
+        return
+
     if os.environ.get("BENCH_ALL"):
         # the full BASELINE.json config set; per-config numbers to stderr
         for env_id in ("Finite-CC-PermExDc-v0", "Cont-SC-SeriesDc-v0",
                        "Cont-SC-ShuntDc-v0", "Finite-CC-PMSM-v0",
                        "Cont-TC-SCIM-v0", "Finite-CC-EESM-v0", "Cont-CC-DFIM-v0"):
             v = measure(env_id)
-            print(f"{env_id}: {v / 1e6:.1f}M env-steps/s", file=sys.stderr)
-        # second fused kernel (DC family)
-        from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_permex_rollout
+            _log(f"{env_id}: {v / 1e6:.1f}M env-steps/s")
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            make_fused_permex_rollout,
+            make_fused_scim_rollout,
+        )
+
+        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
+        z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
 
         envp = gemx.make_functional("Finite-CC-PermExDc-v0")
-        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
-        rollp = make_fused_permex_rollout(envp, n_steps, N_ENVS)
-        z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
-        float(rollp(1, z)[1].sum())
-        t0 = time.perf_counter()
-        float(rollp(2, z)[1].sum())
-        v = N_ENVS * n_steps / (time.perf_counter() - t0)
-        print(f"Finite-CC-PermExDc-v0 (fused Pallas rollout): {v / 1e6:.1f}M "
-              f"env-steps/s", file=sys.stderr)
+        v = _measure_fused_kernel(
+            "Finite-CC-PermExDc-v0",
+            lambda: make_fused_permex_rollout(envp, n_steps, N_ENVS),
+            lambda r, seed: float(r(seed, z)[1].sum()),
+            n_steps,
+        )
+        _log(f"Finite-CC-PermExDc-v0 (fused Pallas): {v / 1e6:.1f}M env-steps/s")
+
+        envs_ = gemx.make_functional("Cont-TC-SCIM-v0")
+        v = _measure_fused_kernel(
+            "Cont-TC-SCIM-v0",
+            lambda: make_fused_scim_rollout(envs_, n_steps, N_ENVS),
+            lambda r, seed: float(r(seed, z)[1].sum()),
+            n_steps,
+        )
+        _log(f"Cont-TC-SCIM-v0 (fused Pallas): {v / 1e6:.1f}M env-steps/s")
 
     xla = measure("Finite-CC-PMSM-v0")
-    print(f"Finite-CC-PMSM-v0 (general XLA path): {xla / 1e6:.1f}M env-steps/s",
-          file=sys.stderr)
+    _log(f"Finite-CC-PMSM-v0 (general XLA path): {xla / 1e6:.1f}M env-steps/s")
     try:
         fused = measure_fused()
-        print(f"Finite-CC-PMSM-v0 (fused Pallas rollout): {fused / 1e6:.1f}M "
-              f"env-steps/s", file=sys.stderr)
+        _log(f"Finite-CC-PMSM-v0 (fused Pallas rollout): {fused / 1e6:.1f}M "
+             f"env-steps/s")
     except Exception as e:  # pallas path needs real TPU hardware
-        print(f"fused Pallas rollout unavailable ({e!r}); using XLA path",
-              file=sys.stderr)
+        _log(f"fused Pallas rollout unavailable ({e!r}); using XLA path")
         fused = 0.0
     best = max(xla, fused)
+    _persist()
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(best, 1),

@@ -266,8 +266,14 @@ def make_functional(
     kwargs = dict(supply=supply, converter=converter, motor=motor_spec, load=load,
                   tau=tau, solver=solver, substeps=substeps,
                   dynamic_params=dynamic_params)
-    if system_cls in (SynchronousMotorSystem, SCIMSystem):
+    if issubclass(system_cls, (SynchronousMotorSystem, SCIMSystem)):
+        # includes EESM (3-dim dq) and DFIM (which rejects dq loudly)
         kwargs["control_space"] = control_space
+    elif control_space != "abc":
+        raise ValueError(
+            f"control_space={control_space!r} is not supported for {motor_name} "
+            "(three-phase systems only; reference physical_systems.py:423-431)"
+        )
     if dtype is not None:
         kwargs["dtype"] = dtype
     system = system_cls(**kwargs)

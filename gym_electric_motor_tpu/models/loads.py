@@ -12,6 +12,7 @@ import dataclasses
 from typing import Callable, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.params import update_parameter_dict
 
@@ -36,8 +37,9 @@ class LoadSpec:
 
     def lp(self, j_rotor: float, dtype=jnp.float32) -> dict:
         """Load parameters incl. the total inertia (load + rotor)."""
-        out = {k: jnp.asarray(v, dtype=dtype) for k, v in self.parameter.items()}
-        out["j_total"] = jnp.asarray(self.j_load + j_rotor, dtype=dtype)
+        # host numpy (not jnp): closed over by jitted fns, see MotorSpec.mp
+        out = {k: np.asarray(v, dtype=dtype) for k, v in self.parameter.items()}
+        out["j_total"] = np.asarray(self.j_load + j_rotor, dtype=dtype)
         return out
 
 

@@ -62,8 +62,15 @@ class MotorSpec:
         return len(self.ode_states)
 
     def mp(self, dtype=jnp.float32) -> dict:
-        """Motor parameters as a dict of jnp scalars (device pytree)."""
-        return {k: jnp.asarray(v, dtype=dtype) for k, v in self.parameter.items()}
+        """Motor parameters as a dict of HOST numpy scalars.
+
+        Kept on host deliberately: these dicts are closed over by jitted
+        ``reset``/``simulate``.  numpy values embed as compile-time constants
+        straight from host memory, whereas eager ``jnp`` arrays would force a
+        device->host read-back at trace time (the exact failure mode of the
+        round-1 driver bench: FAILED_PRECONDITION through the TPU tunnel).
+        """
+        return {k: np.asarray(v, dtype=dtype) for k, v in self.parameter.items()}
 
 
 def _complete(limits, nominal, limits_agenda, nominal_agenda=None):

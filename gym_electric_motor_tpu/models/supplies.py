@@ -30,7 +30,8 @@ class SupplySpec:
     n_state: int = 0  # float state entries carried in the env state
 
     def sp(self, dtype=jnp.float32) -> dict:
-        return {k: jnp.asarray(v, dtype=dtype) for k, v in self.parameter.items()}
+        # host numpy (not jnp): closed over by jitted fns, see MotorSpec.mp
+        return {k: np.asarray(v, dtype=dtype) for k, v in self.parameter.items()}
 
 
 def ideal_voltage_supply(u_nominal=600.0) -> SupplySpec:
