@@ -268,7 +268,7 @@ def main():
         v = _measure_fused_kernel(
             "Cont-TC-SCIM-v0",
             lambda: make_fused_scim_rollout(envs_, n_steps, N_ENVS),
-            lambda r, seed: float(r(seed, z)[1].sum()),
+            lambda r, seed: float(r(seed, z, z, z, z)[4].sum()),
             n_steps,
         )
         _log(f"Cont-TC-SCIM-v0 (fused Pallas): {v / 1e6:.1f}M env-steps/s")

@@ -26,6 +26,18 @@ from . import (
 from .core import ElectricMotorEnvironment, VectorEnv
 from .envs import ENV_IDS, make, make_functional
 
+# Gymnasium interop (optional dependency): register every env id with the
+# global gymnasium registry at import time, exactly like the reference
+# (__init__.py:47-283).  gymnasium.make("Finite-CC-PMSM-v0") then returns a
+# genuine gymnasium.Env stepping jitted on device.
+try:
+    from .envs import gymnasium_interop as _gym_interop
+
+    _gym_interop.register_all()
+    GymnasiumGemEnv = _gym_interop.GymnasiumGemEnv
+except ImportError:  # gymnasium not installed — functional API only
+    GymnasiumGemEnv = None
+
 __all__ = [
     "ElectricMotorEnvironment",
     "VectorEnv",

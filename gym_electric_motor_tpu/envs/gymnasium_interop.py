@@ -1,0 +1,130 @@
+"""True Gymnasium interoperability.
+
+The reference registers every env id with ``gymnasium.register`` and aliases
+``gem.make = gymnasium.make`` (``/root/reference/src/gym_electric_motor/
+__init__.py:47-283``, ``core.py:291-292``), with real ``gymnasium.spaces``
+objects on the env (``core.py:277-279``).  This module provides the same
+drop-in surface for the TPU build: :class:`GymnasiumGemEnv` is a genuine
+``gymnasium.Env`` whose stepping runs jitted on device through the host
+adapter, and :func:`register_all` publishes all catalog ids to the global
+gymnasium registry so ``gymnasium.make("Finite-CC-PMSM-v0")`` (and any
+gymnasium-consuming RL library) just works.
+
+gymnasium is an *optional* dependency: importing this module without it
+raises ImportError, but the package ``__init__`` guards the call.
+
+Known (inherited) quirk: the reference's reset state can lie *outside* its
+own state space — e.g. Finite-CC-PMSM-v0 resets with normalized phase
+voltages at -1.4 (B6 reset voltage over a smaller voltage limit), verified
+identical upstream — so gymnasium's passive env checker emits an
+"obs not within the observation space" warning on both frameworks alike.
+"""
+
+from __future__ import annotations
+
+import gymnasium
+import numpy as np
+from gymnasium import spaces
+
+from . import catalog
+from .gym_adapter import GymnasiumEnv as _HostAdapter
+
+
+def to_gymnasium_space(space):
+    """Internal dependency-free space -> ``gymnasium.spaces`` (float64 Boxes
+    like the reference, core.py:277-279)."""
+    kind = space.__class__.__name__
+    if kind == "Discrete":
+        return spaces.Discrete(space.n)
+    if kind == "MultiDiscrete":
+        return spaces.MultiDiscrete(np.asarray(space.nvec))
+    if kind == "Box":
+        return spaces.Box(
+            np.asarray(space.low, dtype=np.float64),
+            np.asarray(space.high, dtype=np.float64),
+            dtype=np.float64,
+        )
+    raise TypeError(f"unknown space {space!r}")
+
+
+class GymnasiumGemEnv(gymnasium.Env):
+    """``gymnasium.Env`` over the functional on-device environment.
+
+    Observation = ``(state, reference)`` tuple, action/observation spaces,
+    reset/step/render/close semantics exactly as the reference's
+    ``ElectricMotorEnvironment`` (core.py:261-380).
+    """
+
+    metadata = {"render_modes": ["figure", "figure_once", "figure_academic"]}
+
+    def __init__(self, env_id, callbacks=(), visualization=None,
+                 render_mode=None, **kwargs):
+        core = catalog.make_functional(env_id, **kwargs)
+        self._adapter = _HostAdapter(core, callbacks=callbacks,
+                                     visualization=visualization,
+                                     render_mode=render_mode)
+        self.render_mode = render_mode
+        self.action_space = to_gymnasium_space(core.action_space)
+        state_box, ref_box = core.observation_space
+        self.observation_space = spaces.Tuple(
+            (to_gymnasium_space(state_box), to_gymnasium_space(ref_box))
+        )
+        self.spec = None
+
+    # -- gymnasium API --
+
+    @staticmethod
+    def _f64(obs):
+        # device arrays are float32; the reference's observations are numpy
+        # float64 (core.py:277-279) — match it so space checks pass cleanly
+        state, ref = obs
+        return (np.asarray(state, dtype=np.float64),
+                np.asarray(ref, dtype=np.float64))
+
+    def reset(self, *, seed=None, options=None):
+        super().reset(seed=seed)
+        obs, info = self._adapter.reset(seed=seed, options=options)
+        return self._f64(obs), info
+
+    def step(self, action):
+        obs, reward, terminated, truncated, info = self._adapter.step(action)
+        return self._f64(obs), reward, terminated, truncated, info
+
+    def render(self):
+        return self._adapter.render()
+
+    def close(self):
+        return self._adapter.close()
+
+    # -- reference-compatible accessors (delegate to the adapter) --
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._adapter, name)
+
+
+def make_env(env_id, **kwargs):
+    """Registry entry point."""
+    return GymnasiumGemEnv(env_id, **kwargs)
+
+
+_registered = False
+
+
+def register_all():
+    """Register every catalog id with the global gymnasium registry,
+    mirroring the reference's import-time registration
+    (``__init__.py:47-283``).  Idempotent; overrides an already-present id
+    (e.g. when the reference package was imported first in the same
+    process) only with a gymnasium warning, same as upstream re-imports."""
+    global _registered
+    if _registered:
+        return
+    for env_id in catalog.ENV_IDS:
+        gymnasium.register(
+            id=env_id,
+            entry_point="gym_electric_motor_tpu.envs.gymnasium_interop:make_env",
+            kwargs={"env_id": env_id},
+        )
+    _registered = True

@@ -20,9 +20,11 @@ computes it —
      (weighted_sum_of_errors.py:125-129, constraints.py:71-98)
   -> in-kernel auto-reset on violation.
 
-The deterministic physics is validated bit-level against the XLA env in
-tests/test_pallas_rollout.py; the stochastic parts use the Pallas PRNG
-stream (different from threefry, statistically equivalent).
+All three kernels are validated in tests/test_pallas_rollout.py: the
+deterministic physics bit-level against the XLA env (buffer-action mode),
+and the stochastic parts (Wiener references, sub-episode regeneration,
+in-kernel auto-reset) statistically via the interpret-mode xorshift bit
+source (see ``_make_rng``) against the XLA env at matched config.
 """
 
 from __future__ import annotations
@@ -48,13 +50,47 @@ def _uniform_from_bits(bits):
             * np.float32(1.0 / (1 << 24)))
 
 
-def _normal_pair(shape):
-    """Two independent standard normals via Box-Muller from the core PRNG."""
-    u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-    u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-    theta = np.float32(TWO_PI) * u2
-    return r * jnp.cos(theta), r * jnp.sin(theta)
+def _make_rng(interpret, state_ref):
+    """In-kernel PRNG: ``(seed_fn, bits_fn)`` where ``bits_fn(shape)`` yields
+    uint32 random bits.
+
+    Compiled (TPU): the on-core hardware PRNG (``pltpu.prng_seed`` /
+    ``prng_random_bits``) — ``state_ref`` is unused.
+
+    Interpret (CPU tests): the TPU PRNG primitives have no CPU lowering, so a
+    per-lane xorshift32 stream lives in the ``state_ref`` scratch instead.
+    Only the *bit source* differs — every consumer (Box-Muller, sigma draws,
+    episode lengths, resets) runs the identical code in both modes, which is
+    what the statistical tests in tests/test_pallas_rollout.py validate.
+    """
+    if not interpret:
+        def seed(s):
+            pltpu.prng_seed(s)
+
+        def bits(shape):
+            return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+        return seed, bits
+
+    rows, lanes = state_ref.shape
+
+    def seed(s):
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 0)
+                * jnp.uint32(lanes)
+                + jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 1))
+        v = ((flat + jnp.uint32(1)) * jnp.uint32(2654435761)
+             ^ (s.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
+        state_ref[:] = v | jnp.uint32(1)  # xorshift must not start at 0
+
+    def bits(shape):
+        s = state_ref[:]
+        s = s ^ (s << jnp.uint32(13))
+        s = s ^ (s >> jnp.uint32(17))
+        s = s ^ (s << jnp.uint32(5))
+        state_ref[:] = s
+        return s[: shape[0], : shape[1]]
+
+    return seed, bits
 
 
 def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
@@ -130,8 +166,10 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
 
     def kernel_random(seed_ref, i_sd_ref, i_sq_ref, eps_ref,
                       out_i_sd, out_i_sq, out_eps, out_reward, out_terms,
-                      rv_ref, rk_ref, rl_ref, rs_ref):
-        pltpu.prng_seed(seed_ref[0])
+                      out_rv, out_rk, out_rl, out_rs,
+                      rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
         out_i_sd[:] = i_sd_ref[:]
         out_i_sq[:] = i_sq_ref[:]
         out_eps[:] = eps_ref[:]
@@ -139,22 +177,21 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
         def _draw_params(mask):
-            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
-            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
             new_len = jnp.floor(500.0 + 1500.0 * u1)
             new_sig = jnp.exp(LN10 * (-3.0 + 2.0 * u2))  # log-uniform [1e-3, 1e-1]
             rl_ref[:] = jnp.where(mask, new_len, rl_ref[:])
             rs_ref[:] = jnp.where(mask, new_sig, rs_ref[:])
 
         # init both generators
-        u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+        u = _uniform_from_bits(bits(shape2))
         rv_ref[:] = (2.0 * u - 1.0) * margin
         rk_ref[:] = jnp.zeros(shape2, jnp.float32)
         _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
 
         def body(t, _):
-            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
-            action = bits & 7
+            action = (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
             i_sd, i_sq, eps = physics_step(out_i_sd[:], out_i_sq[:], out_eps[:], action)
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
 
@@ -176,19 +213,25 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
 
             # Wiener advance for both refs in one (2R, LANE) pass
             reset2 = jnp.concatenate([violated, violated], axis=0)
-            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
-            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
             draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
                 np.float32(TWO_PI) * u2)
             regen = (rk_ref[:] >= rl_ref[:]) | reset2
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
             value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
-            u3 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32))
+            u3 = _uniform_from_bits(bits(shape2))
             rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
+        # final Wiener state snapshot — the observables behind the
+        # statistical kernel tests (value / step-counter / length / sigma)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
 
     def kernel_buffer(i_sd_ref, i_sq_ref, eps_ref, actions_ref,
                       out_i_sd, out_i_sq, out_eps, out_reward, out_terms):
@@ -213,14 +256,21 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     if random_actions:
+        debug_shapes = tuple(jax.ShapeDtypeStruct(shape2, jnp.float32)
+                             for _ in range(4))
+
         @jax.jit
         def rollout(seed, i_sd0, i_sq0, eps0):
             return pl.pallas_call(
                 kernel_random,
-                out_shape=out_shapes,
+                out_shape=out_shapes + debug_shapes,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem, vmem, vmem],
-                out_specs=tuple(vmem for _ in range(5)),
-                scratch_shapes=[pltpu.VMEM((2 * R, LANE), jnp.float32) for _ in range(4)],
+                out_specs=tuple(vmem for _ in range(9)),
+                scratch_shapes=(
+                    [pltpu.VMEM((2 * R, LANE), jnp.float32) for _ in range(4)]
+                    + [pltpu.VMEM((2 * R, LANE), jnp.uint32)]
+                ),
+                interpret=interpret,
             )(jnp.asarray([seed], jnp.int32), i_sd0, i_sq0, eps0)
 
         return rollout
@@ -238,12 +288,17 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def make_fused_permex_rollout(env, n_steps, n_envs, interpret=False):
+def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
+                              interpret=False):
     """Fused rollout for Finite-CC-PermExDc-v0 — the same VMEM-resident
     design as the PMSM kernel, specialized to the 1-state DC drive:
     4QC converter table (converters.py:313-368), RK4 armature ODE
     (dc_permanently_excited_motor.py:71-84), Wiener current reference,
-    WSE reward, limit-constraint termination and in-kernel reset."""
+    WSE reward, limit-constraint termination and in-kernel reset.
+
+    ``action_mode='buffer'``: ``rollout(i0, actions)`` with a
+    ``(n_steps, n_envs//128, 128)`` int32 action buffer, deterministic
+    physics only (no noise / reset) — the bit-level validation path."""
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
@@ -266,36 +321,39 @@ def make_fused_permex_rollout(env, n_steps, n_envs, interpret=False):
     def rhs(i, u):
         return (-emf - r_a * i + u) * (1.0 / l_a)
 
+    def _step_physics(i, a):
+        # 4QC voltage table: a=1 -> +u_sup, a=2 -> -u_sup, else 0
+        u_in = (jnp.where(a == 1, 1.0, 0.0) - jnp.where(a == 2, 1.0, 0.0)) * u_sup
+        k1 = rhs(i, u_in)
+        k2 = rhs(i + 0.5 * tau * k1, u_in)
+        k3 = rhs(i + 0.5 * tau * k2, u_in)
+        k4 = rhs(i + tau * k3, u_in)
+        return i + (tau / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
     def kernel(seed_ref, i0_ref, out_i, out_reward, out_terms,
-               rv_ref, rk_ref, rl_ref, rs_ref):
-        pltpu.prng_seed(seed_ref[0])
+               out_rv, out_rk, out_rl, out_rs,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
         out_i[:] = i0_ref[:]
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
         def _draw_params(mask):
-            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
             # CC PermExDc sigma range (1e-2, 1e-1) (catalog _REF_SIGMA)
             rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
             rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-2.0 + 1.0 * u2)), rs_ref[:])
 
-        u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        u = _uniform_from_bits(bits(shape))
         rv_ref[:] = (2.0 * u - 1.0) * margin
         rk_ref[:] = jnp.zeros(shape, jnp.float32)
         _draw_params(jnp.ones(shape, dtype=jnp.bool_))
 
         def body(t, _):
-            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
-            a = bits & 3
-            # 4QC voltage table: a=1 -> +u_sup, a=2 -> -u_sup, else 0
-            u_in = (jnp.where(a == 1, 1.0, 0.0) - jnp.where(a == 2, 1.0, 0.0)) * u_sup
-            i = out_i[:]
-            k1 = rhs(i, u_in)
-            k2 = rhs(i + 0.5 * tau * k1, u_in)
-            k3 = rhs(i + 0.5 * tau * k2, u_in)
-            k4 = rhs(i + tau * k3, u_in)
-            i = i + (tau / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+            a = (bits(shape) & jnp.uint32(3)).astype(jnp.int32)
+            i = _step_physics(out_i[:], a)
 
             i_n = i * (1.0 / i_lim)
             violated = jnp.abs(i_n) > 1.0
@@ -305,22 +363,49 @@ def make_fused_permex_rollout(env, n_steps, n_envs, interpret=False):
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
             out_i[:] = jnp.where(violated, jnp.zeros(shape, jnp.float32), i)
 
-            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
             draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
                 np.float32(TWO_PI) * u2)
             regen = (rk_ref[:] >= rl_ref[:]) | violated
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
             value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
-            u3 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u3 = _uniform_from_bits(bits(shape))
             rv_ref[:] = jnp.where(violated, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(i0_ref, actions_ref, out_i):
+        out_i[:] = i0_ref[:]
+
+        def body(t, _):
+            out_i[:] = _step_physics(out_i[:], actions_ref[t])
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(3))
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(i0, actions):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                in_specs=[vmem, vmem],
+                out_specs=vmem,
+                interpret=interpret,
+            )(i0, actions)
+
+        return rollout
+
+    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(7))
 
     @jax.jit
     def rollout(seed, i0):
@@ -328,20 +413,28 @@ def make_fused_permex_rollout(env, n_steps, n_envs, interpret=False):
             kernel,
             out_shape=out_shapes,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem],
-            out_specs=tuple(vmem for _ in range(3)),
-            scratch_shapes=[pltpu.VMEM(shape, jnp.float32) for _ in range(4)],
+            out_specs=tuple(vmem for _ in range(7)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape, jnp.uint32)]
+            ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), i0)
 
     return rollout
 
 
-def make_fused_scim_rollout(env, n_steps, n_envs, interpret=False):
+def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
+                            interpret=False):
     """Fused rollout for Cont-TC-SCIM-v0 — the stiffest family: 5-state
     alpha/beta induction ODE (induction_motor.py:287-313, rotor shorted),
     continuous B6 duty-cycle converter, Wiener torque reference, WSE torque
     reward and the squared dq-current constraint (which needs no field-angle
-    atan2: the Park rotation preserves the current norm)."""
+    atan2: the Park rotation preserves the current norm).
+
+    ``action_mode='buffer'``: ``rollout(isa0, isb0, psa0, psb0, actions)``
+    with a ``(n_steps, 3, n_envs//128, 128)`` float32 abc duty buffer in
+    [-1, 1], deterministic physics only — the bit-level validation path."""
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
@@ -380,10 +473,29 @@ def make_fused_scim_rollout(env, n_steps, n_envs, interpret=False):
         dps_b = (l_m * i_sb - ps_b) / tau_r + p_omega * ps_a
         return di_sa, di_sb, dps_a, dps_b
 
+    def _step_physics(isa, isb, pa, pb, ua, ub, uc):
+        # continuous B6: u_phase = a * u_sup / 2 per phase
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        k1 = rhs(isa, isb, pa, pb, u_al, u_be)
+        k2 = rhs(isa + 0.5 * tau * k1[0], isb + 0.5 * tau * k1[1],
+                 pa + 0.5 * tau * k1[2], pb + 0.5 * tau * k1[3], u_al, u_be)
+        k3 = rhs(isa + 0.5 * tau * k2[0], isb + 0.5 * tau * k2[1],
+                 pa + 0.5 * tau * k2[2], pb + 0.5 * tau * k2[3], u_al, u_be)
+        k4 = rhs(isa + tau * k3[0], isb + tau * k3[1],
+                 pa + tau * k3[2], pb + tau * k3[3], u_al, u_be)
+        sixth = tau / 6.0
+        return (isa + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                isb + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                pa + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2]),
+                pb + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3]))
+
     def kernel(seed_ref, isa_ref, isb_ref, psa_ref, psb_ref,
                out_isa, out_isb, out_psa, out_psb, out_reward, out_terms,
-               rv_ref, rk_ref, rl_ref, rs_ref):
-        pltpu.prng_seed(seed_ref[0])
+               out_rv, out_rk, out_rl, out_rs,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
         out_isa[:] = isa_ref[:]
         out_isb[:] = isb_ref[:]
         out_psa[:] = psa_ref[:]
@@ -392,38 +504,22 @@ def make_fused_scim_rollout(env, n_steps, n_envs, interpret=False):
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
         def _draw_params(mask):
-            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
             rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
             rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
 
-        u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        u = _uniform_from_bits(bits(shape))
         rv_ref[:] = (2.0 * u - 1.0) * t_margin
         rk_ref[:] = jnp.zeros(shape, jnp.float32)
         _draw_params(jnp.ones(shape, dtype=jnp.bool_))
 
         def body(t, _):
-            # continuous B6: u_phase = a * u_sup / 2 per phase
-            ua = (2.0 * _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)) - 1.0) * u_half
-            ub = (2.0 * _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)) - 1.0) * u_half
-            uc = (2.0 * _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)) - 1.0) * u_half
-            u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
-            u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-
-            isa, isb = out_isa[:], out_isb[:]
-            pa, pb = out_psa[:], out_psb[:]
-            k1 = rhs(isa, isb, pa, pb, u_al, u_be)
-            k2 = rhs(isa + 0.5 * tau * k1[0], isb + 0.5 * tau * k1[1],
-                     pa + 0.5 * tau * k1[2], pb + 0.5 * tau * k1[3], u_al, u_be)
-            k3 = rhs(isa + 0.5 * tau * k2[0], isb + 0.5 * tau * k2[1],
-                     pa + 0.5 * tau * k2[2], pb + 0.5 * tau * k2[3], u_al, u_be)
-            k4 = rhs(isa + tau * k3[0], isb + tau * k3[1],
-                     pa + tau * k3[2], pb + tau * k3[3], u_al, u_be)
-            sixth = tau / 6.0
-            isa = isa + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
-            isb = isb + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
-            pa = pa + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
-            pb = pb + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
+            ua = (2.0 * _uniform_from_bits(bits(shape)) - 1.0) * u_half
+            ub = (2.0 * _uniform_from_bits(bits(shape)) - 1.0) * u_half
+            uc = (2.0 * _uniform_from_bits(bits(shape)) - 1.0) * u_half
+            isa, isb, pa, pb = _step_physics(
+                out_isa[:], out_isb[:], out_psa[:], out_psb[:], ua, ub, uc)
 
             torque = k_t * (pa * isb - pb * isa)
             t_n = torque * (1.0 / t_lim)
@@ -440,22 +536,62 @@ def make_fused_scim_rollout(env, n_steps, n_envs, interpret=False):
             out_psa[:] = jnp.where(violated, zero, pa)
             out_psb[:] = jnp.where(violated, zero, pb)
 
-            u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
             draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
                 np.float32(TWO_PI) * u2)
             regen = (rk_ref[:] >= rl_ref[:]) | violated
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
             value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -t_margin, t_margin)
-            u3 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u3 = _uniform_from_bits(bits(shape))
             rv_ref[:] = jnp.where(violated, (2.0 * u3 - 1.0) * t_margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(isa_ref, isb_ref, psa_ref, psb_ref, actions_ref,
+                      out_isa, out_isb, out_psa, out_psb):
+        out_isa[:] = isa_ref[:]
+        out_isb[:] = isb_ref[:]
+        out_psa[:] = psa_ref[:]
+        out_psb[:] = psb_ref[:]
+
+        def body(t, _):
+            ua = actions_ref[t, 0] * u_half
+            ub = actions_ref[t, 1] * u_half
+            uc = actions_ref[t, 2] * u_half
+            isa, isb, pa, pb = _step_physics(
+                out_isa[:], out_isb[:], out_psa[:], out_psb[:], ua, ub, uc)
+            out_isa[:] = isa
+            out_isb[:] = isb
+            out_psa[:] = pa
+            out_psb[:] = pb
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(6))
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(isa0, isb0, psa0, psb0, actions):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(4)),
+                in_specs=[vmem] * 5,
+                out_specs=tuple(vmem for _ in range(4)),
+                interpret=interpret,
+            )(isa0, isb0, psa0, psb0, actions)
+
+        return rollout
+
+    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(10))
 
     @jax.jit
     def rollout(seed, isa0, isb0, psa0, psb0):
@@ -463,8 +599,11 @@ def make_fused_scim_rollout(env, n_steps, n_envs, interpret=False):
             kernel,
             out_shape=out_shapes,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 4,
-            out_specs=tuple(vmem for _ in range(6)),
-            scratch_shapes=[pltpu.VMEM(shape, jnp.float32) for _ in range(4)],
+            out_specs=tuple(vmem for _ in range(10)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape, jnp.uint32)]
+            ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isa0, isb0, psa0, psb0)
 

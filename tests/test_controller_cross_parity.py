@@ -91,3 +91,92 @@ def test_closed_loop_matches_reference_controller(reference_gem):
     assert diff.max() < 0.02, diff.max()
     np.testing.assert_allclose(tpu_tr[-100:].mean(), 0.5, atol=0.005)
     np.testing.assert_allclose(ref_tr[-100:].mean(), 0.5, atol=0.005)
+
+
+# ---------------------------------------------------------------------------
+# AC current-control cascades (round-2 VERDICT #6): upstream CC tuning works
+# for synchronous machines — compare full trajectories.
+# ---------------------------------------------------------------------------
+
+AC_CASES = {
+    "Cont-CC-PMSM-v0": {"i_sd": -0.1, "i_sq": 0.3},
+    "Cont-CC-SynRM-v0": {"i_sd": 0.2, "i_sq": 0.3},
+}
+AC_STEPS = 3000
+
+
+def run_reference_ac(reference_gem, env_id, targets):
+    _stub_block_diagram_modules()
+    np.complex = complex
+    from gym_electric_motor.physical_systems.solvers import EulerSolver
+    from gym_electric_motor.reference_generators import (
+        ConstReferenceGenerator,
+        MultipleReferenceGenerator,
+    )
+    import gem_controllers as gc
+
+    rg = MultipleReferenceGenerator([
+        ConstReferenceGenerator(reference_state=s, reference_value=v)
+        for s, v in targets.items()
+    ])
+    env = reference_gem.make(env_id, ode_solver=EulerSolver(),
+                             reference_generator=rg).unwrapped
+    env.reference_generator._reference_names = list(targets)
+    ctrl = gc.GemController.make(env, env_id, block_diagram=False)
+    ctrl.reset()
+    (state, ref), _ = env.reset(seed=0)
+    idx = [list(env.state_names).index(s) for s in targets]
+    out = []
+    for _ in range(AC_STEPS):
+        action = ctrl.control(state, ref)
+        (state, ref), _r, term, *_ = env.step(action)
+        out.append([state[i] for i in idx])
+        if term:
+            break
+    return np.array(out)
+
+
+def run_tpu_ac(env_id, targets):
+    import jax
+
+    env = gemx.make_functional(
+        env_id, solver="euler",
+        reference_generator=rgx.ReferenceSpec(
+            [rgx.ConstReference(s, v) for s, v in targets.items()]),
+    )
+    ctrl = GemController.make(env, env_id)
+    out = ctrl.control_environment(env, AC_STEPS, key=jax.random.PRNGKey(0))
+    idx = [env.state_names.index(s) for s in targets]
+    return np.asarray(out["states"])[:, idx]
+
+
+@pytest.mark.filterwarnings("ignore")
+@pytest.mark.parametrize("env_id", sorted(AC_CASES))
+def test_ac_current_control_matches_reference(reference_gem, env_id):
+    targets = AC_CASES[env_id]
+    ref_tr = run_reference_ac(reference_gem, env_id, targets)
+    tpu_tr = run_tpu_ac(env_id, targets)
+    assert len(ref_tr) == AC_STEPS, "reference loop terminated early"
+    diff = np.abs(ref_tr - tpu_tr[: len(ref_tr)])
+    assert diff.max() < 0.02, diff.max()
+    tgt = np.array(list(targets.values()))
+    np.testing.assert_allclose(tpu_tr[-100:].mean(axis=0), tgt, atol=0.005)
+    np.testing.assert_allclose(ref_tr[-100:].mean(axis=0), tgt, atol=0.005)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_eesm_cc_diverges_in_lockstep_with_reference(reference_gem):
+    """The upstream EESM CC cascade drives i_sd into the limit within ~19
+    steps on Cont-CC-EESM-v0 (same failure family as the documented TC/SC
+    divergence, tests/test_controllers.py).  This port reproduces the cascade
+    faithfully: the divergence trajectories agree step-for-step until the
+    violation.  (Step semantics differ only at termination: upstream returns
+    the violating state, our loop auto-resets.)"""
+    targets = {"i_sd": -0.1, "i_sq": 0.25, "i_e": 0.3}
+    ref_tr = run_reference_ac(reference_gem, "Cont-CC-EESM-v0", targets)
+    assert len(ref_tr) < 100, "upstream EESM CC no longer diverges — compare!"
+
+    tpu_tr = run_tpu_ac("Cont-CC-EESM-v0", targets)
+    n = len(ref_tr) - 1  # exclude the terminal (auto-reset) step
+    diff = np.abs(ref_tr[:n] - tpu_tr[:n])
+    assert diff.max() < 1e-3, diff.max()
