@@ -10,5 +10,6 @@ env batches and scanned over time on device.
 
 from . import readers
 from .controller import GemController
+from .reference_plotter import ReferencePlotter
 
-__all__ = ["GemController", "readers"]
+__all__ = ["GemController", "ReferencePlotter", "readers"]

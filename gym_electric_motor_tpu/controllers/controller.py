@@ -102,6 +102,7 @@ class GemController:
     disc_actions: tuple = None  # (low, idle, high) per component
     n_ref: int = 1
     ref_limits: np.ndarray = None
+    current_names: tuple = ()  # controlled-current state names, cascade order
 
     # ------------------------------------------------------------------
     # Construction / tuning
@@ -224,6 +225,7 @@ class GemController:
             psi_emf=psi_emf, pole_pairs=p, emf_kind=emf_kind, emf_params=emf_params,
             cc_clip_kind=cc_clip_kind, cc_clip_limits=cc_clip_limits,
             transform=transform, advance_factor=0.5, n_output_voltages=n_out,
+            current_names=tuple(currents),
         )
 
         # --- TC stage (torque_controller.py:94-111)
@@ -400,13 +402,20 @@ class GemController:
             clipped = jnp.where(rel < 1.0, ref, ref / rel)
         return clipped, ref - clipped
 
-    def control(self, cs, state_norm, reference_norm):
+    def control(self, cs, state_norm, reference_norm, collect_internals=False):
         """One control cycle: normalized (state, reference) -> env action.
 
         Mirrors GymElectricMotorAdapter.control (gem_adapter.py:70-95) with
         the stage chain of the configured task.
+
+        With ``collect_internals`` (static flag) additionally returns the
+        cascade's internal references — the subordinate-stage setpoints the
+        reference's ReferencePlotter overlays on the dashboard
+        (reference_plotter.py:43-66): the clipped torque* after the speed
+        stage and the current* vector after operating-point selection.
         """
         cs = dict(cs)
+        internals = {}
         state = state_norm * jnp.asarray(self.limits, state_norm.dtype)
         ref = reference_norm * jnp.asarray(self.ref_limits, state_norm.dtype)
 
@@ -419,11 +428,15 @@ class GemController:
             t_clipped, t_diff = self._clip("absolute", self.sc_clip_range, torque_ref)
             cs["sc_integrator"] = cs["sc_integrator"] + self.tau * err * (t_diff == 0.0)
             ref = t_clipped
+            if collect_internals:
+                internals["torque"] = ref[0]
 
         # ---- TC: torque -> currents (torque_controller.py:113-136)
         if self.control_task in ("TC", "SC"):
             ref = self._operation_point(cs, state, ref)
             ref, _ = self._clip(self.tc_clip_kind, self.tc_clip_limits, ref)
+            if collect_internals:
+                internals["currents"] = ref
 
         # ---- CC: currents -> voltages (pi_current_controller.py:146-177)
         i_meas = state[jnp.asarray(self.current_idx)]
@@ -459,6 +472,8 @@ class GemController:
 
         # ---- output stage
         action = self._output(u_out)
+        if collect_internals:
+            return cs, action, internals
         return cs, action
 
     def _emf_feedforward(self, state, u):
@@ -576,12 +591,15 @@ class GemController:
     # Closed-loop convenience (gem_controller.py:144-173)
     # ------------------------------------------------------------------
 
-    def control_environment(self, env, n_steps, key=None, n_envs=None):
+    def control_environment(self, env, n_steps, key=None, n_envs=None,
+                            collect_internals=False):
         """Run the tuned controller against its environment on device.
 
         Returns a dict of stacked per-step arrays (states, references,
         rewards, terminations).  With ``n_envs`` the loop is vmapped.
-        """
+        ``collect_internals`` adds ``cascade_references``: the subordinate
+        stages' denormalized setpoints per step (torque*, current vector*) —
+        the data the reference's ReferencePlotter consumes."""
         key = key if key is not None else jax.random.PRNGKey(0)
 
         def single(key):
@@ -590,15 +608,22 @@ class GemController:
 
             def body(carry, _):
                 state, cs, obs, ref_obs = carry
-                cs, action = self.control(cs, obs, ref_obs)
+                if collect_internals:
+                    cs, action, ints = self.control(cs, obs, ref_obs, True)
+                else:
+                    cs, action = self.control(cs, obs, ref_obs)
+                    ints = {}
                 state, (obs2, ref2), reward, term = env.step_autoreset(state, action)
-                return (state, cs, obs2, ref2), (obs2, ref2, reward, term)
+                return (state, cs, obs2, ref2), (obs2, ref2, reward, term, ints)
 
-            _, (states, refs, rewards, terms) = jax.lax.scan(
+            _, (states, refs, rewards, terms, ints) = jax.lax.scan(
                 body, (state, cs, obs, ref_obs), None, length=n_steps
             )
-            return dict(states=states, references=refs, rewards=rewards,
-                        terminations=terms)
+            out = dict(states=states, references=refs, rewards=rewards,
+                       terminations=terms)
+            if collect_internals:
+                out["cascade_references"] = ints
+            return out
 
         if n_envs is None:
             return jax.jit(single)(key)

@@ -162,9 +162,12 @@ def scim_select_operating_point(ctrl, cs, state, torque_ref):
 # ---------------------------------------------------------------------------
 
 
-def _eesm_solve_analytical(l_d, l_q, l_m, p, t, psi, i_e):
-    """Batched version of eesm_ops.solve_analytical via companion
-    eigenvalues; arrays t/psi/i_e broadcast together."""
+def _eesm_solve_analytical(l_d, l_q, l_m, p, t, psi, i_e, method="ferrari"):
+    """Batched version of eesm_ops.solve_analytical; arrays t/psi/i_e
+    broadcast together.  ``method='ferrari'`` (default) solves all quartics
+    closed-form in one vector pass (the 750k-point tune sweep drops from
+    ~35 s of batched eigvals to milliseconds); ``'eig'`` keeps the original
+    companion-eigenvalue path as the validation oracle."""
     t, psi, i_e = np.broadcast_arrays(t, psi, i_e)
     shape = t.shape
     t, psi, i_e = t.ravel(), psi.ravel(), i_e.ravel()
@@ -176,17 +179,9 @@ def _eesm_solve_analytical(l_d, l_q, l_m, p, t, psi, i_e):
     c1 = 2 * l_q * psi_e**3 + 2 * (psi_e**2 - psi**2) * psi_e * (l_d - l_q)
     c0 = (psi_e**2 - psi**2) * psi_e**2 + (l_q * t / (3 * p)) ** 2
     a3, a2, a1, a0 = c3 / c4, c2 / c4, c1 / c4, c0 / c4
-    n = t.size
-    comp = np.zeros((n, 4, 4))
-    comp[:, 1, 0] = comp[:, 2, 1] = comp[:, 3, 2] = 1.0
-    comp[:, 0, 3] = -a0
-    comp[:, 1, 3] = -a1
-    comp[:, 2, 3] = -a2
-    comp[:, 3, 3] = -a3
-    from .pmsm_ops import _select_reference_root
+    from .pmsm_ops import _solve_selected_root
 
-    roots = np.linalg.eigvals(comp)
-    i_d = _select_reference_root(roots)
+    i_d = _solve_selected_root(a3, a2, a1, a0, method)
     denom = psi_e + (l_d - l_q) * i_d
     denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
     i_q = 2 * t / (3 * p * denom)

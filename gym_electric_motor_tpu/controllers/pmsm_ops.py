@@ -31,21 +31,159 @@ PSI_COUNT = 250
 I_COUNT = 500
 
 
+def _quartic_roots(a3, a2, a1, a0):
+    """All four complex roots of the monic quartics ``x^4 + a3 x^3 + a2 x^2 +
+    a1 x + a0``, fully vectorized (Ferrari via the resolvent cubic).
+
+    Replaces batched 4x4 companion-matrix ``np.linalg.eigvals`` in the tune-
+    time LUT builds (35 s -> <1 s on the 750k-point EESM sweep) with max root
+    deviation ~1e-9 (asserted in tests/test_controllers.py).  Returns a
+    ``(4, n)`` complex array (unordered roots down axis 0) — row-major on
+    purpose: strided complex writes (``np.stack(..., axis=-1)``) are
+    pathologically slow on this host (~8 s per 48 MB stack)."""
+    a3 = np.asarray(a3, np.float64).ravel()
+    a2 = np.asarray(a2, np.float64).ravel()
+    a1 = np.asarray(a1, np.float64).ravel()
+    a0 = np.asarray(a0, np.float64).ravel()
+    n = a3.size
+
+    # Chunk large batches: every whole-batch temp at n=750k is a 6-12 MB
+    # fresh mmap whose first-touch page faults dominate runtime (measured
+    # 8.8 s -> 0.45 s on the EESM tune sweep).  Sub-mmap-threshold chunks
+    # recycle allocator arenas instead.
+    CHUNK = 65536
+    if n > CHUNK:
+        out = np.empty((4, n), np.complex128)
+        for s in range(0, n, CHUNK):
+            e = min(s + CHUNK, n)
+            out[:, s:e] = _quartic_roots(a3[s:e], a2[s:e], a1[s:e], a0[s:e])
+        return out
+    return _quartic_roots_small(a3, a2, a1, a0)
+
+
+def _quartic_roots_small(a3, a2, a1, a0):
+    n = a3.size
+    # All coefficients are real, so the whole pipeline up to the two final
+    # square roots runs in real float64 (the resolvent cubic of a real
+    # quartic is real and always has a nonnegative real root since its value
+    # at 0 is -q^2 <= 0): ~10x faster than complex temps of twice the size.
+    a3_2 = a3 * a3
+
+    # depressed quartic y^4 + p y^2 + q y + r,  x = y - a3/4
+    p = a2 - 0.375 * a3_2
+    q = a1 - 0.5 * a3 * a2 + 0.125 * a3 * a3_2
+    r = (a0 - 0.25 * a3 * a1 + 0.0625 * a3_2 * a2
+         - (3.0 / 256.0) * a3_2 * a3_2)
+
+    # resolvent cubic z^3 + 2p z^2 + (p^2 - 4r) z - q^2 = 0; take its
+    # largest real root z0 (>= 0, see above)
+    b2 = 2.0 * p
+    b1 = p * p - 4.0 * r
+    b0 = -(q * q)
+    P = b1 - b2 * b2 / 3.0
+    Q = (2.0 / 27.0) * b2 * b2 * b2 - b2 * b1 / 3.0 + b0
+    disc = 0.25 * (Q * Q) + (P * P * P) / 27.0
+
+    # disc >= 0: single real root via Cardano (np.cbrt handles signs)
+    sq_disc = np.sqrt(np.maximum(disc, 0.0))
+    t_card = np.cbrt(-0.5 * Q + sq_disc) + np.cbrt(-0.5 * Q - sq_disc)
+    # disc < 0: three real roots; the largest is 2 sqrt(-P/3) cos(theta/3).
+    # Inputs are masked to benign values on the Cardano lanes — inf/nan
+    # there would not only warn but drag every vector op into slow FP-assist
+    # microcode.
+    neg = disc < 0.0
+    Pm = np.where(neg, np.minimum(P, -1e-300), -1.0)
+    Qm = np.where(neg, Q, 0.0)
+    cos_arg = np.clip(1.5 * Qm / Pm * np.sqrt(-3.0 / Pm), -1.0, 1.0)
+    t_trig = 2.0 * np.sqrt(-Pm / 3.0) * np.cos(np.arccos(cos_arg) / 3.0)
+    z0 = np.where(neg, t_trig, t_card) - b2 / 3.0
+    z0 = np.maximum(z0, 0.0)  # clamp fp noise; exact zero => biquadratic
+
+    w = np.sqrt(z0)
+    # biquadratic fallback (q == 0 => z0 may be 0, w = 0 divides)
+    biquad = w < 1e-150
+    w_safe = np.where(biquad, 1.0, w)
+    half_pz = 0.5 * (p + z0)
+    q_2w = q / (2.0 * w_safe)
+    s1 = half_pz - q_2w
+    s2 = half_pz + q_2w
+
+    # roots of y^2 + w y + s1 = 0 and y^2 - w y + s2 = 0 (complex from here)
+    d1 = np.sqrt((w * w - 4.0 * s1).astype(np.complex128))
+    d2 = np.sqrt((w * w - 4.0 * s2).astype(np.complex128))
+
+    # biquadratic lanes solved directly: y^2 = (-p +- sqrt(p^2 - 4r)) / 2
+    sqb = np.sqrt(np.abs(b1)) * np.where(b1 >= 0, 1.0 + 0.0j, 1.0j)
+    y1 = np.sqrt((-p + sqb) * 0.5)
+    y2 = np.sqrt((-p - sqb) * 0.5)
+
+    shift = 0.25 * a3
+    x = np.empty((4, n), np.complex128)
+    x[0] = np.where(biquad, y1, (-w + d1) * 0.5) - shift
+    x[1] = np.where(biquad, -y1, (-w - d1) * 0.5) - shift
+    x[2] = np.where(biquad, y2, (w + d2) * 0.5) - shift
+    x[3] = np.where(biquad, -y2, (w - d2) * 0.5) - shift
+    return x
+
+
 def _select_reference_root(roots):
     """Replicate ``np.real(np.roots(poly)[-1])`` (pmsm_ops.py:283): LAPACK
     returns the companion eigenvalues in descending-magnitude order, so the
     last element is the smallest-magnitude root — possibly complex, of which
-    the reference silently takes the real part.  Ties (a +-x pair) resolve to
-    the positive real part."""
+    the reference silently takes the real part.
+
+    Ties are resolved to the largest real part, *robustly*: magnitudes within
+    1e-9 relative count as tied.  Exact +-x pairs (the biquadratic i_e = 0
+    plane of the EESM sweep) then deterministically pick +x regardless of
+    1-ulp magnitude noise, where raw LAPACK ordering was arbitrary (the two
+    signs are loss-equivalent operating points).
+
+    ``roots`` is ``(4, n)`` (roots down axis 0, see ``_quartic_roots``)."""
     mag = np.abs(roots)
-    order = np.lexsort((-roots.real, mag), axis=1)
-    sel = np.take_along_axis(roots, order[:, :1], axis=1)[:, 0]
-    return sel.real
+    min_mag = mag.min(axis=0, keepdims=True)
+    tied = mag <= min_mag + 1e-9 * (1.0 + min_mag)
+    return np.where(tied, roots.real, -np.inf).max(axis=0)
 
 
-def _solve_analytical_grid(l_d, l_q, psi_p, p, torques, psis):
+def _roots_from_monic(a3, a2, a1, a0, method="ferrari"):
+    """(4, n) complex roots of monic quartics; ``method='eig'`` keeps the
+    original batched companion-eigenvalue path as the validation oracle."""
+    if method == "ferrari":
+        return _quartic_roots(a3, a2, a1, a0)
+    n = a3.size
+    comp = np.zeros((n, 4, 4))
+    comp[:, 1, 0] = comp[:, 2, 1] = comp[:, 3, 2] = 1.0
+    comp[:, 0, 3] = -a0
+    comp[:, 1, 3] = -a1
+    comp[:, 2, 3] = -a2
+    comp[:, 3, 3] = -a3
+    return np.linalg.eigvals(comp).T
+
+
+def _solve_selected_root(a3, a2, a1, a0, method="ferrari"):
+    """Selected reference root (see ``_select_reference_root``) of each monic
+    quartic, chunked end-to-end so neither the (4, n) complex root array nor
+    its |.| temps ever materialize at full batch size (first-touch page
+    faults on those dominate the tune-time cost otherwise)."""
+    a3 = np.asarray(a3, np.float64).ravel()
+    a2 = np.asarray(a2, np.float64).ravel()
+    a1 = np.asarray(a1, np.float64).ravel()
+    a0 = np.asarray(a0, np.float64).ravel()
+    n = a3.size
+    if method != "ferrari":
+        return _select_reference_root(_roots_from_monic(a3, a2, a1, a0, method))
+    CHUNK = 65536
+    out = np.empty(n, np.float64)
+    for s in range(0, n, CHUNK):
+        e = min(s + CHUNK, n)
+        out[s:e] = _select_reference_root(
+            _quartic_roots_small(a3[s:e], a2[s:e], a1[s:e], a0[s:e]))
+    return out
+
+
+def _solve_analytical_grid(l_d, l_q, psi_p, p, torques, psis, method="ferrari"):
     """Vectorized version of pmsm_ops.solve_analytical (pmsm_ops.py:252-287):
-    roots of the quartic in i_d via batched companion-matrix eigenvalues."""
+    roots of the quartic in i_d, batched over the whole grid."""
     tt, pp_ = np.meshgrid(torques, psis, indexing="ij")  # (T, P)
     t = tt.ravel()
     psi = pp_.ravel()
@@ -58,14 +196,7 @@ def _solve_analytical_grid(l_d, l_q, psi_p, p, torques, psis):
     c0 = (psi_p**2 - psi**2) * psi_p**2 + (l_q * 2 * t / (3 * p)) ** 2
     # companion matrices of monic quartic x^4 + a3 x^3 + a2 x^2 + a1 x + a0
     a3, a2, a1, a0 = c3 / c4, c2 / c4, c1 / c4, c0 / c4
-    comp = np.zeros((n, 4, 4))
-    comp[:, 1, 0] = comp[:, 2, 1] = comp[:, 3, 2] = 1.0
-    comp[:, 0, 3] = -a0
-    comp[:, 1, 3] = -a1
-    comp[:, 2, 3] = -a2
-    comp[:, 3, 3] = -a3
-    roots = np.linalg.eigvals(comp)  # (n, 4)
-    i_d = _select_reference_root(roots)
+    i_d = _solve_selected_root(a3, a2, a1, a0, method)
     denom = psi_p + (l_d - l_q) * i_d
     denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
     i_q = 2 * t / (3 * p * denom)

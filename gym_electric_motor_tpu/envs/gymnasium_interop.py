@@ -112,16 +112,27 @@ def make_env(env_id, **kwargs):
 _registered = False
 
 
-def register_all():
+def register_all(force=False):
     """Register every catalog id with the global gymnasium registry,
     mirroring the reference's import-time registration
     (``__init__.py:47-283``).  Idempotent; overrides an already-present id
     (e.g. when the reference package was imported first in the same
-    process) only with a gymnasium warning, same as upstream re-imports."""
+    process) only with a gymnasium warning, same as upstream re-imports.
+
+    ``force=True`` re-claims ids that another package registered *after*
+    us (the reference registers the same 54 names on import) — call it
+    when both frameworks live in one process and this one should win."""
     global _registered
-    if _registered:
+    if _registered and not force:
         return
     for env_id in catalog.ENV_IDS:
+        spec = gymnasium.registry.get(env_id)
+        if spec is not None:
+            if not force:
+                continue
+            if "gym_electric_motor_tpu" in str(spec.entry_point):
+                continue
+            gymnasium.registry.pop(env_id, None)
         gymnasium.register(
             id=env_id,
             entry_point="gym_electric_motor_tpu.envs.gymnasium_interop:make_env",

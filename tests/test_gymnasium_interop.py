@@ -19,10 +19,29 @@ from gym_electric_motor_tpu.envs.catalog import ENV_IDS  # noqa: E402
 
 
 def _make(env_id, **kw):
-    # the "obs not within the observation space" passive-checker warning is
+    # The "obs not within the observation space" passive-checker warning is
     # an inherited reference quirk (reset phase voltages at -1.4, identical
-    # upstream) — silence only that
-    return gymnasium.make(env_id, disable_env_checker=True, **kw)
+    # upstream) — silence only that.
+    #
+    # Registry collision handling: the reference package registers the same
+    # 54 ids on import (another test in this xdist worker may have imported
+    # it, in either order).  Claim the id for the duration of the make, then
+    # restore whatever was there so reference-oracle tests in this worker
+    # keep resolving their own entry points.
+    spec = gymnasium.registry.get(env_id)
+    ours = spec is not None and "gym_electric_motor_tpu" in str(spec.entry_point)
+    if not ours:
+        gymnasium.registry.pop(env_id, None)
+        gymnasium.register(
+            id=env_id,
+            entry_point="gym_electric_motor_tpu.envs.gymnasium_interop:make_env",
+            kwargs={"env_id": env_id},
+        )
+    try:
+        return gymnasium.make(env_id, disable_env_checker=True, **kw)
+    finally:
+        if not ours and spec is not None:
+            gymnasium.registry[env_id] = spec
 
 
 def test_all_ids_registered():
