@@ -248,6 +248,8 @@ def main():
             v = measure(env_id)
             _log(f"{env_id}: {v / 1e6:.1f}M env-steps/s")
         from gym_electric_motor_tpu.ops.pallas_rollout import (
+            make_fused_dfim_rollout,
+            make_fused_eesm_rollout,
             make_fused_permex_rollout,
             make_fused_scim_rollout,
         )
@@ -255,23 +257,39 @@ def main():
         n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
         z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
 
-        envp = gemx.make_functional("Finite-CC-PermExDc-v0")
-        v = _measure_fused_kernel(
-            "Finite-CC-PermExDc-v0",
-            lambda: make_fused_permex_rollout(envp, n_steps, N_ENVS),
-            lambda r, seed: float(r(seed, z)[1].sum()),
-            n_steps,
+        fused_cases = (
+            ("Finite-CC-PermExDc-v0",
+             lambda e: make_fused_permex_rollout(e, n_steps, N_ENVS),
+             lambda r, seed: float(r(seed, z)[1].sum())),
+            ("Cont-TC-SCIM-v0",
+             lambda e: make_fused_scim_rollout(e, n_steps, N_ENVS),
+             lambda r, seed: float(r(seed, z, z, z, z)[4].sum())),
+            ("Finite-CC-EESM-v0",
+             lambda e: make_fused_eesm_rollout(e, n_steps, N_ENVS),
+             lambda r, seed: float(r(seed, z, z, z, z)[4].sum())),
+            ("Cont-CC-DFIM-v0",
+             lambda e: make_fused_dfim_rollout(e, n_steps, N_ENVS),
+             lambda r, seed: float(r(seed, z, z, z, z, z)[5].sum())),
         )
-        _log(f"Finite-CC-PermExDc-v0 (fused Pallas): {v / 1e6:.1f}M env-steps/s")
+        for env_id, build, call in fused_cases:
+            e = gemx.make_functional(env_id)
+            v = _measure_fused_kernel(env_id, lambda: build(e), call, n_steps)
+            _log(f"{env_id} (fused Pallas): {v / 1e6:.1f}M env-steps/s")
 
-        envs_ = gemx.make_functional("Cont-TC-SCIM-v0")
+        # fused FOC controller-in-the-loop (closed-loop controlled steps/s)
+        from gym_electric_motor_tpu.controllers import GemController
+        from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_foc_rollout
+
+        efoc = gemx.make_functional("Cont-CC-PMSM-v0")
+        ctrl = GemController.make(efoc, "Cont-CC-PMSM-v0")
         v = _measure_fused_kernel(
-            "Cont-TC-SCIM-v0",
-            lambda: make_fused_scim_rollout(envs_, n_steps, N_ENVS),
-            lambda r, seed: float(r(seed, z, z, z, z)[4].sum()),
+            "Cont-CC-PMSM-v0/closed-loop",
+            lambda: make_fused_foc_rollout(efoc, ctrl, n_steps, N_ENVS),
+            lambda r, seed: float(r(seed, z, z, z)[3].sum()),
             n_steps,
         )
-        _log(f"Cont-TC-SCIM-v0 (fused Pallas): {v / 1e6:.1f}M env-steps/s")
+        _log(f"Cont-CC-PMSM-v0 FOC-in-the-loop (fused Pallas): "
+             f"{v / 1e6:.1f}M controlled env-steps/s")
 
     xla = measure("Finite-CC-PMSM-v0")
     _log(f"Finite-CC-PMSM-v0 (general XLA path): {xla / 1e6:.1f}M env-steps/s")

@@ -20,11 +20,13 @@ computes it —
      (weighted_sum_of_errors.py:125-129, constraints.py:71-98)
   -> in-kernel auto-reset on violation.
 
-All three kernels are validated in tests/test_pallas_rollout.py: the
-deterministic physics bit-level against the XLA env (buffer-action mode),
-and the stochastic parts (Wiener references, sub-episode regeneration,
-in-kernel auto-reset) statistically via the interpret-mode xorshift bit
-source (see ``_make_rng``) against the XLA env at matched config.
+Six kernels live here — fused env rollouts for PMSM, PermExDc, SCIM, EESM
+and DFIM, plus the fused FOC controller-in-the-loop closed loop — all
+validated in tests/test_pallas_rollout.py: deterministic physics bit-level
+against the XLA env (buffer-action / const-ref modes), and the stochastic
+parts (Wiener references, sub-episode regeneration, in-kernel auto-reset)
+statistically via the interpret-mode xorshift bit source (see ``_make_rng``)
+against the XLA env at matched config.
 """
 
 from __future__ import annotations
@@ -606,5 +608,643 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isa0, isb0, psa0, psb0)
+
+    return rollout
+
+
+def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
+                            interpret=False):
+    """Fused rollout for Finite-CC-EESM-v0 — the slowest XLA-path family
+    (~52M steps/s): 3-current EESM ODE in the dq frame
+    (externally_excited_synchronous_motor.py via models/motors.py:451-476),
+    dual finite converter (B6 stator bits + 4QC excitation,
+    converters.py:788-823 / :313-368), three Wiener references (i_sd*,
+    i_sq*, i_e* with the (0, 1) one-sided i_e band), WSE reward (1/3 each),
+    squared dq-current + i_e limit constraints, in-kernel auto-reset.
+
+    ``action_mode='buffer'``: ``rollout(i_sd0, i_sq0, i_e0, eps0, actions)``
+    with ``(n_steps, 2, n_envs//128, 128)`` int32 actions (B6, 4QC),
+    deterministic physics only.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = {k: float(v) for k, v in ps.motor.parameter.items()}
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    # stator-side transformed rotor params (models/motors.py:441-449)
+    r_E = mp["k"] ** 2 * 1.5 * mp["r_e"]
+    l_M = mp["k"] * 1.5 * mp["l_m"]
+    l_E = mp["k"] ** 2 * 1.5 * mp["l_e"]
+    i_k_rs = 2.0 / 3.0 / mp["k"]
+    sig = 1.0 - l_M**2 / (mp["l_d"] * l_E)
+    r_s, l_d, l_q, p, k_e = mp["r_s"], mp["l_d"], mp["l_q"], mp["p"], mp["k"]
+
+    omega = float(ps.load.omega_fixed)
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    ie_lim = float(lim[names.index("i_e")])
+    m_sd = float(ps.nominal_state[names.index("i_sd")] / i_lim)
+    # i_e reference band: limit_margin=(0, 1) (catalog.py _default_references)
+    p_omega = p * omega
+    w_over_span = (1.0 / 3.0) / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    shape = (R, LANE)
+    shape3 = (3 * R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    def rhs(i_sd, i_sq, i_e, u_d, u_q, u_e):
+        di_sd = (-r_s / sig * i_sd + l_M * r_E / (sig * l_E) * i_k_rs * i_e
+                 + u_d / sig - l_M * k_e / (sig * l_E) * u_e
+                 + l_q * p_omega / sig * i_sq) * (1.0 / l_d)
+        di_sq = (-r_s * i_sq + u_q - l_d * p_omega * i_sd
+                 - p_omega * l_M * i_k_rs * i_e) * (1.0 / l_q)
+        di_e = (l_M * r_s / (sig * l_d) * i_sd - r_E / sig * i_k_rs * i_e
+                - l_M / (sig * l_d) * u_d + k_e / sig * u_e
+                - p_omega * l_M * l_q / (sig * l_d) * i_sq) * (1.0 / (l_E * i_k_rs))
+        return di_sd, di_sq, di_e
+
+    def _step_physics(i_sd, i_sq, i_e, eps, a_b6, a_4qc):
+        ua = (((a_b6 >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+        ub = (((a_b6 >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+        uc = ((a_b6 & 1).astype(jnp.float32) - 0.5) * u_sup
+        u_e = (jnp.where(a_4qc == 1, 1.0, 0.0)
+               - jnp.where(a_4qc == 2, 1.0, 0.0)) * u_sup
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        c, s = jnp.cos(eps), jnp.sin(eps)
+        u_d = c * u_al + s * u_be
+        u_q = -s * u_al + c * u_be
+        k1 = rhs(i_sd, i_sq, i_e, u_d, u_q, u_e)
+        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1],
+                 i_e + 0.5 * tau * k1[2], u_d, u_q, u_e)
+        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1],
+                 i_e + 0.5 * tau * k2[2], u_d, u_q, u_e)
+        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1],
+                 i_e + tau * k3[2], u_d, u_q, u_e)
+        sixth = tau / 6.0
+        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                i_e + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2]),
+                eps + tau * p_omega)
+
+    def kernel(seed_ref, isd_ref, isq_ref, ie_ref, eps_ref,
+               out_isd, out_isq, out_ie, out_eps, out_reward, out_terms,
+               out_rv, out_rk, out_rl, out_rs,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        out_isd[:] = isd_ref[:]
+        out_isq[:] = isq_ref[:]
+        out_ie[:] = ie_ref[:]
+        out_eps[:] = eps_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        # per-generator-row margin bands, rows [i_sd | i_sq | i_e]; built
+        # from iota (pallas kernels cannot capture array constants)
+        is_ie = jax.lax.broadcasted_iota(jnp.int32, shape3, 0) >= 2 * R
+        lo = jnp.where(is_ie, 0.0, -m_sd)
+        hi = jnp.where(is_ie, 1.0, m_sd)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape3))
+            u2 = _uniform_from_bits(bits(shape3))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        u = _uniform_from_bits(bits(shape3))
+        rv_ref[:] = lo + (hi - lo) * u
+        rk_ref[:] = jnp.zeros(shape3, jnp.float32)
+        _draw_params(jnp.ones(shape3, dtype=jnp.bool_))
+
+        def body(t, _):
+            b = bits(shape)
+            a_b6 = (b & jnp.uint32(7)).astype(jnp.int32)
+            a_4qc = ((b >> jnp.uint32(3)) & jnp.uint32(3)).astype(jnp.int32)
+            i_sd, i_sq, i_e, eps = _step_physics(
+                out_isd[:], out_isq[:], out_ie[:], out_eps[:], a_b6, a_4qc)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+
+            isd_n = i_sd * (1.0 / i_lim)
+            isq_n = i_sq * (1.0 / i_lim)
+            ie_n = i_e * (1.0 / ie_lim)
+            violated = ((isd_n * isd_n + isq_n * isq_n) > 1.0) | (jnp.abs(ie_n) > 1.0)
+            refs = rv_ref[:]
+            wse = -(w_over_span * jnp.abs(isd_n - refs[:R])
+                    + w_over_span * jnp.abs(isq_n - refs[R:2 * R])
+                    + w_over_span * jnp.abs(ie_n - refs[2 * R:]))
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isd[:] = jnp.where(violated, zero, i_sd)
+            out_isq[:] = jnp.where(violated, zero, i_sq)
+            out_ie[:] = jnp.where(violated, zero, i_e)
+            out_eps[:] = jnp.where(violated, zero, eps)
+
+            reset3 = jnp.concatenate([violated, violated, violated], axis=0)
+            u1 = _uniform_from_bits(bits(shape3))
+            u2 = _uniform_from_bits(bits(shape3))
+            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                np.float32(TWO_PI) * u2)
+            regen = (rk_ref[:] >= rl_ref[:]) | reset3
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, lo, hi)
+            u3 = _uniform_from_bits(bits(shape3))
+            rv_ref[:] = jnp.where(reset3, lo + (hi - lo) * u3, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(isd_ref, isq_ref, ie_ref, eps_ref, actions_ref,
+                      out_isd, out_isq, out_ie, out_eps):
+        out_isd[:] = isd_ref[:]
+        out_isq[:] = isq_ref[:]
+        out_ie[:] = ie_ref[:]
+        out_eps[:] = eps_ref[:]
+
+        def body(t, _):
+            i_sd, i_sq, i_e, eps = _step_physics(
+                out_isd[:], out_isq[:], out_ie[:], out_eps[:],
+                actions_ref[t, 0], actions_ref[t, 1])
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            out_isd[:] = i_sd
+            out_isq[:] = i_sq
+            out_ie[:] = i_e
+            out_eps[:] = eps
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(isd0, isq0, ie0, eps0, actions):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(4)),
+                in_specs=[vmem] * 5,
+                out_specs=tuple(vmem for _ in range(4)),
+                interpret=interpret,
+            )(isd0, isq0, ie0, eps0, actions)
+
+        return rollout
+
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(6))
+                  + tuple(jax.ShapeDtypeStruct(shape3, jnp.float32) for _ in range(4)))
+
+    @jax.jit
+    def rollout(seed, isd0, isq0, ie0, eps0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 4,
+            out_specs=tuple(vmem for _ in range(10)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape3, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape3, jnp.uint32)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), isd0, isq0, ie0, eps0)
+
+    return rollout
+
+
+def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
+                            interpret=False):
+    """Fused rollout for Cont-CC-DFIM-v0: doubly-fed induction machine with
+    stator AND rotor B6 duty converters (physical_systems.py:968-1054).
+
+    Physics note: the reference rotates the rotor voltage def->dq at
+    (eps_field - eps_el) then dq->alphabeta at eps_field — the composition
+    is a single rotation by eps_el, so the kernel tracks only the electrical
+    angle and the 4 electrical states.  The field-oriented dq currents for
+    reward/termination come from the rotor-flux direction cosines
+    (psi / |psi|), avoiding atan2 entirely.
+
+    ``action_mode='buffer'``: ``rollout(isa0, isb0, psa0, psb0, eps0,
+    actions)`` with ``(n_steps, 6, n_envs//128, 128)`` float32 duties.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = {k: float(v) for k, v in ps.motor.parameter.items()}
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    l_m = mp["l_m"]
+    l_s = l_m + mp["l_sigs"]
+    l_r = l_m + mp["l_sigr"]
+    r_s, r_r, p = mp["r_s"], mp["r_r"], mp["p"]
+    sg = (l_s * l_r - l_m**2) / (l_s * l_r)
+    tau_r = l_r / r_r
+    tau_sig = sg * l_s / (r_s + r_r * l_m**2 / l_r**2)
+    c_psi = l_m * r_r / (sg * l_s * l_r**2)
+    c_w = l_m * p / (sg * l_r * l_s)
+    c_u = 1.0 / (sg * l_s)
+    c_ur = l_m / (sg * l_r * l_s)
+
+    omega = float(ps.load.omega_fixed)
+    tau = float(ps.tau)
+    u_half = 0.5 * float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
+    w_over_span = 0.5 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    p_omega = p * omega
+    shape = (R, LANE)
+    shape2 = (2 * R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    def rhs(i_sa, i_sb, ps_a, ps_b, u_sa, u_sb, u_ra, u_rb):
+        di_sa = (-i_sa / tau_sig + c_psi * ps_a + c_w * omega * ps_b
+                 + c_u * u_sa - c_ur * u_ra)
+        di_sb = (-i_sb / tau_sig + c_psi * ps_b - c_w * omega * ps_a
+                 + c_u * u_sb - c_ur * u_rb)
+        dps_a = (l_m * i_sa - ps_a) / tau_r - p_omega * ps_b + u_ra
+        dps_b = (l_m * i_sb - ps_b) / tau_r + p_omega * ps_a + u_rb
+        return di_sa, di_sb, dps_a, dps_b
+
+    def _step_physics(isa, isb, pa, pb, eps, duties):
+        u_sa3 = duties[0] * u_half
+        u_sb3 = duties[1] * u_half
+        u_sc3 = duties[2] * u_half
+        u_ra3 = duties[3] * u_half
+        u_rb3 = duties[4] * u_half
+        u_rc3 = duties[5] * u_half
+        u_sal = (2.0 / 3.0) * (u_sa3 - 0.5 * (u_sb3 + u_sc3))
+        u_sbe = np.float32(1.0 / np.sqrt(3.0)) * (u_sb3 - u_sc3)
+        u_ral0 = (2.0 / 3.0) * (u_ra3 - 0.5 * (u_rb3 + u_rc3))
+        u_rbe0 = np.float32(1.0 / np.sqrt(3.0)) * (u_rb3 - u_rc3)
+        # rotor frame -> stator frame: rotate by the electrical angle
+        c, s = jnp.cos(eps), jnp.sin(eps)
+        u_ral = c * u_ral0 - s * u_rbe0
+        u_rbe = s * u_ral0 + c * u_rbe0
+        k1 = rhs(isa, isb, pa, pb, u_sal, u_sbe, u_ral, u_rbe)
+        k2 = rhs(isa + 0.5 * tau * k1[0], isb + 0.5 * tau * k1[1],
+                 pa + 0.5 * tau * k1[2], pb + 0.5 * tau * k1[3],
+                 u_sal, u_sbe, u_ral, u_rbe)
+        k3 = rhs(isa + 0.5 * tau * k2[0], isb + 0.5 * tau * k2[1],
+                 pa + 0.5 * tau * k2[2], pb + 0.5 * tau * k2[3],
+                 u_sal, u_sbe, u_ral, u_rbe)
+        k4 = rhs(isa + tau * k3[0], isb + tau * k3[1],
+                 pa + tau * k3[2], pb + tau * k3[3],
+                 u_sal, u_sbe, u_ral, u_rbe)
+        sixth = tau / 6.0
+        return (isa + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                isb + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                pa + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2]),
+                pb + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3]),
+                eps + tau * p_omega)
+
+    def kernel(seed_ref, isa_ref, isb_ref, psa_ref, psb_ref, eps_ref,
+               out_isa, out_isb, out_psa, out_psb, out_eps,
+               out_reward, out_terms,
+               out_rv, out_rk, out_rl, out_rs,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        out_isa[:] = isa_ref[:]
+        out_isb[:] = isb_ref[:]
+        out_psa[:] = psa_ref[:]
+        out_psb[:] = psb_ref[:]
+        out_eps[:] = eps_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        u = _uniform_from_bits(bits(shape2))
+        rv_ref[:] = (2.0 * u - 1.0) * margin
+        rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+        _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+
+        def body(t, _):
+            duties = [2.0 * _uniform_from_bits(bits(shape)) - 1.0
+                      for _k in range(6)]
+            isa, isb, pa, pb, eps = _step_physics(
+                out_isa[:], out_isb[:], out_psa[:], out_psb[:], out_eps[:],
+                duties)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+
+            # field-oriented dq currents from the flux direction cosines
+            pn = jnp.sqrt(pa * pa + pb * pb)
+            safe = pn > 1e-9
+            cf = jnp.where(safe, pa / jnp.maximum(pn, 1e-9), 1.0)
+            sf = jnp.where(safe, pb / jnp.maximum(pn, 1e-9), 0.0)
+            i_sd = (cf * isa + sf * isb) * (1.0 / i_lim)
+            i_sq = (-sf * isa + cf * isb) * (1.0 / i_lim)
+
+            violated = (i_sd * i_sd + i_sq * i_sq) > 1.0
+            refs = rv_ref[:]
+            wse = -(w_over_span * jnp.abs(i_sd - refs[:R])
+                    + w_over_span * jnp.abs(i_sq - refs[R:]))
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isa[:] = jnp.where(violated, zero, isa)
+            out_isb[:] = jnp.where(violated, zero, isb)
+            out_psa[:] = jnp.where(violated, zero, pa)
+            out_psb[:] = jnp.where(violated, zero, pb)
+            out_eps[:] = jnp.where(violated, zero, eps)
+
+            reset2 = jnp.concatenate([violated, violated], axis=0)
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                np.float32(TWO_PI) * u2)
+            regen = (rk_ref[:] >= rl_ref[:]) | reset2
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+            u3 = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(isa_ref, isb_ref, psa_ref, psb_ref, eps_ref, actions_ref,
+                      out_isa, out_isb, out_psa, out_psb, out_eps):
+        out_isa[:] = isa_ref[:]
+        out_isb[:] = isb_ref[:]
+        out_psa[:] = psa_ref[:]
+        out_psb[:] = psb_ref[:]
+        out_eps[:] = eps_ref[:]
+
+        def body(t, _):
+            duties = [actions_ref[t, k] for k in range(6)]
+            isa, isb, pa, pb, eps = _step_physics(
+                out_isa[:], out_isb[:], out_psa[:], out_psb[:], out_eps[:],
+                duties)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            out_isa[:] = isa
+            out_isb[:] = isb
+            out_psa[:] = pa
+            out_psb[:] = pb
+            out_eps[:] = eps
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(isa0, isb0, psa0, psb0, eps0, actions):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(5)),
+                in_specs=[vmem] * 6,
+                out_specs=tuple(vmem for _ in range(5)),
+                interpret=interpret,
+            )(isa0, isb0, psa0, psb0, eps0, actions)
+
+        return rollout
+
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(7))
+                  + tuple(jax.ShapeDtypeStruct(shape2, jnp.float32) for _ in range(4)))
+
+    @jax.jit
+    def rollout(seed, isa0, isb0, psa0, psb0, eps0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 5,
+            out_specs=tuple(vmem for _ in range(11)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape2, jnp.uint32)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), isa0, isb0, psa0, psb0, eps0)
+
+    return rollout
+
+
+def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
+                           interpret=False):
+    """Fused closed-loop FOC rollout for Cont-CC-PMSM-v0: the ENTIRE control
+    cycle — tuned PI current controller with EMF decoupling, squared voltage
+    clipping with anti-windup, advance-angle dq->abc transform, continuous
+    output stage (controllers/controller.py:417-520) — fused with the PMSM
+    physics, Wiener current references, WSE reward, squared constraint and
+    in-kernel auto-reset.  Round-1 closed-loop baseline (XLA path): 224M
+    controlled env-steps/s.
+
+    ``ctrl`` must be ``GemController.make(env, "Cont-CC-PMSM-v0")``; its
+    tuned gains are baked into the kernel.
+
+    ``ref_mode='const'``: ``rollout(seed, isd0, isq0, eps0, ref_d, ref_q)``
+    holds the (normalized) references fixed at the given planes — the
+    closed loop is then deterministic and is compared step-for-step against
+    ``ctrl.control_environment`` in tests/test_pallas_rollout.py.
+    """
+    assert n_envs % LANE == 0
+    assert ctrl.control_task == "CC" and ctrl.output_kind == "cont"
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    # physics constants (as in make_fused_pmsm_rollout)
+    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+    psi_p, p = float(mp["psi_p"]), float(mp["p"])
+    omega = float(ps.load.omega_fixed)
+    tau = float(ps.tau)
+    u_half = 0.5 * float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
+    w_over_span = 0.5 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    p_omega = p * omega
+
+    # tuned controller constants (GemController.make)
+    cc_p_d, cc_p_q = (float(x) for x in ctrl.cc_p_gain)
+    cc_i_d, cc_i_q = (float(x) for x in ctrl.cc_i_gain)
+    clip_d, clip_q = (float(x) for x in np.asarray(ctrl.cc_clip_limits))
+    # classic EMF feedforward: u += (l_emf * i[emf_idx] + psi_emf) * omega_el
+    # (emf_current_idx = (i_sq, i_sd) for the PMSM)
+    l_emf_d, l_emf_q = (float(x) for x in ctrl.l_emf)
+    psi_emf_d, psi_emf_q = (float(x) for x in ctrl.psi_emf)
+    omega_el = omega * float(ctrl.pole_pairs)
+    ref_lim_d, ref_lim_q = (float(x) for x in ctrl.ref_limits)
+    out_lim = float(np.asarray(ctrl.output_limits)[0])
+    # advance angle uses the MECHANICAL omega (controller.py:452-454)
+    adv_dt = float(ctrl.advance_factor) * tau * omega
+
+    shape = (R, LANE)
+    shape2 = (2 * R, LANE)
+    LN10 = np.float32(np.log(10.0))
+    wiener = ref_mode == "wiener"
+
+    def rhs(i_sd, i_sq, u_d, u_q):
+        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
+        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd + u_q) * (1.0 / l_q)
+        return di_sd, di_sq
+
+    def _cycle(i_sd, i_sq, eps, integ_d, integ_q, ref_d_n, ref_q_n):
+        """One full FOC control cycle: controller then physics."""
+        # ---- controller (denormalized quantities)
+        err_d = ref_d_n * ref_lim_d - i_sd
+        err_q = ref_q_n * ref_lim_q - i_sq
+        u_d = cc_p_d * err_d + cc_i_d * integ_d
+        u_q = cc_p_q * err_q + cc_i_q * integ_q
+        # EMF decoupling (classic): indices swap d<->q currents
+        u_d = u_d + (l_emf_d * i_sq + psi_emf_d) * omega_el
+        u_q = u_q + (l_emf_q * i_sd + psi_emf_q) * omega_el
+        # squared clipping + anti-windup on the integrators
+        rel = (u_d / clip_d) ** 2 + (u_q / clip_q) ** 2
+        not_clipped = rel < 1.0
+        integ_d = integ_d + tau * err_d * not_clipped
+        integ_q = integ_q + tau * err_q * not_clipped
+        # advance-angle dq->abc on the UNCLIPPED voltage (reference quirk,
+        # pi_current_controller.py:160-167)
+        adv = eps + adv_dt
+        c, s = jnp.cos(adv), jnp.sin(adv)
+        u_al = c * u_d - s * u_q
+        u_be = s * u_d + c * u_q
+        ua = u_al
+        ub = -0.5 * u_al + np.float32(np.sqrt(3.0) / 2.0) * u_be
+        uc = -0.5 * u_al - np.float32(np.sqrt(3.0) / 2.0) * u_be
+        # cont output stage + converter: u_phase = clip(u/out_lim) * u_sup/2
+        ua = jnp.clip(ua * (1.0 / out_lim), -1.0, 1.0) * u_half
+        ub = jnp.clip(ub * (1.0 / out_lim), -1.0, 1.0) * u_half
+        uc = jnp.clip(uc * (1.0 / out_lim), -1.0, 1.0) * u_half
+
+        # ---- physics (Park at the cycle-start rotor angle + RK4)
+        u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        ce, se = jnp.cos(eps), jnp.sin(eps)
+        pu_d = ce * u_alpha + se * u_beta
+        pu_q = -se * u_alpha + ce * u_beta
+        k1 = rhs(i_sd, i_sq, pu_d, pu_q)
+        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1], pu_d, pu_q)
+        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1], pu_d, pu_q)
+        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], pu_d, pu_q)
+        sixth = tau / 6.0
+        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                eps + tau * p_omega, integ_d, integ_q)
+
+    def kernel(seed_ref, isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,
+               out_isd, out_isq, out_eps, out_reward, out_terms,
+               out_rv, out_rk, out_rl, out_rs,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, igd_ref, igq_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        out_isd[:] = isd_ref[:]
+        out_isq[:] = isq_ref[:]
+        out_eps[:] = eps_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+        igd_ref[:] = jnp.zeros(shape, jnp.float32)
+        igq_ref[:] = jnp.zeros(shape, jnp.float32)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        if wiener:
+            u = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+        else:
+            rv_ref[:] = jnp.concatenate([rd_ref[:], rq_ref[:]], axis=0)
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            rl_ref[:] = jnp.full(shape2, 1e9, jnp.float32)
+            rs_ref[:] = jnp.zeros(shape2, jnp.float32)
+
+        def body(t, _):
+            refs = rv_ref[:]
+            i_sd, i_sq, eps, igd, igq = _cycle(
+                out_isd[:], out_isq[:], out_eps[:], igd_ref[:], igq_ref[:],
+                refs[:R], refs[R:])
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            igd_ref[:] = igd
+            igq_ref[:] = igq
+
+            isd_n = i_sd * (1.0 / i_lim)
+            isq_n = i_sq * (1.0 / i_lim)
+            violated = (isd_n * isd_n + isq_n * isq_n) > 1.0
+            wse = -(w_over_span * jnp.abs(isd_n - refs[:R])
+                    + w_over_span * jnp.abs(isq_n - refs[R:]))
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isd[:] = jnp.where(violated, zero, i_sd)
+            out_isq[:] = jnp.where(violated, zero, i_sq)
+            out_eps[:] = jnp.where(violated, zero, eps)
+            # env auto-reset does NOT reset the controller state
+            # (control_environment carries cs across episode boundaries)
+
+            if wiener:
+                reset2 = jnp.concatenate([violated, violated], axis=0)
+                u1 = _uniform_from_bits(bits(shape2))
+                u2 = _uniform_from_bits(bits(shape2))
+                draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                    np.float32(TWO_PI) * u2)
+                regen = (rk_ref[:] >= rl_ref[:]) | reset2
+                _draw_params(regen)
+                rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+                value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+                u3 = _uniform_from_bits(bits(shape2))
+                rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(5))
+                  + tuple(jax.ShapeDtypeStruct(shape2, jnp.float32) for _ in range(4)))
+
+    @jax.jit
+    def rollout(seed, isd0, isq0, eps0, ref_d=None, ref_q=None):
+        z = jnp.zeros(shape, jnp.float32)
+        ref_d = z if ref_d is None else ref_d
+        ref_q = z if ref_q is None else ref_q
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 5,
+            out_specs=tuple(vmem for _ in range(9)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape2, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), isd0, isq0, eps0, ref_d, ref_q)
 
     return rollout

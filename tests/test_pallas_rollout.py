@@ -143,6 +143,9 @@ def _xla_random_rollout(env_id, n_envs, n_steps, seed=0):
             k, ka = jax.random.split(k)
             if kind == "Discrete":
                 actions = jax.random.randint(ka, (n_envs,), 0, space.n)
+            elif kind == "MultiDiscrete":
+                u = jax.random.uniform(ka, (n_envs, len(space.nvec)))
+                actions = (u * jnp.asarray(space.nvec)).astype(jnp.int32)
             else:
                 actions = jax.random.uniform(ka, (n_envs,) + space.shape,
                                              minval=-1.0, maxval=1.0)
@@ -247,3 +250,187 @@ def test_fused_scim_stochastic_stats():
         0.5 * max(kernel_term_rate, xla_term_rate), 2e-3)
     for x in (isa, isb, psa, psb):
         assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_fused_eesm_physics_matches_xla_env():
+    env = gemx.make_functional(
+        "Finite-CC-EESM-v0",
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", 0.0), rg.ConstReference("i_sq", 0.0),
+             rg.ConstReference("i_e", 0.0)]),
+    )
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_eesm_rollout
+
+    N, T = 128, 50
+    rng = np.random.default_rng(3)
+    actions = np.stack([rng.integers(0, 8, size=(T, 1, 128)),
+                        rng.integers(0, 4, size=(T, 1, 128))],
+                       axis=1).astype(np.int32)
+    roll = make_fused_eesm_rollout(env, T, N, action_mode="buffer",
+                                   interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    isd_k, isq_k, ie_k, eps_k = roll(z, z, z, z, jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, obs, r, term = step(state, jnp.asarray(actions[t].reshape(2, N).T))
+    ode = np.asarray(state.phys.ode_state)  # [omega, i_sd, i_sq, i_e, eps]
+
+    np.testing.assert_allclose(np.asarray(isd_k).reshape(N), ode[:, 1],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(isq_k).reshape(N), ode[:, 2],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ie_k).reshape(N), ode[:, 3],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(eps_k).reshape(N),
+                               np.mod(ode[:, 4], 2 * np.pi), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_dfim_physics_matches_xla_env():
+    env = gemx.make_functional(
+        "Cont-CC-DFIM-v0",
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", 0.0), rg.ConstReference("i_sq", 0.0)]),
+    )
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_dfim_rollout
+
+    N, T = 128, 50
+    rng = np.random.default_rng(4)
+    actions = rng.uniform(-1, 1, size=(T, 6, 1, 128)).astype(np.float32)
+    roll = make_fused_dfim_rollout(env, T, N, action_mode="buffer",
+                                   interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    outs = roll(z, z, z, z, z, jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, obs, r, term = step(state, jnp.asarray(actions[t].reshape(6, N).T))
+    ode = np.asarray(state.phys.ode_state)  # [omega, i_sa, i_sb, pa, pb, eps]
+
+    for j in range(4):
+        np.testing.assert_allclose(np.asarray(outs[j]).reshape(N), ode[:, 1 + j],
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs[4]).reshape(N),
+                               np.mod(ode[:, 5], 2 * np.pi), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_eesm_stochastic_stats():
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_eesm_rollout
+
+    env = gemx.make_functional("Finite-CC-EESM-v0")
+    roll = make_fused_eesm_rollout(env, T_STAT, N_STAT, interpret=True)
+    z = jnp.zeros((2, 128), jnp.float32)
+    (isd, isq, ie, eps, reward, terms, rv, rk, rl, rs) = roll(3, z, z, z, z)
+
+    R = N_STAT // 128
+    rv, rl, rs, rk = (np.asarray(x) for x in (rv, rl, rs, rk))
+    # symmetric i_sd/i_sq bands, one-sided (0, 1) i_e band
+    ps = env.physical_system
+    names = list(ps.state_names)
+    m = float(ps.nominal_state[names.index("i_sd")]
+              / ps.limits[names.index("i_sd")])
+    assert np.all(np.abs(rv[: 2 * R]) <= m * 1.001)
+    assert rv[2 * R:].min() >= 0.0 and rv[2 * R:].max() <= 1.001
+    assert rl.min() >= 500.0 and rl.max() < 2000.0
+    assert rs.min() >= 1e-3 * 0.999 and rs.max() <= 1e-1 * 1.001
+    assert np.all(rk >= 1.0) and np.all(rk <= rl)
+
+    kernel_mean_r = float(jnp.sum(reward)) / (N_STAT * T_STAT)
+    kernel_term_rate = float(jnp.sum(terms)) / (N_STAT * T_STAT)
+    xla_mean_r, xla_term_rate = _xla_random_rollout(
+        "Finite-CC-EESM-v0", N_STAT, T_STAT)
+    assert abs(kernel_mean_r - xla_mean_r) < 0.08
+    assert abs(kernel_term_rate - xla_term_rate) < max(
+        0.5 * max(kernel_term_rate, xla_term_rate), 2e-3)
+
+
+def test_fused_dfim_stochastic_stats():
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_dfim_rollout
+
+    env = gemx.make_functional("Cont-CC-DFIM-v0")
+    roll = make_fused_dfim_rollout(env, T_STAT, N_STAT, interpret=True)
+    z = jnp.zeros((2, 128), jnp.float32)
+    (isa, isb, pa, pb, eps, reward, terms, rv, rk, rl, rs) = roll(3, z, z, z, z, z)
+
+    ps = env.physical_system
+    names = list(ps.state_names)
+    m = float(ps.nominal_state[names.index("i_sd")]
+              / ps.limits[names.index("i_sd")])
+    _check_wiener_state(rv, rk, rl, rs, m, 1e-3, 1e-1)
+
+    kernel_mean_r = float(jnp.sum(reward)) / (N_STAT * T_STAT)
+    kernel_term_rate = float(jnp.sum(terms)) / (N_STAT * T_STAT)
+    xla_mean_r, xla_term_rate = _xla_random_rollout(
+        "Cont-CC-DFIM-v0", N_STAT, T_STAT)
+    assert abs(kernel_mean_r - xla_mean_r) < 0.08
+    assert abs(kernel_term_rate - xla_term_rate) < max(
+        0.5 * max(kernel_term_rate, xla_term_rate), 2e-3)
+    for x in (isa, isb, pa, pb):
+        assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_fused_foc_closed_loop_matches_control_environment():
+    """The fused controller-in-the-loop kernel (const-ref mode) must track
+    ``GemController.control_environment`` step-for-step: same tuned gains,
+    EMF decoupling, clipping/anti-windup, advance-angle transform, output
+    stage and physics."""
+    from gym_electric_motor_tpu.controllers import GemController
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_foc_rollout
+
+    env = gemx.make_functional(
+        "Cont-CC-PMSM-v0",
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", -0.1), rg.ConstReference("i_sq", 0.3)]),
+    )
+    ctrl = GemController.make(env, "Cont-CC-PMSM-v0")
+    T, N = 400, 128
+    roll = make_fused_foc_rollout(env, ctrl, T, N, ref_mode="const",
+                                  interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    rd = jnp.full((1, 128), -0.1, jnp.float32)
+    rq = jnp.full((1, 128), 0.3, jnp.float32)
+    isd_k, isq_k, eps_k, rew_k, term_k, *_ = roll(0, z, z, z, rd, rq)
+
+    out = ctrl.control_environment(env, T, key=jax.random.PRNGKey(0))
+    names = env.state_names
+    lim = env.physical_system.limits
+    S = np.asarray(out["states"])
+    isd_x = S[-1, names.index("i_sd")] * lim[names.index("i_sd")]
+    isq_x = S[-1, names.index("i_sq")] * lim[names.index("i_sq")]
+
+    np.testing.assert_allclose(float(isd_k[0, 0]), isd_x, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(float(isq_k[0, 0]), isq_x, rtol=1e-5, atol=1e-3)
+    # steady state at the setpoints
+    np.testing.assert_allclose(float(isd_k[0, 0]), -0.1 * 400.0, atol=0.05)
+    np.testing.assert_allclose(float(isq_k[0, 0]), 0.3 * 400.0, atol=0.05)
+    # cumulative reward agreement (covers the whole trajectory, not just
+    # the endpoint)
+    np.testing.assert_allclose(float(rew_k.sum()) / (N * T),
+                               float(np.asarray(out["rewards"]).mean()),
+                               rtol=1e-4, atol=1e-6)
+    assert float(term_k.sum()) == 0.0
+
+
+def test_fused_foc_wiener_mode_stats():
+    from gym_electric_motor_tpu.controllers import GemController
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_foc_rollout
+
+    env = gemx.make_functional("Cont-CC-PMSM-v0")
+    ctrl = GemController.make(env, "Cont-CC-PMSM-v0")
+    roll = make_fused_foc_rollout(env, ctrl, 2000, N_STAT, interpret=True)
+    z = jnp.zeros((2, 128), jnp.float32)
+    (isd, isq, eps, reward, terms, rv, rk, rl, rs) = roll(3, z, z, z)
+    ps = env.physical_system
+    names = list(ps.state_names)
+    m = float(ps.nominal_state[names.index("i_sd")]
+              / ps.limits[names.index("i_sd")])
+    _check_wiener_state(rv, rk, rl, rs, m, 1e-3, 1e-1)
+    # a *controlled* loop tracks its references: mean reward far above the
+    # random-action XLA baseline
+    mean_r = float(jnp.sum(reward)) / (N_STAT * 2000)
+    assert mean_r > -0.05, mean_r
+    assert float(jnp.sum(terms)) == 0.0  # controller keeps currents in limits
