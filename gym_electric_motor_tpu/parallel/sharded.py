@@ -153,6 +153,78 @@ def policy_logits(params, obs):
     return h @ params["w2"] + params["b2"]
 
 
+def _build_reinforce_step(env, mesh, lr):
+    (axis,) = mesh.axis_names
+    spec = P(axis)
+    vstep = jax.vmap(env.step_autoreset)
+    filt = jnp.asarray(env._state_filter)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec, P()),
+        out_specs=(P(), spec, P()),
+        check_vma=False,
+    )
+    def step(params, state, key):
+        idx = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, idx)
+        obs = jnp.concatenate(
+            [
+                state.system_state[:, filt],
+                jax.vmap(env.reference_generator.current_values)(state.refs),
+            ],
+            axis=-1,
+        )
+
+        def loss_fn(params):
+            logits = policy_logits(params, obs)
+            actions = jax.random.categorical(key, logits)
+            logp = jax.nn.log_softmax(logits)[jnp.arange(obs.shape[0]), actions]
+            new_state, _o, reward, _t = vstep(state, actions)
+            loss = -jnp.mean(jax.lax.stop_gradient(reward) * logp)
+            return loss, (new_state, jnp.mean(reward))
+
+        ((_loss, (new_state, mean_r)), grads) = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis)
+        mean_r = jax.lax.pmean(mean_r, axis)
+        params = jax.tree.map(lambda p_, g: p_ - lr * g, params, grads)
+        return params, new_state, mean_r
+
+    return step
+
+
+def make_reinforce_train_step(env, mesh, lr=1e-3):
+    """Build the jitted REINFORCE step once (``train_step_reinforce``
+    re-jits per call — fine for a single dry-run, wasteful in a training
+    loop).  Returns ``step(params, state, key) -> (params', state',
+    mean_reward)``."""
+    return jax.jit(_build_reinforce_step(env, mesh, lr))
+
+
+def make_reinforce_trainer(env, mesh, lr=1e-3):
+    """Whole-training-run compilation: ``train(params, state, key, n_iters)``
+    scans the REINFORCE step over ``n_iters`` inside ONE jitted program —
+    one dispatch for the entire run, the canonical TPU pattern (no per-step
+    host round trips at all).  Returns (params', state', mean_reward[n_iters])."""
+    step = _build_reinforce_step(env, mesh, lr)
+
+    @partial(jax.jit, static_argnums=3)
+    def train(params, state, key, n_iters):
+        def body(carry, _):
+            params, state, key = carry
+            key, k = jax.random.split(key)
+            params, state, mean_r = step(params, state, k)
+            return (params, state, key), mean_r
+
+        (params, state, _), rs = jax.lax.scan(
+            body, (params, state, key), None, length=n_iters)
+        return params, state, rs
+
+    return train
+
+
 def train_step_reinforce(env, mesh, params, state, key, lr=1e-3):
     """One REINFORCE step over a sharded env batch.
 
