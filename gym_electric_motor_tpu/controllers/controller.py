@@ -38,6 +38,23 @@ from ..ops.transforms import dq_to_abc
 from . import readers
 
 
+def _detect_env_id(env):
+    """Reconstruct the ``{Finite|Cont}-{CC|TC|SC}-{Motor}-v0`` id from env
+    properties (the classic stack's auto-detection,
+    examples/classic_controllers/classic_controllers.py:37-60)."""
+    action = ("Cont" if env.action_space.__class__.__name__ == "Box"
+              else "Finite")
+    refs = set(env.reference_names)
+    if "omega" in refs:
+        task = "SC"
+    elif "torque" in refs:
+        task = "TC"
+    else:
+        task = "CC"
+    motor = env.physical_system.motor.kind
+    return f"{action}-{task}-{motor}-v0"
+
+
 def _state_arrays(env):
     ps = env.physical_system
     return (
@@ -109,9 +126,16 @@ class GemController:
     # ------------------------------------------------------------------
 
     @classmethod
-    def make(cls, env, env_id, decoupling=True, current_safety_margin=0.2, a=4,
-             base_current_controller="PI"):
-        """gem_controller.py:29-99 + per-stage tune() calls."""
+    def make(cls, env, env_id=None, decoupling=True, current_safety_margin=0.2,
+             a=4, base_current_controller="PI"):
+        """gem_controller.py:29-99 + per-stage tune() calls.
+
+        ``env_id`` may be omitted: like the example-grade classic stack's
+        ``Controller.make(environment)`` (examples/classic_controllers/
+        classic_controllers.py:37-60), the action type, control task and
+        motor type are then detected from the environment itself."""
+        if env_id is None:
+            env_id = _detect_env_id(env)
         action_type, control_task, motor_type = readers.split_env_id(env_id)
         if motor_type == "DFIM":
             raise NotImplementedError(
