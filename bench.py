@@ -214,15 +214,24 @@ def measure_mesh(n_devices):
 
 
 def _persist():
+    """Merge this run's numbers into BENCH_RESULTS.json (a headline-only run
+    must not clobber the fuller BENCH_ALL record)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_RESULTS.json")
+    merged = {}
+    try:
+        with open(path) as f:
+            merged = json.load(f).get("results_steps_per_s", {})
+    except Exception:
+        pass
+    merged.update({k: round(v, 1) for k, v in RESULTS.items()})
     payload = {
         "n_envs": N_ENVS,
         "n_steps": N_STEPS,
         "backend": jax.default_backend(),
         "device_count": jax.device_count(),
-        "results_steps_per_s": {k: round(v, 1) for k, v in RESULTS.items()},
+        "results_steps_per_s": merged,
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_RESULTS.json")
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
         f.write("\n")
