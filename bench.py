@@ -300,6 +300,27 @@ def main():
         _log(f"Cont-CC-PMSM-v0 FOC-in-the-loop (fused Pallas): "
              f"{v / 1e6:.1f}M controlled env-steps/s")
 
+        # fused policy-network-in-the-loop (RL evaluation / data collection)
+        from gym_electric_motor_tpu.parallel.sharded import init_policy_params
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            flatten_policy_params,
+            make_fused_policy_rollout,
+        )
+
+        epol = gemx.make_functional(
+            "Finite-CC-PMSM-v0",
+            state_filter=("omega", "i_sd", "i_sq", "epsilon"))
+        pp = init_policy_params(jax.random.PRNGKey(0), 6, 8, hidden=16)
+        w1, b1, w2, b2 = flatten_policy_params(pp)
+        v = _measure_fused_kernel(
+            "Finite-CC-PMSM-v0/policy-in-loop",
+            lambda: make_fused_policy_rollout(epol, n_steps, N_ENVS, hidden=16),
+            lambda r, seed: float(r(seed, w1, b1, w2, b2, z, z, z)[3].sum()),
+            n_steps,
+        )
+        _log(f"Finite-CC-PMSM-v0 MLP-policy-in-the-loop (fused Pallas): "
+             f"{v / 1e6:.1f}M env-steps/s")
+
     xla = measure("Finite-CC-PMSM-v0")
     _log(f"Finite-CC-PMSM-v0 (general XLA path): {xla / 1e6:.1f}M env-steps/s")
     try:

@@ -1248,3 +1248,212 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
         )(jnp.asarray([seed], jnp.int32), isd0, isq0, eps0, ref_d, ref_q)
 
     return rollout
+
+
+def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
+                              sample="categorical", ref_mode="wiener",
+                              interpret=False):
+    """Fused POLICY-in-the-loop rollout for Finite-CC-PMSM-v0: a 2-layer
+    tanh MLP (the ``parallel/sharded.py`` policy architecture) is evaluated
+    inside the kernel each step, its sampled discrete action drives the B6
+    converter, and physics/references/reward/reset run as in
+    ``make_fused_pmsm_rollout`` — RL evaluation & data collection at fused
+    speed instead of the XLA path.
+
+    ``env`` must use ``state_filter=("omega", "i_sd", "i_sq", "epsilon")``
+    so the 6-feature observation (4 filtered states + 2 current references)
+    is reconstructible from the kernel state.
+
+    Returns ``rollout(seed, w1, b1, w2, b2, i_sd0, i_sq0, eps0)`` with
+    ``w1 (6*hidden,)``, ``b1 (hidden,)``, ``w2 (hidden*8,)``, ``b2 (8,)``
+    flat float32 param vectors (``flatten_policy_params`` converts the
+    training dict).  ``sample='greedy'`` takes argmax actions — fully
+    deterministic, used for step-for-step validation vs the XLA env.
+    """
+    assert n_envs % LANE == 0
+    assert tuple(env.state_names[i] for i in
+                 np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
+                                                    "epsilon"), \
+        "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+    psi_p, p = float(mp["psi_p"]), float(mp["p"])
+    omega = float(ps.load.omega_fixed)
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    omega_n = omega / float(lim[names.index("omega")])
+    eps_lim = float(lim[names.index("epsilon")])  # pi
+    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
+    w_over_span = 0.5 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    p_omega = p * omega
+    F, H, A = 6, hidden, 8
+    shape = (R, LANE)
+    shape2 = (2 * R, LANE)
+    LN10 = np.float32(np.log(10.0))
+    greedy = sample == "greedy"
+    wiener = ref_mode == "wiener"
+
+    def rhs(i_sd, i_sq, u_d, u_q):
+        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
+        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd + u_q) * (1.0 / l_q)
+        return di_sd, di_sq
+
+    def physics(i_sd, i_sq, eps, action):
+        ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+        ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+        uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        c, s = jnp.cos(eps), jnp.sin(eps)
+        u_d = c * u_al + s * u_be
+        u_q = -s * u_al + c * u_be
+        k1 = rhs(i_sd, i_sq, u_d, u_q)
+        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1], u_d, u_q)
+        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1], u_d, u_q)
+        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], u_d, u_q)
+        sixth = tau / 6.0
+        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                eps + tau * p_omega)
+
+    def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,
+               out_isd, out_isq, out_eps, out_reward, out_terms,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        out_isd[:] = isd_ref[:]
+        out_isq[:] = isq_ref[:]
+        out_eps[:] = eps_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        if wiener:
+            u = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+        else:
+            rv_ref[:] = jnp.concatenate([rd_ref[:], rq_ref[:]], axis=0)
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            rl_ref[:] = jnp.full(shape2, 1e9, jnp.float32)
+            rs_ref[:] = jnp.zeros(shape2, jnp.float32)
+
+        def body(t, _):
+            i_sd, i_sq, eps = out_isd[:], out_isq[:], out_eps[:]
+            refs = rv_ref[:]
+
+            # ---- observation (normalized, matching the XLA env's
+            #      state_filter + reference concat order)
+            eps_w = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            eps_w = jnp.where(eps_w > np.float32(np.pi),
+                              eps_w - np.float32(TWO_PI), eps_w)
+            obs = (jnp.full(shape, omega_n, jnp.float32),
+                   i_sd * (1.0 / i_lim), i_sq * (1.0 / i_lim),
+                   eps_w * (1.0 / eps_lim), refs[:R], refs[R:])
+
+            # ---- 2-layer tanh MLP, weights as SMEM scalars
+            hs = []
+            for j in range(H):
+                acc = b1_ref[j]
+                for f in range(F):
+                    acc = acc + w1_ref[f * H + j] * obs[f]
+                hs.append(jnp.tanh(acc))
+            # ---- logits + (Gumbel-max | argmax) action over 8 levels
+            best_logit = None
+            action = jnp.zeros(shape, jnp.int32)
+            for a in range(A):
+                logit = b2_ref[a]
+                for j in range(H):
+                    logit = logit + w2_ref[j * A + a] * hs[j]
+                if not greedy:
+                    ug = _uniform_from_bits(bits(shape))
+                    logit = logit - jnp.log(-jnp.log(jnp.maximum(ug, 1e-12)))
+                if best_logit is None:
+                    best_logit = logit
+                else:
+                    take = logit > best_logit
+                    best_logit = jnp.where(take, logit, best_logit)
+                    action = jnp.where(take, a, action)
+
+            i_sd, i_sq, eps = physics(i_sd, i_sq, eps, action)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+
+            isd_n = i_sd * (1.0 / i_lim)
+            isq_n = i_sq * (1.0 / i_lim)
+            violated = (isd_n * isd_n + isq_n * isq_n) > 1.0
+            wse = -(w_over_span * jnp.abs(isd_n - refs[:R])
+                    + w_over_span * jnp.abs(isq_n - refs[R:]))
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isd[:] = jnp.where(violated, zero, i_sd)
+            out_isq[:] = jnp.where(violated, zero, i_sq)
+            out_eps[:] = jnp.where(violated, zero, eps)
+
+            if wiener:
+                reset2 = jnp.concatenate([violated, violated], axis=0)
+                u1 = _uniform_from_bits(bits(shape2))
+                u2 = _uniform_from_bits(bits(shape2))
+                draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                    np.float32(TWO_PI) * u2)
+                regen = (rk_ref[:] >= rl_ref[:]) | reset2
+                _draw_params(regen)
+                rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+                value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+                u3 = _uniform_from_bits(bits(shape2))
+                rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(5))
+
+    @jax.jit
+    def rollout(seed, w1, b1, w2, b2, isd0, isq0, eps0,
+                ref_d=None, ref_q=None):
+        z = jnp.zeros(shape, jnp.float32)
+        ref_d = z if ref_d is None else ref_d
+        ref_q = z if ref_q is None else ref_q
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[smem] * 5 + [vmem] * 5,
+            out_specs=tuple(vmem for _ in range(5)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape2, jnp.uint32)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32),
+          jnp.asarray(w1, jnp.float32), jnp.asarray(b1, jnp.float32),
+          jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32),
+          isd0, isq0, eps0, ref_d, ref_q)
+
+    return rollout
+
+
+def flatten_policy_params(params):
+    """``parallel/sharded.py`` policy dict -> the flat (w1, b1, w2, b2)
+    vectors ``make_fused_policy_rollout`` consumes (row-major)."""
+    return (np.asarray(params["w1"], np.float32).reshape(-1),
+            np.asarray(params["b1"], np.float32).reshape(-1),
+            np.asarray(params["w2"], np.float32).reshape(-1),
+            np.asarray(params["b2"], np.float32).reshape(-1))

@@ -434,3 +434,65 @@ def test_fused_foc_wiener_mode_stats():
     mean_r = float(jnp.sum(reward)) / (N_STAT * 2000)
     assert mean_r > -0.05, mean_r
     assert float(jnp.sum(terms)) == 0.0  # controller keeps currents in limits
+
+
+def test_fused_policy_rollout_matches_xla_greedy():
+    """Policy-network-in-the-loop kernel (greedy + const refs) must track
+    the XLA env driven by the same MLP argmax policy step-for-step."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_policy_params, policy_logits)
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        flatten_policy_params, make_fused_policy_rollout)
+
+    SF = ("omega", "i_sd", "i_sq", "epsilon")
+    env = gemx.make_functional(
+        "Finite-CC-PMSM-v0", state_filter=SF,
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", -0.1), rg.ConstReference("i_sq", 0.2)]))
+    params = init_policy_params(jax.random.PRNGKey(5), 6, 8, hidden=16)
+    w1, b1, w2, b2 = flatten_policy_params(params)
+
+    T, N = 200, 128
+    roll = make_fused_policy_rollout(env, T, N, hidden=16, sample="greedy",
+                                     ref_mode="const", interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    rd = jnp.full((1, 128), -0.1, jnp.float32)
+    rq = jnp.full((1, 128), 0.2, jnp.float32)
+    isd_k, isq_k, eps_k, rew_k, term_k = roll(0, w1, b1, w2, b2, z, z, z, rd, rq)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step_autoreset))
+    rew_sum = 0.0
+    for t in range(T):
+        o = jnp.concatenate([obs[0], obs[1]], axis=-1)
+        actions = jnp.argmax(policy_logits(params, o), axis=-1)
+        state, obs, r, term = step(state, actions)
+        rew_sum += float(r.sum())
+    ode = np.asarray(state.phys.ode_state)
+
+    np.testing.assert_allclose(np.asarray(isd_k).reshape(N), ode[:, 1],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(isq_k).reshape(N), ode[:, 2],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(float(rew_k.sum()) / (N * T), rew_sum / (N * T),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_fused_policy_rollout_stochastic_runs():
+    from gym_electric_motor_tpu.parallel.sharded import init_policy_params
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        flatten_policy_params, make_fused_policy_rollout)
+
+    SF = ("omega", "i_sd", "i_sq", "epsilon")
+    env = gemx.make_functional("Finite-CC-PMSM-v0", state_filter=SF)
+    params = init_policy_params(jax.random.PRNGKey(1), 6, 8, hidden=16)
+    w1, b1, w2, b2 = flatten_policy_params(params)
+    roll = make_fused_policy_rollout(env, 1000, 256, hidden=16, interpret=True)
+    z = jnp.zeros((2, 128), jnp.float32)
+    isd, isq, eps, reward, terms = roll(3, w1, b1, w2, b2, z, z, z)
+    mean_r = float(jnp.sum(reward)) / (256 * 1000)
+    # near-uniform sampling over actions behaves like the random baseline
+    xla_mean_r, _ = _xla_random_rollout("Finite-CC-PMSM-v0", 256, 1000)
+    assert abs(mean_r - xla_mean_r) < 0.1, (mean_r, xla_mean_r)
+    assert np.all(np.isfinite(np.asarray(isd)))
