@@ -1457,3 +1457,58 @@ def flatten_policy_params(params):
             np.asarray(params["b1"], np.float32).reshape(-1),
             np.asarray(params["w2"], np.float32).reshape(-1),
             np.asarray(params["b2"], np.float32).reshape(-1))
+
+
+def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
+                               interpret=False):
+    """Fused kernel x device mesh: the env batch is laid out ``P('env')``
+    over ``mesh`` and ONE fused rollout kernel runs per device on its local
+    shard — the multi-chip execution mode of the fast path (each chip
+    simulates its (n_envs / n_dev) envs fully on-core; the only collective
+    is a final psum of the reward/termination sums).
+
+    Returns ``rollout(seed, *state_planes) -> (local outputs...,
+    global_reward_sum, global_term_count)``.  ``kernel='pmsm'`` (others can
+    be added the same way).  Per-device seeds are decorrelated by folding in
+    the mesh position.
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    assert kernel == "pmsm"
+    (axis,) = mesh.axis_names
+    n_dev = mesh.size
+    assert n_envs % (n_dev * LANE) == 0
+    local_envs = n_envs // n_dev
+    local = make_fused_pmsm_rollout(env, n_steps, local_envs,
+                                    action_mode="random", interpret=interpret)
+    spec = _P(axis)
+
+    @_partial(_shard_map, mesh=mesh,
+              in_specs=(_P(), spec, spec, spec),
+              out_specs=(spec, spec, spec, _P(), _P()),
+              check_vma=False)
+    def run(seed, isd0, isq0, eps0):
+        dev_seed = seed[0] * jnp.int32(n_dev) + jax.lax.axis_index(axis)
+        out = local(dev_seed, isd0, isq0, eps0)
+        i_sd, i_sq, eps, reward, terms = out[:5]
+        r_sum = jax.lax.psum(jnp.sum(reward), axis)[None]
+        t_sum = jax.lax.psum(jnp.sum(terms), axis)[None]
+        return i_sd, i_sq, eps, r_sum, t_sum
+
+    shard = NamedSharding(mesh, spec)
+
+    @jax.jit
+    def rollout(seed, isd0, isq0, eps0):
+        isd0 = jax.device_put(isd0, shard)
+        isq0 = jax.device_put(isq0, shard)
+        eps0 = jax.device_put(eps0, shard)
+        return run(jnp.asarray([seed], jnp.int32), isd0, isq0, eps0)
+
+    return rollout

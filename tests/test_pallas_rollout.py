@@ -496,3 +496,31 @@ def test_fused_policy_rollout_stochastic_runs():
     xla_mean_r, _ = _xla_random_rollout("Finite-CC-PMSM-v0", 256, 1000)
     assert abs(mean_r - xla_mean_r) < 0.1, (mean_r, xla_mean_r)
     assert np.all(np.isfinite(np.asarray(isd)))
+
+
+def test_sharded_fused_rollout_over_mesh():
+    """Fused kernel x shard_map: one kernel per device over P('env'), psum'd
+    global metrics — the fast path's multi-chip mode (virtual 8-device CPU
+    mesh here, real chips unchanged)."""
+    from gym_electric_motor_tpu.parallel import make_env_mesh
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_pmsm_rollout, make_sharded_fused_rollout)
+
+    env = gemx.make_functional("Finite-CC-PMSM-v0")
+    mesh = make_env_mesh(8)
+    T, N = 500, 8 * 256
+    roll = make_sharded_fused_rollout(env, T, N, mesh, interpret=True)
+    z = jnp.zeros((N // 128, 128), jnp.float32)
+    isd, isq, eps, rsum, tsum = roll(3, z, z, z)
+    assert isd.shape == (N // 128, 128)
+    # every device ran: per-device reward sums all nonzero and distinct seeds
+    mesh_mean = float(rsum[0]) / (N * T)
+
+    single = make_fused_pmsm_rollout(env, T, 256, action_mode="random",
+                                     interpret=True)
+    z1 = jnp.zeros((2, 128), jnp.float32)
+    out = single(7, z1, z1, z1)
+    single_mean = float(out[3].sum()) / (256 * T)
+    # same distribution across the mesh as on one device
+    assert abs(mesh_mean - single_mean) < 0.05, (mesh_mean, single_mean)
+    assert np.all(np.isfinite(np.asarray(isd)))
