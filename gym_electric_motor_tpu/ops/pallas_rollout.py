@@ -214,7 +214,11 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
             out_eps[:] = jnp.where(violated, zero, eps)
 
             # Wiener advance for both refs in one (2R, LANE) pass
-            reset2 = jnp.concatenate([violated, violated], axis=0)
+            # concat float masks, not bools: Mosaic rejects the i1
+            # vreg cast the bool concat needs when R is not a
+            # multiple of the sublane count (small-batch kernels)
+            viol_f = violated.astype(jnp.float32)
+            reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
             u1 = _uniform_from_bits(bits(shape2))
             u2 = _uniform_from_bits(bits(shape2))
             draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
@@ -746,7 +750,8 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
             out_ie[:] = jnp.where(violated, zero, i_e)
             out_eps[:] = jnp.where(violated, zero, eps)
 
-            reset3 = jnp.concatenate([violated, violated, violated], axis=0)
+            viol_f = violated.astype(jnp.float32)
+            reset3 = jnp.concatenate([viol_f, viol_f, viol_f], axis=0) > 0.5
             u1 = _uniform_from_bits(bits(shape3))
             u2 = _uniform_from_bits(bits(shape3))
             draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
@@ -965,7 +970,11 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
             out_psb[:] = jnp.where(violated, zero, pb)
             out_eps[:] = jnp.where(violated, zero, eps)
 
-            reset2 = jnp.concatenate([violated, violated], axis=0)
+            # concat float masks, not bools: Mosaic rejects the i1
+            # vreg cast the bool concat needs when R is not a
+            # multiple of the sublane count (small-batch kernels)
+            viol_f = violated.astype(jnp.float32)
+            reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
             u1 = _uniform_from_bits(bits(shape2))
             u2 = _uniform_from_bits(bits(shape2))
             draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
@@ -1206,7 +1215,11 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
             # (control_environment carries cs across episode boundaries)
 
             if wiener:
-                reset2 = jnp.concatenate([violated, violated], axis=0)
+                # concat float masks, not bools: Mosaic rejects the i1 vreg
+                # cast the bool concat needs when R is not a multiple of the
+                # sublane count (small-batch kernels)
+                viol_f = violated.astype(jnp.float32)
+                reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
                 u1 = _uniform_from_bits(bits(shape2))
                 u2 = _uniform_from_bits(bits(shape2))
                 draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
@@ -1407,7 +1420,11 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
             out_eps[:] = jnp.where(violated, zero, eps)
 
             if wiener:
-                reset2 = jnp.concatenate([violated, violated], axis=0)
+                # concat float masks, not bools: Mosaic rejects the i1 vreg
+                # cast the bool concat needs when R is not a multiple of the
+                # sublane count (small-batch kernels)
+                viol_f = violated.astype(jnp.float32)
+                reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
                 u1 = _uniform_from_bits(bits(shape2))
                 u2 = _uniform_from_bits(bits(shape2))
                 draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
