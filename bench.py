@@ -80,7 +80,16 @@ def _retry(fn, what, attempts=3, base_delay=5.0):
     return None
 
 
-def measure(env_id):
+def _make_key(seed, impl=None):
+    """Root PRNG key; ``impl`` selects the generator for EVERY downstream
+    split/fold_in/draw (the env threads keys, so the key type is the only
+    switch needed).  ``unsafe_rbg`` trades split quality for ~30% general-path
+    throughput — a documented perf option (docs/performance.md), never the
+    default."""
+    return jax.random.key(seed, impl=impl) if impl else jax.random.PRNGKey(seed)
+
+
+def measure(env_id, prng_impl=None):
     env = gemx.make_functional(env_id)
     space = env.action_space
     kind = space.__class__.__name__
@@ -115,13 +124,13 @@ def measure(env_id):
         # reduce something so nothing is dead-code eliminated
         return state, jnp.sum(state.system_state)
 
-    keys = jax.random.split(jax.random.PRNGKey(0), N_ENVS)
+    keys = jax.random.split(_make_key(0, prng_impl), N_ENVS)
     state, _obs = _retry(lambda: reset(keys), f"reset({env_id})")
     # warmup / compile (fetch the checksum: through the axon tunnel,
     # block_until_ready alone does not reliably wait for completion)
 
     def warmup():
-        s, checksum = rollout(state, jax.random.PRNGKey(1))
+        s, checksum = rollout(state, _make_key(1, prng_impl))
         float(checksum)
         return s
 
@@ -130,11 +139,12 @@ def measure(env_id):
     best = 0.0
     for rep in range(N_REPS):
         t0 = time.perf_counter()
-        state, checksum = rollout(state, jax.random.PRNGKey(2 + rep))
+        state, checksum = rollout(state, _make_key(2 + rep, prng_impl))
         float(checksum)
         dt = time.perf_counter() - t0
         best = max(best, N_ENVS * N_STEPS / dt)
-    RESULTS[f"{env_id}/xla"] = best
+    suffix = f"/xla-{prng_impl}" if prng_impl else "/xla"
+    RESULTS[f"{env_id}{suffix}"] = best
     return best
 
 
@@ -256,6 +266,11 @@ def main():
                        "Cont-TC-SCIM-v0", "Finite-CC-EESM-v0", "Cont-CC-DFIM-v0"):
             v = measure(env_id)
             _log(f"{env_id}: {v / 1e6:.1f}M env-steps/s")
+        # the fast-PRNG variant of the flagship XLA config (threefry → HW RBG;
+        # see docs/performance.md "PRNG implementation")
+        v = measure("Finite-CC-PMSM-v0", prng_impl="unsafe_rbg")
+        _log(f"Finite-CC-PMSM-v0 (XLA, unsafe_rbg keys): "
+             f"{v / 1e6:.1f}M env-steps/s")
         from gym_electric_motor_tpu.ops.pallas_rollout import (
             make_fused_dfim_rollout,
             make_fused_eesm_rollout,

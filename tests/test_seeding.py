@@ -52,6 +52,23 @@ def test_different_key_differs():
     assert not np.array_equal(r1, r2)
 
 
+@pytest.mark.parametrize("impl", ["rbg", "unsafe_rbg"])
+def test_typed_key_impls_work(impl):
+    """The env never inspects key internals, so typed keys of any impl thread
+    through reset/step/autoreset (docs/performance.md: unsafe_rbg is the
+    documented fast-PRNG option, ~30% on the general XLA path)."""
+    env = gemx.make_functional("Finite-CC-PermExDc-v0")
+    key = jax.random.key(7, impl=impl)
+    s1, r1, t1 = trajectory(env, key)
+    s2, r2, t2 = trajectory(env, key)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(r1, r2)
+    assert np.isfinite(s1).all() and np.isfinite(r1).all()
+    # different key ⇒ different trajectory, same as the raw-key path
+    s3, r3, _ = trajectory(env, jax.random.key(8, impl=impl))
+    assert not np.array_equal(r1, r3)
+
+
 def test_batch_position_invariance():
     """Env keyed K must produce the same trajectory whether it sits at batch
     index 0 or 5 — the TPU analogue of the reference's cross-env seeding test,
