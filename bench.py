@@ -336,6 +336,23 @@ def main():
         _log(f"Finite-CC-PMSM-v0 MLP-policy-in-the-loop (fused Pallas): "
              f"{v / 1e6:.1f}M env-steps/s")
 
+        # fused REINFORCE TRAINING (backward pass in-kernel: policy grads
+        # via eligibility traces accumulate in VMEM during the rollout)
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            make_fused_reinforce_rollout,
+        )
+
+        v = _measure_fused_kernel(
+            "Finite-CC-PMSM-v0/train-in-kernel",
+            lambda: make_fused_reinforce_rollout(epol, n_steps, N_ENVS,
+                                                 hidden=16, block_rows=32),
+            lambda r, seed: float(
+                r(seed, 0.0, w1, b1, w2, b2, z, z, z)[5].sum()),
+            n_steps,
+        )
+        _log(f"Finite-CC-PMSM-v0 in-kernel REINFORCE training (fused "
+             f"Pallas): {v / 1e6:.1f}M env-steps/s trained")
+
     xla = measure("Finite-CC-PMSM-v0")
     _log(f"Finite-CC-PMSM-v0 (general XLA path): {xla / 1e6:.1f}M env-steps/s")
     try:

@@ -1476,6 +1476,358 @@ def flatten_policy_params(params):
             np.asarray(params["b2"], np.float32).reshape(-1))
 
 
+def make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=16, gamma=0.99,
+                                 sample="categorical", ref_mode="wiener",
+                                 block_rows=8, interpret=False):
+    """Fused REINFORCE rollout WITH the backward pass in-kernel: policy
+    evaluation, sampling, physics, reward, auto-reset AND the policy-gradient
+    accumulation all run inside one ``pallas_call`` — training data never
+    leaves VMEM, and the only HBM traffic is initial/final env state plus one
+    (n_params, 128) gradient block.
+
+    The gradient is computed forward-only with per-env eligibility traces
+    (no T-length activation storage):
+
+        e_t = gamma * (1 - reset_{t-1}) * e_{t-1} + grad log pi(a_t | s_t)
+        G  += (r_t - baseline) * e_t
+
+    which for ``gamma=0`` reduces exactly to the per-step estimator of
+    ``parallel/sharded.py::_build_reinforce_step`` (the XLA trainer) — the
+    property the deterministic parity test exploits.  ``grad log pi`` is the
+    categorical score ``onehot(a) - softmax(logits)`` backpropagated through
+    the 2-layer tanh MLP by hand (the same network as
+    ``make_fused_policy_rollout``).
+
+    Per-env traces need ``n_params`` floats per env, so the kernel runs on a
+    1-D grid over blocks of ``block_rows * 128`` envs: each block scans all
+    ``n_steps`` with its traces resident in VMEM scratch and flushes its
+    lane-summed gradient into a shared accumulator block (TPU grids are
+    sequential, so ``+=`` across grid steps is well-defined).
+
+    Returns ``rollout(seed, baseline, w1, b1, w2, b2, isd0, isq0, eps0,
+    ref_d=None, ref_q=None) -> (isd, isq, eps, reward_sum, term_count,
+    grad_block)`` with ``grad_block`` of shape ``(n_params, 128)``;
+    ``grad_block.sum(-1)`` is the UNNORMALIZED ascent direction, packed
+    ``[w1 (f*H+j) | b1 | w2 (j*A+a) | b2]`` — ``unflatten_policy_grads``
+    converts it back to the params dict layout.
+    """
+    assert n_envs % (block_rows * LANE) == 0
+    assert tuple(env.state_names[i] for i in
+                 np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
+                                                    "epsilon"), \
+        "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
+    R = n_envs // LANE
+    n_blocks = R // block_rows
+    Rb = block_rows
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+    psi_p, p = float(mp["psi_p"]), float(mp["p"])
+    omega = float(ps.load.omega_fixed)
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    omega_n = omega / float(lim[names.index("omega")])
+    eps_lim = float(lim[names.index("epsilon")])
+    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
+    w_over_span = 0.5 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    p_omega = p * omega
+    F, H, A = 6, hidden, 8
+    P1, P2, P3, P4 = F * H, H, H * A, A
+    P = P1 + P2 + P3 + P4
+    shape = (Rb, LANE)
+    shape2 = (2 * Rb, LANE)
+    LN10 = np.float32(np.log(10.0))
+    greedy = sample == "greedy"
+    wiener = ref_mode == "wiener"
+    gamma = np.float32(gamma)
+
+    def rhs(i_sd, i_sq, u_d, u_q):
+        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
+        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd + u_q) * (1.0 / l_q)
+        return di_sd, di_sq
+
+    def physics(i_sd, i_sq, eps, action):
+        ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+        ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+        uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        c, s = jnp.cos(eps), jnp.sin(eps)
+        u_d = c * u_al + s * u_be
+        u_q = -s * u_al + c * u_be
+        k1 = rhs(i_sd, i_sq, u_d, u_q)
+        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1], u_d, u_q)
+        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1], u_d, u_q)
+        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], u_d, u_q)
+        sixth = tau / 6.0
+        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                eps + tau * p_omega)
+
+    def kernel(seed_ref, base_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,
+               out_isd, out_isq, out_eps, out_reward, out_terms, out_grad,
+               e_ref, g_acc_ref, viol_ref,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        pid = pl.program_id(0)
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0] + pid * jnp.int32(7919))
+        out_isd[:] = isd_ref[:]
+        out_isq[:] = isq_ref[:]
+        out_eps[:] = eps_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+        e_ref[:] = jnp.zeros((P, Rb, LANE), jnp.float32)
+        g_acc_ref[:] = jnp.zeros((P, Rb, LANE), jnp.float32)
+        viol_ref[:] = jnp.zeros(shape, jnp.float32)
+        baseline = base_ref[0]
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        if wiener:
+            u = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+        else:
+            rv_ref[:] = jnp.concatenate([rd_ref[:], rq_ref[:]], axis=0)
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            rl_ref[:] = jnp.full(shape2, 1e9, jnp.float32)
+            rs_ref[:] = jnp.zeros(shape2, jnp.float32)
+
+        def body(t, _):
+            i_sd, i_sq, eps = out_isd[:], out_isq[:], out_eps[:]
+            refs = rv_ref[:]
+
+            eps_w = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            eps_w = jnp.where(eps_w > np.float32(np.pi),
+                              eps_w - np.float32(TWO_PI), eps_w)
+            obs = (jnp.full(shape, omega_n, jnp.float32),
+                   i_sd * (1.0 / i_lim), i_sq * (1.0 / i_lim),
+                   eps_w * (1.0 / eps_lim), refs[:Rb], refs[Rb:])
+
+            # ---- forward: 2-layer tanh MLP (weights as SMEM scalars)
+            hs = []
+            for j in range(H):
+                acc = b1_ref[j]
+                for f in range(F):
+                    acc = acc + w1_ref[f * H + j] * obs[f]
+                hs.append(jnp.tanh(acc))
+            logits = []
+            for a in range(A):
+                logit = b2_ref[a]
+                for j in range(H):
+                    logit = logit + w2_ref[j * A + a] * hs[j]
+                logits.append(logit)
+
+            # ---- action: Gumbel-max (== categorical) or argmax
+            best = None
+            action = jnp.zeros(shape, jnp.int32)
+            for a in range(A):
+                pert = logits[a]
+                if not greedy:
+                    ug = _uniform_from_bits(bits(shape))
+                    pert = pert - jnp.log(-jnp.log(jnp.maximum(ug, 1e-12)))
+                if best is None:
+                    best = pert
+                else:
+                    take = pert > best
+                    best = jnp.where(take, pert, best)
+                    action = jnp.where(take, a, action)
+
+            # ---- categorical score: dlogit_a = onehot(a) - softmax(logits)
+            m = logits[0]
+            for a in range(1, A):
+                m = jnp.maximum(m, logits[a])
+            exps = [jnp.exp(logits[a] - m) for a in range(A)]
+            z = exps[0]
+            for a in range(1, A):
+                z = z + exps[a]
+            inv_z = 1.0 / z
+            dlogit = [(action == a).astype(jnp.float32) - exps[a] * inv_z
+                      for a in range(A)]
+
+            # ---- manual backprop through the MLP -> per-param score g
+            dh = []
+            for j in range(H):
+                acc = w2_ref[j * A] * dlogit[0]
+                for a in range(1, A):
+                    acc = acc + w2_ref[j * A + a] * dlogit[a]
+                dh.append(acc)
+            dpre = [(1.0 - hs[j] * hs[j]) * dh[j] for j in range(H)]
+            g_parts = []
+            for f in range(F):
+                for j in range(H):
+                    g_parts.append(obs[f] * dpre[j])
+            g_parts.extend(dpre)
+            for j in range(H):
+                for a in range(A):
+                    g_parts.append(hs[j] * dlogit[a])
+            g_parts.extend(dlogit)
+            g_stack = jnp.stack(g_parts, axis=0)  # (P, Rb, LANE)
+
+            # ---- eligibility trace update (decay zeroed across resets)
+            geff = gamma * (1.0 - viol_ref[:])
+            e_ref[:] = e_ref[:] * geff[None] + g_stack
+
+            # ---- physics + reward + reset (as make_fused_policy_rollout)
+            i_sd, i_sq, eps = physics(i_sd, i_sq, eps, action)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            isd_n = i_sd * (1.0 / i_lim)
+            isq_n = i_sq * (1.0 / i_lim)
+            violated = (isd_n * isd_n + isq_n * isq_n) > 1.0
+            wse = -(w_over_span * jnp.abs(isd_n - refs[:Rb])
+                    + w_over_span * jnp.abs(isq_n - refs[Rb:]))
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            # ---- gradient accumulation: G += (r - baseline) * e
+            g_acc_ref[:] = g_acc_ref[:] + (reward - baseline)[None] * e_ref[:]
+            viol_ref[:] = violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isd[:] = jnp.where(violated, zero, i_sd)
+            out_isq[:] = jnp.where(violated, zero, i_sq)
+            out_eps[:] = jnp.where(violated, zero, eps)
+
+            if wiener:
+                viol_f = violated.astype(jnp.float32)
+                reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+                u1 = _uniform_from_bits(bits(shape2))
+                u2 = _uniform_from_bits(bits(shape2))
+                draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                    np.float32(TWO_PI) * u2)
+                regen = (rk_ref[:] >= rl_ref[:]) | reset2
+                _draw_params(regen)
+                rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+                value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+                u3 = _uniform_from_bits(bits(shape2))
+                rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+        # flush: lane-block gradient = sum over this block's sublane envs
+        block_grad = jnp.sum(g_acc_ref[:], axis=1)  # (P, LANE)
+
+        @pl.when(pid == 0)
+        def _():
+            out_grad[:] = block_grad
+
+        @pl.when(pid != 0)
+        def _():
+            out_grad[:] = out_grad[:] + block_grad
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((Rb, LANE), lambda i: (i, 0))
+    acc = pl.BlockSpec((P, LANE), lambda i: (0, 0))
+
+    @jax.jit
+    def rollout(seed, baseline, w1, b1, w2, b2, isd0, isq0, eps0,
+                ref_d=None, ref_q=None):
+        z = jnp.zeros((R, LANE), jnp.float32)
+        ref_d = z if ref_d is None else ref_d
+        ref_q = z if ref_q is None else ref_q
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            out_shape=(
+                tuple(jax.ShapeDtypeStruct((R, LANE), jnp.float32)
+                      for _ in range(5))
+                + (jax.ShapeDtypeStruct((P, LANE), jnp.float32),)
+            ),
+            in_specs=[smem] * 6 + [blk] * 5,
+            out_specs=(blk,) * 5 + (acc,),
+            scratch_shapes=[
+                pltpu.VMEM((P, Rb, LANE), jnp.float32),  # eligibility traces
+                pltpu.VMEM((P, Rb, LANE), jnp.float32),  # gradient accumulator
+                pltpu.VMEM(shape, jnp.float32),          # previous-step resets
+                pltpu.VMEM(shape2, jnp.float32),         # Wiener value
+                pltpu.VMEM(shape2, jnp.float32),         # Wiener step counter
+                pltpu.VMEM(shape2, jnp.float32),         # Wiener sub-ep length
+                pltpu.VMEM(shape2, jnp.float32),         # Wiener sigma
+                pltpu.VMEM(shape2, jnp.uint32),          # interpret-mode RNG
+            ],
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32),
+          jnp.asarray([baseline], jnp.float32),
+          jnp.asarray(w1, jnp.float32), jnp.asarray(b1, jnp.float32),
+          jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32),
+          isd0, isq0, eps0, ref_d, ref_q)
+
+    return rollout
+
+
+def unflatten_policy_grads(grad_block, obs_dim=6, n_actions=8, hidden=16):
+    """(n_params, 128) kernel gradient block -> params-dict pytree (the
+    inverse of ``flatten_policy_params``'s packing, lane dimension summed)."""
+    g = jnp.sum(grad_block, axis=-1)
+    f, h, a = obs_dim, hidden, n_actions
+    p1, p2, p3 = f * h, h, h * a
+    return {
+        "w1": g[:p1].reshape(f, h),
+        "b1": g[p1:p1 + p2],
+        "w2": g[p1 + p2:p1 + p2 + p3].reshape(h, a),
+        "b2": g[p1 + p2 + p3:],
+    }
+
+
+def make_fused_reinforce_trainer(env, n_steps, n_envs, hidden=16, gamma=0.99,
+                                 lr=0.05, baseline_decay=0.9, block_rows=8,
+                                 interpret=False):
+    """Whole-training-run REINFORCE with the rollout AND backward pass fused
+    in-kernel: ``train(seed, params, n_iters)`` scans SGD iterations inside
+    ONE jitted program, each iteration being one ``make_fused_reinforce_rollout``
+    launch (T env steps + in-kernel policy gradient) followed by an ascent
+    update and a moving-average reward baseline.
+
+    Env state persists across iterations (continuing envs, as the XLA
+    trainer ``parallel/sharded.py::make_reinforce_trainer``).  Returns
+    ``(params', mean_reward_per_iter)``.
+    """
+    roll = make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=hidden,
+                                        gamma=gamma, block_rows=block_rows,
+                                        interpret=interpret)
+    R = n_envs // LANE
+    denom = 1.0 / float(n_envs * n_steps)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def train(seed, params, n_iters):
+        z = jnp.zeros((R, LANE), jnp.float32)
+
+        def body(carry, i):
+            params, isd, isq, eps, baseline = carry
+            w1 = params["w1"].reshape(-1)
+            b1 = params["b1"]
+            w2 = params["w2"].reshape(-1)
+            b2 = params["b2"]
+            out = roll(seed + i, baseline, w1, b1, w2, b2, isd, isq, eps)
+            isd, isq, eps, reward_sum, _terms, grad_block = out
+            mean_r = jnp.sum(reward_sum) * denom
+            grads = unflatten_policy_grads(grad_block, 6, 8, hidden)
+            params = jax.tree.map(
+                lambda p_, g: p_ + lr * g * denom, params, grads)
+            baseline = baseline_decay * baseline + (1.0 - baseline_decay) * mean_r
+            return (params, isd, isq, eps, baseline), mean_r
+
+        init = (params, z, z, z, jnp.float32(0.0))
+        (params, _isd, _isq, _eps, _b), rs = jax.lax.scan(
+            body, init, jnp.arange(n_iters, dtype=jnp.int32))
+        return params, rs
+
+    return train
+
+
 def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
                                interpret=False):
     """Fused kernel x device mesh: the env batch is laid out ``P('env')``

@@ -524,3 +524,108 @@ def test_sharded_fused_rollout_over_mesh():
     # same distribution across the mesh as on one device
     assert abs(mesh_mean - single_mean) < 0.05, (mesh_mean, single_mean)
     assert np.all(np.isfinite(np.asarray(isd)))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel REINFORCE training (backward pass inside the fused rollout)
+# ---------------------------------------------------------------------------
+
+
+def _reinforce_setup():
+    from gym_electric_motor_tpu.parallel.sharded import init_policy_params
+    from gym_electric_motor_tpu.ops.pallas_rollout import flatten_policy_params
+
+    SF = ("omega", "i_sd", "i_sq", "epsilon")
+    env = gemx.make_functional(
+        "Finite-CC-PMSM-v0", state_filter=SF,
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", -0.1), rg.ConstReference("i_sq", 0.2)]))
+    params = init_policy_params(jax.random.PRNGKey(5), 6, 8, hidden=16)
+    return env, params, flatten_policy_params(params)
+
+
+def _greedy_trajectory(env, params, T, N):
+    """Collect (obs, action, reward) from the XLA env under argmax actions —
+    the deterministic trajectory both gradient oracles are evaluated on."""
+    from gym_electric_motor_tpu.parallel.sharded import policy_logits
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step_autoreset))
+    OBS, ACT, REW = [], [], []
+    for _ in range(T):
+        o = jnp.concatenate([obs[0], obs[1]], axis=-1)
+        a = jnp.argmax(policy_logits(params, o), axis=-1)
+        state, obs, r, _t = step(state, a)
+        OBS.append(o), ACT.append(a), REW.append(r)
+    return jnp.stack(OBS), jnp.stack(ACT), jnp.stack(REW)
+
+
+@pytest.mark.parametrize("gamma", [0.0, 0.97])
+def test_fused_reinforce_gradient_matches_autodiff_oracle(gamma):
+    """The in-kernel eligibility-trace policy gradient must equal jax.grad of
+    the REINFORCE surrogate on the same deterministic (greedy + const-ref)
+    trajectory: per-step estimator at gamma=0 (exactly the XLA trainer's
+    ``_build_reinforce_step`` estimator), discounted return-to-go weights at
+    gamma>0."""
+    from gym_electric_motor_tpu.parallel.sharded import policy_logits
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_reinforce_rollout, unflatten_policy_grads)
+
+    env, params, (w1, b1, w2, b2) = _reinforce_setup()
+    T, N, BASE = 150, 128, -0.07
+
+    roll = make_fused_reinforce_rollout(env, T, N, hidden=16, gamma=gamma,
+                                        sample="greedy", ref_mode="const",
+                                        block_rows=1, interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    rd = jnp.full((1, 128), -0.1, jnp.float32)
+    rq = jnp.full((1, 128), 0.2, jnp.float32)
+    out = roll(0, BASE, w1, b1, w2, b2, z, z, z, rd, rq)
+    g_kernel = unflatten_policy_grads(out[5], 6, 8, 16)
+
+    OBS, ACT, REW = _greedy_trajectory(env, params, T, N)
+    assert not bool((REW < -5).any()), "config must stay violation-free"
+
+    # discounted return-to-go weights; gamma=0 degenerates to (r_t - b)
+    adv = np.asarray(REW, np.float64) - BASE
+    w = np.zeros((T, N))
+    acc = np.zeros(N)
+    for t in range(T - 1, -1, -1):
+        acc = adv[t] + gamma * acc
+        w[t] = acc
+    w = jnp.asarray(w, jnp.float32)
+
+    def surrogate(params):
+        logits = policy_logits(params, OBS.reshape(T * N, 6))
+        logp = jax.nn.log_softmax(logits)[jnp.arange(T * N), ACT.reshape(-1)]
+        return jnp.sum(w.reshape(-1) * logp)
+
+    g_oracle = jax.grad(surrogate)(params)
+    for k in ("w1", "b1", "w2", "b2"):
+        a, b = np.asarray(g_kernel[k]), np.asarray(g_oracle[k])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+        assert rel < 1e-4, (k, rel)
+
+
+def test_fused_reinforce_trainer_runs_and_updates():
+    """Whole-run in-kernel trainer: params move in the ascent direction,
+    rewards are recorded per iteration, everything stays finite."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_reinforce_trainer)
+
+    env, params, _flat = _reinforce_setup()
+    env = gemx.make_functional(
+        "Finite-CC-PMSM-v0",
+        state_filter=("omega", "i_sd", "i_sq", "epsilon"))
+    train = make_fused_reinforce_trainer(env, 100, 256, hidden=16,
+                                         gamma=0.95, lr=40.0, block_rows=1,
+                                         interpret=True)
+    p2, rs = train(0, params, 3)
+    rs = np.asarray(rs)
+    assert rs.shape == (3,) and np.all(np.isfinite(rs))
+    # random-policy reward regime for this env (mean WSE in [-0.5, 0])
+    assert -0.5 < rs.mean() < 0.0, rs
+    for k in params:
+        assert np.all(np.isfinite(np.asarray(p2[k])))
+        assert not np.allclose(np.asarray(p2[k]), np.asarray(params[k]))
