@@ -18,6 +18,7 @@ _CURRENT_SIGNALS = {
     "ShuntDc": "$i^*_a$", "ExtExDc": "($i^*_a$, $i^*_e$)",
     "PMSM": "($i^*_{sd}$, $i^*_{sq}$)", "SynRM": "($i^*_{sd}$, $i^*_{sq}$)",
     "SCIM": "($i^*_{sd}$, $i^*_{sq}$)",
+    "DFIM": "($i^*_{sd}$, $i^*_{sq}$)",
     "EESM": "($i^*_{sd}$, $i^*_{sq}$, $i^*_e$)",
 }
 _VOLTAGE_SIGNALS = {
@@ -25,16 +26,19 @@ _VOLTAGE_SIGNALS = {
     "ExtExDc": "($u_a$, $u_e$)",
     "PMSM": "($u_d$, $u_q$)", "SynRM": "($u_d$, $u_q$)",
     "SCIM": "($u_d$, $u_q$)", "EESM": "($u_d$, $u_q$, $u_e$)",
+    "DFIM": "($u_d$, $u_q$)",
 }
 _ABC_SIGNALS = {
     "PMSM": "($u_a$, $u_b$, $u_c$)", "SynRM": "($u_a$, $u_b$, $u_c$)",
     "SCIM": "($u_a$, $u_b$, $u_c$)", "EESM": "($u_a$, $u_b$, $u_c$, $u_e$)",
+    "DFIM": "($u_{sa}$, $u_{sb}$, $u_{sc}$)",
 }
 _FEEDBACK = {
     "PermExDc": "$i$", "SeriesDc": "$i$", "ShuntDc": "$i_a$",
     "ExtExDc": "($i_a$, $i_e$)",
     "PMSM": "($i_{sd}$, $i_{sq}$)", "SynRM": "($i_{sd}$, $i_{sq}$)",
     "SCIM": "($i_{sd}$, $i_{sq}$)", "EESM": "($i_{sd}$, $i_{sq}$, $i_e$)",
+    "DFIM": "($i_{sd}$, $i_{sq}$)",
 }
 
 _OPS_LABELS = {

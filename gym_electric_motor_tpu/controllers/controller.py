@@ -101,6 +101,12 @@ class GemController:
     cc_clip_limits: object = None  # absolute: (lo, hi); squared: limits; combined: dict
     # abc transformation
     transform: bool = False
+    # The reference quirk transforms the UNCLIPPED voltage
+    # (pi_current_controller.py:160-167).  For the DFIM extension the clipped
+    # voltage is used instead: its per-unit voltage ceiling is low enough
+    # that overmodulated commands get per-phase-clipped into badly aimed
+    # vectors, which locks the loop in a limit cycle.
+    transform_clipped: bool = False
     advance_factor: float = 0.5
     n_output_voltages: int = 1
     # TC stage
@@ -114,6 +120,7 @@ class GemController:
     sc_clip_range: tuple = None
     # output stage
     output_kind: str = "cont"  # 'cont' | 'disc' | 'multidisc' | 'b6'
+    action_pad: int = 0  # trailing zero channels (DFIM rotor converter)
     output_limits: np.ndarray = None
     disc_levels: tuple = None  # (low_level, high_level) arrays
     disc_actions: tuple = None  # (low, idle, high) per component
@@ -137,11 +144,10 @@ class GemController:
         if env_id is None:
             env_id = _detect_env_id(env)
         action_type, control_task, motor_type = readers.split_env_id(env_id)
-        if motor_type == "DFIM":
-            raise NotImplementedError(
-                "The reference gem_controllers has no DFIM support "
-                "(parameter_reader.voltages lacks 'DFIM'); neither does this port."
-            )
+        # DFIM is an extension beyond the reference (upstream KeyError at
+        # parameter_reader.voltages["DFIM"]): the cascade drives the stator
+        # like a SCIM while the rotor converter is held at zero differential
+        # voltage (see readers.py docstring).
         state_names, limits, low, high = _state_arrays(env)
         mtr = motor_type
         tau = env.physical_system.tau
@@ -163,6 +169,15 @@ class GemController:
             cc_i = np.zeros_like(cc_i)
         cc_d = cc_p * tau if cc_mode == "pid" else None
         v_lims = limits[voltage_idx]
+        if mtr == "DFIM":
+            # DFIM extension: the u_sd/u_sq STATE limit (360 V) is far above
+            # what the stator B6 bridge can actually apply (u_sup/2 = 210 V
+            # per phase in linear modulation).  The upstream convention of
+            # scaling by state limits would leave the cascade permanently
+            # 1.7x overmodulated and blind to the real voltage ceiling, so
+            # the DFIM cascade budgets against the true converter gain.
+            u_phase = float(limits[state_names.index("u_sup")]) / 2.0
+            v_lims = np.full_like(v_lims, u_phase)
         cc_range = (low[voltage_idx] * v_lims, high[voltage_idx] * v_lims)
         # three-point hysteresis: 1% of the voltage range
         # (three_point_controller.py _tune_current_controller)
@@ -248,7 +263,8 @@ class GemController:
             decoupling=decoupling, emf_current_idx=emf_idx, l_emf=l_emf,
             psi_emf=psi_emf, pole_pairs=p, emf_kind=emf_kind, emf_params=emf_params,
             cc_clip_kind=cc_clip_kind, cc_clip_limits=cc_clip_limits,
-            transform=transform, advance_factor=0.5, n_output_voltages=n_out,
+            transform=transform, transform_clipped=(mtr == "DFIM"),
+            advance_factor=0.5, n_output_voltages=n_out,
             current_names=tuple(currents),
         )
 
@@ -324,7 +340,11 @@ class GemController:
 
             self.ops_kind = "pmsm"
             self.ops_params = tune_pmsm_ops(env, self.env_id, margin)
-        elif mtr == "SCIM":
+        elif mtr in ("SCIM", "DFIM"):
+            # DFIM runs rotor-shorted, i.e. as an induction machine in the
+            # stator flux frame, so the SCIM psi-opt LUT + flux-controller
+            # OPS applies with the DFIM parameter set (extension — no
+            # upstream DFIM OPS exists)
             from .induction_eesm_ops import tune_scim_ops
 
             self.ops_kind = "scim"
@@ -351,8 +371,18 @@ class GemController:
     def _tune_output_stage(self, env, state_names, limits, low, high, out_volt_names):
         out_idx = np.array([state_names.index(v) for v in out_volt_names])
         self.output_limits = limits[out_idx]
+        if self.motor_type == "DFIM":
+            # true converter gain, not the state limit (see make())
+            u_phase = float(limits[state_names.index("u_sup")]) / 2.0
+            self.output_limits = np.full_like(self.output_limits, u_phase)
+        n_out = len(out_idx)
+        space = env.physical_system.action_space
         if self.action_type == "Cont":
             self.output_kind = "cont"
+            # dual-fed machines (DFIM): the cascade produces only the stator
+            # voltages; trailing action channels (the rotor converter) are
+            # held at 0 — zero differential rotor voltage = shorted rotor
+            self.action_pad = len(space[1]) - n_out
             return
         # Finite (disc_output_stage.py:118-160)
         v_range_low = low[out_idx] * self.output_limits
@@ -360,7 +390,6 @@ class GemController:
         low_level = -0.33 * (v_range_high - v_range_low)
         high_level = 0.33 * (v_range_high - v_range_low)
         self.disc_levels = (low_level, high_level)
-        space = env.physical_system.action_space
         kind = space[0]
         if kind == "discrete":
             n = space[1]
@@ -373,11 +402,20 @@ class GemController:
         elif kind == "multidiscrete":
             self.output_kind = "multidisc"
             acts = []
+            pos = 0
             for n in space[1]:
-                if n == 8:
+                if pos >= n_out:
+                    # sub-converter beyond the controlled voltages (DFIM
+                    # rotor bridge): constant action 0 — for the B6 table
+                    # that is all-lower switches, i.e. zero line-to-line
+                    # voltage (a hard rotor short)
+                    acts.append("zero")
+                elif n == 8:
                     acts.append("b6")
+                    pos += 3
                 else:
                     acts.append(((0 if n == 2 else 2), 0, 1))
+                    pos += 1
             self.disc_actions = tuple(acts)
         else:
             raise ValueError(f"Unsupported finite action space {space}")
@@ -480,13 +518,22 @@ class GemController:
                 cs["cc_last_error"] = err
         if self.decoupling:
             u = self._emf_feedforward(state, u)
-        _u_clipped, u_diff = self._clip(self.cc_clip_kind, self.cc_clip_limits, u)
+        u_clipped, u_diff = self._clip(self.cc_clip_kind, self.cc_clip_limits, u)
         # anti-windup BEFORE output: integrate only non-clipped channels
         # (anti_windup.py:49-59)
         cs["cc_integrator"] = cs["cc_integrator"] + self.tau * err * (u_diff == 0.0)
 
+        if self.transform_clipped:
+            # direction-preserving magnitude clip (NOT the reference's
+            # squared stage, which divides by the squared relative norm and
+            # collapses overmodulated vectors far below the ceiling)
+            u_cap = float(np.min(np.asarray(self.cc_clip_limits)))
+            norm = jnp.sqrt(jnp.sum(u[:2] ** 2))
+            scale = jnp.minimum(1.0, u_cap / jnp.maximum(norm, 1e-9))
+            u = u * scale
         # ---- abc transformation on the *unclipped* voltage
-        # (pi_current_controller.py:160-167 — reference quirk kept)
+        # (pi_current_controller.py:160-167 — reference quirk kept; DFIM
+        # uses the clipped voltage, see transform_clipped)
         if self.transform:
             adv = state[self.angle_idx] + self.advance_factor * self.tau * state[self.omega_idx]
             abc = dq_to_abc(u[:2], adv)
@@ -580,7 +627,10 @@ class GemController:
     def _output(self, u_out):
         lims = jnp.asarray(self.output_limits, u_out.dtype)
         if self.output_kind == "cont":
-            return u_out / lims  # cont_output_stage.py:23-24
+            a = u_out / lims  # cont_output_stage.py:23-24
+            if self.action_pad:
+                a = jnp.concatenate([a, jnp.zeros((self.action_pad,), a.dtype)])
+            return a
         low_level, high_level = self.disc_levels
         if self.output_kind == "b6":
             return self._b6_action(u_out[:3], jnp.asarray(0.5 * (low_level + high_level))[:3])
@@ -596,7 +646,9 @@ class GemController:
         actions = []
         pos = 0
         for acts in self.disc_actions:
-            if acts == "b6":
+            if acts == "zero":
+                actions.append(jnp.zeros((), jnp.int32))
+            elif acts == "b6":
                 seg = u_out[pos: pos + 3]
                 mid = 0.5 * (jnp.asarray(low_level)[pos: pos + 3]
                              + jnp.asarray(high_level)[pos: pos + 3])

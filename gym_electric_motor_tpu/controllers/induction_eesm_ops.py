@@ -45,6 +45,14 @@ def tune_scim_ops(env, env_id, current_safety_margin=0.2,
     i_sd_limit = limits[i_sd_idx] * (1 - current_safety_margin)
     i_sq_limit = limits[i_sq_idx] * (1 - current_safety_margin)
 
+    # DFIM extension: budget voltage against the true converter ceiling
+    # (u_sup/2 per phase), not the u_sd state limit — see GemController.make.
+    is_dfim = env.physical_system.motor.kind == "DFIM"
+    if is_dfim:
+        u_ceiling = float(limits[names.index("u_sup")]) / 2.0
+    else:
+        u_ceiling = float(nominal[u_sd_idx])
+
     t_count, psi_count, i_sd_count = 1001, 1000, 500
     t_min, t_max = -limits[torque_idx], limits[torque_idx]
 
@@ -61,6 +69,14 @@ def tune_scim_ops(env, env_id, current_safety_margin=0.2,
             i_sd_opt = i_sq_opt = 0.0
         psi_opt_rows.append([t, l_m * i_sd_opt, i_sd_opt, i_sq_opt])
     psi_opt_t = np.array(psi_opt_rows).T  # (4, t_count)
+    # Cap the flux target so the flux controller can never consume the whole
+    # current budget (at saturated torque the loss-minimal sweep returns
+    # i_sd = i_limit, which forces i_sq -> 0 through the combined current
+    # limit and deadlocks torque production at zero — the reference never
+    # reaches this code for TC/SC because its AC tune crashes upstream).
+    # The cap is the torque-optimal split: at the current limit, T ~ i_sd*i_sq
+    # is maximized at i_sd = i_sq = I/sqrt(2).
+    psi_opt_t[1] = np.minimum(psi_opt_t[1], l_m * i_sd_limit / np.sqrt(2.0))
     psi_max = float(np.max(psi_opt_t[1]))
 
     # ---- t_max(psi) (scim_ops.py:74-100)
@@ -68,7 +84,7 @@ def tune_scim_ops(env, env_id, current_safety_margin=0.2,
     i_sd_v = psi_lin / l_m
     with np.errstate(invalid="ignore"):
         i_sq_v = np.sqrt(
-            nominal[u_sd_idx] ** 2 / (nominal[omega_idx] ** 2 * l_s**2) - i_sd_v**2
+            u_ceiling ** 2 / (nominal[omega_idx] ** 2 * l_s**2) - i_sd_v**2
         )
     i_sq_v = np.nan_to_num(i_sq_v)
     t_v = 1.5 * p * l_m / l_r * psi_lin * i_sq_v
@@ -80,9 +96,35 @@ def tune_scim_ops(env, env_id, current_safety_margin=0.2,
     t_n = l_s / r_s
     fc_p = 4 * t_n**2
     fc_i = fc_p / tau
+    fc_ff = 0.0
+    fc_int_clamp = None
+    if is_dfim:
+        # DFIM extension: the reference gains (fc_p ~ 4*t_n^2 ~ 0.02 A/Wb)
+        # are integrator-dominant; after a flux overshoot the integrator
+        # winds deep negative and the field drains for ~1000 steps while it
+        # recovers, blowing i_sq through the constraint.  Use the flux-plant
+        # model instead: dpsi_r/dt = (l_m*i_sd - psi_r)/T_r, so feedforward
+        # psi*/l_m holds the operating point, P closes the loop in ~15 ms,
+        # and a clamped integrator (+-20% of the current budget) trims
+        # steady-state error without windup.
+        t_r = l_r / r_r
+        fc_ff = 1.0 / l_m
+        fc_p = t_r / (l_m * 15e-3)
+        fc_i = fc_p / 50e-3
+        fc_int_clamp = 0.2 * i_sd_limit / fc_i
 
     # ---- modulation controller constants (scim_ops.py:131-141)
     alpha = modulation_damping / (modulation_damping - np.sqrt(modulation_damping**2 - 1))
+    i_gain = 1 / (l_s / (1.25 * r_s)) * (alpha - 1) / alpha**2
+    # DFIM extension: bounded modulation integrator (see _modulation_control).
+    # integ_floor is chosen so psi >= psi_rel_floor * psi_max_ at any speed:
+    # psi_delta = i_gain*u_dc/(2*omega*p) * integ and psi_max_ =
+    # u_dc/(sqrt(3)*omega*p) share the 1/omega factor, so the bound is
+    # speed-independent: integ >= -(1 - floor) * 2/(sqrt(3)*i_gain).
+    psi_rel_floor = 0.05
+    integ_floor = (
+        -(1.0 - psi_rel_floor) * 2.0 / (np.sqrt(3.0) * i_gain) if is_dfim else None
+    )
     return dict(
         kind="scim", p=p, l_m=l_m, l_r=l_r, l_s=l_s, tau=tau,
         i_sd_idx=i_sd_idx, i_sq_idx=i_sq_idx, u_sd_idx=u_sd_idx, u_sq_idx=u_sq_idx,
@@ -90,12 +132,14 @@ def tune_scim_ops(env, env_id, current_safety_margin=0.2,
         i_sd_limit=i_sd_limit, i_sq_limit=i_sq_limit,
         t_min=float(t_min), t_max=float(t_max), t_count=t_count, psi_count=psi_count,
         psi_opt_t=psi_opt_t, t_max_psi=t_max_psi, psi_max=psi_max,
-        fc_p=fc_p, fc_i=fc_i,
+        fc_p=fc_p, fc_i=fc_i, fc_ff=fc_ff, fc_int_clamp=fc_int_clamp,
         a_max=max_modulation_level, k_=0.8,
-        i_gain=1 / (l_s / (1.25 * r_s)) * (alpha - 1) / alpha**2,
+        i_gain=i_gain,
+        integ_floor=integ_floor, psi_rel_floor=psi_rel_floor,
+        runtime_tmax=is_dfim,
         psi_high=0.1 * psi_max, psi_low=-psi_max,
         integrated_reset=0.5 * (-psi_max),
-        u_dc=float(np.sqrt(3) * limits[u_a_idx]),
+        u_dc=float(np.sqrt(3) * (u_ceiling if is_dfim else limits[u_a_idx])),
         psi_limit=float(limits[psi_abs_idx]),
     )
 
@@ -128,20 +172,52 @@ def scim_select_operating_point(ctrl, cs, state, torque_ref):
     psi_opt = jnp.minimum(psi_opt, psi_mod)
 
     # torque ceiling for the flux
-    psi_idx = jnp.clip(
-        jnp.round(jnp.clip(psi_opt, 0.0, pp["psi_max"]) / pp["psi_max"]
-                  * (pp["psi_count"] - 1)).astype(jnp.int32),
-        0, pp["psi_count"] - 1,
-    )
-    t_max = jnp.asarray(pp["t_max_psi"])[0, pp["psi_count"] - psi_idx]
+    if pp.get("runtime_tmax"):
+        # DFIM extension: the reference's t_max(psi) table is evaluated at
+        # NOMINAL speed, which reports zero feasible torque at start-up for
+        # any useful flux and strangles acceleration.  Bound against the
+        # physical voltage feasibility at the ACTUAL speed instead: the
+        # stator-flux magnitude is limited to ~u/omega_el; its d-component is
+        # k_psi*psi_r (k_psi = l_sig/l_m + l_m/l_r) and the q-component
+        # l_sig*i_sq produces torque.  The flux target keeps to the 45-degree
+        # split (psi_sd <= psi_s_cap/sqrt(2)), which maximizes the
+        # psi_sd*psi_sq product — i.e. torque — when the speed cap binds.
+        omega_el = jnp.maximum(jnp.abs(state[pp["omega_idx"]]) * pp["p"], 1e-3)
+        l_sig = pp["l_s"] - pp["l_m"] ** 2 / pp["l_r"]
+        k_psi = l_sig / pp["l_m"] + pp["l_m"] / pp["l_r"]
+        psi_s_cap = pp["k_"] * pp["u_dc"] / (jnp.sqrt(3.0) * omega_el)
+        # magnetization floor: the loss-minimal LUT returns psi ~ 0 at light
+        # load, leaving the machine demagnetized — then any torque transient
+        # demands i_sq ~ t/psi -> constraint violations.  Keep a minimum
+        # field (yielding to the voltage cap at extreme speed).
+        psi_opt = jnp.maximum(psi_opt, 0.15 * pp["psi_max"])
+        psi_opt = jnp.minimum(psi_opt, psi_s_cap / (jnp.sqrt(2.0) * k_psi))
+        psi_sd = k_psi * psi_opt
+        i_sq_cap = jnp.sqrt(jnp.maximum(psi_s_cap**2 - psi_sd**2, 0.0)) / l_sig
+        t_max = 1.5 * pp["p"] * pp["l_m"] / pp["l_r"] * psi_opt * i_sq_cap
+    else:
+        psi_idx = jnp.clip(
+            jnp.round(jnp.clip(psi_opt, 0.0, pp["psi_max"]) / pp["psi_max"]
+                      * (pp["psi_count"] - 1)).astype(jnp.int32),
+            0, pp["psi_count"] - 1,
+        )
+        t_max = jnp.asarray(pp["t_max_psi"])[0, pp["psi_count"] - psi_idx]
     t = jnp.clip(t, -jnp.abs(t_max), jnp.abs(t_max))
 
-    # PI flux controller -> i_sd (scim_ops.py:160-167)
+    # PI flux controller -> i_sd (scim_ops.py:160-167; DFIM: FF+P+clamped-I,
+    # see tune_scim_ops)
     err = psi_opt - psi
-    i_sd_raw = pp["fc_p"] * err + pp["fc_i"] * cs["fc_integrator"]
+    i_sd_raw = (pp["fc_ff"] * psi_opt + pp["fc_p"] * err
+                + pp["fc_i"] * cs["fc_integrator"])
     i_sd = jnp.clip(i_sd_raw, -pp["i_sd_limit"], pp["i_sd_limit"])
-    not_clipped = (i_sd_raw == i_sd)
-    cs["fc_integrator"] = cs["fc_integrator"] + pp["tau"] * err * not_clipped
+    if pp.get("fc_int_clamp") is not None:
+        cs["fc_integrator"] = jnp.clip(
+            cs["fc_integrator"] + pp["tau"] * err,
+            -pp["fc_int_clamp"], pp["fc_int_clamp"],
+        )
+    else:
+        not_clipped = (i_sd_raw == i_sd)
+        cs["fc_integrator"] = cs["fc_integrator"] + pp["tau"] * err * not_clipped
 
     # i_sq from torque and current flux (scim_ops.py:169-175)
     i_sq = jnp.clip(

@@ -364,6 +364,19 @@ def _modulation_control(pp, cs, state):
     new_limited = ~in_range
     psi_delta = jnp.clip(psi_delta, pp["psi_low"], pp["psi_high"])
     psi = psi_max_ + psi_delta
+    if pp.get("integ_floor") is not None:
+        # Bounded-integrator variant (extension, used for the DFIM cascade
+        # which has no upstream counterpart).  The reference's freeze-when-
+        # out-of-range anti-windup can latch permanently: after a reset to
+        # -0.5*psi_max, psi_delta can sit below psi_low at low speed, the
+        # in_range test then never re-latches and the flux command deadlocks
+        # near (or below) zero.  A hard clamp on the integrator achieves the
+        # same anti-windup without a latch, and because psi_delta and
+        # psi_max_ share the 1/omega factor, the floor guarantees
+        # psi >= psi_rel_floor*psi_max_ at EVERY speed.
+        new_integrated = jnp.clip(integrated + a_delta * pp["tau"],
+                                  pp["integ_floor"], 0.0)
+        psi = jnp.maximum(psi, pp["psi_rel_floor"] * psi_max_)
     new_cs = {"mod_integrated": new_integrated, "mod_limited": new_limited}
     return psi, new_cs
 

@@ -6,6 +6,14 @@ state-name groups from a built environment.  ``env`` here is a
 :class:`gym_electric_motor_tpu.core.ElectricMotorEnvironment` whose
 ``physical_system.motor.parameter`` dict plays the role of the reference's
 ``electrical_motor.motor_parameter``.
+
+Extension beyond the reference: the DFIM rows.  Upstream lists "DFIM" in the
+``induction_motors`` group (parameter_reader.py:7) but omits it from every
+reader dict, so ``GemController.make`` crashes with a KeyError for DFIM envs.
+Here the DFIM is controlled as a rotor-shorted induction machine (the rotor
+converter is held at zero differential voltage, under which the DFIM physics
+reduces exactly to the squirrel-cage machine), so every DFIM row mirrors the
+SCIM row — the two motors share the InductionMotor parameter set.
 """
 
 import numpy as np
@@ -29,6 +37,7 @@ psi_reader = {
     "PMSM": lambda env: np.array([0.0, _mp(env)["psi_p"]]),
     "SynRM": lambda env: np.array([0.0, 0.0]),
     "SCIM": lambda env: np.array([0.0, 0.0]),
+    "DFIM": lambda env: np.array([0.0, 0.0]),
     "EESM": lambda env: np.array([0.0, 0.0, 0.0]),
 }
 
@@ -41,6 +50,7 @@ p_reader = {
     "PMSM": lambda env: _mp(env)["p"],
     "SynRM": lambda env: _mp(env)["p"],
     "SCIM": lambda env: _mp(env)["p"],
+    "DFIM": lambda env: _mp(env)["p"],
     "EESM": lambda env: _mp(env)["p"],
 }
 
@@ -53,6 +63,9 @@ l_reader = {
     "PMSM": lambda env: np.array([_mp(env)["l_d"], _mp(env)["l_q"]]),
     "SynRM": lambda env: np.array([_mp(env)["l_d"], _mp(env)["l_q"]]),
     "SCIM": lambda env: np.array(
+        [(_mp(env)["l_sigr"] + _mp(env)["l_m"]) / _mp(env)["r_r"]] * 2
+    ),
+    "DFIM": lambda env: np.array(
         [(_mp(env)["l_sigr"] + _mp(env)["l_m"]) / _mp(env)["r_r"]] * 2
     ),
     "EESM": lambda env: np.array([_mp(env)["l_d"], _mp(env)["l_q"], _mp(env)["l_e"]]),
@@ -76,6 +89,7 @@ l_emf_reader = {
     "PMSM": lambda env: np.array([-_mp(env)["l_q"], _mp(env)["l_d"]]),
     "SynRM": lambda env: np.array([-_mp(env)["l_q"], _mp(env)["l_d"]]),
     "SCIM": _scim_l_emf,
+    "DFIM": _scim_l_emf,
     "EESM": lambda env: np.array(
         [-_mp(env)["l_q"], _mp(env)["l_d"],
          _mp(env)["l_m"] * _mp(env)["l_q"] / _mp(env)["l_d"]]
@@ -101,6 +115,9 @@ tau_current_loop_reader = {
     "SCIM": lambda env: np.array(
         [_mp(env)["l_sigs"] / _mp(env)["r_s"], _mp(env)["l_sigr"] / _mp(env)["r_r"]]
     ),
+    "DFIM": lambda env: np.array(
+        [_mp(env)["l_sigs"] / _mp(env)["r_s"], _mp(env)["l_sigr"] / _mp(env)["r_r"]]
+    ),
     "EESM": lambda env: np.array(
         [_mp(env)["l_q"] / _mp(env)["r_s"], _mp(env)["l_d"] / _mp(env)["r_s"],
          _mp(env)["l_e"] / _mp(env)["r_e"]]
@@ -116,6 +133,7 @@ r_reader = {
     "PMSM": lambda env: np.array([_mp(env)["r_s"]] * 2),
     "SynRM": lambda env: np.array([_mp(env)["r_s"]] * 2),
     "SCIM": lambda env: np.array([_mp(env)["r_s"], _mp(env)["r_r"]]),
+    "DFIM": lambda env: np.array([_mp(env)["r_s"], _mp(env)["r_r"]]),
     "EESM": lambda env: np.array([_mp(env)["r_s"], _mp(env)["r_s"], _mp(env)["r_e"]]),
 }
 
@@ -128,6 +146,7 @@ currents = {
     "PMSM": ["i_sd", "i_sq"],
     "SynRM": ["i_sd", "i_sq"],
     "SCIM": ["i_sd", "i_sq"],
+    "DFIM": ["i_sd", "i_sq"],
     "EESM": ["i_sd", "i_sq", "i_e"],
 }
 
@@ -140,6 +159,7 @@ emf_currents = {
     "PMSM": ["i_sq", "i_sd"],
     "SynRM": ["i_sq", "i_sd"],
     "SCIM": ["i_sq", "i_sd"],
+    "DFIM": ["i_sq", "i_sd"],
     "EESM": ["i_sq", "i_sd", "i_sq"],
 }
 
@@ -152,6 +172,7 @@ voltages = {
     "PMSM": ["u_sd", "u_sq"],
     "SynRM": ["u_sd", "u_sq"],
     "SCIM": ["u_sd", "u_sq"],
+    "DFIM": ["u_sd", "u_sq"],
     "EESM": ["u_sd", "u_sq", "u_e"],
 }
 
@@ -164,6 +185,7 @@ l_prime_reader = {
     "PMSM": lambda env: np.array([0.0, 0.0]),
     "SynRM": lambda env: np.array([-_mp(env)["l_q"], _mp(env)["l_d"]]),
     "SCIM": lambda env: np.array([0.0, 0.0]),
+    "DFIM": lambda env: np.array([0.0, 0.0]),
     "EESM": lambda env: np.array([0.0, 0.0, 0.0]),
 }
 

@@ -55,9 +55,12 @@ def test_pmsm_ops_tables_built():
     assert mags[0] > mags[125]  # extreme torque needs more current than zero
 
 
-def test_dfim_unsupported():
+def test_dfim_requires_flux_observer():
+    """DFIM control (an extension — the reference crashes with a KeyError at
+    parameter_reader.voltages['DFIM']) is field-oriented and rejects envs
+    without the FluxObserver wrapper, like SCIM."""
     env = gemx.make_functional("Cont-CC-DFIM-v0")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="FluxObserver"):
         GemController.make(env, "Cont-CC-DFIM-v0")
 
 
@@ -153,6 +156,65 @@ def test_scim_torque_control():
     # the flux-observer-fed flux controller converges slowly; accept coarse
     # tracking and the right sign/magnitude
     assert 0.25 < final < 0.5, final
+
+
+# ---------------- DFIM (extension: no upstream controller exists) ----------
+# The rotor converter is held at zero differential voltage (a hard rotor
+# short), under which the DFIM physics reduces exactly to the squirrel-cage
+# machine, and the stator runs the SCIM field-oriented cascade with
+# DFIM-specific robustness fixes (true converter-ceiling voltage budget,
+# bounded modulation integrator, speed-aware torque ceiling, magnetization
+# floor, model-based flux controller) — see controllers/readers.py and
+# induction_eesm_ops.py.
+
+
+def test_dfim_current_control():
+    env = _scim_env("Cont-CC-DFIM-v0", rg.ReferenceSpec([
+        rg.ConstReference("i_sd", reference_value=0.3),
+        rg.ConstReference("i_sq", reference_value=0.2),
+    ]))
+    ctrl = GemController.make(env, "Cont-CC-DFIM-v0")
+    out = ctrl.control_environment(env, 4000, key=jax.random.PRNGKey(0))
+    S = np.asarray(out["states"])
+    sd, sq = env.state_names.index("i_sd"), env.state_names.index("i_sq")
+    np.testing.assert_allclose(S[-100:, sd].mean(), 0.3, atol=0.02)
+    np.testing.assert_allclose(S[-100:, sq].mean(), 0.2, atol=0.02)
+    assert not np.asarray(out["terminations"]).any()
+
+
+def test_dfim_finite_current_control():
+    """Finite variant: stator B6 bridge switched by the cascade, rotor B6
+    held at subaction (all-lower) = zero line-to-line voltage."""
+    env = _scim_env("Finite-CC-DFIM-v0", rg.ReferenceSpec([
+        rg.ConstReference("i_sd", reference_value=0.3),
+        rg.ConstReference("i_sq", reference_value=0.2),
+    ]))
+    ctrl = GemController.make(env, "Finite-CC-DFIM-v0")
+    out = ctrl.control_environment(env, 6000, key=jax.random.PRNGKey(0))
+    S = np.asarray(out["states"])
+    sd, sq = env.state_names.index("i_sd"), env.state_names.index("i_sq")
+    np.testing.assert_allclose(S[-200:, sd].mean(), 0.3, atol=0.03)
+    np.testing.assert_allclose(S[-200:, sq].mean(), 0.2, atol=0.03)
+
+
+def test_dfim_torque_control():
+    env = _scim_env("Cont-TC-DFIM-v0", rg.ConstReference("torque", reference_value=0.3))
+    ctrl = GemController.make(env, "Cont-TC-DFIM-v0")
+    out = ctrl.control_environment(env, 10000, key=jax.random.PRNGKey(0))
+    tq = env.state_names.index("torque")
+    final = float(np.asarray(out["states"])[-200:, tq].mean())
+    np.testing.assert_allclose(final, 0.3, atol=0.03)
+    assert not np.asarray(out["terminations"]).any()
+
+
+def test_dfim_speed_control():
+    env = _scim_env("Cont-SC-DFIM-v0", rg.ConstReference("omega", reference_value=0.5))
+    ctrl = GemController.make(env, "Cont-SC-DFIM-v0")
+    out = ctrl.control_environment(env, 15000, key=jax.random.PRNGKey(0))
+    om = env.state_names.index("omega")
+    final = float(np.asarray(out["states"])[-200:, om].mean())
+    np.testing.assert_allclose(final, 0.5, atol=0.02)
+    assert not np.asarray(out["terminations"]).any()
 
 
 def test_eesm_torque_controller_matches_reference_first_action():
