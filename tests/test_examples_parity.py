@@ -123,3 +123,19 @@ def test_userdefined_initialization_dicts():
     state, _ = jax.jit(jax.vmap(env.reset))(keys)
     i0 = np.asarray(state.phys.ode_state)[:, 1]
     assert abs(i0.mean() - 25.0) < 0.05 and 0.05 < i0.std() < 0.2
+
+
+def test_dqn_torch_gymnasium_example():
+    """The torch-DQN example (SB3-notebook counterpart) drives the env purely
+    through the gymnasium API; a short run must execute the full
+    replay/target-net/update machinery and produce finite losses."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    try:
+        from dqn_torch_gymnasium import train
+    finally:
+        sys.path.pop(0)
+    first, last, losses = train(steps=500, warmup=100, log_every=0, seed=3)
+    assert len(losses) > 300
+    assert np.isfinite(losses).all()
+    assert np.isfinite([first, last]).all()
