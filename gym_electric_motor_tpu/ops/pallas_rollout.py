@@ -430,6 +430,221 @@ def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
+def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
+                             interpret=False):
+    """Fused rollout for the speed-control DC configs —
+    Cont-SC-SeriesDc-v0 / Cont-SC-ShuntDc-v0 (the last two BASELINE.json
+    configs without a fused kernel).  Same VMEM-resident design as the
+    PermExDc kernel, extended with the mechanical dynamics: joint RK4 over
+    [omega, currents] with the PolynomialStaticLoad friction model incl.
+    its omega~0 linearization (polynomial_static_load.py:87-107), Cont-4QC
+    converter (u = a*u_sup, converters.py:438-496), Wiener omega reference
+    with the SC margin window [0, nominal/limit], WSE reward on omega and
+    limit-constraint termination on the currents with in-kernel reset.
+
+    ``action_mode='buffer'``: ``rollout(*states0, actions)`` with a
+    ``(n_steps, n_envs//128, 128)`` float32 action buffer, deterministic
+    physics only — the bit-level validation path vs the XLA env.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    kind = ps.motor.kind
+    assert kind in ("SeriesDc", "ShuntDc"), kind
+
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    l_p = float(mp["l_e_prime"])
+    lp = ps.load.parameter
+    a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
+    j_total = float(ps.load.j_load) + float(mp["j_rotor"])
+    tau_decay = 1e-3
+    omega_lin = a_c / j_total * tau_decay
+
+    w_lim = float(lim[names.index("omega")])
+    # SC margin window: [0, nominal/limit] (subepisoded margin resolution)
+    margin_hi = float(ps.nominal_state[names.index("omega")] / w_lim)
+    sigma_lo, sigma_hi = env.reference_generator.subs[0].sigma_range
+    sig_base = np.float32(np.log10(sigma_lo))
+    sig_span = np.float32(np.log10(sigma_hi) - np.log10(sigma_lo))
+    violation_reward = -1.0 / (1.0 - 0.9)
+    shape = (R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    if kind == "SeriesDc":
+        r_t, l_t = float(mp["r_a"]) + float(mp["r_e"]), float(mp["l_a"]) + float(mp["l_e"])
+        i_lim = float(lim[names.index("i")])
+        n_el = 1
+
+        def el_rhs(w, el, u):
+            (i,) = el
+            return ((-r_t * i - l_p * i * w + u) * (1.0 / l_t),)
+
+        def torque(el):
+            (i,) = el
+            return l_p * i * i
+
+        def violated_fn(el):
+            (i,) = el
+            return jnp.abs(i) > i_lim
+    else:
+        r_a, r_e = float(mp["r_a"]), float(mp["r_e"])
+        l_a, l_e = float(mp["l_a"]), float(mp["l_e"])
+        ia_lim = float(lim[names.index("i_a")])
+        ie_lim = float(lim[names.index("i_e")])
+        n_el = 2
+
+        def el_rhs(w, el, u):
+            i_a, i_e = el
+            return ((-r_a * i_a - l_p * i_e * w + u) * (1.0 / l_a),
+                    (-r_e * i_e + u) * (1.0 / l_e))
+
+        def torque(el):
+            i_a, i_e = el
+            return l_p * i_e * i_a
+
+        def violated_fn(el):
+            i_a, i_e = el
+            return (jnp.abs(i_a) > ia_lim) | (jnp.abs(i_e) > ie_lim)
+
+    def mech_rhs(w, el):
+        sign = jnp.sign(w)
+        a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
+                           j_total / tau_decay * w)
+        t_load = sign * c_c * w * w + b_c * w + a_term
+        return (torque(el) - t_load) * (1.0 / j_total)
+
+    def rhs(state, u):
+        w, el = state[0], state[1:]
+        return (mech_rhs(w, el),) + el_rhs(w, el, u)
+
+    def _step_physics(state, a):
+        u_in = a * u_sup
+        def axpy(s, k, c):
+            return tuple(si + c * ki for si, ki in zip(s, k))
+        k1 = rhs(state, u_in)
+        k2 = rhs(axpy(state, k1, 0.5 * tau), u_in)
+        k3 = rhs(axpy(state, k2, 0.5 * tau), u_in)
+        k4 = rhs(axpy(state, k3, tau), u_in)
+        return tuple(
+            s + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            for s, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
+        )
+
+    n_state = 1 + n_el
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        out_reward, out_terms, out_rv, out_rk, out_rl, out_rs = (
+            refs[2 * n_state: 2 * n_state + 6])
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = refs[2 * n_state + 6:]
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(
+                mask, jnp.exp(LN10 * (sig_base + sig_span * u2)), rs_ref[:])
+
+        u = _uniform_from_bits(bits(shape))
+        rv_ref[:] = u * margin_hi
+        rk_ref[:] = jnp.zeros(shape, jnp.float32)
+        _draw_params(jnp.ones(shape, dtype=jnp.bool_))
+
+        def body(t, _):
+            a = 2.0 * _uniform_from_bits(bits(shape)) - 1.0
+            state = _step_physics(tuple(o[:] for o in out_state), a)
+
+            w_n = state[0] * (1.0 / w_lim)
+            violated = violated_fn(state[1:])
+            reward = jnp.where(violated, violation_reward,
+                               -jnp.abs(w_n - rv_ref[:]))
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            for o, s in zip(out_state, state):
+                o[:] = jnp.where(violated, jnp.zeros(shape, jnp.float32), s)
+
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                np.float32(TWO_PI) * u2)
+            regen = (rk_ref[:] >= rl_ref[:]) | violated
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, 0.0, margin_hi)
+            u3 = _uniform_from_bits(bits(shape))
+            rv_ref[:] = jnp.where(violated, u3 * margin_hi, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(*refs):
+        state0 = refs[:n_state]
+        actions_ref = refs[n_state]
+        out_state = refs[n_state + 1:]
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+
+        def body(t, _):
+            state = _step_physics(tuple(o[:] for o in out_state),
+                                  actions_ref[t])
+            for o, s in zip(out_state, state):
+                o[:] = s
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(*args):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(n_state)),
+                in_specs=[vmem] * (n_state + 1),
+                out_specs=tuple(vmem for _ in range(n_state)),
+                interpret=interpret,
+            )(*args)
+
+        return rollout
+
+    n_out = n_state + 6
+    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                       for _ in range(n_out))
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_state,
+            out_specs=tuple(vmem for _ in range(n_out)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape, jnp.uint32)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
+
+    return rollout
+
+
 def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
                             interpret=False):
     """Fused rollout for Cont-TC-SCIM-v0 — the stiffest family: 5-state

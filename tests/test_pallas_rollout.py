@@ -629,3 +629,68 @@ def test_fused_reinforce_trainer_runs_and_updates():
     for k in params:
         assert np.all(np.isfinite(np.asarray(p2[k])))
         assert not np.allclose(np.asarray(p2[k]), np.asarray(params[k]))
+
+
+# ---------------------------------------------------------------------------
+# DC speed-control kernels (Cont-SC-SeriesDc / Cont-SC-ShuntDc)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("env_id,n_el", [
+    ("Cont-SC-SeriesDc-v0", 1),
+    ("Cont-SC-ShuntDc-v0", 2),
+])
+def test_fused_dc_sc_physics_matches_xla_env(env_id, n_el):
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_dc_sc_rollout
+
+    env = gemx.make_functional(env_id, reference_generator=rg.ConstReference("omega", 0.0))
+    N, T = 128, 60
+    rng = np.random.default_rng(4)
+    actions = rng.uniform(-1.0, 1.0, size=(T, 1, 128)).astype(np.float32)
+
+    roll = make_fused_dc_sc_rollout(env, T, N, action_mode="buffer", interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    out = roll(*([zero] * (1 + n_el)), jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, obs, r, term = step(state, jnp.asarray(actions[t].reshape(N, 1)))
+    phys = state.phys.inner if hasattr(state.phys, "inner") else state.phys
+    ode = np.asarray(phys.ode_state)  # [omega, i...] per env
+
+    for j in range(1 + n_el):
+        np.testing.assert_allclose(np.asarray(out[j]).reshape(N), ode[:, j],
+                                   rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("env_id,n_el,sig_lo,sig_hi", [
+    ("Cont-SC-SeriesDc-v0", 1, 1e-3, 2e-2),
+    ("Cont-SC-ShuntDc-v0", 2, 1e-3, 3e-2),
+])
+def test_fused_dc_sc_stochastic_stats(env_id, n_el, sig_lo, sig_hi):
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_dc_sc_rollout
+
+    env = gemx.make_functional(env_id)
+    roll = make_fused_dc_sc_rollout(env, T_STAT, N_STAT, interpret=True)
+    z = jnp.zeros((2, 128), jnp.float32)
+    out = roll(3, *([z] * (1 + n_el)))
+    reward, terms, rv, rk, rl, rs = out[1 + n_el:]
+
+    ps = env.physical_system
+    names = list(ps.state_names)
+    margin = float(ps.nominal_state[names.index("omega")]
+                   / ps.limits[names.index("omega")])
+    _check_wiener_state(rv, rk, rl, rs, margin, sig_lo, sig_hi)
+    # the SC omega reference window is one-sided [0, margin]
+    assert np.asarray(rv).min() >= 0.0
+
+    kernel_mean_r = float(jnp.sum(reward)) / (N_STAT * T_STAT)
+    kernel_term_rate = float(jnp.sum(terms)) / (N_STAT * T_STAT)
+    xla_mean_r, xla_term_rate = _xla_random_rollout(env_id, N_STAT, T_STAT)
+    assert abs(kernel_mean_r - xla_mean_r) < 0.08
+    assert abs(kernel_term_rate - xla_term_rate) < max(
+        0.5 * max(kernel_term_rate, xla_term_rate), 2e-3)
+    for x in out[:1 + n_el]:
+        assert np.all(np.isfinite(np.asarray(x)))
