@@ -40,11 +40,37 @@ REFERENCE_SRC = "/root/reference/src"
 @pytest.fixture(scope="session")
 def reference_gem():
     """Import the reference ``gym_electric_motor`` package (oracle for parity
-    tests).  Skips if the read-only reference mount is unavailable."""
+    tests).  Skips if the read-only reference mount is unavailable.
+
+    Both frameworks register the same 54 gymnasium ids, and any test that
+    calls ``register_all(force=True)`` (e.g. the gymnasium-interop ones)
+    re-points the shared registry at the TPU package for the rest of the
+    worker process.  ``reference_gem.make`` must therefore pin the registry
+    entry back to the reference's spec before every make — otherwise parity
+    tests would silently construct the wrong framework's env."""
     if not os.path.isdir(REFERENCE_SRC):
         pytest.skip("reference repo not mounted")
     if REFERENCE_SRC not in sys.path:
         sys.path.insert(0, REFERENCE_SRC)
+    import gymnasium
     import gym_electric_motor as gem
 
-    return gem
+    ref_specs = {
+        eid: spec
+        for eid, spec in list(gymnasium.registry.items())
+        if "gym_electric_motor." in str(getattr(spec, "entry_point", ""))
+        and "_tpu" not in str(getattr(spec, "entry_point", ""))
+    }
+
+    class _RefGem:
+        def __getattr__(self, name):
+            return getattr(gem, name)
+
+        @staticmethod
+        def make(env_id, **kwargs):
+            spec = ref_specs.get(env_id)
+            if spec is not None:
+                gymnasium.registry[env_id] = spec
+            return gem.make(env_id, **kwargs)
+
+    return _RefGem()

@@ -98,3 +98,27 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_ppo_trainer_improves(env):
+    """Whole-run-compiled PPO over the 8-device mesh: rollout + GAE +
+    minibatched clipped-surrogate Adam updates, gradients pmean'd over ICI.
+    The dense tracking reward must improve measurably within 60 iterations."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params,
+        make_ppo_trainer,
+    )
+
+    mesh = make_env_mesh(8)
+    sv = ShardedVectorEnv(env, 256, mesh=mesh)
+    state, _ = sv.reset(jax.random.PRNGKey(0))
+    obs_dim = len(env._state_filter) + len(env.reference_names)
+    params = init_actor_critic_params(
+        jax.random.PRNGKey(1), obs_dim, env.action_space.n, hidden=32)
+    opt_init, train = make_ppo_trainer(env, mesh, lr=1e-3, horizon=32,
+                                       n_epochs=2, n_minibatches=4)
+    params, opt_state, state, rs = train(
+        params, opt_init(params), state, jax.random.PRNGKey(2), 60)
+    rs = np.asarray(rs)
+    assert np.isfinite(rs).all()
+    assert rs[-5:].mean() > rs[:5].mean() + 0.05
