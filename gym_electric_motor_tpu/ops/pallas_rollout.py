@@ -143,7 +143,7 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
         return (i_sd + sixth * (k1d + 2.0 * (k2d + k3d) + k4d),
                 i_sq + sixth * (k1q + 2.0 * (k2q + k3q) + k4q))
 
-    def physics_step(i_sd, i_sq, eps, action):
+    def physics_step_cs(i_sd, i_sq, eps, c, s, action):
         # B6 bridge: action bits -> per-phase voltage (converters.py:788-823)
         ua = ((action >> 2) & 1).astype(jnp.float32) - 0.5
         ub = ((action >> 1) & 1).astype(jnp.float32) - 0.5
@@ -152,11 +152,14 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
         # Clarke + Park at the cycle-start angle
         u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        c, s = jnp.cos(eps), jnp.sin(eps)
         u_d = c * u_alpha + s * u_beta
         u_q = -s * u_alpha + c * u_beta
         i_sd, i_sq = rk4(i_sd, i_sq, u_d, u_q)
         return i_sd, i_sq, eps + tau * p_omega
+
+    def physics_step(i_sd, i_sq, eps, action):
+        c, s = jnp.cos(eps), jnp.sin(eps)
+        return physics_step_cs(i_sd, i_sq, eps, c, s, action)
 
     shape = (R, LANE)
 
@@ -166,15 +169,27 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
     shape2 = (2 * R, LANE)
     LN10 = np.float32(np.log(10.0))
 
+    # Park-rotation increment per control cycle: with the ConstantSpeedLoad
+    # the electrical angle advances by a COMPILE-TIME-CONSTANT tau*p*omega,
+    # so cos/sin(eps) are maintained by a 4-mul incremental rotation (plus an
+    # rsqrt renormalization to bound float32 drift) instead of two
+    # transcendental evaluations per step — and the in-kernel reset angle is
+    # zero, so the reset rotation state is the constant (1, 0).
+    COS_D = np.float32(np.cos(tau * p_omega))
+    SIN_D = np.float32(np.sin(tau * p_omega))
+
     def kernel_random(seed_ref, i_sd_ref, i_sq_ref, eps_ref,
                       out_i_sd, out_i_sq, out_eps, out_reward, out_terms,
                       out_rv, out_rk, out_rl, out_rs,
-                      rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+                      rv_ref, rk_ref, rl_ref, rs_ref, rng_ref,
+                      c_ref, s_ref):
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         out_i_sd[:] = i_sd_ref[:]
         out_i_sq[:] = i_sq_ref[:]
         out_eps[:] = eps_ref[:]
+        c_ref[:] = jnp.cos(eps_ref[:])
+        s_ref[:] = jnp.sin(eps_ref[:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
@@ -194,8 +209,15 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
 
         def body(t, _):
             action = (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
-            i_sd, i_sq, eps = physics_step(out_i_sd[:], out_i_sq[:], out_eps[:], action)
+            c, s = c_ref[:], s_ref[:]
+            i_sd, i_sq, eps = physics_step_cs(
+                out_i_sd[:], out_i_sq[:], out_eps[:], c, s, action)
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - s * SIN_D
+            s_new = s * COS_D + c * SIN_D
+            inv = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv
+            s_new = s_new * inv
 
             i_sd_n = i_sd * (1.0 / i_lim)
             i_sq_n = i_sq * (1.0 / i_lim)
@@ -212,6 +234,8 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
             out_i_sd[:] = jnp.where(violated, zero, i_sd)
             out_i_sq[:] = jnp.where(violated, zero, i_sq)
             out_eps[:] = jnp.where(violated, zero, eps)
+            c_ref[:] = jnp.where(violated, jnp.ones(shape, jnp.float32), c_new)
+            s_ref[:] = jnp.where(violated, zero, s_new)
 
             # Wiener advance for both refs in one (2R, LANE) pass
             # concat float masks, not bools: Mosaic rejects the i1
@@ -219,10 +243,15 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
             # multiple of the sublane count (small-batch kernels)
             viol_f = violated.astype(jnp.float32)
             reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
-            u1 = _uniform_from_bits(bits(shape2))
-            u2 = _uniform_from_bits(bits(shape2))
-            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
-                np.float32(TWO_PI) * u2)
+            # one Box-Muller PAIR per env feeds both reference streams
+            # (z1 = r cos, z2 = r sin are exactly independent N(0,1)):
+            # halves the log/sqrt/cos lane count vs two independent draws
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            theta = np.float32(TWO_PI) * u2
+            draw = jnp.concatenate(
+                [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
             regen = (rk_ref[:] >= rl_ref[:]) | reset2
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
@@ -275,6 +304,7 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
                 scratch_shapes=(
                     [pltpu.VMEM((2 * R, LANE), jnp.float32) for _ in range(4)]
                     + [pltpu.VMEM((2 * R, LANE), jnp.uint32)]
+                    + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
                 ),
                 interpret=interpret,
             )(jnp.asarray([seed], jnp.int32), i_sd0, i_sq0, eps0)
