@@ -915,7 +915,7 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
                 - p_omega * l_M * l_q / (sig * l_d) * i_sq) * (1.0 / (l_E * i_k_rs))
         return di_sd, di_sq, di_e
 
-    def _step_physics(i_sd, i_sq, i_e, eps, a_b6, a_4qc):
+    def _step_physics_cs(i_sd, i_sq, i_e, eps, c, s, a_b6, a_4qc):
         ua = (((a_b6 >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
         ub = (((a_b6 >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
         uc = ((a_b6 & 1).astype(jnp.float32) - 0.5) * u_sup
@@ -923,7 +923,6 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
                - jnp.where(a_4qc == 2, 1.0, 0.0)) * u_sup
         u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        c, s = jnp.cos(eps), jnp.sin(eps)
         u_d = c * u_al + s * u_be
         u_q = -s * u_al + c * u_be
         k1 = rhs(i_sd, i_sq, i_e, u_d, u_q, u_e)
@@ -939,16 +938,26 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
                 i_e + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2]),
                 eps + tau * p_omega)
 
+    def _step_physics(i_sd, i_sq, i_e, eps, a_b6, a_4qc):
+        c, s = jnp.cos(eps), jnp.sin(eps)
+        return _step_physics_cs(i_sd, i_sq, i_e, eps, c, s, a_b6, a_4qc)
+
+    # constant-increment Park rotation (see make_fused_pmsm_rollout)
+    COS_D = np.float32(np.cos(tau * p_omega))
+    SIN_D = np.float32(np.sin(tau * p_omega))
+
     def kernel(seed_ref, isd_ref, isq_ref, ie_ref, eps_ref,
                out_isd, out_isq, out_ie, out_eps, out_reward, out_terms,
                out_rv, out_rk, out_rl, out_rs,
-               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, c_ref, s_ref):
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         out_isd[:] = isd_ref[:]
         out_isq[:] = isq_ref[:]
         out_ie[:] = ie_ref[:]
         out_eps[:] = eps_ref[:]
+        c_ref[:] = jnp.cos(eps_ref[:])
+        s_ref[:] = jnp.sin(eps_ref[:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
@@ -973,9 +982,15 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
             b = bits(shape)
             a_b6 = (b & jnp.uint32(7)).astype(jnp.int32)
             a_4qc = ((b >> jnp.uint32(3)) & jnp.uint32(3)).astype(jnp.int32)
-            i_sd, i_sq, i_e, eps = _step_physics(
-                out_isd[:], out_isq[:], out_ie[:], out_eps[:], a_b6, a_4qc)
+            c, s = c_ref[:], s_ref[:]
+            i_sd, i_sq, i_e, eps = _step_physics_cs(
+                out_isd[:], out_isq[:], out_ie[:], out_eps[:], c, s, a_b6, a_4qc)
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - s * SIN_D
+            s_new = s * COS_D + c * SIN_D
+            inv = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv
+            s_new = s_new * inv
 
             isd_n = i_sd * (1.0 / i_lim)
             isq_n = i_sq * (1.0 / i_lim)
@@ -994,13 +1009,23 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
             out_isq[:] = jnp.where(violated, zero, i_sq)
             out_ie[:] = jnp.where(violated, zero, i_e)
             out_eps[:] = jnp.where(violated, zero, eps)
+            c_ref[:] = jnp.where(violated, jnp.ones(shape, jnp.float32), c_new)
+            s_ref[:] = jnp.where(violated, zero, s_new)
 
             viol_f = violated.astype(jnp.float32)
             reset3 = jnp.concatenate([viol_f, viol_f, viol_f], axis=0) > 0.5
-            u1 = _uniform_from_bits(bits(shape3))
-            u2 = _uniform_from_bits(bits(shape3))
-            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
-                np.float32(TWO_PI) * u2)
+            # one Box-Muller pair covers i_sd*/i_sq*; a single draw covers
+            # i_e* — 2 log/sqrt + 2 cos + 1 sin lanes instead of 3 of each
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            theta = np.float32(TWO_PI) * u2
+            u3 = _uniform_from_bits(bits(shape))
+            u4 = _uniform_from_bits(bits(shape))
+            z_e = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u3, 1e-12))) * jnp.cos(
+                np.float32(TWO_PI) * u4)
+            draw = jnp.concatenate(
+                [rad * jnp.cos(theta), rad * jnp.sin(theta), z_e], axis=0)
             regen = (rk_ref[:] >= rl_ref[:]) | reset3
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
@@ -1064,6 +1089,7 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
             scratch_shapes=(
                 [pltpu.VMEM(shape3, jnp.float32) for _ in range(4)]
                 + [pltpu.VMEM(shape3, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isd0, isq0, ie0, eps0)
@@ -1126,7 +1152,7 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
         dps_b = (l_m * i_sb - ps_b) / tau_r + p_omega * ps_a + u_rb
         return di_sa, di_sb, dps_a, dps_b
 
-    def _step_physics(isa, isb, pa, pb, eps, duties):
+    def _step_physics_cs(isa, isb, pa, pb, eps, c, s, duties):
         u_sa3 = duties[0] * u_half
         u_sb3 = duties[1] * u_half
         u_sc3 = duties[2] * u_half
@@ -1138,7 +1164,6 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
         u_ral0 = (2.0 / 3.0) * (u_ra3 - 0.5 * (u_rb3 + u_rc3))
         u_rbe0 = np.float32(1.0 / np.sqrt(3.0)) * (u_rb3 - u_rc3)
         # rotor frame -> stator frame: rotate by the electrical angle
-        c, s = jnp.cos(eps), jnp.sin(eps)
         u_ral = c * u_ral0 - s * u_rbe0
         u_rbe = s * u_ral0 + c * u_rbe0
         k1 = rhs(isa, isb, pa, pb, u_sal, u_sbe, u_ral, u_rbe)
@@ -1158,11 +1183,19 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
                 pb + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3]),
                 eps + tau * p_omega)
 
+    def _step_physics(isa, isb, pa, pb, eps, duties):
+        c, s = jnp.cos(eps), jnp.sin(eps)
+        return _step_physics_cs(isa, isb, pa, pb, eps, c, s, duties)
+
+    # constant-increment rotor-angle rotation (see make_fused_pmsm_rollout)
+    COS_D = np.float32(np.cos(tau * p_omega))
+    SIN_D = np.float32(np.sin(tau * p_omega))
+
     def kernel(seed_ref, isa_ref, isb_ref, psa_ref, psb_ref, eps_ref,
                out_isa, out_isb, out_psa, out_psb, out_eps,
                out_reward, out_terms,
                out_rv, out_rk, out_rl, out_rs,
-               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, c_ref, s_ref):
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         out_isa[:] = isa_ref[:]
@@ -1170,6 +1203,8 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
         out_psa[:] = psa_ref[:]
         out_psb[:] = psb_ref[:]
         out_eps[:] = eps_ref[:]
+        c_ref[:] = jnp.cos(eps_ref[:])
+        s_ref[:] = jnp.sin(eps_ref[:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
@@ -1187,16 +1222,23 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
         def body(t, _):
             duties = [2.0 * _uniform_from_bits(bits(shape)) - 1.0
                       for _k in range(6)]
-            isa, isb, pa, pb, eps = _step_physics(
+            c, s = c_ref[:], s_ref[:]
+            isa, isb, pa, pb, eps = _step_physics_cs(
                 out_isa[:], out_isb[:], out_psa[:], out_psb[:], out_eps[:],
-                duties)
+                c, s, duties)
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - s * SIN_D
+            s_new = s * COS_D + c * SIN_D
+            inv_cs = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv_cs
+            s_new = s_new * inv_cs
 
             # field-oriented dq currents from the flux direction cosines
-            pn = jnp.sqrt(pa * pa + pb * pb)
-            safe = pn > 1e-9
-            cf = jnp.where(safe, pa / jnp.maximum(pn, 1e-9), 1.0)
-            sf = jnp.where(safe, pb / jnp.maximum(pn, 1e-9), 0.0)
+            pn2 = pa * pa + pb * pb
+            inv_pn = jax.lax.rsqrt(jnp.maximum(pn2, 1e-18))
+            safe = pn2 > 1e-18
+            cf = jnp.where(safe, pa * inv_pn, 1.0)
+            sf = jnp.where(safe, pb * inv_pn, 0.0)
             i_sd = (cf * isa + sf * isb) * (1.0 / i_lim)
             i_sq = (-sf * isa + cf * isb) * (1.0 / i_lim)
 
@@ -1214,16 +1256,21 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
             out_psa[:] = jnp.where(violated, zero, pa)
             out_psb[:] = jnp.where(violated, zero, pb)
             out_eps[:] = jnp.where(violated, zero, eps)
+            c_ref[:] = jnp.where(violated, jnp.ones(shape, jnp.float32), c_new)
+            s_ref[:] = jnp.where(violated, zero, s_new)
 
             # concat float masks, not bools: Mosaic rejects the i1
             # vreg cast the bool concat needs when R is not a
             # multiple of the sublane count (small-batch kernels)
             viol_f = violated.astype(jnp.float32)
             reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
-            u1 = _uniform_from_bits(bits(shape2))
-            u2 = _uniform_from_bits(bits(shape2))
-            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
-                np.float32(TWO_PI) * u2)
+            # one Box-Muller pair per env feeds both reference streams
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            theta = np.float32(TWO_PI) * u2
+            draw = jnp.concatenate(
+                [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
             regen = (rk_ref[:] >= rl_ref[:]) | reset2
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
@@ -1290,6 +1337,7 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
             scratch_shapes=(
                 [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
                 + [pltpu.VMEM(shape2, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isa0, isb0, psa0, psb0, eps0)
@@ -1348,6 +1396,11 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
     out_lim = float(np.asarray(ctrl.output_limits)[0])
     # advance angle uses the MECHANICAL omega (controller.py:452-454)
     adv_dt = float(ctrl.advance_factor) * tau * omega
+    # constant-increment rotor-angle rotation + constant advance rotation
+    COS_D = np.float32(np.cos(tau * p_omega))
+    SIN_D = np.float32(np.sin(tau * p_omega))
+    COS_A = np.float32(np.cos(adv_dt))
+    SIN_A = np.float32(np.sin(adv_dt))
 
     shape = (R, LANE)
     shape2 = (2 * R, LANE)
@@ -1359,7 +1412,7 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
         di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd + u_q) * (1.0 / l_q)
         return di_sd, di_sq
 
-    def _cycle(i_sd, i_sq, eps, integ_d, integ_q, ref_d_n, ref_q_n):
+    def _cycle(i_sd, i_sq, eps, ce, se, integ_d, integ_q, ref_d_n, ref_q_n):
         """One full FOC control cycle: controller then physics."""
         # ---- controller (denormalized quantities)
         err_d = ref_d_n * ref_lim_d - i_sd
@@ -1375,9 +1428,10 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
         integ_d = integ_d + tau * err_d * not_clipped
         integ_q = integ_q + tau * err_q * not_clipped
         # advance-angle dq->abc on the UNCLIPPED voltage (reference quirk,
-        # pi_current_controller.py:160-167)
-        adv = eps + adv_dt
-        c, s = jnp.cos(adv), jnp.sin(adv)
+        # pi_current_controller.py:160-167); cos/sin(eps + adv_dt) come from
+        # the tracked rotation state rotated by the constant advance angle
+        c = ce * COS_A - se * SIN_A
+        s = se * COS_A + ce * SIN_A
         u_al = c * u_d - s * u_q
         u_be = s * u_d + c * u_q
         ua = u_al
@@ -1391,7 +1445,6 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
         # ---- physics (Park at the cycle-start rotor angle + RK4)
         u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        ce, se = jnp.cos(eps), jnp.sin(eps)
         pu_d = ce * u_alpha + se * u_beta
         pu_q = -se * u_alpha + ce * u_beta
         k1 = rhs(i_sd, i_sq, pu_d, pu_q)
@@ -1406,12 +1459,15 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
     def kernel(seed_ref, isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,
                out_isd, out_isq, out_eps, out_reward, out_terms,
                out_rv, out_rk, out_rl, out_rs,
-               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, igd_ref, igq_ref):
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, igd_ref, igq_ref,
+               c_ref, s_ref):
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         out_isd[:] = isd_ref[:]
         out_isq[:] = isq_ref[:]
         out_eps[:] = eps_ref[:]
+        c_ref[:] = jnp.cos(eps_ref[:])
+        s_ref[:] = jnp.sin(eps_ref[:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
         igd_ref[:] = jnp.zeros(shape, jnp.float32)
@@ -1436,10 +1492,16 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
 
         def body(t, _):
             refs = rv_ref[:]
+            c, se_ = c_ref[:], s_ref[:]
             i_sd, i_sq, eps, igd, igq = _cycle(
-                out_isd[:], out_isq[:], out_eps[:], igd_ref[:], igq_ref[:],
-                refs[:R], refs[R:])
+                out_isd[:], out_isq[:], out_eps[:], c, se_,
+                igd_ref[:], igq_ref[:], refs[:R], refs[R:])
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - se_ * SIN_D
+            s_new = se_ * COS_D + c * SIN_D
+            inv_cs = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv_cs
+            s_new = s_new * inv_cs
             igd_ref[:] = igd
             igq_ref[:] = igq
 
@@ -1456,6 +1518,8 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
             out_isd[:] = jnp.where(violated, zero, i_sd)
             out_isq[:] = jnp.where(violated, zero, i_sq)
             out_eps[:] = jnp.where(violated, zero, eps)
+            c_ref[:] = jnp.where(violated, jnp.ones(shape, jnp.float32), c_new)
+            s_ref[:] = jnp.where(violated, zero, s_new)
             # env auto-reset does NOT reset the controller state
             # (control_environment carries cs across episode boundaries)
 
@@ -1465,10 +1529,12 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
                 # sublane count (small-batch kernels)
                 viol_f = violated.astype(jnp.float32)
                 reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
-                u1 = _uniform_from_bits(bits(shape2))
-                u2 = _uniform_from_bits(bits(shape2))
-                draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
-                    np.float32(TWO_PI) * u2)
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                draw = jnp.concatenate(
+                    [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
                 regen = (rk_ref[:] >= rl_ref[:]) | reset2
                 _draw_params(regen)
                 rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
@@ -1500,7 +1566,7 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
             scratch_shapes=(
                 [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
                 + [pltpu.VMEM(shape2, jnp.uint32)]
-                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isd0, isq0, eps0, ref_d, ref_q)
@@ -1563,13 +1629,16 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
         di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd + u_q) * (1.0 / l_q)
         return di_sd, di_sq
 
-    def physics(i_sd, i_sq, eps, action):
+    # constant-increment rotor-angle rotation (see make_fused_pmsm_rollout)
+    COS_D = np.float32(np.cos(tau * p_omega))
+    SIN_D = np.float32(np.sin(tau * p_omega))
+
+    def physics_cs(i_sd, i_sq, eps, c, s, action):
         ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
         ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
         uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
         u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        c, s = jnp.cos(eps), jnp.sin(eps)
         u_d = c * u_al + s * u_be
         u_q = -s * u_al + c * u_be
         k1 = rhs(i_sd, i_sq, u_d, u_q)
@@ -1584,12 +1653,14 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
     def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,
                out_isd, out_isq, out_eps, out_reward, out_terms,
-               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, c_ref, s_ref):
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         out_isd[:] = isd_ref[:]
         out_isq[:] = isq_ref[:]
         out_eps[:] = eps_ref[:]
+        c_ref[:] = jnp.cos(eps_ref[:])
+        s_ref[:] = jnp.sin(eps_ref[:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
@@ -1630,25 +1701,45 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
                 for f in range(F):
                     acc = acc + w1_ref[f * H + j] * obs[f]
                 hs.append(jnp.tanh(acc))
-            # ---- logits + (Gumbel-max | argmax) action over 8 levels
-            best_logit = None
-            action = jnp.zeros(shape, jnp.int32)
+            # ---- logits + action over 8 levels.  Greedy: plain argmax.
+            # Stochastic: inverse-CDF categorical sampling over the softmax
+            # (8 exps + 1 uniform) instead of Gumbel-max (16 logs)
+            logits = []
             for a in range(A):
                 logit = b2_ref[a]
                 for j in range(H):
                     logit = logit + w2_ref[j * A + a] * hs[j]
-                if not greedy:
-                    ug = _uniform_from_bits(bits(shape))
-                    logit = logit - jnp.log(-jnp.log(jnp.maximum(ug, 1e-12)))
-                if best_logit is None:
-                    best_logit = logit
-                else:
-                    take = logit > best_logit
-                    best_logit = jnp.where(take, logit, best_logit)
+                logits.append(logit)
+            if greedy:
+                best_logit = logits[0]
+                action = jnp.zeros(shape, jnp.int32)
+                for a in range(1, A):
+                    take = logits[a] > best_logit
+                    best_logit = jnp.where(take, logits[a], best_logit)
                     action = jnp.where(take, a, action)
+            else:
+                m = logits[0]
+                for a in range(1, A):
+                    m = jnp.maximum(m, logits[a])
+                es = [jnp.exp(l - m) for l in logits]
+                total = es[0]
+                for a in range(1, A):
+                    total = total + es[a]
+                uu = _uniform_from_bits(bits(shape)) * total
+                cum = es[0]
+                action = jnp.zeros(shape, jnp.int32)
+                for a in range(1, A):
+                    action = jnp.where(uu >= cum, a, action)
+                    cum = cum + es[a]
 
-            i_sd, i_sq, eps = physics(i_sd, i_sq, eps, action)
+            c, se_ = c_ref[:], s_ref[:]
+            i_sd, i_sq, eps = physics_cs(i_sd, i_sq, eps, c, se_, action)
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - se_ * SIN_D
+            s_new = se_ * COS_D + c * SIN_D
+            inv_cs = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv_cs
+            s_new = s_new * inv_cs
 
             isd_n = i_sd * (1.0 / i_lim)
             isq_n = i_sq * (1.0 / i_lim)
@@ -1663,6 +1754,8 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
             out_isd[:] = jnp.where(violated, zero, i_sd)
             out_isq[:] = jnp.where(violated, zero, i_sq)
             out_eps[:] = jnp.where(violated, zero, eps)
+            c_ref[:] = jnp.where(violated, jnp.ones(shape, jnp.float32), c_new)
+            s_ref[:] = jnp.where(violated, zero, s_new)
 
             if wiener:
                 # concat float masks, not bools: Mosaic rejects the i1 vreg
@@ -1670,10 +1763,12 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
                 # sublane count (small-batch kernels)
                 viol_f = violated.astype(jnp.float32)
                 reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
-                u1 = _uniform_from_bits(bits(shape2))
-                u2 = _uniform_from_bits(bits(shape2))
-                draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
-                    np.float32(TWO_PI) * u2)
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                draw = jnp.concatenate(
+                    [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
                 regen = (rk_ref[:] >= rl_ref[:]) | reset2
                 _draw_params(regen)
                 rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
@@ -1702,6 +1797,7 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
             scratch_shapes=(
                 [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
                 + [pltpu.VMEM(shape2, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32),
