@@ -295,10 +295,16 @@ def main():
         n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
         z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
 
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            make_fused_pmsm_rollout as _mk_pmsm,
+        )
         fused_cases = (
             ("Finite-CC-PermExDc-v0",
              lambda e: make_fused_permex_rollout(e, n_steps, N_ENVS),
              lambda r, seed: float(r(seed, z)[1].sum())),
+            ("Finite-CC-SynRM-v0",
+             lambda e: _mk_pmsm(e, n_steps, N_ENVS),
+             lambda r, seed: float(r(seed, z, z, z)[3].sum())),
             ("Cont-SC-SeriesDc-v0",
              lambda e: make_fused_dc_sc_rollout(e, n_steps, N_ENVS),
              lambda r, seed: float(r(seed, z, z)[2].sum())),

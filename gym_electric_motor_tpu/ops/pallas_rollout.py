@@ -97,8 +97,10 @@ def _make_rng(interpret, state_ref):
 
 def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
                             interpret=False):
-    """Build the fused rollout.  ``env`` must be a Finite-CC-PMSM-v0
-    functional env (its constants are baked into the kernel).
+    """Build the fused rollout.  ``env`` must be a Finite-CC-PMSM-v0 (or
+    Finite-CC-SynRM-v0 — the same dq machine with psi_p = 0,
+    synchronous_reluctance_motor.py:117-173) functional env; its constants
+    are baked into the kernel.
 
     Returns ``rollout(seed, i_sd0, i_sq0, eps0) -> (i_sd, i_sq, eps,
     reward_sum, term_count)`` with all array args/outputs shaped
@@ -116,7 +118,7 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
 
     # --- constants baked into the kernel ---
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
-    psi_p, p = float(mp["psi_p"]), float(mp["p"])
+    psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
     omega = float(ps.load.omega_fixed)
     tau = float(ps.tau)
     u_sup = float(ps.supply.u_nominal)

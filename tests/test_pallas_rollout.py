@@ -694,3 +694,52 @@ def test_fused_dc_sc_stochastic_stats(env_id, n_el, sig_lo, sig_hi):
         0.5 * max(kernel_term_rate, xla_term_rate), 2e-3)
     for x in out[:1 + n_el]:
         assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_fused_synrm_physics_matches_xla_env():
+    """The PMSM kernel doubles as the SynRM kernel (same dq machine with
+    psi_p = 0): buffer-action parity vs the XLA env."""
+    env = gemx.make_functional(
+        "Finite-CC-SynRM-v0",
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", 0.0), rg.ConstReference("i_sq", 0.0)]
+        ),
+    )
+    N, T = 128, 40
+    rng = np.random.default_rng(7)
+    actions = rng.integers(0, 8, size=(T, 1, 128)).astype(np.int32)
+
+    roll = make_fused_pmsm_rollout(env, T, N, action_mode="buffer", interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    i_sd_k, i_sq_k, eps_k, _r, _t = roll(zero, zero, zero, jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, obs, r, term = step(state, jnp.asarray(actions[t].reshape(N)))
+    ode = np.asarray(state.phys.ode_state)  # [omega, i_sd, i_sq, eps]
+
+    np.testing.assert_allclose(np.asarray(i_sd_k).reshape(N), ode[:, 1],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i_sq_k).reshape(N), ode[:, 2],
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fused_synrm_stochastic_stats():
+    env = gemx.make_functional("Finite-CC-SynRM-v0")
+    roll = make_fused_pmsm_rollout(env, T_STAT, N_STAT, interpret=True)
+    z = jnp.zeros((2, 128), jnp.float32)
+    (i_sd, i_sq, eps, reward, terms, rv, rk, rl, rs) = roll(3, z, z, z)
+    ps = env.physical_system
+    names = list(ps.state_names)
+    margin = float(ps.nominal_state[names.index("i_sd")]
+                   / ps.limits[names.index("i_sd")])
+    _check_wiener_state(rv, rk, rl, rs, margin, 1e-3, 1e-1)
+    kernel_mean_r = float(jnp.sum(reward)) / (N_STAT * T_STAT)
+    kernel_term_rate = float(jnp.sum(terms)) / (N_STAT * T_STAT)
+    xla_mean_r, xla_term_rate = _xla_random_rollout(
+        "Finite-CC-SynRM-v0", N_STAT, T_STAT)
+    assert abs(kernel_mean_r - xla_mean_r) < 0.05
+    assert abs(kernel_term_rate - xla_term_rate) < max(
+        0.5 * max(kernel_term_rate, xla_term_rate), 2e-3)
