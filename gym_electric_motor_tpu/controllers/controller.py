@@ -518,7 +518,7 @@ class GemController:
                 cs["cc_last_error"] = err
         if self.decoupling:
             u = self._emf_feedforward(state, u)
-        u_clipped, u_diff = self._clip(self.cc_clip_kind, self.cc_clip_limits, u)
+        _u_clipped, u_diff = self._clip(self.cc_clip_kind, self.cc_clip_limits, u)
         # anti-windup BEFORE output: integrate only non-clipped channels
         # (anti_windup.py:49-59)
         cs["cc_integrator"] = cs["cc_integrator"] + self.tau * err * (u_diff == 0.0)

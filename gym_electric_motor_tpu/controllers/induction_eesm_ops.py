@@ -69,14 +69,15 @@ def tune_scim_ops(env, env_id, current_safety_margin=0.2,
             i_sd_opt = i_sq_opt = 0.0
         psi_opt_rows.append([t, l_m * i_sd_opt, i_sd_opt, i_sq_opt])
     psi_opt_t = np.array(psi_opt_rows).T  # (4, t_count)
-    # Cap the flux target so the flux controller can never consume the whole
-    # current budget (at saturated torque the loss-minimal sweep returns
-    # i_sd = i_limit, which forces i_sq -> 0 through the combined current
-    # limit and deadlocks torque production at zero — the reference never
-    # reaches this code for TC/SC because its AC tune crashes upstream).
-    # The cap is the torque-optimal split: at the current limit, T ~ i_sd*i_sq
-    # is maximized at i_sd = i_sq = I/sqrt(2).
-    psi_opt_t[1] = np.minimum(psi_opt_t[1], l_m * i_sd_limit / np.sqrt(2.0))
+    # DFIM only: cap the flux target so the flux controller can never consume
+    # the whole current budget (at saturated torque the loss-minimal sweep
+    # returns i_sd = i_limit, which forces i_sq -> 0 through the combined
+    # current limit and deadlocks torque production at zero).  The cap is the
+    # torque-optimal split: at the current limit, T ~ i_sd*i_sq is maximized
+    # at i_sd = i_sq = I/sqrt(2).  The SCIM path keeps the uncapped
+    # reference-derived table (parity convention).
+    if is_dfim:
+        psi_opt_t[1] = np.minimum(psi_opt_t[1], l_m * i_sd_limit / np.sqrt(2.0))
     psi_max = float(np.max(psi_opt_t[1]))
 
     # ---- t_max(psi) (scim_ops.py:74-100)

@@ -138,6 +138,19 @@ class ShardedVectorEnv:
 # ---------------------------------------------------------------------------
 
 
+def _policy_obs(env, state):
+    """Observation for the trainers: filtered normalized state concatenated
+    with the current reference values (the XLA env's obs tuple, flattened)."""
+    filt = jnp.asarray(env._state_filter)
+    return jnp.concatenate(
+        [
+            state.system_state[:, filt],
+            jax.vmap(env.reference_generator.current_values)(state.refs),
+        ],
+        axis=-1,
+    )
+
+
 def init_policy_params(key, obs_dim, n_actions, hidden=32, dtype=jnp.float32):
     k1, k2 = jax.random.split(key)
     return {
@@ -157,7 +170,6 @@ def _build_reinforce_step(env, mesh, lr):
     (axis,) = mesh.axis_names
     spec = P(axis)
     vstep = jax.vmap(env.step_autoreset)
-    filt = jnp.asarray(env._state_filter)
 
     @partial(
         shard_map,
@@ -169,13 +181,7 @@ def _build_reinforce_step(env, mesh, lr):
     def step(params, state, key):
         idx = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, idx)
-        obs = jnp.concatenate(
-            [
-                state.system_state[:, filt],
-                jax.vmap(env.reference_generator.current_values)(state.refs),
-            ],
-            axis=-1,
-        )
+        obs = _policy_obs(env, state)
 
         def loss_fn(params):
             logits = policy_logits(params, obs)
@@ -278,17 +284,10 @@ def make_ppo_trainer(env, mesh, lr=3e-4, horizon=64, n_epochs=2,
     (axis,) = mesh.axis_names
     spec = P(axis)
     vstep = jax.vmap(env.step_autoreset)
-    filt = jnp.asarray(env._state_filter)
     tx = optax.adam(lr)
 
     def obs_of(state):
-        return jnp.concatenate(
-            [
-                state.system_state[:, filt],
-                jax.vmap(env.reference_generator.current_values)(state.refs),
-            ],
-            axis=-1,
-        )
+        return _policy_obs(env, state)
 
     @partial(
         shard_map,
@@ -401,7 +400,6 @@ def train_step_reinforce(env, mesh, params, state, key, lr=1e-3):
     (axis,) = mesh.axis_names
     spec = P(axis)
     vstep = jax.vmap(env.step_autoreset)
-    filt = jnp.asarray(env._state_filter)
 
     @partial(
         shard_map,
@@ -413,14 +411,7 @@ def train_step_reinforce(env, mesh, params, state, key, lr=1e-3):
     def step(params, state, key):
         idx = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, idx)
-
-        obs = jnp.concatenate(
-            [
-                state.system_state[:, filt],
-                jax.vmap(env.reference_generator.current_values)(state.refs),
-            ],
-            axis=-1,
-        )
+        obs = _policy_obs(env, state)
 
         def loss_fn(params):
             logits = policy_logits(params, obs)

@@ -69,8 +69,15 @@ def reference_gem():
         @staticmethod
         def make(env_id, **kwargs):
             spec = ref_specs.get(env_id)
-            if spec is not None:
-                gymnasium.registry[env_id] = spec
+            if spec is None:
+                # never silently fall through to whatever framework currently
+                # owns the id — that is the wrong-oracle bug this fixture
+                # exists to prevent
+                raise RuntimeError(
+                    f"reference spec for {env_id!r} missing from the "
+                    f"import-time registry snapshot ({len(ref_specs)} ids)"
+                )
+            gymnasium.registry[env_id] = spec
             return gem.make(env_id, **kwargs)
 
     return _RefGem()
