@@ -370,7 +370,7 @@ def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
 
     def kernel(seed_ref, i0_ref, out_i, out_reward, out_terms,
                out_rv, out_rk, out_rl, out_rs,
-               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, za_ref, zb_ref):
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         out_i[:] = i0_ref[:]
@@ -401,10 +401,22 @@ def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
             out_i[:] = jnp.where(violated, jnp.zeros(shape, jnp.float32), i)
 
-            u1 = _uniform_from_bits(bits(shape))
-            u2 = _uniform_from_bits(bits(shape))
-            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
-                np.float32(TWO_PI) * u2)
+            # one Box-Muller pair every OTHER step: z1 = r cos(theta) used
+            # immediately, z2 = r sin(theta) cached for the odd step — the
+            # two are exactly independent N(0,1), halving the log/sqrt/
+            # cos lanes of the single-stream Wiener draw
+            even = (t & 1) == 0
+
+            @pl.when(even)
+            def _():
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                za_ref[:] = rad * jnp.cos(theta)
+                zb_ref[:] = rad * jnp.sin(theta)
+
+            draw = jnp.where(even, za_ref[:], zb_ref[:])
             regen = (rk_ref[:] >= rl_ref[:]) | violated
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
@@ -455,6 +467,7 @@ def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
             scratch_shapes=(
                 [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
                 + [pltpu.VMEM(shape, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), i0)
@@ -573,7 +586,8 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
         out_state = refs[n_state: 2 * n_state]
         out_reward, out_terms, out_rv, out_rk, out_rl, out_rs = (
             refs[2 * n_state: 2 * n_state + 6])
-        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = refs[2 * n_state + 6:]
+        (rv_ref, rk_ref, rl_ref, rs_ref, rng_ref,
+         za_ref, zb_ref) = refs[2 * n_state + 6:]
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         for o, s in zip(out_state, state0):
@@ -606,10 +620,19 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
             for o, s in zip(out_state, state):
                 o[:] = jnp.where(violated, jnp.zeros(shape, jnp.float32), s)
 
-            u1 = _uniform_from_bits(bits(shape))
-            u2 = _uniform_from_bits(bits(shape))
-            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
-                np.float32(TWO_PI) * u2)
+            # one Box-Muller pair every other step (see the PermExDc kernel)
+            even = (t & 1) == 0
+
+            @pl.when(even)
+            def _():
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                za_ref[:] = rad * jnp.cos(theta)
+                zb_ref[:] = rad * jnp.sin(theta)
+
+            draw = jnp.where(even, za_ref[:], zb_ref[:])
             regen = (rk_ref[:] >= rl_ref[:]) | violated
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
@@ -670,6 +693,7 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
             scratch_shapes=(
                 [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
                 + [pltpu.VMEM(shape, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), *state0)
@@ -746,7 +770,7 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
     def kernel(seed_ref, isa_ref, isb_ref, psa_ref, psb_ref,
                out_isa, out_isb, out_psa, out_psb, out_reward, out_terms,
                out_rv, out_rk, out_rl, out_rs,
-               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, za_ref, zb_ref):
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         out_isa[:] = isa_ref[:]
@@ -789,10 +813,19 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
             out_psa[:] = jnp.where(violated, zero, pa)
             out_psb[:] = jnp.where(violated, zero, pb)
 
-            u1 = _uniform_from_bits(bits(shape))
-            u2 = _uniform_from_bits(bits(shape))
-            draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
-                np.float32(TWO_PI) * u2)
+            # one Box-Muller pair every other step (see the PermExDc kernel)
+            even = (t & 1) == 0
+
+            @pl.when(even)
+            def _():
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                za_ref[:] = rad * jnp.cos(theta)
+                zb_ref[:] = rad * jnp.sin(theta)
+
+            draw = jnp.where(even, za_ref[:], zb_ref[:])
             regen = (rk_ref[:] >= rl_ref[:]) | violated
             _draw_params(regen)
             rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
@@ -856,6 +889,7 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
             scratch_shapes=(
                 [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
                 + [pltpu.VMEM(shape, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isa0, isb0, psa0, psb0)
