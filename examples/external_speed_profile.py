@@ -24,11 +24,18 @@ def main():
         reference_generator=rg.ConstReference("i", reference_value=0.2),
     )
     state, (s, r) = env.reset(jax.random.PRNGKey(0))
-    omegas = []
-    for k in range(2000):
-        state, (s, r), rew, term = env.step(state, jnp.asarray([0.3]))
-        omegas.append(float(s[0]) * env.physical_system.limits[0])
-    omegas = np.array(omegas)
+
+    # whole rollout as one jitted scan — an eager Python step loop would pay
+    # a device round trip per step (minutes through a remote-TPU tunnel)
+    @jax.jit
+    def rollout(state):
+        def body(st, _):
+            st, (obs, _ref), _rew, _term = env.step(st, jnp.asarray([0.3]))
+            return st, obs[0]
+        return jax.lax.scan(body, state, None, length=2000)
+
+    _, omega_traj = rollout(state)
+    omegas = np.asarray(omega_traj) * env.physical_system.limits[0]
     t = np.arange(len(omegas)) * env.tau
     target = 60.0 + 40.0 * np.sin(2 * np.pi * 10.0 * t)
     print("mean |omega - profile|:", np.abs(omegas[200:] - target[200:]).mean(), "rad/s")
