@@ -217,6 +217,33 @@ def test_dfim_speed_control():
     assert not np.asarray(out["terminations"]).any()
 
 
+def test_dfim_finite_speed_control():
+    """Finite-SC (tau=1e-5, B6 two-level switching) converges like Cont-SC."""
+    env = _scim_env("Finite-SC-DFIM-v0", rg.ConstReference("omega", reference_value=0.5))
+    ctrl = GemController.make(env, "Finite-SC-DFIM-v0")
+    out = ctrl.control_environment(env, 50000, key=jax.random.PRNGKey(0))
+    om = env.state_names.index("omega")
+    final = float(np.asarray(out["states"])[-500:, om].mean())
+    np.testing.assert_allclose(final, 0.5, atol=0.03)
+    assert not np.asarray(out["terminations"]).any()
+
+
+def test_dfim_finite_torque_control_stable_partial_tracking():
+    """Finite-TC is stable with zero violations but tracks only ~45% of the
+    torque reference: the two-level B6 quantization at tau=1e-5 limits the
+    realizable average voltage vector (the speed-aware torque ceiling is
+    0.55 normalized at this operating point, so the cascade itself is not
+    the limiter).  Documented behavior; the reference crashes at tune time
+    for every finite AC torque task, so there is no upstream baseline."""
+    env = _scim_env("Finite-TC-DFIM-v0", rg.ConstReference("torque", reference_value=0.3))
+    ctrl = GemController.make(env, "Finite-TC-DFIM-v0")
+    out = ctrl.control_environment(env, 20000, key=jax.random.PRNGKey(0))
+    tq = env.state_names.index("torque")
+    final = float(np.asarray(out["states"])[-500:, tq].mean())
+    assert 0.08 < final < 0.35, final
+    assert not np.asarray(out["terminations"]).any()
+
+
 def test_eesm_torque_controller_matches_reference_first_action():
     """The reference EESM controller diverges on its own env (terminates at
     step ~18), so closed-loop comparison is moot; instead pin the first
