@@ -2213,10 +2213,12 @@ def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
     simulates its (n_envs / n_dev) envs fully on-core; the only collective
     is a final psum of the reward/termination sums).
 
-    Returns ``rollout(seed, *state_planes) -> (local outputs...,
-    global_reward_sum, global_term_count)``.  ``kernel='pmsm'`` (others can
-    be added the same way).  Per-device seeds are decorrelated by folding in
-    the mesh position.
+    ``kernel`` selects the family: ``'pmsm'`` (also covers SynRM),
+    ``'permex'``, ``'dc_sc'`` (SeriesDc/ShuntDc SC — state count follows the
+    motor), ``'scim'``, ``'eesm'``, ``'dfim'``.  Returns
+    ``rollout(seed, *state_planes) -> (local outputs...,
+    global_reward_sum, global_term_count)``; per-device seeds are
+    decorrelated by folding in the mesh position.
     """
     from functools import partial as _partial
 
@@ -2227,34 +2229,48 @@ def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map as _shard_map
 
-    assert kernel == "pmsm"
+    builders = {
+        "pmsm": (make_fused_pmsm_rollout, 3),
+        "permex": (make_fused_permex_rollout, 1),
+        "dc_sc": (make_fused_dc_sc_rollout,
+                  2 if env.physical_system.motor.kind == "SeriesDc" else 3),
+        "scim": (make_fused_scim_rollout, 4),
+        "eesm": (make_fused_eesm_rollout, 4),
+        "dfim": (make_fused_dfim_rollout, 5),
+    }
+    build, n_state = builders[kernel]
     (axis,) = mesh.axis_names
     n_dev = mesh.size
     assert n_envs % (n_dev * LANE) == 0
     local_envs = n_envs // n_dev
-    local = make_fused_pmsm_rollout(env, n_steps, local_envs,
-                                    action_mode="random", interpret=interpret)
+    local = build(env, n_steps, local_envs, action_mode="random",
+                  interpret=interpret)
     spec = _P(axis)
 
+    # count the kernel's outputs (states..., reward, terms, wiener debug...)
+    local_shape = (local_envs // LANE, LANE)
+    abstract = [jax.ShapeDtypeStruct((), jnp.int32)] + [
+        jax.ShapeDtypeStruct(local_shape, jnp.float32) for _ in range(n_state)
+    ]
+    n_out = len(jax.eval_shape(lambda se, *a: local(se, *a), *abstract))
+
     @_partial(_shard_map, mesh=mesh,
-              in_specs=(_P(), spec, spec, spec),
-              out_specs=(spec, spec, spec, _P(), _P()),
+              in_specs=(_P(),) + (spec,) * n_state,
+              out_specs=(spec,) * n_out + (_P(), _P()),
               check_vma=False)
-    def run(seed, isd0, isq0, eps0):
+    def run(seed, *planes):
         dev_seed = seed[0] * jnp.int32(n_dev) + jax.lax.axis_index(axis)
-        out = local(dev_seed, isd0, isq0, eps0)
-        i_sd, i_sq, eps, reward, terms = out[:5]
+        out = local(dev_seed, *planes)
+        reward, terms = out[n_state], out[n_state + 1]
         r_sum = jax.lax.psum(jnp.sum(reward), axis)[None]
         t_sum = jax.lax.psum(jnp.sum(terms), axis)[None]
-        return i_sd, i_sq, eps, r_sum, t_sum
+        return tuple(out) + (r_sum, t_sum)
 
     shard = NamedSharding(mesh, spec)
 
     @jax.jit
-    def rollout(seed, isd0, isq0, eps0):
-        isd0 = jax.device_put(isd0, shard)
-        isq0 = jax.device_put(isq0, shard)
-        eps0 = jax.device_put(eps0, shard)
-        return run(jnp.asarray([seed], jnp.int32), isd0, isq0, eps0)
+    def rollout(seed, *planes):
+        planes = tuple(jax.device_put(x, shard) for x in planes)
+        return run(jnp.asarray([seed], jnp.int32), *planes)
 
     return rollout

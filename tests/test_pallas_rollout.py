@@ -511,7 +511,8 @@ def test_sharded_fused_rollout_over_mesh():
     T, N = 500, 8 * 256
     roll = make_sharded_fused_rollout(env, T, N, mesh, interpret=True)
     z = jnp.zeros((N // 128, 128), jnp.float32)
-    isd, isq, eps, rsum, tsum = roll(3, z, z, z)
+    out_all = roll(3, z, z, z)
+    isd, rsum, tsum = out_all[0], out_all[-2], out_all[-1]
     assert isd.shape == (N // 128, 128)
     # every device ran: per-device reward sums all nonzero and distinct seeds
     mesh_mean = float(rsum[0]) / (N * T)
@@ -743,3 +744,28 @@ def test_fused_synrm_stochastic_stats():
     assert abs(kernel_mean_r - xla_mean_r) < 0.05
     assert abs(kernel_term_rate - xla_term_rate) < max(
         0.5 * max(kernel_term_rate, xla_term_rate), 2e-3)
+
+
+@pytest.mark.parametrize("env_id,kernel,n_state", [
+    ("Finite-CC-PermExDc-v0", "permex", 1),
+    ("Cont-SC-ShuntDc-v0", "dc_sc", 3),
+    ("Cont-CC-DFIM-v0", "dfim", 5),
+])
+def test_sharded_fused_rollout_all_kernels(env_id, kernel, n_state):
+    """The sharded wrapper dispatches every kernel family (virtual 8-device
+    CPU mesh): local shards run on-core, metrics psum globally."""
+    from gym_electric_motor_tpu.parallel import make_env_mesh
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_sharded_fused_rollout
+
+    env = gemx.make_functional(env_id)
+    mesh = make_env_mesh(8)
+    T, N = 300, 8 * 128
+    roll = make_sharded_fused_rollout(env, T, N, mesh, kernel=kernel,
+                                      interpret=True)
+    z = jnp.zeros((N // 128, 128), jnp.float32)
+    out = roll(3, *([z] * n_state))
+    rsum, tsum = out[-2], out[-1]
+    assert np.isfinite(float(rsum[0])) and float(rsum[0]) < 0.0
+    assert float(tsum[0]) >= 0.0
+    for x in out[:n_state]:
+        assert np.all(np.isfinite(np.asarray(x)))
