@@ -701,6 +701,359 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
+def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
+                          interpret=False):
+    """Universal fused rollout for the DC family — ALL 24 catalog configs
+    ({Finite,Cont} x {CC,TC,SC} x {PermExDc,SeriesDc,ShuntDc,ExtExDc}).
+
+    Unlike the earlier per-config kernels this builder reads every semantic
+    from the functional env instance: the motor ODE/torque
+    (dc_*_motor.py:68-127), the converter action law (finite 4QC table
+    converters.py:313-368 / cont duty converters.py:438-496; ExtExDc's dual
+    channel converters.py:547-612), the mechanical model (ConstantSpeedLoad
+    or PolynomialStaticLoad incl. the omega~0 linearization,
+    polynomial_static_load.py:87-107), the Wiener reference margins /
+    sigma ranges / sub-episode lengths per referenced state, the
+    WeightedSumOfErrors weights/spans (weighted_sum_of_errors.py:125-129)
+    and the current limit constraints.
+
+    Returned callable (``(R, LANE)`` float32 planes, R = n_envs // 128):
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)`` where ``state0``/``states`` is
+      ``(omega?, i...)`` — omega present only for SC (dynamic-speed)
+      configs — and the rv/rk/rl/rs Wiener snapshots are stacked
+      ``(n_ref * R, LANE)``.
+    * buffer mode: ``rollout(*state0, actions) -> states`` with an
+      ``(n_steps, [n_ch,] R, LANE)`` action buffer (int32 finite / float32
+      cont; the channel axis only for ExtExDc), deterministic physics only
+      — the bit-level validation path vs the XLA env.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    kind = ps.motor.kind
+    assert kind in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc"), kind
+    conv = ps.converter
+    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0, (
+        "interlocking dead time is handled only by the XLA path")
+    finite = conv.action_type == "finite"
+    n_ch = 2 if kind == "ExtExDc" else 1
+
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    shape = (R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    # --- electrical model (constants baked from the motor spec) ---
+    if kind == "PermExDc":
+        r_a, l_a, psi_e = float(mp["r_a"]), float(mp["l_a"]), float(mp["psi_e"])
+        el_names = ("i",)
+
+        def el_rhs(w, el, u):
+            (i,) = el
+            return ((-psi_e * w - r_a * i + u[0]) * (1.0 / l_a),)
+
+        def torque(el):
+            return psi_e * el[0]
+    elif kind == "SeriesDc":
+        r_t = float(mp["r_a"]) + float(mp["r_e"])
+        l_t = float(mp["l_a"]) + float(mp["l_e"])
+        l_p = float(mp["l_e_prime"])
+        el_names = ("i",)
+
+        def el_rhs(w, el, u):
+            (i,) = el
+            return ((-r_t * i - l_p * w * i + u[0]) * (1.0 / l_t),)
+
+        def torque(el):
+            return l_p * el[0] * el[0]
+    else:  # ShuntDc / ExtExDc share the 2-current ODE (dc_motor.py:96-127)
+        r_a, r_e = float(mp["r_a"]), float(mp["r_e"])
+        l_a, l_e = float(mp["l_a"]), float(mp["l_e"])
+        l_p = float(mp["l_e_prime"])
+        el_names = ("i_a", "i_e")
+
+        def el_rhs(w, el, u):
+            i_a, i_e = el
+            u_a, u_e = (u[0], u[0]) if kind == "ShuntDc" else (u[0], u[1])
+            return ((-r_a * i_a - l_p * w * i_e + u_a) * (1.0 / l_a),
+                    (-r_e * i_e + u_e) * (1.0 / l_e))
+
+        def torque(el):
+            return l_p * el[0] * el[1]
+
+    n_el = len(el_names)
+    el_lims = tuple(float(lim[names.index(n)]) for n in el_names)
+
+    # --- mechanical model ---
+    mech = ps.load.omega_fixed is None  # SC: PolynomialStaticLoad
+    w_lim = float(lim[names.index("omega")])
+    if mech:
+        lp = ps.load.parameter
+        a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
+        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
+        tau_decay = 1e-3
+        omega_lin = a_c / j_total * tau_decay
+
+        def mech_rhs(w, el):
+            sign = jnp.sign(w)
+            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
+                               j_total / tau_decay * w)
+            t_load = sign * c_c * w * w + b_c * w + a_term
+            return (torque(el) - t_load) * (1.0 / j_total)
+
+        def rhs(state, u):
+            w, el = state[0], state[1:]
+            return (mech_rhs(w, el),) + el_rhs(w, el, u)
+    else:
+        omega_fixed = float(ps.load.omega_fixed)
+
+        def rhs(state, u):
+            return el_rhs(omega_fixed, state, u)
+
+    n_state = n_el + (1 if mech else 0)
+
+    # --- converter action law ---
+    def conv_u(a):
+        """per-channel action -> terminal voltage"""
+        if finite:
+            # 4QC table: a=1 -> +u_sup, a=2 -> -u_sup, else 0
+            return (jnp.where(a == 1, 1.0, 0.0)
+                    - jnp.where(a == 2, 1.0, 0.0)) * u_sup
+        return a * u_sup
+
+    def _step_physics(state, acts):
+        u = tuple(conv_u(a) for a in acts)
+
+        def axpy(s, k, c):
+            return tuple(si + c * ki for si, ki in zip(s, k))
+
+        k1 = rhs(state, u)
+        k2 = rhs(axpy(state, k1, 0.5 * tau), u)
+        k3 = rhs(axpy(state, k2, 0.5 * tau), u)
+        k4 = rhs(axpy(state, k3, tau), u)
+        return tuple(
+            s + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            for s, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
+        )
+
+    # --- references / reward / constraints from the env spec ---
+    rw = env.reward_function
+    assert np.all(rw._n == 1.0), "only reward_power=1 is fused"
+    bias = np.float32(rw._bias_value)
+    violation_reward = np.float32(rw._violation_value)
+    subs = env.reference_generator.subs
+    n_ref = len(subs)
+    assert n_ref in (1, 2)
+    shape_r = (n_ref * R, LANE)
+
+    ref_cfg = []  # (state_name, w/span, 1/limit, mlo, mhi, sig_base, sig_span, ep_lo, ep_span)
+    for s in subs:
+        idx = names.index(s.reference_state)
+        ref_cfg.append(dict(
+            name=s.reference_state,
+            coef=np.float32(rw._weights[idx] / rw._state_length[idx]),
+            inv_lim=np.float32(1.0 / lim[idx]),
+            mlo=np.float32(s.margin[0]), mhi=np.float32(s.margin[1]),
+            sig_base=np.float32(np.log10(s.sigma_range[0])),
+            sig_span=np.float32(np.log10(s.sigma_range[1])
+                                - np.log10(s.sigma_range[0])),
+            ep_lo=np.float32(s.episode_lengths[0]),
+            ep_span=np.float32(s.episode_lengths[1] - s.episode_lengths[0]),
+        ))
+
+    def _row_const(field):
+        """per-row (n_ref*R, LANE) constant: ref 0 on rows [0:R], ref 1 on
+        [R:2R] — built from iota (Pallas kernels cannot capture arrays)."""
+        if n_ref == 1 or ref_cfg[0][field] == ref_cfg[1][field]:
+            return ref_cfg[0][field]
+        row = jax.lax.broadcasted_iota(jnp.int32, shape_r, 0)
+        return jnp.where(row < R, ref_cfg[0][field], ref_cfg[1][field])
+
+    def ref_quantity(state, j):
+        """normalized referenced quantity j of the post-step state"""
+        nm = ref_cfg[j]["name"]
+        el = state[1:] if mech else state
+        if nm == "omega":
+            return state[0] * np.float32(1.0 / w_lim)
+        if nm == "torque":
+            t_lim = float(lim[names.index("torque")])
+            return torque(el) * np.float32(1.0 / t_lim)
+        return el[el_names.index(nm)] * ref_cfg[j]["inv_lim"]
+
+    def violated_fn(state):
+        el = state[1:] if mech else state
+        v = jnp.abs(el[0]) > el_lims[0]
+        for j in range(1, n_el):
+            v = v | (jnp.abs(el[j]) > el_lims[j])
+        return v
+
+    def _sample_actions(bits):
+        if finite and n_ch == 1:
+            return ((bits(shape) & jnp.uint32(3)).astype(jnp.int32),)
+        if finite:
+            b = bits(shape)
+            return ((b & jnp.uint32(3)).astype(jnp.int32),
+                    ((b >> jnp.uint32(2)) & jnp.uint32(3)).astype(jnp.int32))
+        if n_ch == 1:
+            return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,)
+        return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
+                2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        out_reward, out_terms, out_rv, out_rk, out_rl, out_rs = (
+            refs[2 * n_state: 2 * n_state + 6])
+        scratch = refs[2 * n_state + 6:]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
+        za_ref, zb_ref = (scratch[5], scratch[6]) if n_ref == 1 else (None, None)
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        mlo_t, mhi_t = _row_const("mlo"), _row_const("mhi")
+        sb_t, ss_t = _row_const("sig_base"), _row_const("sig_span")
+        el_t, es_t = _row_const("ep_lo"), _row_const("ep_span")
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape_r))
+            u2 = _uniform_from_bits(bits(shape_r))
+            rl_ref[:] = jnp.where(mask, jnp.floor(el_t + es_t * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (sb_t + ss_t * u2)),
+                                  rs_ref[:])
+
+        u = _uniform_from_bits(bits(shape_r))
+        rv_ref[:] = mlo_t + (mhi_t - mlo_t) * u
+        rk_ref[:] = jnp.zeros(shape_r, jnp.float32)
+        _draw_params(jnp.ones(shape_r, dtype=jnp.bool_))
+
+        def body(t, _):
+            acts = _sample_actions(bits)
+            state = _step_physics(tuple(o[:] for o in out_state), acts)
+
+            violated = violated_fn(state)
+            refs_now = rv_ref[:]
+            wse = bias - ref_cfg[0]["coef"] * jnp.abs(
+                ref_quantity(state, 0) - refs_now[:R])
+            if n_ref == 2:
+                wse = wse - ref_cfg[1]["coef"] * jnp.abs(
+                    ref_quantity(state, 1) - refs_now[R:])
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
+            for o, s in zip(out_state, state):
+                o[:] = jnp.where(violated, zero, s)
+
+            # Wiener advance: one Box-Muller pair per step feeds both
+            # streams (n_ref=2) or alternates temporally (n_ref=1) — see
+            # the PMSM / PermExDc kernels
+            if n_ref == 2:
+                viol_f = violated.astype(jnp.float32)
+                reset_r = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                draw = jnp.concatenate(
+                    [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
+            else:
+                reset_r = violated
+                even = (t & 1) == 0
+
+                @pl.when(even)
+                def _():
+                    u1 = _uniform_from_bits(bits(shape))
+                    u2 = _uniform_from_bits(bits(shape))
+                    rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                    theta = np.float32(TWO_PI) * u2
+                    za_ref[:] = rad * jnp.cos(theta)
+                    zb_ref[:] = rad * jnp.sin(theta)
+
+                draw = jnp.where(even, za_ref[:], zb_ref[:])
+
+            regen = (rk_ref[:] >= rl_ref[:]) | reset_r
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, mlo_t, mhi_t)
+            u3 = _uniform_from_bits(bits(shape_r))
+            rv_ref[:] = jnp.where(reset_r, mlo_t + (mhi_t - mlo_t) * u3, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(*refs):
+        state0 = refs[:n_state]
+        actions_ref = refs[n_state]
+        out_state = refs[n_state + 1:]
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+
+        def body(t, _):
+            if n_ch == 1:
+                acts = (actions_ref[t],)
+            else:
+                acts = (actions_ref[t, 0], actions_ref[t, 1])
+            state = _step_physics(tuple(o[:] for o in out_state), acts)
+            for o, s in zip(out_state, state):
+                o[:] = s
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(*args):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(n_state)),
+                in_specs=[vmem] * (n_state + 1),
+                out_specs=tuple(vmem for _ in range(n_state)),
+                interpret=interpret,
+            )(*args)
+
+        return rollout
+
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(n_state + 2))
+                  + tuple(jax.ShapeDtypeStruct(shape_r, jnp.float32)
+                          for _ in range(4)))
+    scratch_shapes = (
+        [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_ref == 1 else [])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_state,
+            out_specs=tuple(vmem for _ in range(len(out_shapes))),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
+
+    return rollout
+
+
 def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
                             interpret=False):
     """Fused rollout for Cont-TC-SCIM-v0 — the stiffest family: 5-state
