@@ -1054,6 +1054,377 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
+def _ref_configs(env, R):
+    """Per-referenced-state Wiener/reward constants read from the env spec
+    (subepisoded_reference_generator.py:28-117, weighted_sum_of_errors.py:
+    88-129) — the table behind the universal family kernels."""
+    ps = env.physical_system
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    rw = env.reward_function
+    assert np.all(rw._n == 1.0), "only reward_power=1 is fused"
+    cfgs = []
+    for s in env.reference_generator.subs:
+        idx = names.index(s.reference_state)
+        cfgs.append(dict(
+            name=s.reference_state,
+            coef=np.float32(rw._weights[idx] / rw._state_length[idx]),
+            inv_lim=np.float32(1.0 / lim[idx]),
+            mlo=np.float32(s.margin[0]), mhi=np.float32(s.margin[1]),
+            sig_base=np.float32(np.log10(s.sigma_range[0])),
+            sig_span=np.float32(np.log10(s.sigma_range[1])
+                                - np.log10(s.sigma_range[0])),
+            ep_lo=np.float32(s.episode_lengths[0]),
+            ep_span=np.float32(s.episode_lengths[1] - s.episode_lengths[0]),
+        ))
+    return cfgs
+
+
+def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
+                 rs_ref, za_ref, zb_ref):
+    """Shared in-kernel Wiener reference machinery: per-row margin/sigma/
+    length tables (iota-built — Pallas kernels cannot capture arrays), init,
+    and the per-step advance with sub-episode regeneration and in-kernel
+    reset.  One Box-Muller pair feeds both streams (n_ref=2, spatial) or
+    alternates across step parity (n_ref=1, temporal via za/zb scratch)."""
+    n_ref = len(ref_cfg)
+    LN10 = np.float32(np.log(10.0))
+
+    def _row_const(field):
+        if n_ref == 1 or ref_cfg[0][field] == ref_cfg[1][field]:
+            return ref_cfg[0][field]
+        row = jax.lax.broadcasted_iota(jnp.int32, shape_r, 0)
+        return jnp.where(row < R, ref_cfg[0][field], ref_cfg[1][field])
+
+    mlo_t, mhi_t = _row_const("mlo"), _row_const("mhi")
+    sb_t, ss_t = _row_const("sig_base"), _row_const("sig_span")
+    el_t, es_t = _row_const("ep_lo"), _row_const("ep_span")
+
+    def _draw_params(mask):
+        u1 = _uniform_from_bits(bits(shape_r))
+        u2 = _uniform_from_bits(bits(shape_r))
+        rl_ref[:] = jnp.where(mask, jnp.floor(el_t + es_t * u1), rl_ref[:])
+        rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (sb_t + ss_t * u2)),
+                              rs_ref[:])
+
+    def init():
+        u = _uniform_from_bits(bits(shape_r))
+        rv_ref[:] = mlo_t + (mhi_t - mlo_t) * u
+        rk_ref[:] = jnp.zeros(shape_r, jnp.float32)
+        _draw_params(jnp.ones(shape_r, dtype=jnp.bool_))
+
+    def advance(t, violated):
+        if n_ref == 2:
+            viol_f = violated.astype(jnp.float32)
+            reset_r = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            theta = np.float32(TWO_PI) * u2
+            draw = jnp.concatenate(
+                [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
+        else:
+            reset_r = violated
+            even = (t & 1) == 0
+
+            @pl.when(even)
+            def _():
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                za_ref[:] = rad * jnp.cos(theta)
+                zb_ref[:] = rad * jnp.sin(theta)
+
+            draw = jnp.where(even, za_ref[:], zb_ref[:])
+
+        regen = (rk_ref[:] >= rl_ref[:]) | reset_r
+        _draw_params(regen)
+        rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+        value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, mlo_t, mhi_t)
+        u3 = _uniform_from_bits(bits(shape_r))
+        rv_ref[:] = jnp.where(reset_r, mlo_t + (mhi_t - mlo_t) * u3, value)
+
+    return init, advance
+
+
+def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
+                            interpret=False):
+    """Universal fused rollout for the synchronous family — all 12
+    {Finite,Cont} x {CC,TC,SC} x {PMSM,SynRM} catalog configs.
+
+    Reads every semantic from the env spec: the dq ODE with psi_p = 0
+    covering SynRM (permanent_magnet_synchronous_motor.py:107-119,
+    synchronous_reluctance_motor.py:117-130), B6 bridge bits (finite,
+    converters.py:788-823) or duty u = a*u_sup/2 (cont, converters.py:
+    846-881), Park at the cycle-start angle (the reference's stale-epsilon
+    quirk, physical_systems.py:487-525), the SquaredConstraint on the dq
+    currents, Wiener references on (i_sd*, i_sq*) / torque* / omega* and
+    the WSE reward.  CC/TC (ConstantSpeedLoad) keep the 4-mul incremental
+    Park rotation; SC adds the PolynomialStaticLoad mechanical ODE to the
+    joint RK4 state and evaluates cos/sin(eps) per step (omega varies).
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sd, i_sq, eps).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with an int32
+      ``(n_steps, R, LANE)`` (finite) or float32 ``(n_steps, 3, R, LANE)``
+      (cont) action buffer; deterministic physics only.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    conv = ps.converter
+    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0
+    finite = conv.action_type == "finite"
+
+    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+    psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    t_lim = float(lim[names.index("torque")])
+    w_lim = float(lim[names.index("omega")])
+    shape = (R, LANE)
+
+    mech = ps.load.omega_fixed is None
+    if mech:
+        lp = ps.load.parameter
+        a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
+        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
+        tau_decay = 1e-3
+        omega_lin = a_c / j_total * tau_decay
+    else:
+        omega_fixed = float(ps.load.omega_fixed)
+        COS_D = np.float32(np.cos(tau * p * omega_fixed))
+        SIN_D = np.float32(np.sin(tau * p * omega_fixed))
+
+    def torque(i_sd, i_sq):
+        return 1.5 * p * (psi_p + (l_d - l_q) * i_sd) * i_sq
+
+    def el_rhs(w, i_sd, i_sq, u_d, u_q):
+        pw = p * w
+        di_sd = (-r_s * i_sd + l_q * pw * i_sq + u_d) * (1.0 / l_d)
+        di_sq = (-psi_p * pw - r_s * i_sq - l_d * pw * i_sd + u_q) * (1.0 / l_q)
+        return di_sd, di_sq
+
+    if mech:
+        def rhs(state, u_d, u_q):
+            w, i_sd, i_sq, eps = state
+            sign = jnp.sign(w)
+            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
+                               j_total / tau_decay * w)
+            t_load = sign * c_c * w * w + b_c * w + a_term
+            dw = (torque(i_sd, i_sq) - t_load) * (1.0 / j_total)
+            di_sd, di_sq = el_rhs(w, i_sd, i_sq, u_d, u_q)
+            return dw, di_sd, di_sq, p * w
+    else:
+        def rhs(state, u_d, u_q):
+            i_sd, i_sq, eps = state
+            di_sd, di_sq = el_rhs(omega_fixed, i_sd, i_sq, u_d, u_q)
+            return di_sd, di_sq, np.float32(p * omega_fixed) + 0.0 * eps
+
+    n_state = 4 if mech else 3
+
+    def abc_voltage(action):
+        if finite:
+            ua = ((action >> 2) & 1).astype(jnp.float32) - 0.5
+            ub = ((action >> 1) & 1).astype(jnp.float32) - 0.5
+            uc = (action & 1).astype(jnp.float32) - 0.5
+            return ua * u_sup, ub * u_sup, uc * u_sup
+        half = 0.5 * u_sup
+        return action[0] * half, action[1] * half, action[2] * half
+
+    def physics_step(state, action, c, s):
+        ua, ub, uc = abc_voltage(action)
+        u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        u_d = c * u_alpha + s * u_beta
+        u_q = -s * u_alpha + c * u_beta
+
+        def axpy(st, k, cc):
+            return tuple(si + cc * ki for si, ki in zip(st, k))
+
+        k1 = rhs(state, u_d, u_q)
+        k2 = rhs(axpy(state, k1, 0.5 * tau), u_d, u_q)
+        k3 = rhs(axpy(state, k2, 0.5 * tau), u_d, u_q)
+        k4 = rhs(axpy(state, k3, tau), u_d, u_q)
+        return tuple(
+            si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
+        )
+
+    ref_cfg = _ref_configs(env, R)
+    n_ref = len(ref_cfg)
+    shape_r = (n_ref * R, LANE)
+    rw = env.reward_function
+    bias = np.float32(rw._bias_value)
+    violation_reward = np.float32(rw._violation_value)
+
+    def ref_quantity(state, j):
+        nm = ref_cfg[j]["name"]
+        i_sd, i_sq = (state[1], state[2]) if mech else (state[0], state[1])
+        if nm == "omega":
+            return state[0] * np.float32(1.0 / w_lim)
+        if nm == "torque":
+            return torque(i_sd, i_sq) * np.float32(1.0 / t_lim)
+        q = i_sd if nm == "i_sd" else i_sq
+        return q * ref_cfg[j]["inv_lim"]
+
+    def _sample_actions(bits):
+        if finite:
+            return (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
+        return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
+                2.0 * _uniform_from_bits(bits(shape)) - 1.0,
+                2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        out_reward, out_terms, out_rv, out_rk, out_rl, out_rs = (
+            refs[2 * n_state: 2 * n_state + 6])
+        scratch = refs[2 * n_state + 6:]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
+        j = 5
+        za_ref = zb_ref = c_ref = s_ref = None
+        if n_ref == 1:
+            za_ref, zb_ref = scratch[j], scratch[j + 1]
+            j += 2
+        if not mech:
+            c_ref, s_ref = scratch[j], scratch[j + 1]
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        if not mech:
+            c_ref[:] = jnp.cos(state0[-1][:])
+            s_ref[:] = jnp.sin(state0[-1][:])
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref)
+        w_init()
+
+        inv_2pi = np.float32(1.0 / TWO_PI)
+
+        def body(t, _):
+            action = _sample_actions(bits)
+            cur = tuple(o[:] for o in out_state)
+            if mech:
+                c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+            else:
+                c, s = c_ref[:], s_ref[:]
+            state = physics_step(cur, action, c, s)
+            eps = state[-1]
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
+            state = state[:-1] + (eps,)
+
+            i_sd, i_sq = (state[1], state[2]) if mech else (state[0], state[1])
+            i_sd_n = i_sd * np.float32(1.0 / i_lim)
+            i_sq_n = i_sq * np.float32(1.0 / i_lim)
+            violated = (i_sd_n * i_sd_n + i_sq_n * i_sq_n) > 1.0
+
+            refs_now = rv_ref[:]
+            wse = bias - ref_cfg[0]["coef"] * jnp.abs(
+                ref_quantity(state, 0) - refs_now[:R])
+            if n_ref == 2:
+                wse = wse - ref_cfg[1]["coef"] * jnp.abs(
+                    ref_quantity(state, 1) - refs_now[R:])
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
+            for o, s2 in zip(out_state, state):
+                o[:] = jnp.where(violated, zero, s2)
+            if not mech:
+                c_new = c * COS_D - s * SIN_D
+                s_new = s * COS_D + c * SIN_D
+                inv = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+                c_ref[:] = jnp.where(violated,
+                                     jnp.ones(shape, jnp.float32), c_new * inv)
+                s_ref[:] = jnp.where(violated, zero, s_new * inv)
+
+            w_advance(t, violated)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(*refs):
+        state0 = refs[:n_state]
+        actions_ref = refs[n_state]
+        out_state = refs[n_state + 1:]
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        inv_2pi = np.float32(1.0 / TWO_PI)
+
+        def body(t, _):
+            if finite:
+                action = actions_ref[t]
+            else:
+                action = (actions_ref[t, 0], actions_ref[t, 1],
+                          actions_ref[t, 2])
+            cur = tuple(o[:] for o in out_state)
+            c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+            state = physics_step(cur, action, c, s)
+            eps = state[-1]
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
+            state = state[:-1] + (eps,)
+            for o, s2 in zip(out_state, state):
+                o[:] = s2
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(*args):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(n_state)),
+                in_specs=[vmem] * (n_state + 1),
+                out_specs=tuple(vmem for _ in range(n_state)),
+                interpret=interpret,
+            )(*args)
+
+        return rollout
+
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(n_state + 2))
+                  + tuple(jax.ShapeDtypeStruct(shape_r, jnp.float32)
+                          for _ in range(4)))
+    scratch_shapes = (
+        [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_ref == 1 else [])
+        + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_state,
+            out_specs=tuple(vmem for _ in range(len(out_shapes))),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
+
+    return rollout
+
+
 def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
                             interpret=False):
     """Fused rollout for Cont-TC-SCIM-v0 — the stiffest family: 5-state
