@@ -259,6 +259,47 @@ def main():
         }))
         return
 
+    if os.environ.get("BENCH_UNIVERSAL"):
+        # Universal-dispatch fused kernels (make_fused_rollout): measure a
+        # representative slice of the NEW task/converter corners the family
+        # builders opened up (all 54 catalog ids are fused; the BASELINE
+        # configs are covered by BENCH_ALL's specialized kernels).  Ids can
+        # be overridden: BENCH_UNIVERSAL="id1,id2".
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            fused_state_arity,
+            make_fused_rollout,
+        )
+
+        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
+        z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
+        spec = os.environ["BENCH_UNIVERSAL"]
+        ids = (spec.split(",") if "-v0" in spec
+               else ("Finite-SC-PMSM-v0", "Cont-CC-ExtExDc-v0",
+                     "Finite-TC-SeriesDc-v0", "Cont-SC-SCIM-v0",
+                     "Finite-SC-EESM-v0", "Finite-CC-DFIM-v0"))
+        best_u = 0.0
+        for env_id in ids:
+            e = gemx.make_functional(env_id)
+            n_state = fused_state_arity(e)
+
+            def call(r, seed, _n=n_state):
+                return float(r(seed, *([z] * _n))[_n].sum())
+
+            v = _measure_fused_kernel(
+                f"{env_id}/universal",
+                lambda _e=e: make_fused_rollout(_e, n_steps, N_ENVS),
+                call, n_steps)
+            _log(f"{env_id} (universal fused): {v / 1e6:.1f}M env-steps/s")
+            best_u = max(best_u, v)
+        _persist()
+        print(json.dumps({
+            "metric": "env_steps_per_s",
+            "value": round(best_u, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(best_u / BASELINE_STEPS_PER_S, 4),
+        }))
+        return
+
     if os.environ.get("BENCH_ALL"):
         # Measure the headline fused kernel FIRST: after ~20 back-to-back
         # kernel benchmarks the device/tunnel shows a degraded state (one

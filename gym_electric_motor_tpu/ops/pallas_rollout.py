@@ -1091,10 +1091,14 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
     LN10 = np.float32(np.log(10.0))
 
     def _row_const(field):
-        if n_ref == 1 or ref_cfg[0][field] == ref_cfg[1][field]:
-            return ref_cfg[0][field]
+        vals = [c[field] for c in ref_cfg]
+        if all(v == vals[0] for v in vals):
+            return vals[0]
         row = jax.lax.broadcasted_iota(jnp.int32, shape_r, 0)
-        return jnp.where(row < R, ref_cfg[0][field], ref_cfg[1][field])
+        out = jnp.full(shape_r, vals[-1], jnp.float32)
+        for j in range(n_ref - 2, -1, -1):
+            out = jnp.where(row < (j + 1) * R, vals[j], out)
+        return out
 
     mlo_t, mhi_t = _row_const("mlo"), _row_const("mhi")
     sb_t, ss_t = _row_const("sig_base"), _row_const("sig_span")
@@ -1114,15 +1118,21 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
         _draw_params(jnp.ones(shape_r, dtype=jnp.bool_))
 
     def advance(t, violated):
-        if n_ref == 2:
+        if n_ref >= 2:
             viol_f = violated.astype(jnp.float32)
-            reset_r = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+            reset_r = jnp.concatenate([viol_f] * n_ref, axis=0) > 0.5
             u1 = _uniform_from_bits(bits(shape))
             u2 = _uniform_from_bits(bits(shape))
             rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
             theta = np.float32(TWO_PI) * u2
-            draw = jnp.concatenate(
-                [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
+            parts = [rad * jnp.cos(theta), rad * jnp.sin(theta)]
+            if n_ref == 3:
+                # third stream: one extra single BM draw (cos branch only)
+                u3 = _uniform_from_bits(bits(shape))
+                u4 = _uniform_from_bits(bits(shape))
+                parts.append(jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u3, 1e-12)))
+                             * jnp.cos(np.float32(TWO_PI) * u4))
+            draw = jnp.concatenate(parts, axis=0)
         else:
             reset_r = violated
             even = (t & 1) == 0
@@ -1621,6 +1631,288 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
+def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
+                                 interpret=False):
+    """Universal fused rollout for the squirrel-cage induction family — all
+    6 {Finite,Cont} x {CC,TC,SC} SCIM catalog configs from one builder.
+
+    The 4-state alpha/beta ODE (induction_motor.py:287-313, rotor shorted)
+    integrates under Clarke-only converter voltages (no Park — the SCIM
+    system is stator-frame, physical_systems.py:771-814); dq output
+    quantities for the CC reward are produced by rotating the stator
+    current into the rotor-flux frame, with the flux direction computed as
+    (psi_ra, psi_rb)/|psi| instead of an atan2+sincos round trip
+    (physical_systems.py:736-741's eps_fs enters only through its cos/sin).
+    SC adds the polynomial-load mechanical ODE; torque = k_t (psi_ra i_sb -
+    psi_rb i_sa).  References/reward/constraint read from the env spec as
+    in the DC/sync universal builders.
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sa, i_sb,
+      psi_ra, psi_rb).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
+      ``(n_steps, R, LANE)`` B6 bits (finite) / float32
+      ``(n_steps, 3, R, LANE)`` duties (cont); deterministic physics only.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    conv = ps.converter
+    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0
+    finite = conv.action_type == "finite"
+
+    l_m = float(mp["l_m"])
+    l_s = float(mp["l_m"] + mp["l_sigs"])
+    l_r = float(mp["l_m"] + mp["l_sigr"])
+    r_s, r_r, p = float(mp["r_s"]), float(mp["r_r"]), float(mp["p"])
+    sigma = (l_s * l_r - l_m**2) / (l_s * l_r)
+    tau_r = l_r / r_r
+    tau_sig = sigma * l_s / (r_s + r_r * l_m**2 / l_r**2)
+    c_psi = l_m * r_r / (sigma * l_s * l_r**2)
+    c_w = l_m * p / (sigma * l_r * l_s)
+    c_u = 1.0 / (sigma * l_s)
+    k_t = 1.5 * p * l_m / l_r
+
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    t_lim = float(lim[names.index("torque")])
+    w_lim = float(lim[names.index("omega")])
+    shape = (R, LANE)
+
+    mech = ps.load.omega_fixed is None
+    if mech:
+        lp = ps.load.parameter
+        a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
+        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
+        tau_decay = 1e-3
+        omega_lin = a_c / j_total * tau_decay
+    else:
+        omega_fixed = float(ps.load.omega_fixed)
+
+    def el_rhs(w, el, u_al, u_be):
+        i_sa, i_sb, ps_a, ps_b = el
+        pw = p * w
+        di_sa = -i_sa / tau_sig + c_psi * ps_a + c_w * w * ps_b + c_u * u_al
+        di_sb = -i_sb / tau_sig + c_psi * ps_b - c_w * w * ps_a + c_u * u_be
+        dps_a = (l_m * i_sa - ps_a) / tau_r - pw * ps_b
+        dps_b = (l_m * i_sb - ps_b) / tau_r + pw * ps_a
+        return di_sa, di_sb, dps_a, dps_b
+
+    def torque(el):
+        return k_t * (el[2] * el[1] - el[3] * el[0])
+
+    if mech:
+        def rhs(state, u_al, u_be):
+            w, el = state[0], state[1:]
+            sign = jnp.sign(w)
+            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
+                               j_total / tau_decay * w)
+            t_load = sign * c_c * w * w + b_c * w + a_term
+            dw = (torque(el) - t_load) * (1.0 / j_total)
+            return (dw,) + el_rhs(w, el, u_al, u_be)
+    else:
+        def rhs(state, u_al, u_be):
+            return el_rhs(omega_fixed, state, u_al, u_be)
+
+    n_state = 4 + (1 if mech else 0)
+
+    def alphabeta_voltage(action):
+        if finite:
+            ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+            ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+            uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
+        else:
+            half = 0.5 * u_sup
+            ua, ub, uc = (action[0] * half, action[1] * half,
+                          action[2] * half)
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        return u_al, u_be
+
+    def _step_physics(state, action):
+        u_al, u_be = alphabeta_voltage(action)
+
+        def axpy(st, k, cc):
+            return tuple(si + cc * ki for si, ki in zip(st, k))
+
+        k1 = rhs(state, u_al, u_be)
+        k2 = rhs(axpy(state, k1, 0.5 * tau), u_al, u_be)
+        k3 = rhs(axpy(state, k2, 0.5 * tau), u_al, u_be)
+        k4 = rhs(axpy(state, k3, tau), u_al, u_be)
+        return tuple(
+            si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
+        )
+
+    ref_cfg = _ref_configs(env, R)
+    n_ref = len(ref_cfg)
+    shape_r = (n_ref * R, LANE)
+    rw = env.reward_function
+    bias = np.float32(rw._bias_value)
+    violation_reward = np.float32(rw._violation_value)
+    needs_dq = any(c["name"] in ("i_sd", "i_sq") for c in ref_cfg)
+
+    def flux_dir(el):
+        """cos/sin of the rotor-flux field angle, computed as psi/|psi|
+        instead of an atan2+sincos round trip (atan2(0,0) = 0 -> (1, 0) at
+        zero flux)"""
+        ps_a, ps_b = el[2], el[3]
+        mag2 = ps_a * ps_a + ps_b * ps_b
+        tiny = mag2 < 1e-24
+        inv = jax.lax.rsqrt(jnp.where(tiny, 1.0, mag2))
+        return (jnp.where(tiny, 1.0, ps_a * inv),
+                jnp.where(tiny, 0.0, ps_b * inv))
+
+    def ref_quantities(state, cs):
+        """cs is the PRE-step field direction: the reference refreshes the
+        field angle only between sub-intervals, so the dq outputs combine
+        the post-step currents with the stale angle
+        (physical_systems.py:783-812)."""
+        el = state[1:] if mech else state
+        if needs_dq:
+            c, s = cs
+            i_sa, i_sb = el[0], el[1]
+            i_dq = (c * i_sa + s * i_sb, c * i_sb - s * i_sa)
+        else:
+            i_dq = (None, None)
+        out = []
+        for cfg in ref_cfg:
+            nm = cfg["name"]
+            if nm == "omega":
+                out.append(state[0] * np.float32(1.0 / w_lim))
+            elif nm == "torque":
+                out.append(torque(el) * np.float32(1.0 / t_lim))
+            elif nm == "i_sd":
+                out.append(i_dq[0] * cfg["inv_lim"])
+            else:
+                out.append(i_dq[1] * cfg["inv_lim"])
+        return out
+
+    def _sample_actions(bits):
+        if finite:
+            return (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
+        return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
+                2.0 * _uniform_from_bits(bits(shape)) - 1.0,
+                2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        out_reward, out_terms, out_rv, out_rk, out_rl, out_rs = (
+            refs[2 * n_state: 2 * n_state + 6])
+        scratch = refs[2 * n_state + 6:]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
+        za_ref, zb_ref = ((scratch[5], scratch[6]) if n_ref == 1
+                          else (None, None))
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref)
+        w_init()
+
+        inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
+
+        def body(t, _):
+            action = _sample_actions(bits)
+            cur = tuple(o[:] for o in out_state)
+            cs = flux_dir(cur[1:] if mech else cur) if needs_dq else None
+            state = _step_physics(cur, action)
+
+            el = state[1:] if mech else state
+            # |i_dq| == |i_alphabeta| (rotation-invariant)
+            violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
+            qs = ref_quantities(state, cs)
+            refs_now = rv_ref[:]
+            wse = bias - ref_cfg[0]["coef"] * jnp.abs(qs[0] - refs_now[:R])
+            if n_ref == 2:
+                wse = wse - ref_cfg[1]["coef"] * jnp.abs(qs[1] - refs_now[R:])
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
+            for o, s2 in zip(out_state, state):
+                o[:] = jnp.where(violated, zero, s2)
+
+            w_advance(t, violated)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(*refs):
+        state0 = refs[:n_state]
+        actions_ref = refs[n_state]
+        out_state = refs[n_state + 1:]
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+
+        def body(t, _):
+            if finite:
+                action = actions_ref[t]
+            else:
+                action = (actions_ref[t, 0], actions_ref[t, 1],
+                          actions_ref[t, 2])
+            state = _step_physics(tuple(o[:] for o in out_state), action)
+            for o, s in zip(out_state, state):
+                o[:] = s
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(*args):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(n_state)),
+                in_specs=[vmem] * (n_state + 1),
+                out_specs=tuple(vmem for _ in range(n_state)),
+                interpret=interpret,
+            )(*args)
+
+        return rollout
+
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(n_state + 2))
+                  + tuple(jax.ShapeDtypeStruct(shape_r, jnp.float32)
+                          for _ in range(4)))
+    scratch_shapes = (
+        [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_ref == 1 else [])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_state,
+            out_specs=tuple(vmem for _ in range(len(out_shapes))),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
+
+    return rollout
+
+
 def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
                             interpret=False):
     """Fused rollout for Finite-CC-EESM-v0 — the slowest XLA-path family
@@ -1853,6 +2145,305 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isd0, isq0, ie0, eps0)
+
+    return rollout
+
+
+def make_fused_eesm_family_rollout(env, n_steps, n_envs,
+                                   action_mode="random", interpret=False):
+    """Universal fused rollout for the externally-excited synchronous
+    family — all 6 {Finite,Cont} x {CC,TC,SC} EESM catalog configs.
+
+    Same 3-current dq ODE as ``make_fused_eesm_rollout`` (externally_
+    excited_synchronous_motor.py via models/motors.py:451-476) but with
+    the converter (finite B6 bits + 4QC table vs cont B6/4QC duties),
+    task references (i_sd*/i_sq*/i_e* | torque* | omega*), reward weights
+    and the mechanical model read from the env spec.  SC adds the
+    polynomial-load mechanical ODE (torque = 1.5 p (l_M i_e i_k_rs +
+    (l_d - l_q) i_sd) i_sq, eesm:200-203) and per-step sincos; CC/TC keep
+    the incremental Park rotation.
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sd, i_sq, i_e,
+      eps).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
+      ``(n_steps, 2, R, LANE)`` (finite: B6, 4QC) or float32
+      ``(n_steps, 4, R, LANE)`` (cont duties) action buffers.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = {k: float(v) for k, v in ps.motor.parameter.items()}
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    conv = ps.converter
+    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0
+    finite = conv.action_type == "finite"
+
+    # stator-side transformed rotor params (models/motors.py:441-449)
+    r_E = mp["k"] ** 2 * 1.5 * mp["r_e"]
+    l_M = mp["k"] * 1.5 * mp["l_m"]
+    l_E = mp["k"] ** 2 * 1.5 * mp["l_e"]
+    i_k_rs = 2.0 / 3.0 / mp["k"]
+    sig = 1.0 - l_M**2 / (mp["l_d"] * l_E)
+    r_s, l_d, l_q, p, k_e = mp["r_s"], mp["l_d"], mp["l_q"], mp["p"], mp["k"]
+
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    ie_lim = float(lim[names.index("i_e")])
+    t_lim = float(lim[names.index("torque")])
+    w_lim = float(lim[names.index("omega")])
+    shape = (R, LANE)
+
+    mech = ps.load.omega_fixed is None
+    if mech:
+        lpar = ps.load.parameter
+        a_c, b_c, c_c = (float(lpar["a"]), float(lpar["b"]),
+                         float(lpar["c"]))
+        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
+        tau_decay = 1e-3
+        omega_lin = a_c / j_total * tau_decay
+    else:
+        omega_fixed = float(ps.load.omega_fixed)
+        COS_D = np.float32(np.cos(tau * p * omega_fixed))
+        SIN_D = np.float32(np.sin(tau * p * omega_fixed))
+
+    def torque3(i_sd, i_sq, i_e):
+        return 1.5 * p * (l_M * i_e * i_k_rs + (l_d - l_q) * i_sd) * i_sq
+
+    def el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e):
+        pw = p * w
+        di_sd = (-r_s / sig * i_sd + l_M * r_E / (sig * l_E) * i_k_rs * i_e
+                 + u_d / sig - l_M * k_e / (sig * l_E) * u_e
+                 + l_q * pw / sig * i_sq) * (1.0 / l_d)
+        di_sq = (-r_s * i_sq + u_q - l_d * pw * i_sd
+                 - pw * l_M * i_k_rs * i_e) * (1.0 / l_q)
+        di_e = (l_M * r_s / (sig * l_d) * i_sd - r_E / sig * i_k_rs * i_e
+                - l_M / (sig * l_d) * u_d + k_e / sig * u_e
+                - pw * l_M * l_q / (sig * l_d) * i_sq) * (1.0 / (l_E * i_k_rs))
+        return di_sd, di_sq, di_e
+
+    if mech:
+        def rhs(state, u_d, u_q, u_e):
+            w, i_sd, i_sq, i_e, eps = state
+            sign = jnp.sign(w)
+            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
+                               j_total / tau_decay * w)
+            t_load = sign * c_c * w * w + b_c * w + a_term
+            dw = (torque3(i_sd, i_sq, i_e) - t_load) * (1.0 / j_total)
+            return (dw,) + el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e) + (p * w,)
+    else:
+        def rhs(state, u_d, u_q, u_e):
+            i_sd, i_sq, i_e, eps = state
+            return (el_rhs(omega_fixed, i_sd, i_sq, i_e, u_d, u_q, u_e)
+                    + (np.float32(p * omega_fixed) + 0.0 * eps,))
+
+    n_state = 5 if mech else 4
+
+    def voltages(action, c, s):
+        if finite:
+            a_b6, a_4qc = action
+            ua = (((a_b6 >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+            ub = (((a_b6 >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+            uc = ((a_b6 & 1).astype(jnp.float32) - 0.5) * u_sup
+            u_e = (jnp.where(a_4qc == 1, 1.0, 0.0)
+                   - jnp.where(a_4qc == 2, 1.0, 0.0)) * u_sup
+        else:
+            half = 0.5 * u_sup
+            ua, ub, uc = action[0] * half, action[1] * half, action[2] * half
+            u_e = action[3] * u_sup
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        u_d = c * u_al + s * u_be
+        u_q = -s * u_al + c * u_be
+        return u_d, u_q, u_e
+
+    def physics_step(state, action, c, s):
+        u_d, u_q, u_e = voltages(action, c, s)
+
+        def axpy(st, k, cc):
+            return tuple(si + cc * ki for si, ki in zip(st, k))
+
+        k1 = rhs(state, u_d, u_q, u_e)
+        k2 = rhs(axpy(state, k1, 0.5 * tau), u_d, u_q, u_e)
+        k3 = rhs(axpy(state, k2, 0.5 * tau), u_d, u_q, u_e)
+        k4 = rhs(axpy(state, k3, tau), u_d, u_q, u_e)
+        return tuple(
+            si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
+        )
+
+    ref_cfg = _ref_configs(env, R)
+    n_ref = len(ref_cfg)
+    shape_r = (n_ref * R, LANE)
+    rw = env.reward_function
+    bias = np.float32(rw._bias_value)
+    violation_reward = np.float32(rw._violation_value)
+
+    def ref_quantity(state, j):
+        nm = ref_cfg[j]["name"]
+        i_sd, i_sq, i_e = (state[1:4] if mech else state[0:3])
+        if nm == "omega":
+            return state[0] * np.float32(1.0 / w_lim)
+        if nm == "torque":
+            return torque3(i_sd, i_sq, i_e) * np.float32(1.0 / t_lim)
+        q = {"i_sd": i_sd, "i_sq": i_sq, "i_e": i_e}[nm]
+        return q * ref_cfg[j]["inv_lim"]
+
+    def _sample_actions(bits):
+        if finite:
+            b = bits(shape)
+            return ((b & jnp.uint32(7)).astype(jnp.int32),
+                    ((b >> jnp.uint32(3)) & jnp.uint32(3)).astype(jnp.int32))
+        return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
+                     for _ in range(4))
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        out_reward, out_terms, out_rv, out_rk, out_rl, out_rs = (
+            refs[2 * n_state: 2 * n_state + 6])
+        scratch = refs[2 * n_state + 6:]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
+        j = 5
+        za_ref = zb_ref = c_ref = s_ref = None
+        if n_ref == 1:
+            za_ref, zb_ref = scratch[j], scratch[j + 1]
+            j += 2
+        if not mech:
+            c_ref, s_ref = scratch[j], scratch[j + 1]
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        if not mech:
+            c_ref[:] = jnp.cos(state0[-1][:])
+            s_ref[:] = jnp.sin(state0[-1][:])
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref)
+        w_init()
+
+        inv_2pi = np.float32(1.0 / TWO_PI)
+        inv_ilim = np.float32(1.0 / i_lim)
+        inv_ielim = np.float32(1.0 / ie_lim)
+
+        def body(t, _):
+            action = _sample_actions(bits)
+            cur = tuple(o[:] for o in out_state)
+            if mech:
+                c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+            else:
+                c, s = c_ref[:], s_ref[:]
+            state = physics_step(cur, action, c, s)
+            eps = state[-1]
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
+            state = state[:-1] + (eps,)
+
+            i_sd, i_sq, i_e = (state[1:4] if mech else state[0:3])
+            isd_n, isq_n = i_sd * inv_ilim, i_sq * inv_ilim
+            ie_n = i_e * inv_ielim
+            violated = (((isd_n * isd_n + isq_n * isq_n) > 1.0)
+                        | (jnp.abs(ie_n) > 1.0))
+
+            refs_now = rv_ref[:]
+            wse = bias - ref_cfg[0]["coef"] * jnp.abs(
+                ref_quantity(state, 0) - refs_now[:R])
+            for jj in range(1, n_ref):
+                wse = wse - ref_cfg[jj]["coef"] * jnp.abs(
+                    ref_quantity(state, jj)
+                    - refs_now[jj * R:(jj + 1) * R])
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
+            for o, s2 in zip(out_state, state):
+                o[:] = jnp.where(violated, zero, s2)
+            if not mech:
+                c_new = c * COS_D - s * SIN_D
+                s_new = s * COS_D + c * SIN_D
+                inv = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+                c_ref[:] = jnp.where(violated,
+                                     jnp.ones(shape, jnp.float32),
+                                     c_new * inv)
+                s_ref[:] = jnp.where(violated, zero, s_new * inv)
+
+            w_advance(t, violated)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(*refs):
+        state0 = refs[:n_state]
+        actions_ref = refs[n_state]
+        out_state = refs[n_state + 1:]
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        inv_2pi = np.float32(1.0 / TWO_PI)
+
+        def body(t, _):
+            if finite:
+                action = (actions_ref[t, 0], actions_ref[t, 1])
+            else:
+                action = tuple(actions_ref[t, k] for k in range(4))
+            cur = tuple(o[:] for o in out_state)
+            c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+            state = physics_step(cur, action, c, s)
+            eps = state[-1]
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
+            state = state[:-1] + (eps,)
+            for o, s2 in zip(out_state, state):
+                o[:] = s2
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(*args):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(n_state)),
+                in_specs=[vmem] * (n_state + 1),
+                out_specs=tuple(vmem for _ in range(n_state)),
+                interpret=interpret,
+            )(*args)
+
+        return rollout
+
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(n_state + 2))
+                  + tuple(jax.ShapeDtypeStruct(shape_r, jnp.float32)
+                          for _ in range(4)))
+    scratch_shapes = (
+        [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_ref == 1 else [])
+        + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_state,
+            out_specs=tuple(vmem for _ in range(len(out_shapes))),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
 
     return rollout
 
@@ -2101,6 +2692,330 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isa0, isb0, psa0, psb0, eps0)
+
+    return rollout
+
+
+def make_fused_dfim_family_rollout(env, n_steps, n_envs,
+                                   action_mode="random", interpret=False):
+    """Universal fused rollout for the doubly-fed induction family — all 6
+    {Finite,Cont} x {CC,TC,SC} DFIM catalog configs.
+
+    Same alpha/beta electrical model and rotor-voltage rotation as
+    ``make_fused_dfim_rollout`` (physical_systems.py:968-1054; the def->dq
+    ->alphabeta rotation chain collapses to one rotation by the electrical
+    angle), with the dual converter (finite B6 bits x2 vs cont duties x6),
+    task references (stator i_sd*/i_sq* in the rotor-flux frame via the
+    PRE-step flux direction — the reference's stale-angle output quirk —
+    | torque* | omega*) and the mechanical model read from the env spec.
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sa, i_sb, psi_ra,
+      psi_rb, eps).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
+      ``(n_steps, 2, R, LANE)`` (finite B6 bits: stator, rotor) or float32
+      ``(n_steps, 6, R, LANE)`` (cont duties) action buffers.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = {k: float(v) for k, v in ps.motor.parameter.items()}
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    conv = ps.converter
+    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0
+    finite = conv.action_type == "finite"
+
+    l_m = mp["l_m"]
+    l_s = l_m + mp["l_sigs"]
+    l_r = l_m + mp["l_sigr"]
+    r_s, r_r, p = mp["r_s"], mp["r_r"], mp["p"]
+    sg = (l_s * l_r - l_m**2) / (l_s * l_r)
+    tau_r = l_r / r_r
+    tau_sig = sg * l_s / (r_s + r_r * l_m**2 / l_r**2)
+    c_psi = l_m * r_r / (sg * l_s * l_r**2)
+    c_w = l_m * p / (sg * l_r * l_s)
+    c_u = 1.0 / (sg * l_s)
+    c_ur = l_m / (sg * l_r * l_s)
+    k_t = 1.5 * p * l_m / l_r
+
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    t_lim = float(lim[names.index("torque")])
+    w_lim = float(lim[names.index("omega")])
+    shape = (R, LANE)
+
+    mech = ps.load.omega_fixed is None
+    if mech:
+        lpar = ps.load.parameter
+        a_c, b_c, c_c = (float(lpar["a"]), float(lpar["b"]),
+                         float(lpar["c"]))
+        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
+        tau_decay = 1e-3
+        omega_lin = a_c / j_total * tau_decay
+    else:
+        omega_fixed = float(ps.load.omega_fixed)
+        COS_D = np.float32(np.cos(tau * p * omega_fixed))
+        SIN_D = np.float32(np.sin(tau * p * omega_fixed))
+
+    def torque(el):
+        return k_t * (el[2] * el[1] - el[3] * el[0])
+
+    def el_rhs(w, el, u_sal, u_sbe, u_ral, u_rbe):
+        i_sa, i_sb, ps_a, ps_b = el
+        pw = p * w
+        di_sa = (-i_sa / tau_sig + c_psi * ps_a + c_w * w * ps_b
+                 + c_u * u_sal - c_ur * u_ral)
+        di_sb = (-i_sb / tau_sig + c_psi * ps_b - c_w * w * ps_a
+                 + c_u * u_sbe - c_ur * u_rbe)
+        dps_a = (l_m * i_sa - ps_a) / tau_r - pw * ps_b + u_ral
+        dps_b = (l_m * i_sb - ps_b) / tau_r + pw * ps_a + u_rbe
+        return di_sa, di_sb, dps_a, dps_b
+
+    if mech:
+        def rhs(state, us):
+            w, el, eps = state[0], state[1:5], state[5]
+            sign = jnp.sign(w)
+            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
+                               j_total / tau_decay * w)
+            t_load = sign * c_c * w * w + b_c * w + a_term
+            dw = (torque(el) - t_load) * (1.0 / j_total)
+            return (dw,) + el_rhs(w, el, *us) + (p * w,)
+    else:
+        def rhs(state, us):
+            el, eps = state[0:4], state[4]
+            return (el_rhs(omega_fixed, el, *us)
+                    + (np.float32(p * omega_fixed) + 0.0 * eps,))
+
+    n_state = 6 if mech else 5
+
+    def voltages(action, c, s):
+        """(u_salpha, u_sbeta, u_ralpha, u_rbeta) in the stator frame"""
+        if finite:
+            a_s, a_r = action
+            def b6(a):
+                ua = (((a >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+                ub = (((a >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+                uc = ((a & 1).astype(jnp.float32) - 0.5) * u_sup
+                return ua, ub, uc
+            s_abc, r_abc = b6(a_s), b6(a_r)
+        else:
+            half = 0.5 * u_sup
+            s_abc = (action[0] * half, action[1] * half, action[2] * half)
+            r_abc = (action[3] * half, action[4] * half, action[5] * half)
+
+        def clarke(abc):
+            return ((2.0 / 3.0) * (abc[0] - 0.5 * (abc[1] + abc[2])),
+                    np.float32(1.0 / np.sqrt(3.0)) * (abc[1] - abc[2]))
+
+        u_sal, u_sbe = clarke(s_abc)
+        u_ral0, u_rbe0 = clarke(r_abc)
+        # rotor frame -> stator frame: rotate by the electrical angle
+        return (u_sal, u_sbe,
+                c * u_ral0 - s * u_rbe0, s * u_ral0 + c * u_rbe0)
+
+    def physics_step(state, action, c, s):
+        us = voltages(action, c, s)
+
+        def axpy(st, k, cc):
+            return tuple(si + cc * ki for si, ki in zip(st, k))
+
+        k1 = rhs(state, us)
+        k2 = rhs(axpy(state, k1, 0.5 * tau), us)
+        k3 = rhs(axpy(state, k2, 0.5 * tau), us)
+        k4 = rhs(axpy(state, k3, tau), us)
+        return tuple(
+            si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
+        )
+
+    ref_cfg = _ref_configs(env, R)
+    n_ref = len(ref_cfg)
+    shape_r = (n_ref * R, LANE)
+    rw = env.reward_function
+    bias = np.float32(rw._bias_value)
+    violation_reward = np.float32(rw._violation_value)
+    needs_dq = any(c["name"] in ("i_sd", "i_sq") for c in ref_cfg)
+
+    def flux_dir(el):
+        ps_a, ps_b = el[2], el[3]
+        mag2 = ps_a * ps_a + ps_b * ps_b
+        tiny = mag2 < 1e-24
+        inv = jax.lax.rsqrt(jnp.where(tiny, 1.0, mag2))
+        return (jnp.where(tiny, 1.0, ps_a * inv),
+                jnp.where(tiny, 0.0, ps_b * inv))
+
+    def ref_quantities(state, cs):
+        el = state[1:5] if mech else state[0:4]
+        if needs_dq:
+            c, s = cs
+            i_sa, i_sb = el[0], el[1]
+            i_dq = (c * i_sa + s * i_sb, c * i_sb - s * i_sa)
+        else:
+            i_dq = (None, None)
+        out = []
+        for cfg in ref_cfg:
+            nm = cfg["name"]
+            if nm == "omega":
+                out.append(state[0] * np.float32(1.0 / w_lim))
+            elif nm == "torque":
+                out.append(torque(el) * np.float32(1.0 / t_lim))
+            elif nm == "i_sd":
+                out.append(i_dq[0] * cfg["inv_lim"])
+            else:
+                out.append(i_dq[1] * cfg["inv_lim"])
+        return out
+
+    def _sample_actions(bits):
+        if finite:
+            b = bits(shape)
+            return ((b & jnp.uint32(7)).astype(jnp.int32),
+                    ((b >> jnp.uint32(3)) & jnp.uint32(7)).astype(jnp.int32))
+        return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
+                     for _ in range(6))
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        out_reward, out_terms, out_rv, out_rk, out_rl, out_rs = (
+            refs[2 * n_state: 2 * n_state + 6])
+        scratch = refs[2 * n_state + 6:]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
+        j = 5
+        za_ref = zb_ref = c_ref = s_ref = None
+        if n_ref == 1:
+            za_ref, zb_ref = scratch[j], scratch[j + 1]
+            j += 2
+        if not mech:
+            c_ref, s_ref = scratch[j], scratch[j + 1]
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        if not mech:
+            c_ref[:] = jnp.cos(state0[-1][:])
+            s_ref[:] = jnp.sin(state0[-1][:])
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref)
+        w_init()
+
+        inv_2pi = np.float32(1.0 / TWO_PI)
+        inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
+
+        def body(t, _):
+            action = _sample_actions(bits)
+            cur = tuple(o[:] for o in out_state)
+            cs = (flux_dir(cur[1:5] if mech else cur[0:4])
+                  if needs_dq else None)
+            if mech:
+                c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+            else:
+                c, s = c_ref[:], s_ref[:]
+            state = physics_step(cur, action, c, s)
+            eps = state[-1]
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
+            state = state[:-1] + (eps,)
+
+            el = state[1:5] if mech else state[0:4]
+            # |i_dq| == |i_alphabeta| (rotation-invariant)
+            violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
+            qs = ref_quantities(state, cs)
+            refs_now = rv_ref[:]
+            wse = bias - ref_cfg[0]["coef"] * jnp.abs(qs[0] - refs_now[:R])
+            if n_ref == 2:
+                wse = wse - ref_cfg[1]["coef"] * jnp.abs(qs[1] - refs_now[R:])
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
+            for o, s2 in zip(out_state, state):
+                o[:] = jnp.where(violated, zero, s2)
+            if not mech:
+                c_new = c * COS_D - s * SIN_D
+                s_new = s * COS_D + c * SIN_D
+                inv = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+                c_ref[:] = jnp.where(violated,
+                                     jnp.ones(shape, jnp.float32),
+                                     c_new * inv)
+                s_ref[:] = jnp.where(violated, zero, s_new * inv)
+
+            w_advance(t, violated)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(*refs):
+        state0 = refs[:n_state]
+        actions_ref = refs[n_state]
+        out_state = refs[n_state + 1:]
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        inv_2pi = np.float32(1.0 / TWO_PI)
+
+        def body(t, _):
+            if finite:
+                action = (actions_ref[t, 0], actions_ref[t, 1])
+            else:
+                action = tuple(actions_ref[t, k] for k in range(6))
+            cur = tuple(o[:] for o in out_state)
+            c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+            state = physics_step(cur, action, c, s)
+            eps = state[-1]
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
+            state = state[:-1] + (eps,)
+            for o, s2 in zip(out_state, state):
+                o[:] = s2
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(*args):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(n_state)),
+                in_specs=[vmem] * (n_state + 1),
+                out_specs=tuple(vmem for _ in range(n_state)),
+                interpret=interpret,
+            )(*args)
+
+        return rollout
+
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(n_state + 2))
+                  + tuple(jax.ShapeDtypeStruct(shape_r, jnp.float32)
+                          for _ in range(4)))
+    scratch_shapes = (
+        [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_ref == 1 else [])
+        + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_state,
+            out_specs=tuple(vmem for _ in range(len(out_shapes))),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
 
     return rollout
 
@@ -2929,6 +3844,51 @@ def make_fused_reinforce_trainer(env, n_steps, n_envs, hidden=16, gamma=0.99,
     return train
 
 
+#: motor kind -> universal family builder.  Every one of the catalog's 54
+#: env ids resolves to one of these five builders.
+FUSED_FAMILY_BUILDERS = {
+    "PermExDc": "dc", "SeriesDc": "dc", "ShuntDc": "dc", "ExtExDc": "dc",
+    "PMSM": "sync", "SynRM": "sync",
+    "SCIM": "induction",
+    "EESM": "eesm", "DFIM": "dfim",
+}
+
+
+def fused_state_arity(env):
+    """Number of ``(R, LANE)`` state planes the universal fused rollout for
+    ``env`` takes/returns (omega only for dynamic-speed SC configs)."""
+    kind = env.physical_system.motor.kind
+    mech = 1 if env.physical_system.load.omega_fixed is None else 0
+    base = {"PermExDc": 1, "SeriesDc": 1, "ShuntDc": 2, "ExtExDc": 2,
+            "PMSM": 3, "SynRM": 3, "SCIM": 4, "EESM": 4, "DFIM": 5}[kind]
+    return base + mech
+
+
+def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
+                       interpret=False):
+    """Universal fused-rollout dispatch: every one of the 54 catalog env
+    ids (9 motors x {Finite,Cont} x {CC,TC,SC}) gets its family's
+    VMEM-resident Pallas kernel, with all semantics read from the env spec.
+
+    Returns the family rollout (see the family builders for signatures);
+    the number of state planes is ``fused_state_arity(env)``.  Raises
+    ``KeyError`` for motor kinds without a fused family (the SRM stubs —
+    NotImplementedError upstream too) and ``AssertionError`` for non-fused
+    configurations (interlocking dead time, reward_power != 1, >3
+    referenced states): those run on the general XLA path.
+    """
+    family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
+    build = {
+        "dc": make_fused_dc_rollout,
+        "sync": make_fused_sync_rollout,
+        "induction": make_fused_induction_rollout,
+        "eesm": make_fused_eesm_family_rollout,
+        "dfim": make_fused_dfim_family_rollout,
+    }[family]
+    return build(env, n_steps, n_envs, action_mode=action_mode,
+                 interpret=interpret)
+
+
 def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
                                interpret=False):
     """Fused kernel x device mesh: the env batch is laid out ``P('env')``
@@ -2939,7 +3899,9 @@ def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
 
     ``kernel`` selects the family: ``'pmsm'`` (also covers SynRM),
     ``'permex'``, ``'dc_sc'`` (SeriesDc/ShuntDc SC — state count follows the
-    motor), ``'scim'``, ``'eesm'``, ``'dfim'``.  Returns
+    motor), ``'scim'``, ``'eesm'``, ``'dfim'``, or ``'auto'`` — the
+    universal dispatch (``make_fused_rollout``) covering all 54 catalog
+    ids.  Returns
     ``rollout(seed, *state_planes) -> (local outputs...,
     global_reward_sum, global_term_count)``; per-device seeds are
     decorrelated by folding in the mesh position.
@@ -2961,6 +3923,8 @@ def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
         "scim": (make_fused_scim_rollout, 4),
         "eesm": (make_fused_eesm_rollout, 4),
         "dfim": (make_fused_dfim_rollout, 5),
+        # the universal dispatch — any of the 54 catalog ids
+        "auto": (make_fused_rollout, fused_state_arity(env)),
     }
     build, n_state = builders[kernel]
     (axis,) = mesh.axis_names

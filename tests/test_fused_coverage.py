@@ -1,0 +1,39 @@
+"""Catalog-wide fused-kernel coverage: every one of the 54 env ids builds
+and runs through ``make_fused_rollout`` (the universal family dispatch) in
+interpret mode — the guarantee that the VMEM-resident fast path exists for
+the ENTIRE catalog, not just the benchmark configs.
+
+Physics/stochastic correctness per family is asserted in
+tests/test_pallas_{dc,sync}_universal.py, test_pallas_families.py and
+test_pallas_rollout.py; this file asserts existence, shape contracts and
+finiteness over the full id grid.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gym_electric_motor_tpu as gemx
+from gym_electric_motor_tpu.envs.catalog import ENV_IDS
+from gym_electric_motor_tpu.ops.pallas_rollout import (
+    fused_state_arity,
+    make_fused_rollout,
+)
+
+
+@pytest.mark.parametrize("env_id", ENV_IDS)
+def test_every_catalog_id_has_a_fused_rollout(env_id):
+    env = gemx.make_functional(env_id)
+    n_state = fused_state_arity(env)
+    T, N = 12, 128
+    roll = make_fused_rollout(env, T, N, interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(7, *([z] * n_state))
+    # states..., reward_sum, term_count, rv, rk, rl, rs
+    assert len(out) == n_state + 6
+    for x in out:
+        assert np.all(np.isfinite(np.asarray(x))), env_id
+    reward = np.asarray(out[n_state])
+    assert reward.shape == (1, 128)
+    # random actions on a fresh env must accumulate negative WSE reward
+    assert reward.sum() < 0.0, env_id
