@@ -746,7 +746,6 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     tau = float(ps.tau)
     u_sup = float(ps.supply.u_nominal)
     shape = (R, LANE)
-    LN10 = np.float32(np.log(10.0))
 
     # --- electrical model (constants baked from the motor spec) ---
     if kind == "PermExDc":
@@ -843,36 +842,13 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
 
     # --- references / reward / constraints from the env spec ---
     rw = env.reward_function
-    assert np.all(rw._n == 1.0), "only reward_power=1 is fused"
     bias = np.float32(rw._bias_value)
     violation_reward = np.float32(rw._violation_value)
-    subs = env.reference_generator.subs
-    n_ref = len(subs)
+    ref_cfg = _ref_configs(env, R,
+                           require_wiener=action_mode == "random")
+    n_ref = len(ref_cfg)
     assert n_ref in (1, 2)
     shape_r = (n_ref * R, LANE)
-
-    ref_cfg = []  # (state_name, w/span, 1/limit, mlo, mhi, sig_base, sig_span, ep_lo, ep_span)
-    for s in subs:
-        idx = names.index(s.reference_state)
-        ref_cfg.append(dict(
-            name=s.reference_state,
-            coef=np.float32(rw._weights[idx] / rw._state_length[idx]),
-            inv_lim=np.float32(1.0 / lim[idx]),
-            mlo=np.float32(s.margin[0]), mhi=np.float32(s.margin[1]),
-            sig_base=np.float32(np.log10(s.sigma_range[0])),
-            sig_span=np.float32(np.log10(s.sigma_range[1])
-                                - np.log10(s.sigma_range[0])),
-            ep_lo=np.float32(s.episode_lengths[0]),
-            ep_span=np.float32(s.episode_lengths[1] - s.episode_lengths[0]),
-        ))
-
-    def _row_const(field):
-        """per-row (n_ref*R, LANE) constant: ref 0 on rows [0:R], ref 1 on
-        [R:2R] — built from iota (Pallas kernels cannot capture arrays)."""
-        if n_ref == 1 or ref_cfg[0][field] == ref_cfg[1][field]:
-            return ref_cfg[0][field]
-        row = jax.lax.broadcasted_iota(jnp.int32, shape_r, 0)
-        return jnp.where(row < R, ref_cfg[0][field], ref_cfg[1][field])
 
     def ref_quantity(state, j):
         """normalized referenced quantity j of the post-step state"""
@@ -919,21 +895,10 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
-        mlo_t, mhi_t = _row_const("mlo"), _row_const("mhi")
-        sb_t, ss_t = _row_const("sig_base"), _row_const("sig_span")
-        el_t, es_t = _row_const("ep_lo"), _row_const("ep_span")
-
-        def _draw_params(mask):
-            u1 = _uniform_from_bits(bits(shape_r))
-            u2 = _uniform_from_bits(bits(shape_r))
-            rl_ref[:] = jnp.where(mask, jnp.floor(el_t + es_t * u1), rl_ref[:])
-            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (sb_t + ss_t * u2)),
-                                  rs_ref[:])
-
-        u = _uniform_from_bits(bits(shape_r))
-        rv_ref[:] = mlo_t + (mhi_t - mlo_t) * u
-        rk_ref[:] = jnp.zeros(shape_r, jnp.float32)
-        _draw_params(jnp.ones(shape_r, dtype=jnp.bool_))
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref)
+        w_init()
 
         def body(t, _):
             acts = _sample_actions(bits)
@@ -953,39 +918,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
             for o, s in zip(out_state, state):
                 o[:] = jnp.where(violated, zero, s)
 
-            # Wiener advance: one Box-Muller pair per step feeds both
-            # streams (n_ref=2) or alternates temporally (n_ref=1) — see
-            # the PMSM / PermExDc kernels
-            if n_ref == 2:
-                viol_f = violated.astype(jnp.float32)
-                reset_r = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
-                u1 = _uniform_from_bits(bits(shape))
-                u2 = _uniform_from_bits(bits(shape))
-                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-                theta = np.float32(TWO_PI) * u2
-                draw = jnp.concatenate(
-                    [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
-            else:
-                reset_r = violated
-                even = (t & 1) == 0
-
-                @pl.when(even)
-                def _():
-                    u1 = _uniform_from_bits(bits(shape))
-                    u2 = _uniform_from_bits(bits(shape))
-                    rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-                    theta = np.float32(TWO_PI) * u2
-                    za_ref[:] = rad * jnp.cos(theta)
-                    zb_ref[:] = rad * jnp.sin(theta)
-
-                draw = jnp.where(even, za_ref[:], zb_ref[:])
-
-            regen = (rk_ref[:] >= rl_ref[:]) | reset_r
-            _draw_params(regen)
-            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
-            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, mlo_t, mhi_t)
-            u3 = _uniform_from_bits(bits(shape_r))
-            rv_ref[:] = jnp.where(reset_r, mlo_t + (mhi_t - mlo_t) * u3, value)
+            w_advance(t, violated)
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
@@ -1054,10 +987,13 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def _ref_configs(env, R):
+def _ref_configs(env, R, require_wiener=True):
     """Per-referenced-state Wiener/reward constants read from the env spec
     (subepisoded_reference_generator.py:28-117, weighted_sum_of_errors.py:
-    88-129) — the table behind the universal family kernels."""
+    88-129) — the table behind the universal family kernels.
+
+    ``require_wiener=False`` (buffer/validation modes, which never touch the
+    reference machinery) skips the generator-kind check."""
     ps = env.physical_system
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -1065,6 +1001,10 @@ def _ref_configs(env, R):
     assert np.all(rw._n == 1.0), "only reward_power=1 is fused"
     cfgs = []
     for s in env.reference_generator.subs:
+        assert s.kind == "wiener" or not require_wiener, (
+            f"fused kernels implement the catalog's Wiener references; "
+            f"got kind={s.kind!r} for {s.reference_state!r} — use the "
+            f"general XLA path for other generators")
         idx = names.index(s.reference_state)
         cfgs.append(dict(
             name=s.reference_state,
@@ -1266,7 +1206,8 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
         )
 
-    ref_cfg = _ref_configs(env, R)
+    ref_cfg = _ref_configs(env, R,
+                           require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
     shape_r = (n_ref * R, LANE)
     rw = env.reward_function
@@ -1748,7 +1689,8 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
         )
 
-    ref_cfg = _ref_configs(env, R)
+    ref_cfg = _ref_configs(env, R,
+                           require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
     shape_r = (n_ref * R, LANE)
     rw = env.reward_function
@@ -2274,7 +2216,8 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
         )
 
-    ref_cfg = _ref_configs(env, R)
+    ref_cfg = _ref_configs(env, R,
+                           require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
     shape_r = (n_ref * R, LANE)
     rw = env.reward_function
@@ -2830,7 +2773,8 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
         )
 
-    ref_cfg = _ref_configs(env, R)
+    ref_cfg = _ref_configs(env, R,
+                           require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
     shape_r = (n_ref * R, LANE)
     rw = env.reward_function

@@ -37,3 +37,24 @@ def test_every_catalog_id_has_a_fused_rollout(env_id):
     assert reward.shape == (1, 128)
     # random actions on a fresh env must accumulate negative WSE reward
     assert reward.sum() < 0.0, env_id
+
+
+def test_non_wiener_reference_is_rejected_loudly():
+    """Fused random-mode kernels implement the catalog's Wiener references;
+    any other generator must fail at build time, not silently simulate the
+    wrong reference process (round-1 VERDICT: silent is worse than
+    unimplemented).  Buffer/validation modes never touch the reference
+    machinery and keep accepting const refs."""
+    from gym_electric_motor_tpu import references as rg
+
+    env = gemx.make_functional(
+        "Finite-CC-PermExDc-v0",
+        reference_generator=rg.ConstReference("i", 0.25))
+    with pytest.raises(AssertionError, match="Wiener"):
+        make_fused_rollout(env, 8, 128, interpret=True)
+    # buffer mode still builds (physics validation path)
+    roll = make_fused_rollout(env, 8, 128, action_mode="buffer",
+                              interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    acts = jnp.zeros((8, 1, 128), jnp.int32)
+    assert np.all(np.isfinite(np.asarray(roll(z, acts))))
