@@ -167,7 +167,7 @@ def measure_fused():
     rollout amortizes the fixed dispatch/tunnel overhead (~30 ms/call)."""
     from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_pmsm_rollout
 
-    n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
+    n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 1024000))
     env = gemx.make_functional("Finite-CC-PMSM-v0")
     z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
     return _measure_fused_kernel(
@@ -270,7 +270,7 @@ def main():
             make_fused_rollout,
         )
 
-        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
+        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 1024000))
         z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
         spec = os.environ["BENCH_UNIVERSAL"]
         ids = (spec.split(",") if "-v0" in spec
@@ -333,7 +333,7 @@ def main():
             make_fused_scim_rollout,
         )
 
-        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 16000))
+        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 1024000))
         z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
 
         from gym_electric_motor_tpu.ops.pallas_rollout import (
