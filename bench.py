@@ -420,6 +420,24 @@ def main():
         _log(f"Finite-CC-PMSM-v0 in-kernel REINFORCE training (fused "
              f"Pallas): {v / 1e6:.1f}M env-steps/s trained")
 
+        # fused TRAJECTORY RECORDING (off-policy data collection: every
+        # per-step signal streams to HBM; T bounded by HBM capacity —
+        # 7 signals x T x N x 4B, so 16k steps x 16k envs = 7.5 GB/launch)
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            make_fused_pmsm_record_rollout,
+        )
+
+        t_rec = int(os.environ.get("BENCH_RECORD_STEPS", 16384))
+        erec = gemx.make_functional("Finite-CC-PMSM-v0")
+        v = _measure_fused_kernel(
+            "Finite-CC-PMSM-v0/record",
+            lambda: make_fused_pmsm_record_rollout(erec, t_rec, N_ENVS),
+            lambda r, seed: float(r(seed, z, z, z)[5].sum()),
+            t_rec,
+        )
+        _log(f"Finite-CC-PMSM-v0 trajectory recording (fused Pallas): "
+             f"{v / 1e6:.1f}M transitions/s to HBM")
+
     xla = measure("Finite-CC-PMSM-v0")
     _log(f"Finite-CC-PMSM-v0 (general XLA path): {xla / 1e6:.1f}M env-steps/s")
     try:

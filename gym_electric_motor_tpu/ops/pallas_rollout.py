@@ -326,6 +326,252 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
+def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
+                                   action_mode="random", interpret=False):
+    """Fused PMSM rollout that RECORDS the full per-step trajectory to HBM.
+
+    Same per-step semantics as ``make_fused_pmsm_rollout`` (B6 bridge ->
+    Park -> RK4 -> Wiener references -> WSE reward -> squared constraint ->
+    in-kernel auto-reset), but the kernel runs a sequential grid over
+    ``n_steps // chunk`` time chunks: the drive state persists in VMEM
+    scratch across grid steps while each chunk's per-step signals stream to
+    HBM through pipelined output windows.  This is the off-policy /
+    analysis path — transitions come OUT of the kernel instead of being
+    reduced to sums, at HBM-bandwidth cost instead of dispatch-per-step
+    cost.
+
+    ``action_mode='random'``: ``rollout(seed, i_sd0, i_sq0, eps0) ->
+    (i_sd, i_sq, ref_d, ref_q, action, reward, done)``, each
+    ``(n_steps, n_envs // 128, 128)`` (``action`` int32, rest float32).
+    ``i_sd``/``i_sq`` are the post-step, post-autoreset values (what a
+    Gymnasium ``step`` returns as the next observation); ``ref_d``/``ref_q``
+    are the references the step's reward was computed against.
+
+    ``action_mode='buffer'``: ``rollout(i_sd0, i_sq0, eps0, actions) ->
+    (i_sd, i_sq, eps)`` per step, deterministic physics only — the
+    configuration used for step-for-step validation vs the XLA env.
+
+    ``chunk`` (steps per grid iteration) bounds the VMEM window:
+    7 signals x chunk x (R x 128) x 4 B must fit alongside the scratch
+    state; the default targets ~3.5 MB (chunk=8 at 16k envs).
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    if chunk is None:
+        chunk = max(1, (8 * LANE) // R)
+    assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
+    n_chunks = n_steps // chunk
+
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+    psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
+    omega = float(ps.load.omega_fixed)
+    tau = float(ps.tau)
+    u_sup = float(ps.supply.u_nominal)
+    i_lim = float(lim[names.index("i_sd")])
+    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
+    w_over_span = 0.5 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    p_omega = p * omega
+    LN10 = np.float32(np.log(10.0))
+    COS_D = np.float32(np.cos(tau * p_omega))
+    SIN_D = np.float32(np.sin(tau * p_omega))
+    shape = (R, LANE)
+    shape2 = (2 * R, LANE)
+
+    def sub_interval_rhs(i_sd, i_sq, u_d, u_q):
+        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
+        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd
+                 + u_q) * (1.0 / l_q)
+        return di_sd, di_sq
+
+    def rk4(i_sd, i_sq, u_d, u_q):
+        k1d, k1q = sub_interval_rhs(i_sd, i_sq, u_d, u_q)
+        k2d, k2q = sub_interval_rhs(i_sd + 0.5 * tau * k1d,
+                                    i_sq + 0.5 * tau * k1q, u_d, u_q)
+        k3d, k3q = sub_interval_rhs(i_sd + 0.5 * tau * k2d,
+                                    i_sq + 0.5 * tau * k2q, u_d, u_q)
+        k4d, k4q = sub_interval_rhs(i_sd + tau * k3d, i_sq + tau * k3q,
+                                    u_d, u_q)
+        sixth = tau / 6.0
+        return (i_sd + sixth * (k1d + 2.0 * (k2d + k3d) + k4d),
+                i_sq + sixth * (k1q + 2.0 * (k2q + k3q) + k4q))
+
+    def physics_step_cs(i_sd, i_sq, eps, c, s, action):
+        ua = ((action >> 2) & 1).astype(jnp.float32) - 0.5
+        ub = ((action >> 1) & 1).astype(jnp.float32) - 0.5
+        uc = (action & 1).astype(jnp.float32) - 0.5
+        ua, ub, uc = ua * u_sup, ub * u_sup, uc * u_sup
+        u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        u_d = c * u_alpha + s * u_beta
+        u_q = -s * u_alpha + c * u_beta
+        i_sd, i_sq = rk4(i_sd, i_sq, u_d, u_q)
+        return i_sd, i_sq, eps + tau * p_omega
+
+    if action_mode == "buffer":
+        def kernel_buf(acts_ref, i_sd0_ref, i_sq0_ref, eps0_ref,
+                       out_isd, out_isq, out_eps,
+                       isd_s, isq_s, eps_s):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                isd_s[:] = i_sd0_ref[:]
+                isq_s[:] = i_sq0_ref[:]
+                eps_s[:] = eps0_ref[:]
+
+            def body(k, _):
+                eps = eps_s[:]
+                c, s = jnp.cos(eps), jnp.sin(eps)
+                i_sd, i_sq, eps = physics_step_cs(
+                    isd_s[:], isq_s[:], eps, c, s, acts_ref[k])
+                eps = eps - np.float32(TWO_PI) * jnp.floor(
+                    eps * np.float32(1.0 / TWO_PI))
+                isd_s[:] = i_sd
+                isq_s[:] = i_sq
+                eps_s[:] = eps
+                out_isd[k] = i_sd
+                out_isq[k] = i_sq
+                out_eps[k] = eps
+                return 0
+
+            jax.lax.fori_loop(0, chunk, body, 0)
+
+        tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
+        const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
+        traj = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
+
+        @jax.jit
+        def rollout(i_sd0, i_sq0, eps0, actions):
+            return pl.pallas_call(
+                kernel_buf,
+                grid=(n_chunks,),
+                out_shape=(traj, traj, traj),
+                in_specs=[tblk, const, const, const],
+                out_specs=(tblk, tblk, tblk),
+                scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                                for _ in range(3)],
+                interpret=interpret,
+            )(actions, i_sd0, i_sq0, eps0)
+
+        return rollout
+
+    assert action_mode == "random", action_mode
+
+    def kernel(seed_ref, i_sd0_ref, i_sq0_ref, eps0_ref,
+               out_isd, out_isq, out_refd, out_refq,
+               out_act, out_reward, out_done,
+               isd_s, isq_s, eps_s, c_s, s_s,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        pid = pl.program_id(0)
+        seed, bits = _make_rng(interpret, rng_ref)
+        # reseed per chunk: grid iterations are sequential but the PRNG
+        # state is not guaranteed to persist across them
+        seed(seed_ref[0] + pid)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            new_len = jnp.floor(500.0 + 1500.0 * u1)
+            new_sig = jnp.exp(LN10 * (-3.0 + 2.0 * u2))
+            rl_ref[:] = jnp.where(mask, new_len, rl_ref[:])
+            rs_ref[:] = jnp.where(mask, new_sig, rs_ref[:])
+
+        @pl.when(pid == 0)
+        def _():
+            isd_s[:] = i_sd0_ref[:]
+            isq_s[:] = i_sq0_ref[:]
+            eps_s[:] = eps0_ref[:]
+            c_s[:] = jnp.cos(eps0_ref[:])
+            s_s[:] = jnp.sin(eps0_ref[:])
+            u = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+
+        def body(k, _):
+            action = (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
+            c, s = c_s[:], s_s[:]
+            i_sd, i_sq, eps = physics_step_cs(
+                isd_s[:], isq_s[:], eps_s[:], c, s, action)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(
+                eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - s * SIN_D
+            s_new = s * COS_D + c * SIN_D
+            inv = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv
+            s_new = s_new * inv
+
+            i_sd_n = i_sd * (1.0 / i_lim)
+            i_sq_n = i_sq * (1.0 / i_lim)
+            violated = (i_sd_n * i_sd_n + i_sq_n * i_sq_n) > 1.0
+            refs = rv_ref[:]
+            wse = -(w_over_span * jnp.abs(i_sd_n - refs[:R])
+                    + w_over_span * jnp.abs(i_sq_n - refs[R:]))
+            reward = jnp.where(violated, violation_reward, wse)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            isd_s[:] = jnp.where(violated, zero, i_sd)
+            isq_s[:] = jnp.where(violated, zero, i_sq)
+            eps_s[:] = jnp.where(violated, zero, eps)
+            c_s[:] = jnp.where(violated, jnp.ones(shape, jnp.float32), c_new)
+            s_s[:] = jnp.where(violated, zero, s_new)
+
+            out_isd[k] = isd_s[:]
+            out_isq[k] = isq_s[:]
+            out_refd[k] = refs[:R]
+            out_refq[k] = refs[R:]
+            out_act[k] = action
+            out_reward[k] = reward
+            out_done[k] = violated.astype(jnp.float32)
+
+            viol_f = violated.astype(jnp.float32)
+            reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            theta = np.float32(TWO_PI) * u2
+            draw = jnp.concatenate(
+                [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
+            regen = (rk_ref[:] >= rl_ref[:]) | reset2
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+            u3 = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
+    const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
+    traj_f = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
+    traj_i = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.int32)
+
+    @jax.jit
+    def rollout(seed, i_sd0, i_sq0, eps0):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=(traj_f, traj_f, traj_f, traj_f,
+                       traj_i, traj_f, traj_f),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      const, const, const],
+            out_specs=(tblk,) * 7,
+            scratch_shapes=(
+                [pltpu.VMEM(shape, jnp.float32) for _ in range(5)]
+                + [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape2, jnp.uint32)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), i_sd0, i_sq0, eps0)
+
+    return rollout
+
+
 def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
                               interpret=False):
     """Fused rollout for Finite-CC-PermExDc-v0 — the same VMEM-resident
