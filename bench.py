@@ -422,7 +422,7 @@ def main():
 
         # fused TRAJECTORY RECORDING (off-policy data collection: every
         # per-step signal streams to HBM; T bounded by HBM capacity —
-        # 7 signals x T x N x 4B, so 16k steps x 16k envs = 7.5 GB/launch)
+        # 8 signals x T x N x 4B, so 16k steps x 16k envs = 8.6 GB/launch)
         from gym_electric_motor_tpu.ops.pallas_rollout import (
             make_fused_pmsm_record_rollout,
         )
@@ -432,7 +432,7 @@ def main():
         v = _measure_fused_kernel(
             "Finite-CC-PMSM-v0/record",
             lambda: make_fused_pmsm_record_rollout(erec, t_rec, N_ENVS),
-            lambda r, seed: float(r(seed, z, z, z)[5].sum()),
+            lambda r, seed: float(r(seed, z, z, z)[6].sum()),
             t_rec,
         )
         _log(f"Finite-CC-PMSM-v0 trajectory recording (fused Pallas): "

@@ -341,19 +341,20 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
     cost.
 
     ``action_mode='random'``: ``rollout(seed, i_sd0, i_sq0, eps0) ->
-    (i_sd, i_sq, ref_d, ref_q, action, reward, done)``, each
+    (i_sd, i_sq, eps, ref_d, ref_q, action, reward, done)``, each
     ``(n_steps, n_envs // 128, 128)`` (``action`` int32, rest float32).
-    ``i_sd``/``i_sq`` are the post-step, post-autoreset values (what a
-    Gymnasium ``step`` returns as the next observation); ``ref_d``/``ref_q``
-    are the references the step's reward was computed against.
+    ``i_sd``/``i_sq``/``eps`` are the post-step, post-autoreset values
+    (what a Gymnasium ``step`` returns as the next observation);
+    ``ref_d``/``ref_q`` are the references the step's reward was computed
+    against (the references the agent saw when choosing the action).
 
     ``action_mode='buffer'``: ``rollout(i_sd0, i_sq0, eps0, actions) ->
     (i_sd, i_sq, eps)`` per step, deterministic physics only — the
     configuration used for step-for-step validation vs the XLA env.
 
     ``chunk`` (steps per grid iteration) bounds the VMEM window:
-    7 signals x chunk x (R x 128) x 4 B must fit alongside the scratch
-    state; the default targets ~3.5 MB (chunk=8 at 16k envs).
+    8 signals x chunk x (R x 128) x 4 B must fit alongside the scratch
+    state; the default targets ~4 MB (chunk=8 at 16k envs).
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
@@ -462,7 +463,7 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
     assert action_mode == "random", action_mode
 
     def kernel(seed_ref, i_sd0_ref, i_sq0_ref, eps0_ref,
-               out_isd, out_isq, out_refd, out_refq,
+               out_isd, out_isq, out_eps, out_refd, out_refq,
                out_act, out_reward, out_done,
                isd_s, isq_s, eps_s, c_s, s_s,
                rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
@@ -522,6 +523,7 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
 
             out_isd[k] = isd_s[:]
             out_isq[k] = isq_s[:]
+            out_eps[k] = eps_s[:]
             out_refd[k] = refs[:R]
             out_refq[k] = refs[R:]
             out_act[k] = action
@@ -556,11 +558,11 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
         return pl.pallas_call(
             kernel,
             grid=(n_chunks,),
-            out_shape=(traj_f, traj_f, traj_f, traj_f,
+            out_shape=(traj_f, traj_f, traj_f, traj_f, traj_f,
                        traj_i, traj_f, traj_f),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       const, const, const],
-            out_specs=(tblk,) * 7,
+            out_specs=(tblk,) * 8,
             scratch_shapes=(
                 [pltpu.VMEM(shape, jnp.float32) for _ in range(5)]
                 + [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]

@@ -139,3 +139,22 @@ def test_dqn_torch_gymnasium_example():
     assert len(losses) > 300
     assert np.isfinite(losses).all()
     assert np.isfinite([first, last]).all()
+
+
+def test_offline_sysid_fcs_example():
+    """Offline data->controller loop on fused-recorded transitions: the
+    per-action least-squares identification must recover the (exactly
+    linear) one-step current map to float32 precision, and the resulting
+    finite-control-set controller must beat the random behavior policy by
+    a wide margin with zero constraint violations."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    try:
+        from offline_sysid_fcs_control import run
+    finally:
+        sys.path.pop(0)
+    out = run(n_envs=256, n_steps=512, interpret=True)
+    assert out["residual"] < 1e-4
+    assert out["violations"] == 0.0
+    assert out["fcs_reward"] > out["random_reward"] + 0.1
+    assert out["fcs_reward"] > -0.06

@@ -68,7 +68,10 @@ def test_record_random_transitions_internally_consistent():
     N, T = 256, 512
     zero = jnp.zeros((N // 128, 128), jnp.float32)
     roll = make_fused_pmsm_record_rollout(env, T, N, chunk=8, interpret=True)
-    isd, isq, rd, rq, act, rew, done = map(np.asarray, roll(5, zero, zero, zero))
+    isd, isq, eps, rd, rq, act, rew, done = map(
+        np.asarray, roll(5, zero, zero, zero))
+    # epsilon stays wrapped to [0, 2*pi)
+    assert eps.min() >= 0.0 and eps.max() < 2 * np.pi
 
     # actions are B6 subactions 0..7
     assert act.min() >= 0 and act.max() <= 7
@@ -97,7 +100,7 @@ def test_record_reset_rate_matches_reducing_kernel():
     zero = jnp.zeros((N // 128, 128), jnp.float32)
 
     rec = make_fused_pmsm_record_rollout(env, T, N, chunk=8, interpret=True)
-    done = np.asarray(rec(3, zero, zero, zero)[6])
+    done = np.asarray(rec(3, zero, zero, zero)[7])
     rate_rec = done.mean()
 
     red = make_fused_pmsm_rollout(env, T, N, interpret=True)
