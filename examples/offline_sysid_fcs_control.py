@@ -139,8 +139,10 @@ def identify_model(data):
 # ---------------------------------------------------------------------------
 
 
-def make_fcs_policy(W, n_envs):
-    Wj = jnp.asarray(W)
+def make_fcs_policy(W):
+    # keep W as host numpy: a device-array closure constant would need a
+    # device->host read-back at trace time (see tests/test_no_device_constants)
+    W = np.asarray(W)
 
     def policy(obs, key):
         sf, refs = obs
@@ -149,7 +151,7 @@ def make_fcs_policy(W, n_envs):
         eps = sf[:, 3:4] * jnp.pi
         x = jnp.concatenate([sf[:, 1:3], jnp.cos(eps), jnp.sin(eps),
                              jnp.ones_like(eps)], axis=-1)
-        pred = jnp.einsum("aos,ns->nao", Wj, x)  # (N, actions, [i_sd', i_sq'])
+        pred = jnp.einsum("aos,ns->nao", W, x)  # (N, actions, [i_sd', i_sq'])
         err = (jnp.abs(pred[..., 0] - refs[:, :1])
                + jnp.abs(pred[..., 1] - refs[:, 1:2]))
         return jnp.argmin(err, axis=-1)
@@ -181,7 +183,7 @@ def run(n_envs=16384, n_steps=2048, interpret=False, seed=0):
                            interpret=interpret)
     W, residual = identify_model(data)
     base, _ = evaluate(env, None, seed=seed)
-    ctrl, violations = evaluate(env, make_fcs_policy(W, 256), seed=seed)
+    ctrl, violations = evaluate(env, make_fcs_policy(W), seed=seed)
     return dict(residual=residual, random_reward=base, fcs_reward=ctrl,
                 violations=violations, n_transitions=len(data["obs"]))
 

@@ -95,6 +95,80 @@ def _make_rng(interpret, state_ref):
     return seed, bits
 
 
+class _PmsmCtx:
+    """Baked constants + per-step physics closures for the Finite-CC-PMSM
+    (and SynRM, psi_p=0) kernels — shared by the reducing rollout
+    (``make_fused_pmsm_rollout``) and the trajectory-recording rollout
+    (``make_fused_pmsm_record_rollout``) so the semantics cannot diverge."""
+
+    def __init__(self, env):
+        ps = env.physical_system
+        mp = ps.motor.parameter
+        names = list(ps.state_names)
+        lim = np.asarray(ps.limits)
+
+        r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+        psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
+        omega = float(ps.load.omega_fixed)
+        self.tau = tau = float(ps.tau)
+        u_sup = float(ps.supply.u_nominal)
+        self.i_lim = float(lim[names.index("i_sd")])
+        # Wiener margins: nominal/limit ratio times the state-space bounds
+        self.margin = float(ps.nominal_state[names.index("i_sd")] / self.i_lim)
+        # WeightedSumOfErrors over the two referenced currents, span 2 each
+        self.w_over_span = 0.5 / 2.0
+        self.violation_reward = -1.0 / (1.0 - 0.9)  # r_min/(1-gamma), rw_sum=1
+        self.p_omega = p_omega = p * omega
+
+        # Park-rotation increment per control cycle: with ConstantSpeedLoad
+        # the electrical angle advances by a COMPILE-TIME-CONSTANT
+        # tau*p*omega, so cos/sin(eps) are maintained by a 4-mul incremental
+        # rotation (plus rsqrt renorm to bound float32 drift) instead of two
+        # transcendental evaluations per step — and the in-kernel reset
+        # angle is zero, so the reset rotation state is the constant (1, 0).
+        self.COS_D = np.float32(np.cos(tau * p_omega))
+        self.SIN_D = np.float32(np.sin(tau * p_omega))
+
+        def sub_interval_rhs(i_sd, i_sq, u_d, u_q):
+            di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
+            di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd
+                     + u_q) * (1.0 / l_q)
+            return di_sd, di_sq
+
+        def rk4(i_sd, i_sq, u_d, u_q):
+            k1d, k1q = sub_interval_rhs(i_sd, i_sq, u_d, u_q)
+            k2d, k2q = sub_interval_rhs(i_sd + 0.5 * tau * k1d,
+                                        i_sq + 0.5 * tau * k1q, u_d, u_q)
+            k3d, k3q = sub_interval_rhs(i_sd + 0.5 * tau * k2d,
+                                        i_sq + 0.5 * tau * k2q, u_d, u_q)
+            k4d, k4q = sub_interval_rhs(i_sd + tau * k3d, i_sq + tau * k3q,
+                                        u_d, u_q)
+            sixth = tau / 6.0
+            return (i_sd + sixth * (k1d + 2.0 * (k2d + k3d) + k4d),
+                    i_sq + sixth * (k1q + 2.0 * (k2q + k3q) + k4q))
+
+        def physics_step_cs(i_sd, i_sq, eps, c, s, action):
+            # B6 bridge: action bits -> phase voltage (converters.py:788-823)
+            ua = ((action >> 2) & 1).astype(jnp.float32) - 0.5
+            ub = ((action >> 1) & 1).astype(jnp.float32) - 0.5
+            uc = (action & 1).astype(jnp.float32) - 0.5
+            ua, ub, uc = ua * u_sup, ub * u_sup, uc * u_sup
+            # Clarke + Park at the cycle-start angle
+            u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+            u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+            u_d = c * u_alpha + s * u_beta
+            u_q = -s * u_alpha + c * u_beta
+            i_sd, i_sq = rk4(i_sd, i_sq, u_d, u_q)
+            return i_sd, i_sq, eps + tau * p_omega
+
+        def physics_step(i_sd, i_sq, eps, action):
+            c, s = jnp.cos(eps), jnp.sin(eps)
+            return physics_step_cs(i_sd, i_sq, eps, c, s, action)
+
+        self.physics_step_cs = physics_step_cs
+        self.physics_step = physics_step
+
+
 def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
                             interpret=False):
     """Build the fused rollout.  ``env`` must be a Finite-CC-PMSM-v0 (or
@@ -111,57 +185,12 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
-    ps = env.physical_system
-    mp = ps.motor.parameter
-    names = list(ps.state_names)
-    lim = np.asarray(ps.limits)
-
-    # --- constants baked into the kernel ---
-    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
-    psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
-    omega = float(ps.load.omega_fixed)
-    tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
-    i_lim = float(lim[names.index("i_sd")])
-    # Wiener margins: nominal/limit ratio times the state-space bounds
-    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
-    # WeightedSumOfErrors over the two referenced currents, span 2 each
-    w_over_span = 0.5 / 2.0
-    violation_reward = -1.0 / (1.0 - 0.9)  # r_min/(1-gamma), rw_sum = 1
-    p_omega = p * omega
+    ctx = _PmsmCtx(env)
+    i_lim, margin = ctx.i_lim, ctx.margin
+    w_over_span, violation_reward = ctx.w_over_span, ctx.violation_reward
+    COS_D, SIN_D = ctx.COS_D, ctx.SIN_D
+    physics_step_cs, physics_step = ctx.physics_step_cs, ctx.physics_step
     random_actions = action_mode == "random"
-
-    def sub_interval_rhs(i_sd, i_sq, u_d, u_q):
-        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
-        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd + u_q) * (1.0 / l_q)
-        return di_sd, di_sq
-
-    def rk4(i_sd, i_sq, u_d, u_q):
-        k1d, k1q = sub_interval_rhs(i_sd, i_sq, u_d, u_q)
-        k2d, k2q = sub_interval_rhs(i_sd + 0.5 * tau * k1d, i_sq + 0.5 * tau * k1q, u_d, u_q)
-        k3d, k3q = sub_interval_rhs(i_sd + 0.5 * tau * k2d, i_sq + 0.5 * tau * k2q, u_d, u_q)
-        k4d, k4q = sub_interval_rhs(i_sd + tau * k3d, i_sq + tau * k3q, u_d, u_q)
-        sixth = tau / 6.0
-        return (i_sd + sixth * (k1d + 2.0 * (k2d + k3d) + k4d),
-                i_sq + sixth * (k1q + 2.0 * (k2q + k3q) + k4q))
-
-    def physics_step_cs(i_sd, i_sq, eps, c, s, action):
-        # B6 bridge: action bits -> per-phase voltage (converters.py:788-823)
-        ua = ((action >> 2) & 1).astype(jnp.float32) - 0.5
-        ub = ((action >> 1) & 1).astype(jnp.float32) - 0.5
-        uc = (action & 1).astype(jnp.float32) - 0.5
-        ua, ub, uc = ua * u_sup, ub * u_sup, uc * u_sup
-        # Clarke + Park at the cycle-start angle
-        u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
-        u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        u_d = c * u_alpha + s * u_beta
-        u_q = -s * u_alpha + c * u_beta
-        i_sd, i_sq = rk4(i_sd, i_sq, u_d, u_q)
-        return i_sd, i_sq, eps + tau * p_omega
-
-    def physics_step(i_sd, i_sq, eps, action):
-        c, s = jnp.cos(eps), jnp.sin(eps)
-        return physics_step_cs(i_sd, i_sq, eps, c, s, action)
 
     shape = (R, LANE)
 
@@ -170,15 +199,6 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
     # vector op advances both
     shape2 = (2 * R, LANE)
     LN10 = np.float32(np.log(10.0))
-
-    # Park-rotation increment per control cycle: with the ConstantSpeedLoad
-    # the electrical angle advances by a COMPILE-TIME-CONSTANT tau*p*omega,
-    # so cos/sin(eps) are maintained by a 4-mul incremental rotation (plus an
-    # rsqrt renormalization to bound float32 drift) instead of two
-    # transcendental evaluations per step — and the in-kernel reset angle is
-    # zero, so the reset rotation state is the constant (1, 0).
-    COS_D = np.float32(np.cos(tau * p_omega))
-    SIN_D = np.float32(np.sin(tau * p_omega))
 
     def kernel_random(seed_ref, i_sd_ref, i_sq_ref, eps_ref,
                       out_i_sd, out_i_sq, out_eps, out_reward, out_terms,
@@ -359,60 +379,22 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
     assert n_envs % LANE == 0
     R = n_envs // LANE
     if chunk is None:
-        chunk = max(1, (8 * LANE) // R)
+        # target ~4 MB of output window (8 signals, double-buffered),
+        # clamped to n_steps and snapped down to a divisor of it
+        chunk = min(max(1, (8 * LANE) // R), n_steps)
+        while n_steps % chunk:
+            chunk -= 1
     assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
     n_chunks = n_steps // chunk
 
-    ps = env.physical_system
-    mp = ps.motor.parameter
-    names = list(ps.state_names)
-    lim = np.asarray(ps.limits)
-
-    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
-    psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
-    omega = float(ps.load.omega_fixed)
-    tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
-    i_lim = float(lim[names.index("i_sd")])
-    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
-    w_over_span = 0.5 / 2.0
-    violation_reward = -1.0 / (1.0 - 0.9)
-    p_omega = p * omega
+    ctx = _PmsmCtx(env)
+    i_lim, margin = ctx.i_lim, ctx.margin
+    w_over_span, violation_reward = ctx.w_over_span, ctx.violation_reward
+    COS_D, SIN_D = ctx.COS_D, ctx.SIN_D
+    physics_step_cs = ctx.physics_step_cs
     LN10 = np.float32(np.log(10.0))
-    COS_D = np.float32(np.cos(tau * p_omega))
-    SIN_D = np.float32(np.sin(tau * p_omega))
     shape = (R, LANE)
     shape2 = (2 * R, LANE)
-
-    def sub_interval_rhs(i_sd, i_sq, u_d, u_q):
-        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
-        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd
-                 + u_q) * (1.0 / l_q)
-        return di_sd, di_sq
-
-    def rk4(i_sd, i_sq, u_d, u_q):
-        k1d, k1q = sub_interval_rhs(i_sd, i_sq, u_d, u_q)
-        k2d, k2q = sub_interval_rhs(i_sd + 0.5 * tau * k1d,
-                                    i_sq + 0.5 * tau * k1q, u_d, u_q)
-        k3d, k3q = sub_interval_rhs(i_sd + 0.5 * tau * k2d,
-                                    i_sq + 0.5 * tau * k2q, u_d, u_q)
-        k4d, k4q = sub_interval_rhs(i_sd + tau * k3d, i_sq + tau * k3q,
-                                    u_d, u_q)
-        sixth = tau / 6.0
-        return (i_sd + sixth * (k1d + 2.0 * (k2d + k3d) + k4d),
-                i_sq + sixth * (k1q + 2.0 * (k2q + k3q) + k4q))
-
-    def physics_step_cs(i_sd, i_sq, eps, c, s, action):
-        ua = ((action >> 2) & 1).astype(jnp.float32) - 0.5
-        ub = ((action >> 1) & 1).astype(jnp.float32) - 0.5
-        uc = (action & 1).astype(jnp.float32) - 0.5
-        ua, ub, uc = ua * u_sup, ub * u_sup, uc * u_sup
-        u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
-        u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        u_d = c * u_alpha + s * u_beta
-        u_q = -s * u_alpha + c * u_beta
-        i_sd, i_sq = rk4(i_sd, i_sq, u_d, u_q)
-        return i_sd, i_sq, eps + tau * p_omega
 
     if action_mode == "buffer":
         def kernel_buf(acts_ref, i_sd0_ref, i_sq0_ref, eps0_ref,
@@ -469,9 +451,11 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
                rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
         pid = pl.program_id(0)
         seed, bits = _make_rng(interpret, rng_ref)
-        # reseed per chunk: grid iterations are sequential but the PRNG
-        # state is not guaranteed to persist across them
-        seed(seed_ref[0] + pid)
+        # reseed per chunk (grid iterations are sequential but the PRNG
+        # state is not guaranteed to persist across them); stride by
+        # n_chunks so launches with different root seeds never share a
+        # per-chunk seed (seed s covers [s*n_chunks, (s+1)*n_chunks))
+        seed(seed_ref[0] * n_chunks + pid)
 
         def _draw_params(mask):
             u1 = _uniform_from_bits(bits(shape2))

@@ -94,6 +94,40 @@ def test_record_random_transitions_internally_consistent():
         assert np.all(isd[bad] == 0.0) and np.all(isq[bad] == 0.0)
 
 
+def test_record_seeds_give_decorrelated_streams():
+    """Per-chunk reseeding strides by n_chunks, so launches with adjacent
+    root seeds must not share per-chunk action streams (a plain seed+pid
+    scheme would make seed=0 chunk c identical to seed=1 chunk c-1)."""
+    env = gemx.make_functional("Finite-CC-PMSM-v0")
+    N, T = 128, 64  # chunk=8 -> 8 chunks
+    zero = jnp.zeros((1, 128), jnp.float32)
+    roll = make_fused_pmsm_record_rollout(env, T, N, chunk=8, interpret=True)
+    act0 = np.asarray(roll(0, zero, zero, zero)[5])
+    act1 = np.asarray(roll(1, zero, zero, zero)[5])
+    # compare chunk c of seed 0 against chunk c-1 of seed 1
+    assert not np.array_equal(act0[8:], act1[:-8])
+    assert not np.array_equal(act0, act1)
+
+
+def test_record_default_chunk_handles_awkward_sizes():
+    """The default chunk is clamped to n_steps and snapped to a divisor, so
+    small-T / small-N builds must not trip the divisibility assert."""
+    env = gemx.make_functional(
+        "Finite-CC-PMSM-v0",
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", 0.0), rg.ConstReference("i_sq", 0.0)]
+        ),
+    )
+    N, T = 128, 12  # default target chunk (1024) > T, and 8 does not divide 12
+    actions = np.zeros((T, 1, 128), np.int32)
+    roll = make_fused_pmsm_record_rollout(env, T, N, action_mode="buffer",
+                                          interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    isd_t, _isq_t, _eps_t = roll(zero, zero, zero, jnp.asarray(actions))
+    assert isd_t.shape == (T, 1, 128)
+    assert np.isfinite(np.asarray(isd_t)).all()
+
+
 def test_record_reset_rate_matches_reducing_kernel():
     env = gemx.make_functional("Finite-CC-PMSM-v0")
     N, T = 256, 2048
