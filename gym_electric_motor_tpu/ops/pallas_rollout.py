@@ -558,6 +558,46 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
     return rollout
 
 
+class _PermExCtx:
+    """Baked constants + per-step physics closure for the Finite-CC-PermExDc
+    kernels — shared by the reducing rollout (``make_fused_permex_rollout``)
+    and the trajectory-recording rollout
+    (``make_fused_permex_record_rollout``) so the semantics cannot
+    diverge."""
+
+    def __init__(self, env):
+        ps = env.physical_system
+        mp = ps.motor.parameter
+        names = list(ps.state_names)
+        lim = np.asarray(ps.limits)
+
+        r_a, l_a, psi_e = (float(mp["r_a"]), float(mp["l_a"]),
+                           float(mp["psi_e"]))
+        omega = float(ps.load.omega_fixed)
+        self.tau = tau = float(ps.tau)
+        u_sup = float(ps.supply.u_nominal)
+        self.i_lim = float(lim[names.index("i")])
+        self.margin = float(ps.nominal_state[names.index("i")] / self.i_lim)
+        self.w_over_span = 1.0 / 2.0
+        self.violation_reward = -1.0 / (1.0 - 0.9)
+        emf = psi_e * omega
+
+        def rhs(i, u):
+            return (-emf - r_a * i + u) * (1.0 / l_a)
+
+        def step_physics(i, a):
+            # 4QC voltage table: a=1 -> +u_sup, a=2 -> -u_sup, else 0
+            u_in = (jnp.where(a == 1, 1.0, 0.0)
+                    - jnp.where(a == 2, 1.0, 0.0)) * u_sup
+            k1 = rhs(i, u_in)
+            k2 = rhs(i + 0.5 * tau * k1, u_in)
+            k3 = rhs(i + 0.5 * tau * k2, u_in)
+            k4 = rhs(i + tau * k3, u_in)
+            return i + (tau / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+
+        self.step_physics = step_physics
+
+
 def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
                               interpret=False):
     """Fused rollout for Finite-CC-PermExDc-v0 — the same VMEM-resident
@@ -571,34 +611,12 @@ def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
     physics only (no noise / reset) — the bit-level validation path."""
     assert n_envs % LANE == 0
     R = n_envs // LANE
-    ps = env.physical_system
-    mp = ps.motor.parameter
-    names = list(ps.state_names)
-    lim = np.asarray(ps.limits)
-
-    r_a, l_a, psi_e = float(mp["r_a"]), float(mp["l_a"]), float(mp["psi_e"])
-    omega = float(ps.load.omega_fixed)
-    tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
-    i_lim = float(lim[names.index("i")])
-    margin = float(ps.nominal_state[names.index("i")] / i_lim)
-    w_over_span = 1.0 / 2.0
-    violation_reward = -1.0 / (1.0 - 0.9)
-    emf = psi_e * omega
+    ctx = _PermExCtx(env)
+    i_lim, margin = ctx.i_lim, ctx.margin
+    w_over_span, violation_reward = ctx.w_over_span, ctx.violation_reward
+    _step_physics = ctx.step_physics
     shape = (R, LANE)
     LN10 = np.float32(np.log(10.0))
-
-    def rhs(i, u):
-        return (-emf - r_a * i + u) * (1.0 / l_a)
-
-    def _step_physics(i, a):
-        # 4QC voltage table: a=1 -> +u_sup, a=2 -> -u_sup, else 0
-        u_in = (jnp.where(a == 1, 1.0, 0.0) - jnp.where(a == 2, 1.0, 0.0)) * u_sup
-        k1 = rhs(i, u_in)
-        k2 = rhs(i + 0.5 * tau * k1, u_in)
-        k3 = rhs(i + 0.5 * tau * k2, u_in)
-        k4 = rhs(i + tau * k3, u_in)
-        return i + (tau / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
 
     def kernel(seed_ref, i0_ref, out_i, out_reward, out_terms,
                out_rv, out_rk, out_rl, out_rs,
@@ -700,6 +718,148 @@ def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
                 [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
                 + [pltpu.VMEM(shape, jnp.uint32)]
                 + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), i0)
+
+    return rollout
+
+
+def make_fused_permex_record_rollout(env, n_steps, n_envs, chunk=None,
+                                     action_mode="random", interpret=False):
+    """Trajectory-recording variant of ``make_fused_permex_rollout`` — the
+    DC counterpart of ``make_fused_pmsm_record_rollout``: a sequential grid
+    over ``n_steps // chunk`` time chunks with the drive state in VMEM
+    scratch and per-step signals streaming to HBM.
+
+    ``action_mode='random'``: ``rollout(seed, i0) -> (i, ref, action,
+    reward, done)``, each ``(n_steps, n_envs // 128, 128)`` (``action``
+    int32, rest float32); ``i`` is the post-step, post-autoreset current,
+    ``ref`` the reference the step's reward used.
+
+    ``action_mode='buffer'``: ``rollout(i0, actions) -> i`` per step,
+    deterministic physics only (the step-for-step validation path).
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    if chunk is None:
+        # ~4 MB window (5 signals, double-buffered), snapped to a divisor
+        chunk = min(max(1, (12 * LANE) // R), n_steps)
+        while n_steps % chunk:
+            chunk -= 1
+    assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
+    n_chunks = n_steps // chunk
+
+    ctx = _PermExCtx(env)
+    i_lim, margin = ctx.i_lim, ctx.margin
+    w_over_span, violation_reward = ctx.w_over_span, ctx.violation_reward
+    _step_physics = ctx.step_physics
+    shape = (R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
+    const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
+    traj_f = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
+    traj_i = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.int32)
+
+    if action_mode == "buffer":
+        def kernel_buf(acts_ref, i0_ref, out_i, i_s):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                i_s[:] = i0_ref[:]
+
+            def body(k, _):
+                i_s[:] = _step_physics(i_s[:], acts_ref[k])
+                out_i[k] = i_s[:]
+                return 0
+
+            jax.lax.fori_loop(0, chunk, body, 0)
+
+        @jax.jit
+        def rollout(i0, actions):
+            return pl.pallas_call(
+                kernel_buf,
+                grid=(n_chunks,),
+                out_shape=traj_f,
+                in_specs=[tblk, const],
+                out_specs=tblk,
+                scratch_shapes=[pltpu.VMEM(shape, jnp.float32)],
+                interpret=interpret,
+            )(actions, i0)
+
+        return rollout
+
+    assert action_mode == "random", action_mode
+
+    def kernel(seed_ref, i0_ref,
+               out_i, out_ref, out_act, out_reward, out_done,
+               i_s, rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        pid = pl.program_id(0)
+        seed, bits = _make_rng(interpret, rng_ref)
+        # per-chunk reseed, strided so different root seeds never overlap
+        seed(seed_ref[0] * n_chunks + pid)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            # CC PermExDc sigma range (1e-2, 1e-1) (catalog _REF_SIGMA)
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1),
+                                  rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-2.0 + 1.0 * u2)),
+                                  rs_ref[:])
+
+        @pl.when(pid == 0)
+        def _():
+            i_s[:] = i0_ref[:]
+            u = _uniform_from_bits(bits(shape))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape, jnp.float32)
+            _draw_params(jnp.ones(shape, dtype=jnp.bool_))
+
+        def body(k, _):
+            a = (bits(shape) & jnp.uint32(3)).astype(jnp.int32)
+            i = _step_physics(i_s[:], a)
+
+            i_n = i * (1.0 / i_lim)
+            violated = jnp.abs(i_n) > 1.0
+            ref = rv_ref[:]
+            reward = jnp.where(violated, violation_reward,
+                               -w_over_span * jnp.abs(i_n - ref))
+            i_s[:] = jnp.where(violated, jnp.zeros(shape, jnp.float32), i)
+
+            out_i[k] = i_s[:]
+            out_ref[k] = ref
+            out_act[k] = a
+            out_reward[k] = reward
+            out_done[k] = violated.astype(jnp.float32)
+
+            # fresh Box-Muller draw per step (no cross-step pair cache: its
+            # parity bookkeeping is not worth it at recording bandwidth)
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            draw = (jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                    * jnp.cos(np.float32(TWO_PI) * u2))
+            regen = (rk_ref[:] >= rl_ref[:]) | violated
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+            u3 = _uniform_from_bits(bits(shape))
+            rv_ref[:] = jnp.where(violated, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    @jax.jit
+    def rollout(seed, i0):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=(traj_f, traj_f, traj_i, traj_f, traj_f),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), const],
+            out_specs=(tblk,) * 5,
+            scratch_shapes=(
+                [pltpu.VMEM(shape, jnp.float32) for _ in range(5)]
+                + [pltpu.VMEM(shape, jnp.uint32)]
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), i0)

@@ -21,6 +21,7 @@ import numpy as np
 import gym_electric_motor_tpu as gemx
 from gym_electric_motor_tpu import references as rg
 from gym_electric_motor_tpu.ops.pallas_rollout import (
+    make_fused_permex_record_rollout,
     make_fused_pmsm_record_rollout,
     make_fused_pmsm_rollout,
 )
@@ -126,6 +127,57 @@ def test_record_default_chunk_handles_awkward_sizes():
     isd_t, _isq_t, _eps_t = roll(zero, zero, zero, jnp.asarray(actions))
     assert isd_t.shape == (T, 1, 128)
     assert np.isfinite(np.asarray(isd_t)).all()
+
+
+def test_permex_record_buffer_trajectory_matches_xla_env():
+    env = gemx.make_functional(
+        "Finite-CC-PermExDc-v0",
+        reference_generator=rg.ConstReference("i", 0.0),
+    )
+    N, T = 128, 48
+    rng = np.random.default_rng(2)
+    actions = rng.integers(0, 4, size=(T, 1, 128)).astype(np.int32)
+
+    roll = make_fused_permex_record_rollout(
+        env, T, N, chunk=8, action_mode="buffer", interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    i_t = roll(zero, jnp.asarray(actions))
+    assert i_t.shape == (T, 1, 128)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, _obs, _r, _term = step(state, jnp.asarray(actions[t].reshape(N)))
+        i_ref = np.asarray(state.phys.ode_state)[:, 1]  # [omega, i]
+        np.testing.assert_allclose(np.asarray(i_t[t]).reshape(N), i_ref,
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_permex_record_random_transitions_internally_consistent():
+    env = gemx.make_functional("Finite-CC-PermExDc-v0")
+    ps = env.physical_system
+    names = list(ps.state_names)
+    i_lim = float(np.asarray(ps.limits)[names.index("i")])
+    margin = float(ps.nominal_state[names.index("i")] / i_lim)
+
+    N, T = 256, 512
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    roll = make_fused_permex_record_rollout(env, T, N, chunk=8,
+                                            interpret=True)
+    i, ref, act, rew, done = map(np.asarray, roll(9, zero))
+
+    assert act.min() >= 0 and act.max() <= 3
+    assert np.all(np.abs(ref) <= margin + 1e-6)
+    assert np.std(ref) > 1e-3
+    ok = done < 0.5
+    np.testing.assert_allclose(
+        rew[ok], -0.5 * np.abs(i[ok] / i_lim - ref[ok]),
+        rtol=1e-5, atol=1e-6)
+    bad = ~ok
+    if bad.any():
+        np.testing.assert_allclose(rew[bad], -10.0, rtol=1e-6)
+        assert np.all(i[bad] == 0.0)
 
 
 def test_record_reset_rate_matches_reducing_kernel():
