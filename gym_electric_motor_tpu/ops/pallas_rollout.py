@@ -32,6 +32,7 @@ against the XLA env at matched config.
 from __future__ import annotations
 
 import functools
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -1093,36 +1094,11 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
-                          interpret=False):
-    """Universal fused rollout for the DC family — ALL 24 catalog configs
-    ({Finite,Cont} x {CC,TC,SC} x {PermExDc,SeriesDc,ShuntDc,ExtExDc}).
-
-    Unlike the earlier per-config kernels this builder reads every semantic
-    from the functional env instance: the motor ODE/torque
-    (dc_*_motor.py:68-127), the converter action law (finite 4QC table
-    converters.py:313-368 / cont duty converters.py:438-496; ExtExDc's dual
-    channel converters.py:547-612), the mechanical model (ConstantSpeedLoad
-    or PolynomialStaticLoad incl. the omega~0 linearization,
-    polynomial_static_load.py:87-107), the Wiener reference margins /
-    sigma ranges / sub-episode lengths per referenced state, the
-    WeightedSumOfErrors weights/spans (weighted_sum_of_errors.py:125-129)
-    and the current limit constraints.
-
-    Returned callable (``(R, LANE)`` float32 planes, R = n_envs // 128):
-
-    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
-      term_count, rv, rk, rl, rs)`` where ``state0``/``states`` is
-      ``(omega?, i...)`` — omega present only for SC (dynamic-speed)
-      configs — and the rv/rk/rl/rs Wiener snapshots are stacked
-      ``(n_ref * R, LANE)``.
-    * buffer mode: ``rollout(*state0, actions) -> states`` with an
-      ``(n_steps, [n_ch,] R, LANE)`` action buffer (int32 finite / float32
-      cont; the channel axis only for ExtExDc), deterministic physics only
-      — the bit-level validation path vs the XLA env.
-    """
-    assert n_envs % LANE == 0
-    R = n_envs // LANE
+def _dc_family(env, R, action_mode):
+    """Shared DC-family physics/reward/action closures — consumed by BOTH
+    the reducing rollout (``make_fused_dc_rollout``) and the generic
+    trajectory recorder (``ops.pallas_record``) so the two kernels cannot
+    diverge (same pattern as ``_PmsmCtx``/``_PermExCtx``)."""
     ps = env.physical_system
     mp = ps.motor.parameter
     names = list(ps.state_names)
@@ -1217,7 +1193,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
                     - jnp.where(a == 2, 1.0, 0.0)) * u_sup
         return a * u_sup
 
-    def _step_physics(state, acts):
+    def step_physics(state, acts):
         u = tuple(conv_u(a) for a in acts)
 
         def axpy(s, k, c):
@@ -1271,6 +1247,73 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
             return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,)
         return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+
+    # --- generic record-adapter surface (see ops/pallas_record.py) ---
+    state_names = (("omega",) if mech else ()) + el_names
+    act_names = ("action",) if n_ch == 1 else ("action_a", "action_e")
+    act_dtype = jnp.int32 if finite else jnp.float32
+
+    def read_actions(ref, t):
+        if n_ch == 1:
+            return (ref[t],)
+        return tuple(ref[t, j] for j in range(n_ch))
+
+    def pre_step(cur):
+        return ()
+
+    def step(cur, acts, aux):
+        return step_physics(cur, acts)
+
+    def quantities(state, aux):
+        return [ref_quantity(state, j) for j in range(n_ref)]
+
+    return SimpleNamespace(
+        n_state=n_state, n_ch=n_ch, finite=finite, mech=mech, shape=shape,
+        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        violation_reward=violation_reward, step_physics=step_physics,
+        ref_quantity=ref_quantity, violated=violated_fn,
+        sample_actions=_sample_actions, state_names=state_names,
+        act_names=act_names, act_dtype=act_dtype, read_actions=read_actions,
+        pre_step=pre_step, step=step, quantities=quantities,
+    )
+
+
+def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
+                          interpret=False):
+    """Universal fused rollout for the DC family — ALL 24 catalog configs
+    ({Finite,Cont} x {CC,TC,SC} x {PermExDc,SeriesDc,ShuntDc,ExtExDc}).
+
+    Unlike the earlier per-config kernels this builder reads every semantic
+    from the functional env instance: the motor ODE/torque
+    (dc_*_motor.py:68-127), the converter action law (finite 4QC table
+    converters.py:313-368 / cont duty converters.py:438-496; ExtExDc's dual
+    channel converters.py:547-612), the mechanical model (ConstantSpeedLoad
+    or PolynomialStaticLoad incl. the omega~0 linearization,
+    polynomial_static_load.py:87-107), the Wiener reference margins /
+    sigma ranges / sub-episode lengths per referenced state, the
+    WeightedSumOfErrors weights/spans (weighted_sum_of_errors.py:125-129)
+    and the current limit constraints.
+
+    Returned callable (``(R, LANE)`` float32 planes, R = n_envs // 128):
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)`` where ``state0``/``states`` is
+      ``(omega?, i...)`` — omega present only for SC (dynamic-speed)
+      configs — and the rv/rk/rl/rs Wiener snapshots are stacked
+      ``(n_ref * R, LANE)``.
+    * buffer mode: ``rollout(*state0, actions) -> states`` with an
+      ``(n_steps, [n_ch,] R, LANE)`` action buffer (int32 finite / float32
+      cont; the channel axis only for ExtExDc), deterministic physics only
+      — the bit-level validation path vs the XLA env.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _dc_family(env, R, action_mode)
+    n_state, n_ch, shape, shape_r = fs.n_state, fs.n_ch, fs.shape, fs.shape_r
+    n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    bias, violation_reward = fs.bias, fs.violation_reward
+    _step_physics, ref_quantity = fs.step_physics, fs.ref_quantity
+    violated_fn, _sample_actions = fs.violated, fs.sample_actions
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -1490,30 +1533,10 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
     return init, advance
 
 
-def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
-                            interpret=False):
-    """Universal fused rollout for the synchronous family — all 12
-    {Finite,Cont} x {CC,TC,SC} x {PMSM,SynRM} catalog configs.
-
-    Reads every semantic from the env spec: the dq ODE with psi_p = 0
-    covering SynRM (permanent_magnet_synchronous_motor.py:107-119,
-    synchronous_reluctance_motor.py:117-130), B6 bridge bits (finite,
-    converters.py:788-823) or duty u = a*u_sup/2 (cont, converters.py:
-    846-881), Park at the cycle-start angle (the reference's stale-epsilon
-    quirk, physical_systems.py:487-525), the SquaredConstraint on the dq
-    currents, Wiener references on (i_sd*, i_sq*) / torque* / omega* and
-    the WSE reward.  CC/TC (ConstantSpeedLoad) keep the 4-mul incremental
-    Park rotation; SC adds the PolynomialStaticLoad mechanical ODE to the
-    joint RK4 state and evaluates cos/sin(eps) per step (omega varies).
-
-    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
-      term_count, rv, rk, rl, rs)``; states = (omega?, i_sd, i_sq, eps).
-    * buffer mode: ``rollout(*state0, actions) -> states`` with an int32
-      ``(n_steps, R, LANE)`` (finite) or float32 ``(n_steps, 3, R, LANE)``
-      (cont) action buffer; deterministic physics only.
-    """
-    assert n_envs % LANE == 0
-    R = n_envs // LANE
+def _sync_family(env, R, action_mode):
+    """Shared synchronous-family (PMSM/SynRM) closures — consumed by the
+    reducing rollout (``make_fused_sync_rollout``) and the generic
+    trajectory recorder (``ops.pallas_record``)."""
     ps = env.physical_system
     mp = ps.motor.parameter
     names = list(ps.state_names)
@@ -1532,6 +1555,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
     shape = (R, LANE)
 
     mech = ps.load.omega_fixed is None
+    COS_D = SIN_D = None
     if mech:
         lp = ps.load.parameter
         a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
@@ -1622,6 +1646,88 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
         return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0,
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+
+    # --- generic record-adapter surface (see ops/pallas_record.py) ---
+    state_names = (("omega",) if mech else ()) + ("i_sd", "i_sq", "eps")
+    act_names = (("action",) if finite
+                 else ("action_a", "action_b", "action_c"))
+    act_dtype = jnp.int32 if finite else jnp.float32
+
+    def sample_actions_t(bits):
+        a = _sample_actions(bits)
+        return (a,) if finite else a
+
+    def read_actions(ref, t):
+        if finite:
+            return (ref[t],)
+        return tuple(ref[t, j] for j in range(3))
+
+    def pre_step(cur):
+        return (jnp.cos(cur[-1]), jnp.sin(cur[-1]))
+
+    def step(cur, acts, aux):
+        c, s = aux
+        a = acts[0] if finite else acts
+        state = physics_step(cur, a, c, s)
+        eps = state[-1]
+        eps = eps - np.float32(TWO_PI) * jnp.floor(
+            eps * np.float32(1.0 / TWO_PI))
+        return state[:-1] + (eps,)
+
+    def violated(state):
+        i_sd, i_sq = (state[1], state[2]) if mech else (state[0], state[1])
+        i_sd_n = i_sd * np.float32(1.0 / i_lim)
+        i_sq_n = i_sq * np.float32(1.0 / i_lim)
+        return (i_sd_n * i_sd_n + i_sq_n * i_sq_n) > 1.0
+
+    def quantities(state, aux):
+        return [ref_quantity(state, j) for j in range(n_ref)]
+
+    return SimpleNamespace(
+        n_state=n_state, finite=finite, mech=mech, shape=shape,
+        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        violation_reward=violation_reward, i_lim=i_lim, COS_D=COS_D,
+        SIN_D=SIN_D, physics_step=physics_step, ref_quantity=ref_quantity,
+        sample_actions=_sample_actions, state_names=state_names,
+        act_names=act_names, act_dtype=act_dtype,
+        sample_actions_t=sample_actions_t, read_actions=read_actions,
+        pre_step=pre_step, step=step, violated=violated,
+        quantities=quantities,
+    )
+
+
+def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
+                            interpret=False):
+    """Universal fused rollout for the synchronous family — all 12
+    {Finite,Cont} x {CC,TC,SC} x {PMSM,SynRM} catalog configs.
+
+    Reads every semantic from the env spec: the dq ODE with psi_p = 0
+    covering SynRM (permanent_magnet_synchronous_motor.py:107-119,
+    synchronous_reluctance_motor.py:117-130), B6 bridge bits (finite,
+    converters.py:788-823) or duty u = a*u_sup/2 (cont, converters.py:
+    846-881), Park at the cycle-start angle (the reference's stale-epsilon
+    quirk, physical_systems.py:487-525), the SquaredConstraint on the dq
+    currents, Wiener references on (i_sd*, i_sq*) / torque* / omega* and
+    the WSE reward.  CC/TC (ConstantSpeedLoad) keep the 4-mul incremental
+    Park rotation; SC adds the PolynomialStaticLoad mechanical ODE to the
+    joint RK4 state and evaluates cos/sin(eps) per step (omega varies).
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sd, i_sq, eps).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with an int32
+      ``(n_steps, R, LANE)`` (finite) or float32 ``(n_steps, 3, R, LANE)``
+      (cont) action buffer; deterministic physics only.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _sync_family(env, R, action_mode)
+    n_state, finite, mech, shape, shape_r = (
+        fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
+    n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
+    COS_D, SIN_D = fs.COS_D, fs.SIN_D
+    physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
+    _sample_actions = fs.sample_actions
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -1964,31 +2070,10 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
-                                 interpret=False):
-    """Universal fused rollout for the squirrel-cage induction family — all
-    6 {Finite,Cont} x {CC,TC,SC} SCIM catalog configs from one builder.
-
-    The 4-state alpha/beta ODE (induction_motor.py:287-313, rotor shorted)
-    integrates under Clarke-only converter voltages (no Park — the SCIM
-    system is stator-frame, physical_systems.py:771-814); dq output
-    quantities for the CC reward are produced by rotating the stator
-    current into the rotor-flux frame, with the flux direction computed as
-    (psi_ra, psi_rb)/|psi| instead of an atan2+sincos round trip
-    (physical_systems.py:736-741's eps_fs enters only through its cos/sin).
-    SC adds the polynomial-load mechanical ODE; torque = k_t (psi_ra i_sb -
-    psi_rb i_sa).  References/reward/constraint read from the env spec as
-    in the DC/sync universal builders.
-
-    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
-      term_count, rv, rk, rl, rs)``; states = (omega?, i_sa, i_sb,
-      psi_ra, psi_rb).
-    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
-      ``(n_steps, R, LANE)`` B6 bits (finite) / float32
-      ``(n_steps, 3, R, LANE)`` duties (cont); deterministic physics only.
-    """
-    assert n_envs % LANE == 0
-    R = n_envs // LANE
+def _induction_family(env, R, action_mode):
+    """Shared squirrel-cage-induction-family closures — consumed by the
+    reducing rollout (``make_fused_induction_rollout``) and the generic
+    trajectory recorder (``ops.pallas_record``)."""
     ps = env.physical_system
     mp = ps.motor.parameter
     names = list(ps.state_names)
@@ -2066,7 +2151,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
         return u_al, u_be
 
-    def _step_physics(state, action):
+    def step_physics(state, action):
         u_al, u_be = alphabeta_voltage(action)
 
         def axpy(st, k, cc):
@@ -2132,6 +2217,87 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
         return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0,
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+
+    # --- generic record-adapter surface (see ops/pallas_record.py) ---
+    state_names = ((("omega",) if mech else ())
+                   + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta"))
+    act_names = (("action",) if finite
+                 else ("action_a", "action_b", "action_c"))
+    act_dtype = jnp.int32 if finite else jnp.float32
+    inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
+
+    def sample_actions_t(bits):
+        a = _sample_actions(bits)
+        return (a,) if finite else a
+
+    def read_actions(ref, t):
+        if finite:
+            return (ref[t],)
+        return tuple(ref[t, j] for j in range(3))
+
+    def pre_step(cur):
+        if not needs_dq:
+            return ()
+        return flux_dir(cur[1:] if mech else cur)
+
+    def step(cur, acts, aux):
+        a = acts[0] if finite else acts
+        return step_physics(cur, a)
+
+    def violated(state):
+        el = state[1:] if mech else state
+        # |i_dq| == |i_alphabeta| (rotation-invariant)
+        return (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
+
+    def quantities(state, aux):
+        return ref_quantities(state, aux if needs_dq else None)
+
+    return SimpleNamespace(
+        n_state=n_state, finite=finite, mech=mech, shape=shape,
+        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,
+        step_physics=step_physics, flux_dir=flux_dir,
+        ref_quantities=ref_quantities, sample_actions=_sample_actions,
+        state_names=state_names, act_names=act_names, act_dtype=act_dtype,
+        sample_actions_t=sample_actions_t, read_actions=read_actions,
+        pre_step=pre_step, step=step, violated=violated,
+        quantities=quantities,
+    )
+
+
+def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
+                                 interpret=False):
+    """Universal fused rollout for the squirrel-cage induction family — all
+    6 {Finite,Cont} x {CC,TC,SC} SCIM catalog configs from one builder.
+
+    The 4-state alpha/beta ODE (induction_motor.py:287-313, rotor shorted)
+    integrates under Clarke-only converter voltages (no Park — the SCIM
+    system is stator-frame, physical_systems.py:771-814); dq output
+    quantities for the CC reward are produced by rotating the stator
+    current into the rotor-flux frame, with the flux direction computed as
+    (psi_ra, psi_rb)/|psi| instead of an atan2+sincos round trip
+    (physical_systems.py:736-741's eps_fs enters only through its cos/sin).
+    SC adds the polynomial-load mechanical ODE; torque = k_t (psi_ra i_sb -
+    psi_rb i_sa).  References/reward/constraint read from the env spec as
+    in the DC/sync universal builders.
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sa, i_sb,
+      psi_ra, psi_rb).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
+      ``(n_steps, R, LANE)`` B6 bits (finite) / float32
+      ``(n_steps, 3, R, LANE)`` duties (cont); deterministic physics only.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _induction_family(env, R, action_mode)
+    n_state, finite, mech, shape, shape_r = (
+        fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
+    n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
+    needs_dq, flux_dir = fs.needs_dq, fs.flux_dir
+    _step_physics, ref_quantities = fs.step_physics, fs.ref_quantities
+    _sample_actions = fs.sample_actions
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -2483,29 +2649,10 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def make_fused_eesm_family_rollout(env, n_steps, n_envs,
-                                   action_mode="random", interpret=False):
-    """Universal fused rollout for the externally-excited synchronous
-    family — all 6 {Finite,Cont} x {CC,TC,SC} EESM catalog configs.
-
-    Same 3-current dq ODE as ``make_fused_eesm_rollout`` (externally_
-    excited_synchronous_motor.py via models/motors.py:451-476) but with
-    the converter (finite B6 bits + 4QC table vs cont B6/4QC duties),
-    task references (i_sd*/i_sq*/i_e* | torque* | omega*), reward weights
-    and the mechanical model read from the env spec.  SC adds the
-    polynomial-load mechanical ODE (torque = 1.5 p (l_M i_e i_k_rs +
-    (l_d - l_q) i_sd) i_sq, eesm:200-203) and per-step sincos; CC/TC keep
-    the incremental Park rotation.
-
-    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
-      term_count, rv, rk, rl, rs)``; states = (omega?, i_sd, i_sq, i_e,
-      eps).
-    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
-      ``(n_steps, 2, R, LANE)`` (finite: B6, 4QC) or float32
-      ``(n_steps, 4, R, LANE)`` (cont duties) action buffers.
-    """
-    assert n_envs % LANE == 0
-    R = n_envs // LANE
+def _eesm_family(env, R, action_mode):
+    """Shared EESM-family closures — consumed by the reducing rollout
+    (``make_fused_eesm_family_rollout``) and the generic trajectory
+    recorder (``ops.pallas_record``)."""
     ps = env.physical_system
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
@@ -2531,6 +2678,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
     shape = (R, LANE)
 
     mech = ps.load.omega_fixed is None
+    COS_D = SIN_D = None
     if mech:
         lpar = ps.load.parameter
         a_c, b_c, c_c = (float(lpar["a"]), float(lpar["b"]),
@@ -2633,6 +2781,86 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
                     ((b >> jnp.uint32(3)) & jnp.uint32(3)).astype(jnp.int32))
         return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
                      for _ in range(4))
+
+    # --- generic record-adapter surface (see ops/pallas_record.py) ---
+    state_names = ((("omega",) if mech else ())
+                   + ("i_sd", "i_sq", "i_e", "eps"))
+    act_names = (("action_b6", "action_e") if finite
+                 else ("action_a", "action_b", "action_c", "action_e"))
+    act_dtype = jnp.int32 if finite else jnp.float32
+    n_act = len(act_names)
+    inv_ilim = np.float32(1.0 / i_lim)
+    inv_ielim = np.float32(1.0 / ie_lim)
+
+    def read_actions(ref, t):
+        return tuple(ref[t, j] for j in range(n_act))
+
+    def pre_step(cur):
+        return (jnp.cos(cur[-1]), jnp.sin(cur[-1]))
+
+    def step(cur, acts, aux):
+        c, s = aux
+        state = physics_step(cur, acts, c, s)
+        eps = state[-1]
+        eps = eps - np.float32(TWO_PI) * jnp.floor(
+            eps * np.float32(1.0 / TWO_PI))
+        return state[:-1] + (eps,)
+
+    def violated(state):
+        i_sd, i_sq, i_e = (state[1:4] if mech else state[0:3])
+        isd_n, isq_n = i_sd * inv_ilim, i_sq * inv_ilim
+        ie_n = i_e * inv_ielim
+        return (((isd_n * isd_n + isq_n * isq_n) > 1.0)
+                | (jnp.abs(ie_n) > 1.0))
+
+    def quantities(state, aux):
+        return [ref_quantity(state, j) for j in range(n_ref)]
+
+    return SimpleNamespace(
+        n_state=n_state, finite=finite, mech=mech, shape=shape,
+        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        violation_reward=violation_reward, i_lim=i_lim, ie_lim=ie_lim,
+        COS_D=COS_D, SIN_D=SIN_D, physics_step=physics_step,
+        ref_quantity=ref_quantity, sample_actions=_sample_actions,
+        state_names=state_names, act_names=act_names, act_dtype=act_dtype,
+        sample_actions_t=_sample_actions, read_actions=read_actions,
+        pre_step=pre_step, step=step, violated=violated,
+        quantities=quantities,
+    )
+
+
+def make_fused_eesm_family_rollout(env, n_steps, n_envs,
+                                   action_mode="random", interpret=False):
+    """Universal fused rollout for the externally-excited synchronous
+    family — all 6 {Finite,Cont} x {CC,TC,SC} EESM catalog configs.
+
+    Same 3-current dq ODE as ``make_fused_eesm_rollout`` (externally_
+    excited_synchronous_motor.py via models/motors.py:451-476) but with
+    the converter (finite B6 bits + 4QC table vs cont B6/4QC duties),
+    task references (i_sd*/i_sq*/i_e* | torque* | omega*), reward weights
+    and the mechanical model read from the env spec.  SC adds the
+    polynomial-load mechanical ODE (torque = 1.5 p (l_M i_e i_k_rs +
+    (l_d - l_q) i_sd) i_sq, eesm:200-203) and per-step sincos; CC/TC keep
+    the incremental Park rotation.
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sd, i_sq, i_e,
+      eps).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
+      ``(n_steps, 2, R, LANE)`` (finite: B6, 4QC) or float32
+      ``(n_steps, 4, R, LANE)`` (cont duties) action buffers.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _eesm_family(env, R, action_mode)
+    n_state, finite, mech, shape, shape_r = (
+        fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
+    n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    bias, violation_reward = fs.bias, fs.violation_reward
+    i_lim, ie_lim = fs.i_lim, fs.ie_lim
+    COS_D, SIN_D = fs.COS_D, fs.SIN_D
+    physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
+    _sample_actions = fs.sample_actions
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -3031,28 +3259,10 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def make_fused_dfim_family_rollout(env, n_steps, n_envs,
-                                   action_mode="random", interpret=False):
-    """Universal fused rollout for the doubly-fed induction family — all 6
-    {Finite,Cont} x {CC,TC,SC} DFIM catalog configs.
-
-    Same alpha/beta electrical model and rotor-voltage rotation as
-    ``make_fused_dfim_rollout`` (physical_systems.py:968-1054; the def->dq
-    ->alphabeta rotation chain collapses to one rotation by the electrical
-    angle), with the dual converter (finite B6 bits x2 vs cont duties x6),
-    task references (stator i_sd*/i_sq* in the rotor-flux frame via the
-    PRE-step flux direction — the reference's stale-angle output quirk —
-    | torque* | omega*) and the mechanical model read from the env spec.
-
-    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
-      term_count, rv, rk, rl, rs)``; states = (omega?, i_sa, i_sb, psi_ra,
-      psi_rb, eps).
-    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
-      ``(n_steps, 2, R, LANE)`` (finite B6 bits: stator, rotor) or float32
-      ``(n_steps, 6, R, LANE)`` (cont duties) action buffers.
-    """
-    assert n_envs % LANE == 0
-    R = n_envs // LANE
+def _dfim_family(env, R, action_mode):
+    """Shared DFIM-family closures — consumed by the reducing rollout
+    (``make_fused_dfim_family_rollout``) and the generic trajectory
+    recorder (``ops.pallas_record``)."""
     ps = env.physical_system
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
@@ -3082,6 +3292,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
     shape = (R, LANE)
 
     mech = ps.load.omega_fixed is None
+    COS_D = SIN_D = None
     if mech:
         lpar = ps.load.parameter
         a_c, b_c, c_c = (float(lpar["a"]), float(lpar["b"]),
@@ -3210,6 +3421,90 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
                     ((b >> jnp.uint32(3)) & jnp.uint32(7)).astype(jnp.int32))
         return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
                      for _ in range(6))
+
+    # --- generic record-adapter surface (see ops/pallas_record.py) ---
+    state_names = ((("omega",) if mech else ())
+                   + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta",
+                      "eps"))
+    act_names = (("action_stator", "action_rotor") if finite
+                 else ("action_sa", "action_sb", "action_sc",
+                       "action_ra", "action_rb", "action_rc"))
+    act_dtype = jnp.int32 if finite else jnp.float32
+    n_act = len(act_names)
+    inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
+
+    def read_actions(ref, t):
+        return tuple(ref[t, j] for j in range(n_act))
+
+    def pre_step(cur):
+        """(flux cs for the stale-angle dq outputs, park c/s for the rotor
+        voltage rotation)"""
+        el = cur[1:5] if mech else cur[0:4]
+        cs = flux_dir(el) if needs_dq else ()
+        return (cs, jnp.cos(cur[-1]), jnp.sin(cur[-1]))
+
+    def step(cur, acts, aux):
+        _, c, s = aux
+        state = physics_step(cur, acts, c, s)
+        eps = state[-1]
+        eps = eps - np.float32(TWO_PI) * jnp.floor(
+            eps * np.float32(1.0 / TWO_PI))
+        return state[:-1] + (eps,)
+
+    def violated(state):
+        el = state[1:5] if mech else state[0:4]
+        # |i_dq| == |i_alphabeta| (rotation-invariant)
+        return (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
+
+    def quantities(state, aux):
+        cs = aux[0]
+        return ref_quantities(state, cs if needs_dq else None)
+
+    return SimpleNamespace(
+        n_state=n_state, finite=finite, mech=mech, shape=shape,
+        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,
+        COS_D=COS_D, SIN_D=SIN_D, physics_step=physics_step,
+        flux_dir=flux_dir, ref_quantities=ref_quantities,
+        sample_actions=_sample_actions, state_names=state_names,
+        act_names=act_names, act_dtype=act_dtype,
+        sample_actions_t=_sample_actions, read_actions=read_actions,
+        pre_step=pre_step, step=step, violated=violated,
+        quantities=quantities,
+    )
+
+
+def make_fused_dfim_family_rollout(env, n_steps, n_envs,
+                                   action_mode="random", interpret=False):
+    """Universal fused rollout for the doubly-fed induction family — all 6
+    {Finite,Cont} x {CC,TC,SC} DFIM catalog configs.
+
+    Same alpha/beta electrical model and rotor-voltage rotation as
+    ``make_fused_dfim_rollout`` (physical_systems.py:968-1054; the def->dq
+    ->alphabeta rotation chain collapses to one rotation by the electrical
+    angle), with the dual converter (finite B6 bits x2 vs cont duties x6),
+    task references (stator i_sd*/i_sq* in the rotor-flux frame via the
+    PRE-step flux direction — the reference's stale-angle output quirk —
+    | torque* | omega*) and the mechanical model read from the env spec.
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sa, i_sb, psi_ra,
+      psi_rb, eps).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
+      ``(n_steps, 2, R, LANE)`` (finite B6 bits: stator, rotor) or float32
+      ``(n_steps, 6, R, LANE)`` (cont duties) action buffers.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _dfim_family(env, R, action_mode)
+    n_state, finite, mech, shape, shape_r = (
+        fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
+    n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
+    needs_dq, flux_dir = fs.needs_dq, fs.flux_dir
+    COS_D, SIN_D = fs.COS_D, fs.SIN_D
+    physics_step, ref_quantities = fs.physics_step, fs.ref_quantities
+    _sample_actions = fs.sample_actions
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
