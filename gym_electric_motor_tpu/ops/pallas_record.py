@@ -1,0 +1,245 @@
+"""Universal trajectory-recording fused rollouts — every catalog id.
+
+The reducing family kernels (``ops.pallas_rollout``) keep the whole rollout
+in VMEM and return only the final state plus metric sums.  This module is
+the off-policy / analysis counterpart: ONE generic chunked-grid harness
+that records every per-step transition (post-step state, the references
+the agent saw, the action, reward, done) to HBM for ALL 54 catalog env ids
+(reference behavior: the transition tuple a ``gym_electric_motor`` user
+collects from ``env.step`` loops to feed replay-buffer RL,
+/root/reference/src/gym_electric_motor/core.py:194-231).
+
+Design (same recipe as ``make_fused_pmsm_record_rollout``):
+
+* sequential grid over ``n_steps // chunk`` time chunks — the TPU grid is
+  sequential, so the drive state persists in VMEM scratch across grid
+  steps while each chunk's signals stream out through pipelined,
+  time-indexed output BlockSpecs;
+* the per-step physics/reward/action semantics come from the SAME family
+  namespaces (``_dc_family`` .. ``_dfim_family``) the reducing kernels
+  alias, so recording and reducing kernels cannot diverge;
+* the PRNG is reseeded per grid step with ``seed * n_chunks + pid`` —
+  scratch PRNG state is not guaranteed to persist across grid iterations,
+  and the stride keeps launches with adjacent root seeds decorrelated.
+
+``make_fused_record_rollout(env, T, N)`` returns ``rollout(seed, *state0)
+-> dict`` mapping signal names (family state names, ``ref_*``,
+``action*``, ``reward``, ``done``) to ``(T, N // 128, 128)`` arrays.
+``action_mode='buffer'`` gives the deterministic validation path:
+``rollout(*state0, actions) -> dict`` of per-step states, matched
+step-for-step against the XLA env in tests/test_pallas_record_universal.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_rollout import (
+    FUSED_FAMILY_BUILDERS,
+    LANE,
+    _dc_family,
+    _dfim_family,
+    _eesm_family,
+    _induction_family,
+    _make_rng,
+    _make_wiener,
+    _sync_family,
+)
+
+_FAMILY_NAMESPACES = {
+    "dc": _dc_family,
+    "sync": _sync_family,
+    "induction": _induction_family,
+    "eesm": _eesm_family,
+    "dfim": _dfim_family,
+}
+
+
+def _pick_chunk(n_steps, n_planes, R, chunk):
+    """Steps per grid iteration: the output window (``n_planes`` signals x
+    chunk x (R, LANE) x 4 B, double-buffered) targets ~4 MB of VMEM,
+    clamped to ``n_steps`` and snapped down to a divisor of it."""
+    if chunk is None:
+        chunk = min(max(1, (64 * LANE) // (R * n_planes)), n_steps)
+        while n_steps % chunk:
+            chunk -= 1
+    assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
+    return chunk
+
+
+def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
+                              action_mode="random", interpret=False):
+    """Build the trajectory-recording rollout for any catalog env.
+
+    See the module docstring for semantics.  Raises ``KeyError`` for motor
+    kinds without a fused family (the SRM stubs) and ``AssertionError``
+    for non-fused configurations (interlocking dead time, non-Wiener
+    references in random mode): those run on the general XLA path.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
+    fs = _FAMILY_NAMESPACES[family](env, R, action_mode)
+
+    n_state, n_ref = fs.n_state, fs.n_ref
+    n_act = len(fs.act_names)
+    shape, shape_r = fs.shape, fs.shape_r
+    sample = getattr(fs, "sample_actions_t", fs.sample_actions)
+    ref_cfg, bias, violation_reward = fs.ref_cfg, fs.bias, fs.violation_reward
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
+
+    if action_mode == "buffer":
+        n_planes = n_state + n_act
+        chunk = _pick_chunk(n_steps, n_planes, R, chunk)
+        n_chunks = n_steps // chunk
+        multi = n_act > 1
+
+        def kernel_buf(acts_ref, *refs):
+            state0 = refs[:n_state]
+            outs = refs[n_state: 2 * n_state]
+            state_s = refs[2 * n_state:]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                for ss, s0 in zip(state_s, state0):
+                    ss[:] = s0[:]
+
+            def body(k, _):
+                acts = fs.read_actions(acts_ref, k)
+                cur = tuple(ss[:] for ss in state_s)
+                aux = fs.pre_step(cur)
+                state = fs.step(cur, acts, aux)
+                for i, (ss, s2) in enumerate(zip(state_s, state)):
+                    ss[:] = s2
+                    outs[i][k] = s2
+                return 0
+
+            jax.lax.fori_loop(0, chunk, body, 0)
+
+        tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
+        ablk = (pl.BlockSpec((chunk, n_act, R, LANE),
+                             lambda i: (i, 0, 0, 0)) if multi else tblk)
+        traj = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
+
+        @jax.jit
+        def rollout(*args):
+            *state0, actions = args
+            out = pl.pallas_call(
+                kernel_buf,
+                grid=(n_chunks,),
+                out_shape=(traj,) * n_state,
+                in_specs=[ablk] + [const] * n_state,
+                out_specs=(tblk,) * n_state,
+                scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                                for _ in range(n_state)],
+                interpret=interpret,
+            )(actions, *state0)
+            return dict(zip(fs.state_names, out))
+
+        rollout.signals = tuple(fs.state_names)
+        return rollout
+
+    assert action_mode == "random", action_mode
+    names = (tuple(fs.state_names)
+             + tuple("ref_" + c["name"] for c in ref_cfg)
+             + tuple(fs.act_names) + ("reward", "done"))
+    n_sig = len(names)
+    chunk = _pick_chunk(n_steps, n_sig, R, chunk)
+    n_chunks = n_steps // chunk
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        outs = refs[n_state: n_state + n_sig]
+        out_state = outs[:n_state]
+        out_ref = outs[n_state: n_state + n_ref]
+        out_act = outs[n_state + n_ref: n_state + n_ref + n_act]
+        out_reward, out_done = outs[-2], outs[-1]
+        scratch = refs[n_state + n_sig:]
+        state_s = scratch[:n_state]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[n_state:
+                                                          n_state + 5]
+        za_ref, zb_ref = ((scratch[n_state + 5], scratch[n_state + 6])
+                          if n_ref == 1 else (None, None))
+
+        pid = pl.program_id(0)
+        seed, bits = _make_rng(interpret, rng_ref)
+        # reseed per chunk (PRNG scratch persistence across grid steps is
+        # not guaranteed); stride by n_chunks so adjacent root seeds never
+        # share a per-chunk seed
+        seed(seed_ref[0] * n_chunks + pid)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref)
+
+        @pl.when(pid == 0)
+        def _():
+            for ss, s0 in zip(state_s, state0):
+                ss[:] = s0[:]
+            w_init()
+
+        def body(k, _):
+            acts = sample(bits)
+            cur = tuple(ss[:] for ss in state_s)
+            aux = fs.pre_step(cur)
+            state = fs.step(cur, acts, aux)
+            violated = fs.violated(state)
+            qs = fs.quantities(state, aux)
+            refs_now = rv_ref[:]
+            wse = bias - ref_cfg[0]["coef"] * jnp.abs(qs[0] - refs_now[:R])
+            for j in range(1, n_ref):
+                wse = wse - ref_cfg[j]["coef"] * jnp.abs(
+                    qs[j] - refs_now[j * R:(j + 1) * R])
+            reward = jnp.where(violated, violation_reward, wse)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            for i, (ss, s2) in enumerate(zip(state_s, state)):
+                ss[:] = jnp.where(violated, zero, s2)
+                out_state[i][k] = ss[:]
+            for j in range(n_ref):
+                out_ref[j][k] = refs_now[j * R:(j + 1) * R]
+            for j, a in enumerate(acts):
+                out_act[j][k] = a
+            out_reward[k] = reward
+            out_done[k] = violated.astype(jnp.float32)
+
+            w_advance(k, violated)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
+    traj_f = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
+    traj_a = jax.ShapeDtypeStruct((n_steps, R, LANE), fs.act_dtype)
+    out_shapes = ((traj_f,) * (n_state + n_ref) + (traj_a,) * n_act
+                  + (traj_f, traj_f))
+    scratch_shapes = (
+        [pltpu.VMEM(shape, jnp.float32) for _ in range(n_state)]
+        + [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_ref == 1 else [])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [const] * n_state,
+            out_specs=(tblk,) * n_sig,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
+        return dict(zip(names, out))
+
+    rollout.signals = names
+    return rollout
