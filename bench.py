@@ -17,6 +17,9 @@ Modes (env vars):
   BENCH_MESH=N   data-parallel scaling bench: ShardedVectorEnv over an
                  N-device mesh (real devices if available, else a virtual
                  N-device CPU mesh), reporting steps/s/device + efficiency.
+  BENCH_RECORD=1 universal trajectory-recording kernels: one config per
+                 fused family streaming every per-step signal to HBM
+                 (transitions/s).  Override ids: BENCH_RECORD="id1,id2".
 
 All results of a run are persisted machine-readably to BENCH_RESULTS.json.
 """
@@ -256,6 +259,54 @@ def main():
             "value": round(full, 1),
             "unit": "steps/s",
             "vs_baseline": round(full / (BASELINE_STEPS_PER_S * _MESH_N), 4),
+        }))
+        return
+
+    if os.environ.get("BENCH_RECORD"):
+        # Universal trajectory-recording kernels (make_fused_record_rollout):
+        # every per-step signal streams to HBM, so the launch length is
+        # HBM-capacity-bound (signals x T x N x 4 B) — size T per config to
+        # ~5-7.5 GiB/launch instead of the reducing kernels' 1M steps.
+        from gym_electric_motor_tpu.ops.pallas_record import (
+            make_fused_record_rollout,
+        )
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            fused_state_arity,
+        )
+
+        z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
+        spec = os.environ["BENCH_RECORD"]
+        ids = (spec.split(",") if "-v0" in spec
+               else ("Finite-CC-PermExDc-v0", "Cont-SC-ShuntDc-v0",
+                     "Finite-TC-PMSM-v0", "Finite-CC-SCIM-v0",
+                     "Cont-CC-EESM-v0", "Finite-TC-DFIM-v0"))
+        budget = float(os.environ.get("BENCH_RECORD_GIB", 7.0)) * 2**30
+        best_r = 0.0
+        for env_id in ids:
+            e = gemx.make_functional(env_id)
+            n_state = fused_state_arity(e)
+            # probe the signal count cheaply to size T to the HBM budget
+            n_sig = len(make_fused_record_rollout(e, 8, 128).signals)
+            t_rec = max(1, int(budget / (n_sig * N_ENVS * 4)) // 2048) * 2048
+
+            def call(r, seed, _n=n_state):
+                return float(r(seed, *([z] * _n))["reward"].sum())
+
+            v = _measure_fused_kernel(
+                f"{env_id}/record-universal",
+                lambda _e=e, _t=t_rec: make_fused_record_rollout(
+                    _e, _t, N_ENVS),
+                call, t_rec)
+            gbs = v * n_sig * 4 / 2**30
+            _log(f"{env_id} (universal recording): {v / 1e6:.1f}M "
+                 f"transitions/s ({n_sig} signals, {gbs:.0f} GiB/s to HBM)")
+            best_r = max(best_r, v)
+        _persist()
+        print(json.dumps({
+            "metric": "recorded_transitions_per_s",
+            "value": round(best_r, 1),
+            "unit": "transitions/s",
+            "vs_baseline": round(best_r / BASELINE_STEPS_PER_S, 4),
         }))
         return
 
