@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_rollout import (
     FUSED_FAMILY_BUILDERS,
     LANE,
+    fused_state_arity,
     _dc_family,
     _dfim_family,
     _eesm_family,
@@ -239,6 +240,60 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), *state0)
+        return dict(zip(names, out))
+
+    rollout.signals = names
+    return rollout
+
+
+def make_sharded_record_rollout(env, n_steps, n_envs, mesh, chunk=None,
+                                interpret=False):
+    """Recorder x device mesh: the env batch rides ``P('env')`` over
+    ``mesh`` and ONE recording kernel streams each device's local shard to
+    its own HBM — multi-chip off-policy data collection with zero
+    cross-device traffic (trajectories stay device-local, sharded
+    ``P(None, 'env')`` along the env-row axis, ready for a sharded
+    replay consumer).
+
+    ``rollout(seed, *state_planes) -> dict`` of ``(n_steps, n_envs // 128,
+    128)`` arrays; per-device seeds decorrelate by folding in the mesh
+    position with the same stride scheme the reducing sharded wrapper uses.
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    (axis,) = mesh.axis_names
+    n_dev = mesh.size
+    assert n_envs % (n_dev * LANE) == 0
+    local_envs = n_envs // n_dev
+    local = make_fused_record_rollout(env, n_steps, local_envs, chunk=chunk,
+                                      interpret=interpret)
+    names = local.signals
+    n_state = fused_state_arity(env)
+    spec_t = _P(None, axis)   # (T, R, LANE): env rows sharded over devices
+    spec_s = _P(axis)         # (R, LANE) state planes
+
+    @_partial(_shard_map, mesh=mesh,
+              in_specs=(_P(),) + (spec_s,) * n_state,
+              out_specs=(spec_t,) * len(names),
+              check_vma=False)
+    def run(seed, *planes):
+        dev_seed = seed[0] * jnp.int32(n_dev) + jax.lax.axis_index(axis)
+        out = local(dev_seed, *planes)
+        return tuple(out[nm] for nm in names)
+
+    shard = NamedSharding(mesh, spec_s)
+
+    @jax.jit
+    def rollout(seed, *planes):
+        planes = tuple(jax.device_put(x, shard) for x in planes)
+        out = run(jnp.asarray([seed], jnp.int32), *planes)
         return dict(zip(names, out))
 
     rollout.signals = names
