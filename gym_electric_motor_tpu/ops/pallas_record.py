@@ -62,8 +62,9 @@ _FAMILY_NAMESPACES = {
 
 def _pick_chunk(n_steps, n_planes, R, chunk):
     """Steps per grid iteration: the output window (``n_planes`` signals x
-    chunk x (R, LANE) x 4 B, double-buffered) targets ~4 MB of VMEM,
-    clamped to ``n_steps`` and snapped down to a divisor of it."""
+    chunk x (R, LANE) x 4 B per buffer, ~4 MiB, so ~8 MiB double-buffered
+    — the compiler's scoped-VMEM limit is 16 MiB), clamped to ``n_steps``
+    and snapped down to a divisor of it."""
     if chunk is None:
         chunk = min(max(1, (64 * LANE) // (R * n_planes)), n_steps)
         while n_steps % chunk:
@@ -92,7 +93,6 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     sample = getattr(fs, "sample_actions_t", fs.sample_actions)
     ref_cfg, bias, violation_reward = fs.ref_cfg, fs.bias, fs.violation_reward
 
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
 
     if action_mode == "buffer":
@@ -153,6 +153,10 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     n_sig = len(names)
     chunk = _pick_chunk(n_steps, n_sig, R, chunk)
     n_chunks = n_steps // chunk
+    # constant-speed three-phase families carry cos/sin(eps) in scratch and
+    # advance them by constant-increment rotation instead of per-step
+    # transcendentals (same diet as the reducing kernels, +~20% measured)
+    has_rot = getattr(fs, "rot_advance", None) is not None
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -165,8 +169,13 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
         state_s = scratch[:n_state]
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[n_state:
                                                           n_state + 5]
-        za_ref, zb_ref = ((scratch[n_state + 5], scratch[n_state + 6])
-                          if n_ref == 1 else (None, None))
+        j = n_state + 5
+        za_ref = zb_ref = c_ref = s_ref = None
+        if n_ref == 1:
+            za_ref, zb_ref = scratch[j], scratch[j + 1]
+            j += 2
+        if has_rot:
+            c_ref, s_ref = scratch[j], scratch[j + 1]
 
         pid = pl.program_id(0)
         seed, bits = _make_rng(interpret, rng_ref)
@@ -183,12 +192,20 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
         def _():
             for ss, s0 in zip(state_s, state0):
                 ss[:] = s0[:]
+            if has_rot:
+                c0, s0_ = fs.rot_init(tuple(s0[:] for s0 in state0))
+                c_ref[:] = c0
+                s_ref[:] = s0_
             w_init()
 
         def body(k, _):
             acts = sample(bits)
             cur = tuple(ss[:] for ss in state_s)
-            aux = fs.pre_step(cur)
+            if has_rot:
+                rc, rs = c_ref[:], s_ref[:]
+                aux = fs.pre_step_rot(cur, rc, rs)
+            else:
+                aux = fs.pre_step(cur)
             state = fs.step(cur, acts, aux)
             violated = fs.violated(state)
             qs = fs.quantities(state, aux)
@@ -210,7 +227,13 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
             out_reward[k] = reward
             out_done[k] = violated.astype(jnp.float32)
 
-            w_advance(k, violated)
+            if has_rot:
+                c_new, s_new = fs.rot_advance(rc, rs, violated)
+                c_ref[:] = c_new
+                s_ref[:] = s_new
+            # global step index: the n_ref==1 temporal Box-Muller pairing
+            # keys on step parity, which must not restart per chunk
+            w_advance(pid * chunk + k, violated)
             return 0
 
         jax.lax.fori_loop(0, chunk, body, 0)
@@ -226,6 +249,8 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if n_ref == 1 else [])
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if has_rot else [])
     )
 
     @jax.jit
@@ -263,11 +288,9 @@ def make_sharded_record_rollout(env, n_steps, n_envs, mesh, chunk=None,
 
     from jax.sharding import NamedSharding, PartitionSpec as _P
 
-    try:
-        from jax import shard_map as _shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _shard_map
+    from .pallas_rollout import _resolve_shard_map
 
+    _shard_map = _resolve_shard_map()
     (axis,) = mesh.axis_names
     n_dev = mesh.size
     assert n_envs % (n_dev * LANE) == 0

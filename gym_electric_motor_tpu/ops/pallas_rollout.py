@@ -1533,6 +1533,37 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
     return init, advance
 
 
+def _rotation_protocol(COS_D, SIN_D):
+    """Constant-increment Park rotation as a generic scratch protocol for
+    const-speed three-phase families (the recorder-side counterpart of the
+    reducing kernels' c_ref/s_ref scratch): init cos/sin from eps0, 4-mul
+    advance + rsqrt renorm per step, reset to (1, 0) on violation —
+    replacing two per-step transcendentals (TPU probes: ~18% of step
+    time)."""
+
+    def rot_init(state0):
+        return jnp.cos(state0[-1]), jnp.sin(state0[-1])
+
+    def rot_advance(c, s, violated):
+        c_new = c * COS_D - s * SIN_D
+        s_new = s * COS_D + c * SIN_D
+        inv = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+        return (jnp.where(violated, jnp.ones_like(c), c_new * inv),
+                jnp.where(violated, jnp.zeros_like(s), s_new * inv))
+
+    return rot_init, rot_advance
+
+
+def _resolve_shard_map():
+    """The shard_map entry point across JAX versions (shared by every
+    sharded wrapper so the fallback lives in one place)."""
+    try:
+        from jax import shard_map as sm
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as sm
+    return sm
+
+
 def _sync_family(env, R, action_mode):
     """Shared synchronous-family (PMSM/SynRM) closures — consumed by the
     reducing rollout (``make_fused_sync_rollout``) and the generic
@@ -1665,6 +1696,13 @@ def _sync_family(env, R, action_mode):
     def pre_step(cur):
         return (jnp.cos(cur[-1]), jnp.sin(cur[-1]))
 
+    rot_init = rot_advance = pre_step_rot = None
+    if not mech:
+        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D)
+
+        def pre_step_rot(cur, c, s):
+            return (c, s)
+
     def step(cur, acts, aux):
         c, s = aux
         a = acts[0] if finite else acts
@@ -1692,7 +1730,8 @@ def _sync_family(env, R, action_mode):
         act_names=act_names, act_dtype=act_dtype,
         sample_actions_t=sample_actions_t, read_actions=read_actions,
         pre_step=pre_step, step=step, violated=violated,
-        quantities=quantities,
+        quantities=quantities, pre_step_rot=pre_step_rot,
+        rot_init=rot_init, rot_advance=rot_advance,
     )
 
 
@@ -2798,6 +2837,13 @@ def _eesm_family(env, R, action_mode):
     def pre_step(cur):
         return (jnp.cos(cur[-1]), jnp.sin(cur[-1]))
 
+    rot_init = rot_advance = pre_step_rot = None
+    if not mech:
+        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D)
+
+        def pre_step_rot(cur, c, s):
+            return (c, s)
+
     def step(cur, acts, aux):
         c, s = aux
         state = physics_step(cur, acts, c, s)
@@ -2825,7 +2871,8 @@ def _eesm_family(env, R, action_mode):
         state_names=state_names, act_names=act_names, act_dtype=act_dtype,
         sample_actions_t=_sample_actions, read_actions=read_actions,
         pre_step=pre_step, step=step, violated=violated,
-        quantities=quantities,
+        quantities=quantities, pre_step_rot=pre_step_rot,
+        rot_init=rot_init, rot_advance=rot_advance,
     )
 
 
@@ -3443,6 +3490,16 @@ def _dfim_family(env, R, action_mode):
         cs = flux_dir(el) if needs_dq else ()
         return (cs, jnp.cos(cur[-1]), jnp.sin(cur[-1]))
 
+    rot_init = rot_advance = pre_step_rot = None
+    if not mech:
+        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D)
+
+        def pre_step_rot(cur, c, s):
+            # the flux direction depends on the evolving state — only the
+            # constant-speed Park angle rides the rotation scratch
+            cs = flux_dir(cur[0:4]) if needs_dq else ()
+            return (cs, c, s)
+
     def step(cur, acts, aux):
         _, c, s = aux
         state = physics_step(cur, acts, c, s)
@@ -3470,7 +3527,8 @@ def _dfim_family(env, R, action_mode):
         act_names=act_names, act_dtype=act_dtype,
         sample_actions_t=_sample_actions, read_actions=read_actions,
         pre_step=pre_step, step=step, violated=violated,
-        quantities=quantities,
+        quantities=quantities, pre_step_rot=pre_step_rot,
+        rot_init=rot_init, rot_advance=rot_advance,
     )
 
 
@@ -4541,10 +4599,7 @@ def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
 
     from jax.sharding import NamedSharding, PartitionSpec as _P
 
-    try:
-        from jax import shard_map as _shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _shard_map
+    _shard_map = _resolve_shard_map()
 
     builders = {
         "pmsm": (make_fused_pmsm_rollout, 3),
