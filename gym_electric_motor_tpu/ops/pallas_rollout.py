@@ -1427,6 +1427,12 @@ def _ref_configs(env, R, require_wiener=True):
     (subepisoded_reference_generator.py:28-117, weighted_sum_of_errors.py:
     88-129) — the table behind the universal family kernels.
 
+    Constant references (the standard controller-evaluation setup) ride
+    the same machinery as a degenerate Wiener: margins pinned to the
+    value, sigma ~ 0 and a never-expiring sub-episode, so ``clip(v + 1e-30
+    * z, v, v) == v`` every step with no kernel changes (const semantics:
+    const_reference_generator.py:8-35).
+
     ``require_wiener=False`` (buffer/validation modes, which never touch the
     reference machinery) skips the generator-kind check."""
     ps = env.physical_system
@@ -1436,11 +1442,23 @@ def _ref_configs(env, R, require_wiener=True):
     assert np.all(rw._n == 1.0), "only reward_power=1 is fused"
     cfgs = []
     for s in env.reference_generator.subs:
-        assert s.kind == "wiener" or not require_wiener, (
-            f"fused kernels implement the catalog's Wiener references; "
-            f"got kind={s.kind!r} for {s.reference_state!r} — use the "
-            f"general XLA path for other generators")
+        assert s.kind in ("wiener", "const") or not require_wiener, (
+            f"fused kernels implement the catalog's Wiener references and "
+            f"constant references; got kind={s.kind!r} for "
+            f"{s.reference_state!r} — use the general XLA path for other "
+            f"generators")
         idx = names.index(s.reference_state)
+        if s.kind == "const":
+            v = np.float32(s.reference_value)
+            cfgs.append(dict(
+                name=s.reference_state,
+                coef=np.float32(rw._weights[idx] / rw._state_length[idx]),
+                inv_lim=np.float32(1.0 / lim[idx]),
+                mlo=v, mhi=v,
+                sig_base=np.float32(-30.0), sig_span=np.float32(0.0),
+                ep_lo=np.float32(1e9), ep_span=np.float32(0.0),
+            ))
+            continue
         cfgs.append(dict(
             name=s.reference_state,
             coef=np.float32(rw._weights[idx] / rw._state_length[idx]),

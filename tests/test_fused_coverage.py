@@ -40,16 +40,17 @@ def test_every_catalog_id_has_a_fused_rollout(env_id):
 
 
 def test_non_wiener_reference_is_rejected_loudly():
-    """Fused random-mode kernels implement the catalog's Wiener references;
-    any other generator must fail at build time, not silently simulate the
-    wrong reference process (round-1 VERDICT: silent is worse than
-    unimplemented).  Buffer/validation modes never touch the reference
-    machinery and keep accepting const refs."""
+    """Fused random-mode kernels implement the catalog's Wiener references
+    plus constant references (degenerate Wiener); any other generator must
+    fail at build time, not silently simulate the wrong reference process
+    (round-1 VERDICT: silent is worse than unimplemented).
+    Buffer/validation modes never touch the reference machinery and keep
+    accepting every kind."""
     from gym_electric_motor_tpu import references as rg
 
     env = gemx.make_functional(
         "Finite-CC-PermExDc-v0",
-        reference_generator=rg.ConstReference("i", 0.25))
+        reference_generator=rg.SinusoidalReference("i"))
     with pytest.raises(AssertionError, match="Wiener"):
         make_fused_rollout(env, 8, 128, interpret=True)
     # buffer mode still builds (physics validation path)

@@ -303,3 +303,44 @@ def test_every_catalog_id_records(env_id):
         assert np.all(np.isfinite(np.asarray(v, np.float64))), (env_id, k)
     # random actions on a fresh env: strictly non-positive WSE reward
     assert np.asarray(out["reward"]).sum() < 0.0, env_id
+
+
+def test_fused_random_mode_supports_const_references():
+    """Constant references (the standard controller-evaluation setup) ride
+    the fused kernels as a degenerate Wiener (margins pinned, sigma~0):
+    the recorded reference is exactly the constant every step and the
+    reward recomputes against it."""
+    env = gemx.make_functional(
+        "Finite-CC-PermExDc-v0",
+        reference_generator=rg.ConstReference("i", reference_value=0.3))
+    ps = env.physical_system
+    i_lim = float(np.asarray(ps.limits)[list(ps.state_names).index("i")])
+
+    N, T = 256, 512
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, T, N, chunk=8, interpret=True)
+    out = {k: np.asarray(v) for k, v in roll(5, zero).items()}
+    np.testing.assert_allclose(out["ref_i"], 0.3, rtol=1e-6)
+    coef = _wse_coef(env, "i")
+    ok = out["done"] < 0.5
+    np.testing.assert_allclose(
+        out["reward"][ok],
+        -coef * np.abs(out["i"][ok] / i_lim - 0.3), rtol=1e-5, atol=1e-6)
+
+    # the reducing kernel agrees on the mean reward at matched config
+    red = make_fused_rollout(env, T, N, interpret=True)
+    r_red = float(np.asarray(red(5, zero)[1]).sum()) / (N * T)
+    assert abs(r_red - out["reward"].mean()) < 0.03
+
+
+def test_fused_const_references_multi_ref():
+    """Two const references (CC dq pair) through the universal sync kernel."""
+    ref = rg.ReferenceSpec([rg.ConstReference("i_sd", reference_value=-0.1),
+                            rg.ConstReference("i_sq", reference_value=0.4)])
+    env = gemx.make_functional("Cont-CC-PMSM-v0", reference_generator=ref)
+    N, T = 128, 256
+    zero = jnp.zeros((1, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, T, N, interpret=True)
+    out = {k: np.asarray(v) for k, v in roll(9, zero, zero, zero).items()}
+    np.testing.assert_allclose(out["ref_i_sd"], -0.1, rtol=1e-6)
+    np.testing.assert_allclose(out["ref_i_sq"], 0.4, rtol=1e-6)
