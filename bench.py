@@ -20,6 +20,9 @@ Modes (env vars):
   BENCH_RECORD=1 universal trajectory-recording kernels: one config per
                  fused family streaming every per-step signal to HBM
                  (transitions/s).  Override ids: BENCH_RECORD="id1,id2".
+  BENCH_CONSTREF=1 the controller-evaluation configuration: constant
+                 references ride the fused kernel with zero per-step
+                 reference work (the repo's peak env-steps/s number).
 
 All results of a run are persisted machine-readably to BENCH_RESULTS.json.
 """
@@ -259,6 +262,36 @@ def main():
             "value": round(full, 1),
             "unit": "steps/s",
             "vs_baseline": round(full / (BASELINE_STEPS_PER_S * _MESH_N), 4),
+        }))
+        return
+
+    if os.environ.get("BENCH_CONSTREF"):
+        # Constant references (the standard controller-evaluation setup)
+        # take the all-const fast path in _make_wiener: zero per-step
+        # reference work — the repo's peak single-chip number.
+        from gym_electric_motor_tpu import references as rg
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            make_fused_rollout,
+        )
+
+        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 1024000))
+        env = gemx.make_functional(
+            "Finite-CC-PermExDc-v0",
+            reference_generator=rg.ConstReference("i", 0.3))
+        z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
+        v = _measure_fused_kernel(
+            "Finite-CC-PermExDc-v0/const-ref",
+            lambda: make_fused_rollout(env, n_steps, N_ENVS),
+            lambda r, seed: float(r(seed, z)[1].sum()),
+            n_steps)
+        _log(f"Finite-CC-PermExDc-v0 const-ref (fused Pallas): "
+             f"{v / 1e6:.1f}M env-steps/s")
+        _persist()
+        print(json.dumps({
+            "metric": "env_steps_per_s",
+            "value": round(v, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(v / BASELINE_STEPS_PER_S, 4),
         }))
         return
 

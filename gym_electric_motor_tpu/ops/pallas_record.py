@@ -42,6 +42,7 @@ from .pallas_rollout import (
     FUSED_FAMILY_BUILDERS,
     LANE,
     fused_state_arity,
+    _ref_needs_wf,
     _dc_family,
     _dfim_family,
     _eesm_family,
@@ -157,6 +158,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     # advance them by constant-increment rotation instead of per-step
     # transcendentals (same diet as the reducing kernels, +~20% measured)
     has_rot = getattr(fs, "rot_advance", None) is not None
+    has_wf = _ref_needs_wf(ref_cfg)
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -176,6 +178,8 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
             j += 2
         if has_rot:
             c_ref, s_ref = scratch[j], scratch[j + 1]
+            j += 2
+        wf_ref = scratch[j] if has_wf else None
 
         pid = pl.program_id(0)
         seed, bits = _make_rng(interpret, rng_ref)
@@ -186,7 +190,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
 
         w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
                                          rv_ref, rk_ref, rl_ref, rs_ref,
-                                         za_ref, zb_ref)
+                                         za_ref, zb_ref, wf_ref)
 
         @pl.when(pid == 0)
         def _():
@@ -251,6 +255,8 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
            if n_ref == 1 else [])
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if has_rot else [])
+        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+           if has_wf else [])
     )
 
     @jax.jit

@@ -1314,6 +1314,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     bias, violation_reward = fs.bias, fs.violation_reward
     _step_physics, ref_quantity = fs.step_physics, fs.ref_quantity
     violated_fn, _sample_actions = fs.violated, fs.sample_actions
+    has_wf = _ref_needs_wf(ref_cfg)
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -1323,6 +1324,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
         scratch = refs[2 * n_state + 6:]
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
         za_ref, zb_ref = (scratch[5], scratch[6]) if n_ref == 1 else (None, None)
+        wf_ref = scratch[-1] if has_wf else None
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         for o, s in zip(out_state, state0):
@@ -1332,7 +1334,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
 
         w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
                                          rv_ref, rk_ref, rl_ref, rs_ref,
-                                         za_ref, zb_ref)
+                                         za_ref, zb_ref, wf_ref)
         w_init()
 
         def body(t, _):
@@ -1406,6 +1408,8 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if n_ref == 1 else [])
+        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+           if has_wf else [])
     )
 
     @jax.jit
@@ -1420,6 +1424,17 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
         )(jnp.asarray([seed], jnp.int32), *state0)
 
     return rollout
+
+
+_WF_KINDS = ("sinusoidal", "step", "triangle", "sawtooth")
+_FUSED_REF_KINDS = ("wiener", "laplace", "const") + _WF_KINDS
+
+
+def _ref_needs_wf(ref_cfg):
+    """True if any reference row is a waveform kind — callers then allocate
+    the extra (4 * n_ref * R, LANE) scratch plane for the per-sub-episode
+    waveform parameters (freq, offset, phase, width)."""
+    return any(c.get("kind", "wiener") in _WF_KINDS for c in ref_cfg)
 
 
 def _ref_configs(env, R, require_wiener=True):
@@ -1440,48 +1455,93 @@ def _ref_configs(env, R, require_wiener=True):
     lim = np.asarray(ps.limits)
     rw = env.reward_function
     assert np.all(rw._n == 1.0), "only reward_power=1 is fused"
+    big = np.float32(1e30)  # finite sentinel for unbounded offset ranges
     cfgs = []
     for s in env.reference_generator.subs:
-        assert s.kind in ("wiener", "const") or not require_wiener, (
-            f"fused kernels implement the catalog's Wiener references and "
-            f"constant references; got kind={s.kind!r} for "
-            f"{s.reference_state!r} — use the general XLA path for other "
-            f"generators")
+        assert s.kind in _FUSED_REF_KINDS or not require_wiener, (
+            f"fused kernels implement every scalar reference kind "
+            f"{_FUSED_REF_KINDS}; got kind={s.kind!r} for "
+            f"{s.reference_state!r} — use the general XLA path for "
+            f"switched generators")
         idx = names.index(s.reference_state)
-        if s.kind == "const":
-            v = np.float32(s.reference_value)
-            cfgs.append(dict(
-                name=s.reference_state,
-                coef=np.float32(rw._weights[idx] / rw._state_length[idx]),
-                inv_lim=np.float32(1.0 / lim[idx]),
-                mlo=v, mhi=v,
-                sig_base=np.float32(-30.0), sig_span=np.float32(0.0),
-                ep_lo=np.float32(1e9), ep_span=np.float32(0.0),
-            ))
-            continue
-        cfgs.append(dict(
+        cfg = dict(
+            kind=s.kind,
+            tau=np.float32(ps.tau),
             name=s.reference_state,
             coef=np.float32(rw._weights[idx] / rw._state_length[idx]),
             inv_lim=np.float32(1.0 / lim[idx]),
-            mlo=np.float32(s.margin[0]), mhi=np.float32(s.margin[1]),
-            sig_base=np.float32(np.log10(s.sigma_range[0])),
-            sig_span=np.float32(np.log10(s.sigma_range[1])
-                                - np.log10(s.sigma_range[0])),
-            ep_lo=np.float32(s.episode_lengths[0]),
-            ep_span=np.float32(s.episode_lengths[1] - s.episode_lengths[0]),
-        ))
+            # benign waveform defaults (noise rows never read them but the
+            # masked vector ops must stay finite)
+            amp_lo=np.float32(0.0), amp_hi=np.float32(0.0),
+            f_lo=np.float32(1.0), f_hi=np.float32(1.0),
+            off_lo=np.float32(0.0), off_hi=np.float32(0.0),
+        )
+        if s.kind == "const" or s.kind not in _FUSED_REF_KINDS:
+            # const rides the machinery with pinned margins; non-fused
+            # kinds (switched) only reach here under require_wiener=False
+            # — buffer/validation modes never touch the reference
+            # machinery, so a benign pinned row suffices
+            v = np.float32(s.reference_value if s.kind == "const" else 0.0)
+            cfg.update(
+                mlo=v, mhi=v,
+                sig_base=np.float32(-30.0), sig_span=np.float32(0.0),
+                ep_lo=np.float32(1e9), ep_span=np.float32(0.0),
+            )
+        else:
+            cfg.update(
+                mlo=np.float32(s.margin[0]), mhi=np.float32(s.margin[1]),
+                ep_lo=np.float32(s.episode_lengths[0]),
+                ep_span=np.float32(s.episode_lengths[1]
+                                   - s.episode_lengths[0]),
+            )
+            if s.kind in ("wiener", "laplace"):
+                cfg.update(
+                    sig_base=np.float32(np.log10(s.sigma_range[0])),
+                    sig_span=np.float32(np.log10(s.sigma_range[1])
+                                        - np.log10(s.sigma_range[0])),
+                )
+            else:  # waveform kinds — ranges pre-clipped at bind time
+                a_lo, a_hi = s.amplitude_range
+                o_lo, o_hi = s.offset_range
+                cfg.update(
+                    sig_base=np.float32(-30.0), sig_span=np.float32(0.0),
+                    amp_lo=np.float32(a_lo),
+                    amp_hi=np.float32(min(a_hi, 1e30)),
+                    f_lo=np.float32(s.frequency_range[0]),
+                    f_hi=np.float32(s.frequency_range[1]),
+                    off_lo=np.float32(max(o_lo, -big)),
+                    off_hi=np.float32(min(o_hi, big)),
+                )
+        cfgs.append(cfg)
     return cfgs
 
 
 def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
-                 rs_ref, za_ref, zb_ref):
-    """Shared in-kernel Wiener reference machinery: per-row margin/sigma/
-    length tables (iota-built — Pallas kernels cannot capture arrays), init,
-    and the per-step advance with sub-episode regeneration and in-kernel
-    reset.  One Box-Muller pair feeds both streams (n_ref=2, spatial) or
-    alternates across step parity (n_ref=1, temporal via za/zb scratch)."""
+                 rs_ref, za_ref, zb_ref, wf_ref=None):
+    """Shared in-kernel reference machinery for EVERY scalar generator kind
+    (wiener / laplace / const / sinusoidal / step / triangle / sawtooth —
+    references.py:94-252): per-row margin/sigma/length tables (iota-built —
+    Pallas kernels cannot capture arrays), init, and the per-step advance
+    with sub-episode regeneration and in-kernel reset.
+
+    Noise kinds: one Box-Muller pair feeds both streams (n_ref=2, spatial)
+    or alternates across step parity (n_ref=1, temporal via za/zb scratch);
+    Laplace rows take an inverse-CDF draw and reset to 0 like the XLA
+    generator.  Waveform kinds evaluate the closed form at the
+    steps-since-regen counter (``rk``), with per-sub-episode amplitude
+    (sharing the sigma plane), frequency/offset/phase/width in the
+    ``wf_ref`` scratch plane ((4 * n_ref * R, LANE), caller-allocated when
+    ``_ref_needs_wf``).  An all-const config costs zero per-step work."""
     n_ref = len(ref_cfg)
+    nR = n_ref * R
     LN10 = np.float32(np.log(10.0))
+    kinds = [c.get("kind", "wiener") for c in ref_cfg]
+    has_gauss = any(k in ("wiener", "const") for k in kinds)
+    has_lap = any(k == "laplace" for k in kinds)
+    has_wf = any(k in _WF_KINDS for k in kinds)
+    all_const = all(k == "const" for k in kinds)
+    assert not has_wf or wf_ref is not None, (
+        "waveform references need the wf scratch plane (_ref_needs_wf)")
 
     def _row_const(field):
         vals = [c[field] for c in ref_cfg]
@@ -1493,60 +1553,200 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             out = jnp.where(row < (j + 1) * R, vals[j], out)
         return out
 
+    def _row_mask(pred):
+        """None: no rows match; True: all rows; else a bool plane."""
+        sel = [pred(k) for k in kinds]
+        if not any(sel):
+            return None
+        if all(sel):
+            return True
+        row = jax.lax.broadcasted_iota(jnp.int32, shape_r, 0)
+        m = jnp.zeros(shape_r, jnp.bool_)
+        for j, s in enumerate(sel):
+            if s:
+                m = m | ((row >= j * R) & (row < (j + 1) * R))
+        return m
+
+    def _mix(mask, a, b):
+        """a where mask else b, with static short-circuits."""
+        if mask is None:
+            return b
+        if mask is True:
+            return a
+        return jnp.where(mask, a, b)
+
     mlo_t, mhi_t = _row_const("mlo"), _row_const("mhi")
-    sb_t, ss_t = _row_const("sig_base"), _row_const("sig_span")
     el_t, es_t = _row_const("ep_lo"), _row_const("ep_span")
+
+    if all_const:
+        # pinned margins (mlo == mhi == value): nothing ever changes — the
+        # advance is free and reset keeps the same value
+        def init():
+            rv_ref[:] = jnp.zeros(shape_r, jnp.float32) + mlo_t
+            rk_ref[:] = jnp.zeros(shape_r, jnp.float32)
+            rl_ref[:] = jnp.full(shape_r, 1e9, jnp.float32)
+            rs_ref[:] = jnp.zeros(shape_r, jnp.float32)
+
+        def advance(t, violated):
+            pass
+
+        return init, advance
+
+    sb_t, ss_t = _row_const("sig_base"), _row_const("sig_span")
+    wf_mask = _row_mask(lambda k: k in _WF_KINDS)
+    lap_mask = _row_mask(lambda k: k == "laplace")
+    step_mask = _row_mask(lambda k: k == "step")
+    tri_mask = _row_mask(lambda k: k == "triangle")
+    if has_wf:
+        TAU = ref_cfg[0]["tau"]
+        al_t, ah_t = _row_const("amp_lo"), _row_const("amp_hi")
+        fl_t, fh_t = _row_const("f_lo"), _row_const("f_hi")
+        ol_t, oh_t = _row_const("off_lo"), _row_const("off_hi")
 
     def _draw_params(mask):
         u1 = _uniform_from_bits(bits(shape_r))
         u2 = _uniform_from_bits(bits(shape_r))
         rl_ref[:] = jnp.where(mask, jnp.floor(el_t + es_t * u1), rl_ref[:])
-        rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (sb_t + ss_t * u2)),
-                              rs_ref[:])
+        sig = jnp.exp(LN10 * (sb_t + ss_t * u2))
+        if has_wf:
+            # amplitude shares the sigma plane (both drawn from u2,
+            # references.py:108-119)
+            amp = al_t + (ah_t - al_t) * u2
+            rs_ref[:] = jnp.where(mask, _mix(wf_mask, amp, sig), rs_ref[:])
+            u3 = _uniform_from_bits(bits(shape_r))
+            u4 = _uniform_from_bits(bits(shape_r))
+            u5 = _uniform_from_bits(bits(shape_r))
+            u6 = _uniform_from_bits(bits(shape_r))
+            freq = fl_t + (fh_t - fl_t) * u3
+            # offset re-clipped against the drawn amplitude
+            # (references.py:123-131: step keeps the wave inside the
+            # margins, the others inside +-mhi)
+            lo_b = _mix(step_mask, jnp.asarray(mlo_t, jnp.float32),
+                        jnp.asarray(-mhi_t, jnp.float32)) + amp
+            hi_b = mhi_t - amp
+            off_l = jnp.clip(jnp.broadcast_to(ol_t, shape_r), lo_b, hi_b)
+            off_h = jnp.clip(jnp.broadcast_to(oh_t, shape_r), lo_b, hi_b)
+            offset = off_l + (off_h - off_l) * u4
+            phase = _mix(step_mask, u5, np.float32(TWO_PI) * u5)
+            # width: step = triangular(0, .5, 1) duty via inverse CDF
+            # (references.py:41-46), triangle = uniform, sin/sawtooth = 1
+            tri01 = jnp.where(u6 < 0.5, jnp.sqrt(0.5 * u6),
+                              1.0 - jnp.sqrt(0.5 * (1.0 - u6)))
+            width = _mix(step_mask, tri01,
+                         _mix(tri_mask, u6, jnp.ones(shape_r, jnp.float32)))
+            wf_ref[0:nR] = jnp.where(mask, freq, wf_ref[0:nR])
+            wf_ref[nR:2 * nR] = jnp.where(mask, offset, wf_ref[nR:2 * nR])
+            wf_ref[2 * nR:3 * nR] = jnp.where(mask, phase,
+                                              wf_ref[2 * nR:3 * nR])
+            wf_ref[3 * nR:4 * nR] = jnp.where(mask, width,
+                                              wf_ref[3 * nR:4 * nR])
+        else:
+            rs_ref[:] = jnp.where(mask, sig, rs_ref[:])
+
+    def _wf_value(k):
+        """Waveform closed forms at steps-since-regen ``k``
+        (references.py:148-173), clipped to the margins."""
+        amp = rs_ref[:]
+        freq = wf_ref[0:nR]
+        offset = wf_ref[nR:2 * nR]
+        phase = wf_ref[2 * nR:3 * nR]
+        width = wf_ref[3 * nR:4 * nR]
+        t = k * TAU
+        val = jnp.zeros(shape_r, jnp.float32)
+        if any(kk == "sinusoidal" for kk in kinds):
+            sin_mask = _row_mask(lambda kk: kk == "sinusoidal")
+            v = amp * jnp.sin(np.float32(TWO_PI) * freq * t + phase) + offset
+            val = _mix(sin_mask, v, val)
+        if any(kk == "step" for kk in kinds):
+            # square wave with duty `width`, phase-rolled by whole steps
+            spp = 1.0 / (freq * TAU)
+            shift = jnp.floor(spp * phase)
+            ts = (k - shift) * TAU
+            x = freq * jnp.mod(ts, 1.0 / freq) - width
+            v = amp * jnp.sign(x) + offset
+            val = _mix(step_mask, v, val)
+        if any(kk in ("triangle", "sawtooth") for kk in kinds):
+            ts_mask = _row_mask(lambda kk: kk in ("triangle", "sawtooth"))
+            phi = np.float32(TWO_PI) * freq * t + phase
+            tmod = jnp.mod(phi * np.float32(1.0 / TWO_PI), 1.0)
+            rising = 2.0 * tmod / jnp.maximum(width, 1e-12) - 1.0
+            falling = 2.0 * (1.0 - tmod) / jnp.maximum(1.0 - width,
+                                                       1e-12) - 1.0
+            v = amp * jnp.where(tmod < width, rising, falling) + offset
+            val = _mix(ts_mask, v, val)
+        return jnp.clip(val, mlo_t, mhi_t)
 
     def init():
         u = _uniform_from_bits(bits(shape_r))
-        rv_ref[:] = mlo_t + (mhi_t - mlo_t) * u
+        base = mlo_t + (mhi_t - mlo_t) * u
+        base = _mix(lap_mask, jnp.zeros(shape_r, jnp.float32), base)
         rk_ref[:] = jnp.zeros(shape_r, jnp.float32)
         _draw_params(jnp.ones(shape_r, dtype=jnp.bool_))
+        if has_wf:
+            base = _mix(wf_mask, _wf_value(jnp.zeros(shape_r, jnp.float32)),
+                        base)
+        rv_ref[:] = base
 
     def advance(t, violated):
         if n_ref >= 2:
             viol_f = violated.astype(jnp.float32)
             reset_r = jnp.concatenate([viol_f] * n_ref, axis=0) > 0.5
-            u1 = _uniform_from_bits(bits(shape))
-            u2 = _uniform_from_bits(bits(shape))
-            rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-            theta = np.float32(TWO_PI) * u2
-            parts = [rad * jnp.cos(theta), rad * jnp.sin(theta)]
-            if n_ref == 3:
-                # third stream: one extra single BM draw (cos branch only)
-                u3 = _uniform_from_bits(bits(shape))
-                u4 = _uniform_from_bits(bits(shape))
-                parts.append(jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u3, 1e-12)))
-                             * jnp.cos(np.float32(TWO_PI) * u4))
-            draw = jnp.concatenate(parts, axis=0)
         else:
             reset_r = violated
-            even = (t & 1) == 0
-
-            @pl.when(even)
-            def _():
+        if has_gauss:
+            if n_ref >= 2:
                 u1 = _uniform_from_bits(bits(shape))
                 u2 = _uniform_from_bits(bits(shape))
                 rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
                 theta = np.float32(TWO_PI) * u2
-                za_ref[:] = rad * jnp.cos(theta)
-                zb_ref[:] = rad * jnp.sin(theta)
+                parts = [rad * jnp.cos(theta), rad * jnp.sin(theta)]
+                if n_ref == 3:
+                    # third stream: one extra single BM draw (cos branch)
+                    u3 = _uniform_from_bits(bits(shape))
+                    u4 = _uniform_from_bits(bits(shape))
+                    parts.append(
+                        jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u3, 1e-12)))
+                        * jnp.cos(np.float32(TWO_PI) * u4))
+                draw = jnp.concatenate(parts, axis=0)
+            else:
+                even = (t & 1) == 0
 
-            draw = jnp.where(even, za_ref[:], zb_ref[:])
+                @pl.when(even)
+                def _():
+                    u1 = _uniform_from_bits(bits(shape))
+                    u2 = _uniform_from_bits(bits(shape))
+                    rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                    theta = np.float32(TWO_PI) * u2
+                    za_ref[:] = rad * jnp.cos(theta)
+                    zb_ref[:] = rad * jnp.sin(theta)
+
+                draw = jnp.where(even, za_ref[:], zb_ref[:])
+        else:
+            draw = jnp.zeros(shape_r, jnp.float32)
+        if has_lap:
+            # Laplace increment via inverse CDF: -sign(v) ln(1 - 2|v|)
+            # (laplace_process_reference_generator.py:7-35)
+            v = _uniform_from_bits(bits(shape_r)) - 0.5
+            lap = -jnp.sign(v) * jnp.log(jnp.maximum(1.0 - 2.0 * jnp.abs(v),
+                                                     1e-12))
+            draw = _mix(lap_mask, lap, draw)
 
         regen = (rk_ref[:] >= rl_ref[:]) | reset_r
         _draw_params(regen)
-        rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+        rk_new = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+        rk_ref[:] = rk_new
         value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, mlo_t, mhi_t)
         u3 = _uniform_from_bits(bits(shape_r))
-        rv_ref[:] = jnp.where(reset_r, mlo_t + (mhi_t - mlo_t) * u3, value)
+        reset_val = _mix(lap_mask, jnp.zeros(shape_r, jnp.float32),
+                         mlo_t + (mhi_t - mlo_t) * u3)
+        value = jnp.where(reset_r, reset_val, value)
+        if has_wf:
+            # emitted index rides rk (1-based steps-since-regen, the same
+            # counter/cadence the noise rows use): init emits k=0, each
+            # advance emits k=rk — post-regen the sequence restarts at 1,
+            # matching the env's violation-reset stream (reset obs is k=0)
+            value = _mix(wf_mask, _wf_value(rk_new), value)
+        rv_ref[:] = value
 
     return init, advance
 
@@ -1785,6 +1985,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
     COS_D, SIN_D = fs.COS_D, fs.SIN_D
     physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
     _sample_actions = fs.sample_actions
+    has_wf = _ref_needs_wf(ref_cfg)
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -1800,6 +2001,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             j += 2
         if not mech:
             c_ref, s_ref = scratch[j], scratch[j + 1]
+        wf_ref = scratch[-1] if has_wf else None
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         for o, s in zip(out_state, state0):
@@ -1812,7 +2014,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
 
         w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
                                          rv_ref, rk_ref, rl_ref, rs_ref,
-                                         za_ref, zb_ref)
+                                         za_ref, zb_ref, wf_ref)
         w_init()
 
         inv_2pi = np.float32(1.0 / TWO_PI)
@@ -1915,6 +2117,8 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if n_ref == 1 else [])
         + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
+        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+           if has_wf else [])
     )
 
     @jax.jit
@@ -2355,6 +2559,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
     needs_dq, flux_dir = fs.needs_dq, fs.flux_dir
     _step_physics, ref_quantities = fs.step_physics, fs.ref_quantities
     _sample_actions = fs.sample_actions
+    has_wf = _ref_needs_wf(ref_cfg)
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -2365,6 +2570,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
         za_ref, zb_ref = ((scratch[5], scratch[6]) if n_ref == 1
                           else (None, None))
+        wf_ref = scratch[-1] if has_wf else None
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         for o, s in zip(out_state, state0):
@@ -2374,7 +2580,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
 
         w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
                                          rv_ref, rk_ref, rl_ref, rs_ref,
-                                         za_ref, zb_ref)
+                                         za_ref, zb_ref, wf_ref)
         w_init()
 
         inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
@@ -2454,6 +2660,8 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if n_ref == 1 else [])
+        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+           if has_wf else [])
     )
 
     @jax.jit
@@ -2926,6 +3134,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
     COS_D, SIN_D = fs.COS_D, fs.SIN_D
     physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
     _sample_actions = fs.sample_actions
+    has_wf = _ref_needs_wf(ref_cfg)
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -2941,6 +3150,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             j += 2
         if not mech:
             c_ref, s_ref = scratch[j], scratch[j + 1]
+        wf_ref = scratch[-1] if has_wf else None
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         for o, s in zip(out_state, state0):
@@ -2953,7 +3163,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
 
         w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
                                          rv_ref, rk_ref, rl_ref, rs_ref,
-                                         za_ref, zb_ref)
+                                         za_ref, zb_ref, wf_ref)
         w_init()
 
         inv_2pi = np.float32(1.0 / TWO_PI)
@@ -3060,6 +3270,8 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if n_ref == 1 else [])
         + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
+        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+           if has_wf else [])
     )
 
     @jax.jit
@@ -3581,6 +3793,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
     COS_D, SIN_D = fs.COS_D, fs.SIN_D
     physics_step, ref_quantities = fs.physics_step, fs.ref_quantities
     _sample_actions = fs.sample_actions
+    has_wf = _ref_needs_wf(ref_cfg)
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -3596,6 +3809,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             j += 2
         if not mech:
             c_ref, s_ref = scratch[j], scratch[j + 1]
+        wf_ref = scratch[-1] if has_wf else None
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         for o, s in zip(out_state, state0):
@@ -3608,7 +3822,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
 
         w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
                                          rv_ref, rk_ref, rl_ref, rs_ref,
-                                         za_ref, zb_ref)
+                                         za_ref, zb_ref, wf_ref)
         w_init()
 
         inv_2pi = np.float32(1.0 / TWO_PI)
@@ -3711,6 +3925,8 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if n_ref == 1 else [])
         + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
+        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+           if has_wf else [])
     )
 
     @jax.jit
@@ -4578,11 +4794,13 @@ def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
     VMEM-resident Pallas kernel, with all semantics read from the env spec.
 
     Returns the family rollout (see the family builders for signatures);
-    the number of state planes is ``fused_state_arity(env)``.  Raises
-    ``KeyError`` for motor kinds without a fused family (the SRM stubs —
-    NotImplementedError upstream too) and ``AssertionError`` for non-fused
-    configurations (interlocking dead time, reward_power != 1, >3
-    referenced states): those run on the general XLA path.
+    the number of state planes is ``fused_state_arity(env)``.  Every
+    scalar reference kind runs in-kernel (wiener / laplace / const /
+    sinusoidal / step / triangle / sawtooth).  Raises ``KeyError`` for
+    motor kinds without a fused family (the SRM stubs — NotImplementedError
+    upstream too) and ``AssertionError`` for non-fused configurations
+    (interlocking dead time, reward_power != 1, >3 referenced states,
+    switched reference generators): those run on the general XLA path.
     """
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     build = {

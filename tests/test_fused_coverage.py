@@ -40,9 +40,9 @@ def test_every_catalog_id_has_a_fused_rollout(env_id):
 
 
 def test_non_wiener_reference_is_rejected_loudly():
-    """Fused random-mode kernels implement the catalog's Wiener references
-    plus constant references (degenerate Wiener); any other generator must
-    fail at build time, not silently simulate the wrong reference process
+    """Fused random-mode kernels implement every SCALAR reference kind
+    (tests/test_pallas_ref_kinds.py); switched generators must fail at
+    build time, not silently simulate the wrong reference process
     (round-1 VERDICT: silent is worse than unimplemented).
     Buffer/validation modes never touch the reference machinery and keep
     accepting every kind."""
@@ -50,8 +50,10 @@ def test_non_wiener_reference_is_rejected_loudly():
 
     env = gemx.make_functional(
         "Finite-CC-PermExDc-v0",
-        reference_generator=rg.SinusoidalReference("i"))
-    with pytest.raises(AssertionError, match="Wiener"):
+        reference_generator=rg.SwitchedReference(
+            [rg.WienerProcessReference("i"),
+             rg.SinusoidalReference("i")]))
+    with pytest.raises(AssertionError, match="switched"):
         make_fused_rollout(env, 8, 128, interpret=True)
     # buffer mode still builds (physics validation path)
     roll = make_fused_rollout(env, 8, 128, action_mode="buffer",

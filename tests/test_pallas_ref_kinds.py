@@ -1,0 +1,204 @@
+"""Every scalar reference kind runs inside the fused kernels.
+
+The in-kernel machinery (ops/pallas_rollout.py::_make_wiener) implements
+wiener / laplace / const / sinusoidal / step / triangle / sawtooth with the
+same per-sub-episode parameter draws and closed forms as the XLA
+generators (references.py:94-252).  Validation (interpret mode, xorshift
+bit source): structural identities of each waveform on the recorded
+reference stream, reward recomputation, margin respect, and heavy tails
+for Laplace increments.  Switched generators stay on the XLA path and are
+rejected loudly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gym_electric_motor_tpu as gemx
+from gym_electric_motor_tpu import references as rg
+from gym_electric_motor_tpu.ops.pallas_record import make_fused_record_rollout
+from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+
+N = 256
+LONG = (100000, 100000)  # no sub-episode regen within any test horizon
+
+
+def _record(env, T, seed=5):
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, T, N, chunk=8, interpret=True)
+    return {k: np.asarray(v) for k, v in roll(seed, zero).items()}
+
+
+def _flat(out, key):
+    return out[key].reshape(out[key].shape[0], -1)
+
+
+def _no_reset_mask(out, order=2):
+    """valid[i] ⇔ no in-kernel reset affected refs i .. i+order: a done at
+    step t regenerates the reference parameters for step t+1, so any
+    identity over refs (i, .., i+order) needs done[i .. i+order-1] == 0."""
+    done = _flat(out, "done") > 0.5
+    T = done.shape[0]
+    m = np.ones((T - order, done.shape[1]), bool)
+    for j in range(order):
+        m &= ~done[j:T - order + j]
+    return m
+
+
+def test_sinusoidal_exact_recurrence():
+    """With pinned amplitude/frequency/offset the recorded reference obeys
+    the exact sinusoid recurrence (v+ - O) + (v- - O) = 2 cos(2π f τ)
+    (v - O) — validates the closed form including the phase draw."""
+    A, F, O = 0.2, 123.0, 0.1
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        reference_generator=rg.SinusoidalReference(
+            "i", amplitude_range=(A, A), frequency_range=(F, F),
+            offset_range=(O, O), episode_lengths=LONG))
+    out = _record(env, 200)
+    r = _flat(out, "ref_i") - O
+    valid = _no_reset_mask(out, order=2)
+    assert valid.sum() > 5000
+    tau = float(env.physical_system.tau)
+    c = 2.0 * np.cos(2.0 * np.pi * F * tau)
+    resid = (r[2:] + r[:-2] - c * r[1:-1])[valid]
+    np.testing.assert_allclose(resid, 0.0, atol=5e-6)
+    # amplitude honored: max |v - O| ~ A (phase-dependent lower)
+    assert np.abs(r).max() <= A + 1e-3
+    assert np.abs(r).max() > 0.8 * A
+    # phases differ across envs
+    assert np.std(r[0]) > 0.01
+
+
+def test_step_two_level_and_duty():
+    """Step references are exactly two-level at O ± A; the duty ratio is
+    triangular(0, .5, 1)-distributed, so its across-env mean is ~0.5."""
+    A, O = 0.15, 0.2
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        reference_generator=rg.StepReference(
+            "i", amplitude_range=(A, A), frequency_range=(100.0, 100.0),
+            offset_range=(O, O), episode_lengths=LONG))
+    T = 1000  # one period = 1/(100 Hz * 1e-4 s) = 100 steps → 10 periods
+    out = _record(env, T)
+    r = _flat(out, "ref_i")
+    hi, lo = O + A, O - A
+    assert np.all((np.abs(r - hi) < 1e-5) | (np.abs(r - lo) < 1e-5))
+    assert (np.abs(r - hi) < 1e-5).any() and (np.abs(r - lo) < 1e-5).any()
+    # per-env duty averages many sub-episodes (in-kernel resets redraw the
+    # triangular width), so the mean is ~0.5 with modest per-env spread
+    duty = (np.abs(r - hi) < 1e-5).mean(axis=0)
+    assert np.std(duty) > 0.01
+    assert abs(duty.mean() - 0.5) < 0.1  # triangular(0,.5,1) mean
+
+
+@pytest.mark.parametrize("kind,factory", [
+    ("triangle", rg.TriangularReference),
+    ("sawtooth", rg.SawtoothReference),
+])
+def test_triangle_sawtooth_piecewise_linear(kind, factory):
+    """Triangle/sawtooth waves are piecewise linear: the second difference
+    vanishes except at the corners (and sawtooth wraps)."""
+    A, F = 0.2, 50.0
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        reference_generator=factory(
+            "i", amplitude_range=(A, A), frequency_range=(F, F),
+            offset_range=(0.0, 0.0), episode_lengths=LONG))
+    T = 600  # 1/(50 Hz * 1e-4 s) = 200 steps/period → 3 periods
+    out = _record(env, T)
+    r = _flat(out, "ref_i")
+    valid = _no_reset_mask(out, order=2)
+    assert valid.sum() > 20000
+    assert np.abs(r).max() <= A + 1e-5
+    d2 = np.abs(np.diff(r, n=2, axis=0))[valid]
+    corner_rate = (d2 > 1e-4).mean()
+    # <= 2 corners (tri) / 1 wrap (saw) per 200-step period
+    assert corner_rate < 0.03, corner_rate
+    assert (d2 < 1e-6).mean() > 0.9
+    # it actually moves linearly between corners
+    d1 = np.abs(np.diff(r, axis=0))
+    assert d1.max() > 1e-4
+
+
+def test_laplace_heavy_tails_and_reset_to_zero():
+    """Laplace rows draw inverse-CDF Laplace increments (excess kurtosis 3)
+    and reset to 0 like the XLA generator (references.py:186-201)."""
+    s = 0.01
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        reference_generator=rg.LaplaceProcessReference(
+            "i", sigma_range=(s, s), episode_lengths=LONG))
+    T = 2000
+    out = _record(env, T)
+    r = _flat(out, "ref_i")
+    valid = np.ones((T - 1, r.shape[1]), bool)
+    done = _flat(out, "done") > 0.5
+    valid &= ~done[:-1]  # a reset at t re-inits the ref at t+1
+    mlo, mhi = [m for ssub in env.reference_generator.subs
+                for m in ssub.margin]
+    inc = np.diff(r, axis=0)
+    unclipped = valid & (r[1:] > mlo + 5 * s) & (r[1:] < mhi - 5 * s) \
+        & (r[:-1] > mlo + 5 * s) & (r[:-1] < mhi - 5 * s)
+    z = inc[unclipped] / s
+    assert len(z) > 10000
+    np.testing.assert_allclose(np.std(z), np.sqrt(2.0), rtol=0.1)
+    kurt = np.mean(z ** 4) / np.mean(z ** 2) ** 2
+    assert kurt > 4.5, kurt  # Laplace: 6; Gauss: 3
+
+
+def test_mixed_kinds_in_one_env():
+    """A dq pair with a Wiener i_sd* and a sinusoidal i_sq* — per-row kind
+    masks inside one kernel."""
+    ref = rg.ReferenceSpec([
+        rg.WienerProcessReference("i_sd"),
+        rg.SinusoidalReference("i_sq", amplitude_range=(0.1, 0.1),
+                               frequency_range=(80.0, 80.0),
+                               offset_range=(0.0, 0.0),
+                               episode_lengths=LONG),
+    ])
+    env = gemx.make_functional("Cont-CC-PMSM-v0", reference_generator=ref)
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, 300, N, chunk=4, interpret=True)
+    out = {k: np.asarray(v) for k, v in roll(7, zero, zero, zero).items()}
+    valid = _no_reset_mask(out, order=2)
+    assert valid.sum() > 5000
+    sd = _flat(out, "ref_i_sd")
+    sq = _flat(out, "ref_i_sq")
+    # the sinusoidal row obeys its recurrence, the Wiener row does not
+    tau = float(env.physical_system.tau)
+    c = 2.0 * np.cos(2.0 * np.pi * 80.0 * tau)
+    np.testing.assert_allclose((sq[2:] + sq[:-2] - c * sq[1:-1])[valid],
+                               0.0, atol=5e-6)
+    resid_sd = (sd[2:] + sd[:-2] - c * sd[1:-1])[valid]
+    assert np.abs(resid_sd).max() > 1e-3
+    assert np.std(sd) > 1e-3  # the Wiener stream is alive
+
+
+def test_reducing_kernel_runs_waveform_refs():
+    """The reducing (metric-sum) kernels accept waveform references too."""
+    env = gemx.make_functional(
+        "Finite-CC-PermExDc-v0",
+        reference_generator=rg.SinusoidalReference("i"))
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    roll = make_fused_rollout(env, 300, N, interpret=True)
+    out = roll(3, zero)
+    r_sum = float(np.asarray(out[1]).sum())
+    assert np.isfinite(r_sum) and r_sum < 0.0
+    # final reference snapshot honors the margins (outputs are
+    # states..., reward_sum, term_count, rv, rk, rl, rs)
+    rv = np.asarray(out[3])
+    (sub,) = env.reference_generator.subs
+    assert rv.min() >= sub.margin[0] - 1e-6
+    assert rv.max() <= sub.margin[1] + 1e-6
+
+
+def test_switched_reference_rejected_loudly():
+    """SwitchedReferenceGenerator stays on the general XLA path."""
+    sw = rg.SwitchedReference([rg.WienerProcessReference("i"),
+                               rg.ConstReference("i", 0.2)])
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    with pytest.raises(AssertionError, match="switched"):
+        make_fused_rollout(env, 8, 128, interpret=True)
