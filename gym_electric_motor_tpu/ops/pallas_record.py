@@ -78,10 +78,12 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                               action_mode="random", interpret=False):
     """Build the trajectory-recording rollout for any catalog env.
 
-    See the module docstring for semantics.  Raises ``KeyError`` for motor
-    kinds without a fused family (the SRM stubs) and ``AssertionError``
-    for non-fused configurations (interlocking dead time, non-Wiener
-    references in random mode): those run on the general XLA path.
+    See the module docstring for semantics.  Every scalar reference kind
+    records in-kernel (wiener/laplace/const/waveforms).  Raises
+    ``KeyError`` for motor kinds without a fused family (the SRM stubs)
+    and ``AssertionError`` for non-fused configurations (interlocking
+    dead time, switched reference generators): those run on the general
+    XLA path.
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE

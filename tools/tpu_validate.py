@@ -1,0 +1,181 @@
+"""On-hardware validation of the fused Pallas kernels.
+
+The pytest suite validates every kernel in interpret mode on CPU
+(tests/conftest.py forces the CPU platform); this script closes the
+Mosaic-vs-interpret gap by running the SAME checks compiled on the real
+TPU:
+
+1. buffer mode — the recorded per-step trajectory of one config per
+   family matches the XLA env step-for-step (both executed on the TPU);
+2. random mode — recorded rewards recompute exactly from the recorded
+   signals, done steps carry the violation reward, references respect
+   the margins;
+3. reference kinds — the exact sinusoid recurrence and two-level step
+   identities hold on TPU-compiled waveform reference streams.
+
+Run: ``python tools/tpu_validate.py`` (~5-10 min cold; compiles cache).
+Exit code 0 iff everything passes.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gym_electric_motor_tpu as gemx
+from gym_electric_motor_tpu import references as rg
+from gym_electric_motor_tpu.ops.pallas_record import make_fused_record_rollout
+from gym_electric_motor_tpu.ops.pallas_rollout import fused_state_arity
+
+FAILURES = []
+
+
+def check(name, fn):
+    try:
+        fn()
+        print(f"  PASS {name}")
+    except Exception as e:  # noqa: BLE001 — report-and-continue harness
+        print(f"  FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        FAILURES.append(name)
+
+
+# one config per family — mirrors tests/test_pallas_record_universal.py
+BUFFER_CASES = [
+    ("Cont-TC-PermExDc-v0", False, 1, None, [1], None, ["torque"]),
+    ("Finite-CC-ExtExDc-v0", True, 2, [4, 4], [1, 2], None, ["i_a", "i_e"]),
+    ("Cont-SC-ShuntDc-v0", False, 1, None, [0, 1, 2], None, ["omega"]),
+    ("Cont-TC-PMSM-v0", False, 3, None, [1, 2, 3], 3, ["torque"]),
+    ("Finite-CC-SCIM-v0", True, 1, [8], [1, 2, 3, 4], None,
+     ["i_sd", "i_sq"]),
+    ("Cont-CC-EESM-v0", False, 4, None, [1, 2, 3, 4], 4,
+     ["i_sd", "i_sq", "i_e"]),
+    ("Finite-TC-DFIM-v0", True, 2, [8, 8], [1, 2, 3, 4, 5], 5, ["torque"]),
+]
+
+
+def buffer_case(env_id, finite, n_ch, highs, cols, eps_col, ref_names):
+    consts = [rg.ConstReference(n, 0.0) for n in ref_names]
+    ref = rg.ReferenceSpec(consts) if len(consts) > 1 else consts[0]
+    env = gemx.make_functional(env_id, reference_generator=ref)
+    N, T, CHUNK = 128, 40, 8
+    rng = np.random.default_rng(11)
+    if finite:
+        if n_ch == 1:
+            actions = rng.integers(0, highs[0], size=(T, 1, 128)).astype(np.int32)
+        else:
+            actions = np.stack([rng.integers(0, h, size=(T, 1, 128))
+                                for h in highs], axis=1).astype(np.int32)
+    else:
+        shape = (T, n_ch, 1, 128) if n_ch > 1 else (T, 1, 128)
+        actions = rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
+
+    roll = make_fused_record_rollout(env, T, N, chunk=CHUNK,
+                                     action_mode="buffer")
+    zero = jnp.zeros((1, 128), jnp.float32)
+    out = roll(*([zero] * len(cols)), jnp.asarray(actions))
+    trajs = [np.asarray(out[name]) for name in roll.signals]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        if n_ch > 1:
+            act = jnp.asarray(actions[t].reshape(n_ch, N).T)
+        elif finite:
+            act = jnp.asarray(actions[t].reshape(N))
+        else:
+            act = jnp.asarray(actions[t].reshape(N, 1))
+        state, _obs, _r, _term = step(state, act)
+        ode = np.asarray(state.phys.ode_state)
+        for k, c in enumerate(cols):
+            got = trajs[k][t].reshape(N)
+            if c == eps_col:
+                d = np.mod(got - ode[:, c] + np.pi, 2 * np.pi) - np.pi
+                np.testing.assert_allclose(d, 0.0, atol=1e-4)
+            else:
+                np.testing.assert_allclose(got, ode[:, c], rtol=1e-4,
+                                           atol=2e-3)
+
+
+def random_reward_recompute():
+    env = gemx.make_functional("Finite-CC-PermExDc-v0")
+    ps = env.physical_system
+    names = list(ps.state_names)
+    i_lim = float(np.asarray(ps.limits)[names.index("i")])
+    rw = env.reward_function
+    coef = float(rw._weights[names.index("i")]
+                 / rw._state_length[names.index("i")])
+    N, T = 256, 512
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, T, N, chunk=8)
+    out = {k: np.asarray(v) for k, v in roll(5, zero).items()}
+    ok = out["done"] < 0.5
+    np.testing.assert_allclose(
+        out["reward"][ok],
+        -coef * np.abs(out["i"][ok] / i_lim - out["ref_i"][ok]),
+        rtol=1e-5, atol=1e-6)
+    bad = ~ok
+    assert bad.any()
+    np.testing.assert_allclose(out["reward"][bad],
+                               float(rw._violation_value), rtol=1e-6)
+    (sub,) = env.reference_generator.subs
+    assert out["ref_i"].min() >= sub.margin[0] - 1e-6
+    assert out["ref_i"].max() <= sub.margin[1] + 1e-6
+
+
+def sinusoid_recurrence():
+    A, F, O = 0.2, 123.0, 0.1
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        reference_generator=rg.SinusoidalReference(
+            "i", amplitude_range=(A, A), frequency_range=(F, F),
+            offset_range=(O, O), episode_lengths=(100000, 100000)))
+    N, T = 256, 200
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, T, N, chunk=8)
+    out = {k: np.asarray(v) for k, v in roll(5, zero).items()}
+    r = out["ref_i"].reshape(T, -1) - O
+    done = out["done"].reshape(T, -1) > 0.5
+    valid = ~done[:-2] & ~done[1:-1]
+    tau = float(env.physical_system.tau)
+    c = 2.0 * np.cos(2.0 * np.pi * F * tau)
+    resid = (r[2:] + r[:-2] - c * r[1:-1])[valid]
+    assert len(resid) > 5000
+    np.testing.assert_allclose(resid, 0.0, atol=5e-6)
+
+
+def step_two_level():
+    A, O = 0.15, 0.2
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        reference_generator=rg.StepReference(
+            "i", amplitude_range=(A, A), frequency_range=(100.0, 100.0),
+            offset_range=(O, O), episode_lengths=(100000, 100000)))
+    N, T = 256, 500
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, T, N, chunk=10)
+    r = np.asarray(roll(5, zero)["ref_i"])
+    assert np.all((np.abs(r - (O + A)) < 1e-5) | (np.abs(r - (O - A)) < 1e-5))
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"device: {dev} (platform {dev.platform})")
+    if dev.platform not in ("tpu", "axon"):
+        print("WARNING: not a TPU — validating the compiled path on "
+              f"{dev.platform} instead of Mosaic-on-TPU")
+    for case in BUFFER_CASES:
+        check(f"buffer:{case[0]}", lambda c=case: buffer_case(*c))
+    check("random:reward-recompute", random_reward_recompute)
+    check("refs:sinusoid-recurrence", sinusoid_recurrence)
+    check("refs:step-two-level", step_two_level)
+    if FAILURES:
+        print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
+        return 1
+    print("\nall on-hardware checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
