@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_rollout import (
     FUSED_FAMILY_BUILDERS,
+    _wse_err,
     LANE,
     fused_state_arity,
     _ref_needs_wf,
@@ -216,10 +217,10 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
             violated = fs.violated(state)
             qs = fs.quantities(state, aux)
             refs_now = rv_ref[:]
-            wse = bias - ref_cfg[0]["coef"] * jnp.abs(qs[0] - refs_now[:R])
+            wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
             for j in range(1, n_ref):
-                wse = wse - ref_cfg[j]["coef"] * jnp.abs(
-                    qs[j] - refs_now[j * R:(j + 1) * R])
+                wse = wse - _wse_err(ref_cfg[j], qs[j],
+                                     refs_now[j * R:(j + 1) * R])
             reward = jnp.where(violated, violation_reward, wse)
 
             zero = jnp.zeros(shape, jnp.float32)

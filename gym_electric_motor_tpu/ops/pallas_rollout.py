@@ -1343,11 +1343,11 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
 
             violated = violated_fn(state)
             refs_now = rv_ref[:]
-            wse = bias - ref_cfg[0]["coef"] * jnp.abs(
-                ref_quantity(state, 0) - refs_now[:R])
+            wse = bias - _wse_err(ref_cfg[0], ref_quantity(state, 0),
+                                  refs_now[:R])
             if n_ref == 2:
-                wse = wse - ref_cfg[1]["coef"] * jnp.abs(
-                    ref_quantity(state, 1) - refs_now[R:])
+                wse = wse - _wse_err(ref_cfg[1], ref_quantity(state, 1),
+                                     refs_now[R:])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
@@ -1430,6 +1430,22 @@ _WF_KINDS = ("sinusoidal", "step", "triangle", "sawtooth")
 _FUSED_REF_KINDS = ("wiener", "laplace", "const") + _WF_KINDS
 
 
+def _wse_err(cfg, q, r):
+    """One WSE penalty term: ``w * (|q - r|)^n`` with the 1/l^n state-length
+    normalization folded into ``coef`` (weighted_sum_of_errors.py:125-129).
+    n == 1/2/0.5 get cheap forms; general n pays an exp+log."""
+    e = q - r
+    n = cfg["pow"]
+    if n == 1.0:
+        return cfg["coef"] * jnp.abs(e)
+    if n == 2.0:
+        return cfg["coef"] * (e * e)
+    if n == 0.5:
+        return cfg["coef"] * jnp.sqrt(jnp.abs(e))
+    return cfg["coef"] * jnp.exp(
+        np.float32(n) * jnp.log(jnp.maximum(jnp.abs(e), 1e-30)))
+
+
 def _ref_needs_wf(ref_cfg):
     """True if any reference row is a waveform kind — callers then allocate
     the extra (4 * n_ref * R, LANE) scratch plane for the per-sub-episode
@@ -1454,7 +1470,6 @@ def _ref_configs(env, R, require_wiener=True):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     rw = env.reward_function
-    assert np.all(rw._n == 1.0), "only reward_power=1 is fused"
     big = np.float32(1e30)  # finite sentinel for unbounded offset ranges
     cfgs = []
     for s in env.reference_generator.subs:
@@ -1464,11 +1479,15 @@ def _ref_configs(env, R, require_wiener=True):
             f"{s.reference_state!r} — use the general XLA path for "
             f"switched generators")
         idx = names.index(s.reference_state)
+        n_pow = float(np.asarray(rw._n).ravel()[idx])
+        assert n_pow > 0.0, "reward_power must be positive"
         cfg = dict(
             kind=s.kind,
             tau=np.float32(ps.tau),
             name=s.reference_state,
-            coef=np.float32(rw._weights[idx] / rw._state_length[idx]),
+            pow=n_pow,
+            coef=np.float32(rw._weights[idx]
+                            / rw._state_length[idx] ** n_pow),
             inv_lim=np.float32(1.0 / lim[idx]),
             # benign waveform defaults (noise rows never read them but the
             # masked vector ops must stay finite)
@@ -2037,11 +2056,11 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             violated = (i_sd_n * i_sd_n + i_sq_n * i_sq_n) > 1.0
 
             refs_now = rv_ref[:]
-            wse = bias - ref_cfg[0]["coef"] * jnp.abs(
-                ref_quantity(state, 0) - refs_now[:R])
+            wse = bias - _wse_err(ref_cfg[0], ref_quantity(state, 0),
+                                  refs_now[:R])
             if n_ref == 2:
-                wse = wse - ref_cfg[1]["coef"] * jnp.abs(
-                    ref_quantity(state, 1) - refs_now[R:])
+                wse = wse - _wse_err(ref_cfg[1], ref_quantity(state, 1),
+                                     refs_now[R:])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
@@ -2596,9 +2615,9 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
             qs = ref_quantities(state, cs)
             refs_now = rv_ref[:]
-            wse = bias - ref_cfg[0]["coef"] * jnp.abs(qs[0] - refs_now[:R])
+            wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
             if n_ref == 2:
-                wse = wse - ref_cfg[1]["coef"] * jnp.abs(qs[1] - refs_now[R:])
+                wse = wse - _wse_err(ref_cfg[1], qs[1], refs_now[R:])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
@@ -3189,12 +3208,11 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
                         | (jnp.abs(ie_n) > 1.0))
 
             refs_now = rv_ref[:]
-            wse = bias - ref_cfg[0]["coef"] * jnp.abs(
-                ref_quantity(state, 0) - refs_now[:R])
+            wse = bias - _wse_err(ref_cfg[0], ref_quantity(state, 0),
+                                  refs_now[:R])
             for jj in range(1, n_ref):
-                wse = wse - ref_cfg[jj]["coef"] * jnp.abs(
-                    ref_quantity(state, jj)
-                    - refs_now[jj * R:(jj + 1) * R])
+                wse = wse - _wse_err(ref_cfg[jj], ref_quantity(state, jj),
+                                     refs_now[jj * R:(jj + 1) * R])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
@@ -3847,9 +3865,9 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
             qs = ref_quantities(state, cs)
             refs_now = rv_ref[:]
-            wse = bias - ref_cfg[0]["coef"] * jnp.abs(qs[0] - refs_now[:R])
+            wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
             if n_ref == 2:
-                wse = wse - ref_cfg[1]["coef"] * jnp.abs(qs[1] - refs_now[R:])
+                wse = wse - _wse_err(ref_cfg[1], qs[1], refs_now[R:])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)

@@ -202,3 +202,34 @@ def test_switched_reference_rejected_loudly():
                                reference_generator=sw)
     with pytest.raises(AssertionError, match="switched"):
         make_fused_rollout(env, 8, 128, interpret=True)
+
+
+@pytest.mark.parametrize("power", [2, 0.5, 3.0])
+def test_fused_reward_power(power):
+    """reward_power != 1 runs in the fused kernels: the recorded reward
+    recomputes as -w * (|err| / l)^n against the recorded signals (the
+    reference's MPC notebook uses reward_power=0.5)."""
+    from gym_electric_motor_tpu.rewards import WeightedSumOfErrors
+
+    env = gemx.make_functional(
+        "Finite-CC-PermExDc-v0",
+        reward_function=WeightedSumOfErrors(reward_power=power))
+    ps = env.physical_system
+    names = list(ps.state_names)
+    idx = names.index("i")
+    i_lim = float(np.asarray(ps.limits)[idx])
+    rw = env.reward_function
+    w = float(rw._weights[idx])
+    ln = float(rw._state_length[idx])
+
+    T = 256
+    out = _record(env, T, seed=5)
+    ok = out["done"] < 0.5
+    err = np.abs(out["i"][ok] / i_lim - out["ref_i"][ok])
+    np.testing.assert_allclose(out["reward"][ok],
+                               -w * (err / ln) ** power,
+                               rtol=2e-4, atol=5e-6)
+    bad = ~ok
+    assert bad.any()
+    np.testing.assert_allclose(out["reward"][bad],
+                               float(rw._violation_value), rtol=1e-6)
