@@ -466,6 +466,23 @@ def main():
         _log(f"Cont-CC-PMSM-v0 FOC-in-the-loop (fused Pallas): "
              f"{v / 1e6:.1f}M controlled env-steps/s")
 
+        # fused DC SPEED-CASCADE-in-the-loop (PI speed -> OPS -> PI current)
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            make_fused_dc_cascade_rollout,
+        )
+
+        ecas = gemx.make_functional("Cont-SC-PermExDc-v0")
+        ctrl_c = GemController.make(ecas, "Cont-SC-PermExDc-v0")
+        v = _measure_fused_kernel(
+            "Cont-SC-PermExDc-v0/closed-loop",
+            lambda: make_fused_dc_cascade_rollout(ecas, ctrl_c, n_steps,
+                                                  N_ENVS),
+            lambda r, seed: float(r(seed, z, z)[2].sum()),
+            n_steps,
+        )
+        _log(f"Cont-SC-PermExDc-v0 speed-cascade-in-the-loop (fused "
+             f"Pallas): {v / 1e6:.1f}M controlled env-steps/s")
+
         # fused policy-network-in-the-loop (RL evaluation / data collection)
         from gym_electric_motor_tpu.parallel.sharded import init_policy_params
         from gym_electric_motor_tpu.ops.pallas_rollout import (

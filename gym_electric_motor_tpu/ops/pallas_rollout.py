@@ -1191,7 +1191,10 @@ def _dc_family(env, R, action_mode):
             # 4QC table: a=1 -> +u_sup, a=2 -> -u_sup, else 0
             return (jnp.where(a == 1, 1.0, 0.0)
                     - jnp.where(a == 2, 1.0, 0.0)) * u_sup
-        return a * u_sup
+        # duty clip as in the env converter (converters.py:370-410) —
+        # matters for controller-in-the-loop callers whose cascade emits
+        # overmodulated duties during transients
+        return jnp.clip(a, -1.0, 1.0) * u_sup
 
     def step_physics(state, acts):
         u = tuple(conv_u(a) for a in acts)
@@ -4186,6 +4189,189 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
             ),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), isd0, isq0, eps0, ref_d, ref_q)
+
+    return rollout
+
+
+def make_fused_dc_cascade_rollout(env, ctrl, n_steps, n_envs,
+                                  interpret=False):
+    """Fused closed-loop SPEED-CONTROL cascade for the DC motors: the whole
+    auto-tuned three-stage chain — PI speed controller with torque clipping
+    and anti-windup (pi_speed_controller.py:102-121), analytic
+    operation-point selection (permex/series/shunt_dc_ops.py), current
+    clipping, PI current controller with EMF feedforward, voltage clipping
+    with anti-windup and the continuous output stage — runs in-kernel
+    against the family physics (PolynomialStaticLoad mechanics + motor ODE
+    via ``_dc_family``), with the env's reference process, WSE reward,
+    limit constraint and in-kernel auto-reset.  The controller state
+    (speed/current integrators) persists across episode resets, exactly as
+    ``control_environment`` carries ``cs`` (controller.py:685-693).
+
+    ``ctrl`` must be ``GemController.make(env, "Cont-SC-<motor>-v0")``.
+    Build the env with a ``ConstReference('omega', v)`` for the
+    deterministic validation path (the const reference pins the in-kernel
+    stream, so the closed loop matches ``ctrl.control_environment``
+    step-for-step while no violation occurs).
+
+    ``rollout(seed, *state0) -> (*states, reward_sum, term_count, rv, rk,
+    rl, rs, sc_int, cc_int)``; states = (omega, i...) like the family
+    kernel.
+    """
+    assert ctrl.control_task == "SC" and ctrl.output_kind == "cont"
+    kind = env.physical_system.motor.kind
+    assert kind in ("PermExDc", "SeriesDc", "ShuntDc"), (
+        f"in-kernel DC cascade covers PermExDc/SeriesDc/ShuntDc; got "
+        f"{kind!r} (ExtExDc's dual-channel flux-weakening cascade runs on "
+        f"the XLA path)")
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _dc_family(env, R, "random")
+    assert fs.mech and fs.n_ch == 1 and not fs.finite and fs.n_ref == 1
+    n_state, shape, shape_r = fs.n_state, fs.shape, fs.shape_r
+    ref_cfg, bias, violation_reward = fs.ref_cfg, fs.bias, fs.violation_reward
+    assert ref_cfg[0]["name"] == "omega"
+    has_wf = _ref_needs_wf(ref_cfg)
+    tau = np.float32(env.physical_system.tau)
+
+    # ---- tuned cascade constants (GemController.make) ----
+    names = list(env.physical_system.state_names)
+    state_pos = {nm: k for k, nm in enumerate(fs.state_names)}
+    sc_p, sc_i = np.float32(ctrl.sc_p_gain[0]), np.float32(ctrl.sc_i_gain[0])
+    sc_lo = np.float32(np.asarray(ctrl.sc_clip_range[0])[0])
+    sc_hi = np.float32(np.asarray(ctrl.sc_clip_range[1])[0])
+    tc_lims = np.asarray(ctrl.tc_clip_limits, dtype=np.float64)
+    tc_lo, tc_hi = np.float32(tc_lims[0].min()), np.float32(tc_lims[1].max())
+    cc_p, cc_i = np.float32(ctrl.cc_p_gain[0]), np.float32(ctrl.cc_i_gain[0])
+    cc_lims = np.asarray(ctrl.cc_clip_limits, dtype=np.float64)
+    cc_lo, cc_hi = np.float32(cc_lims[0].min()), np.float32(cc_lims[1].max())
+    inv_out = np.float32(1.0 / np.asarray(ctrl.output_limits)[0])
+    ref_lim = np.float32(np.asarray(ctrl.ref_limits)[0])
+    ci_pos = state_pos[names[int(np.asarray(ctrl.current_idx)[0])]]
+    emf_pos = state_pos[names[int(np.asarray(ctrl.emf_current_idx)[0])]]
+    l_emf = np.float32(np.asarray(ctrl.l_emf)[0])
+    psi_emf = np.float32(np.asarray(ctrl.psi_emf)[0])
+    p_ff = np.float32(ctrl.pole_pairs)
+    ops = ctrl.ops_kind
+    op = ctrl.ops_params
+    if ops == "permex":
+        inv_psi = np.float32(1.0 / op["psi"])
+    elif ops == "series":
+        inv_lp = np.float32(1.0 / op["l_prime"])
+    else:  # shunt (shunt_dc_ops.py semantics, see controllers/controller.py)
+        inv_lp = np.float32(1.0 / op["l_prime"])
+        ie_pos = state_pos[names[int(op["i_e_idx"])]]
+        ie_limit = np.float32(op["i_e_limit"])
+        ia_limit = np.float32(op["i_a_limit"])
+
+    def cascade(cur, sc_int, cc_int, ref_n):
+        omega = cur[0]
+        err = ref_n * ref_lim - omega
+        t_ref = sc_p * err + sc_i * sc_int
+        t_c = jnp.clip(t_ref, sc_lo, sc_hi)
+        sc_int = sc_int + tau * err * (t_ref == t_c)
+        if ops == "permex":
+            i_ref = t_c * inv_psi
+        elif ops == "series":
+            i_ref = jnp.sqrt(jnp.maximum(t_c, 0.0) * inv_lp)
+        else:
+            i_e = cur[ie_pos]
+            i_e_safe = jnp.where(jnp.abs(i_e) < 1e-4,
+                                 jnp.sign(i_e) * 1e-4 + (i_e == 0) * 1e-4,
+                                 i_e)
+            i_ref = t_c * inv_lp / i_e_safe
+            i_ref = jnp.where(i_e > ie_limit, -ia_limit, i_ref)
+            i_ref = jnp.where(i_e < -ie_limit, ia_limit, i_ref)
+        i_ref = jnp.clip(i_ref, tc_lo, tc_hi)
+        err_i = i_ref - cur[ci_pos]
+        u = cc_p * err_i + cc_i * cc_int
+        u = u + (l_emf * cur[emf_pos] + psi_emf) * (omega * p_ff)
+        u_c = jnp.clip(u, cc_lo, cc_hi)
+        cc_int = cc_int + tau * err_i * (u == u_c)
+        # cont output stage emits the UNCLIPPED normalized voltage
+        # (cont_output_stage.py:23-24); the converter clips the duty
+        return u * inv_out, sc_int, cc_int
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        (out_reward, out_terms, out_rv, out_rk, out_rl, out_rs,
+         out_sci, out_cci) = refs[2 * n_state: 2 * n_state + 8]
+        scratch = refs[2 * n_state + 8:]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
+        za_ref, zb_ref = scratch[5], scratch[6]
+        sci_ref, cci_ref = scratch[7], scratch[8]
+        wf_ref = scratch[-1] if has_wf else None
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+        sci_ref[:] = jnp.zeros(shape, jnp.float32)
+        cci_ref[:] = jnp.zeros(shape, jnp.float32)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref, wf_ref)
+        w_init()
+
+        def body(t, _):
+            cur = tuple(o[:] for o in out_state)
+            refs_now = rv_ref[:]
+            action, sci, cci = cascade(cur, sci_ref[:], cci_ref[:],
+                                       refs_now[:R])
+            # the integrators persist across env auto-resets
+            # (control_environment carries cs through episode boundaries)
+            sci_ref[:] = sci
+            cci_ref[:] = cci
+            state = fs.step_physics(cur, (action,))
+
+            violated = fs.violated(state)
+            wse = bias - _wse_err(ref_cfg[0], fs.ref_quantity(state, 0),
+                                  refs_now[:R])
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
+            for o, s2 in zip(out_state, state):
+                o[:] = jnp.where(violated, zero, s2)
+
+            w_advance(t, violated)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+        out_sci[:] = sci_ref[:]
+        out_cci[:] = cci_ref[:]
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(n_state + 2))
+                  + tuple(jax.ShapeDtypeStruct(shape_r, jnp.float32)
+                          for _ in range(4))
+                  + tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                          for _ in range(2)))
+    scratch_shapes = (
+        [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]   # za/zb
+        + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]   # integrators
+        + ([pltpu.VMEM((4 * R, LANE), jnp.float32)] if has_wf else [])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_state,
+            out_specs=tuple(vmem for _ in range(len(out_shapes))),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
 
     return rollout
 
