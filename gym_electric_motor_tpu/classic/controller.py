@@ -506,6 +506,23 @@ class ClassicController:
             action = action + (2 ** (2 - i)) * ai.astype(jnp.int32)
         return new_cs, action
 
+    def ops_operating_point(self, cs_ops, state, torque_phys):
+        """Torque -> (i_sd*, i_sq*) through the shared OPS engine.
+
+        The engine works in physical units (its modulation controller
+        compares ``2*|u_dq|/u_dc`` against a_max and builds the flux ceiling
+        from the *physical* omega, foc_operation_point_selection.py:110-147),
+        so the normalized observation is denormalized here first — the same
+        convention the primary stack uses (controllers/controller.py:481);
+        upstream's classic stack denormalizes inside its own copy of the
+        engine (torque_to_current_conversion.py:610-624).  Mutates ``cs_ops``
+        in place for the modulation scalars.
+        """
+        from ..controllers.pmsm_ops import pmsm_select_operating_point
+        state_denorm = state * jnp.asarray(self.prm["limits"], state.dtype)
+        return pmsm_select_operating_point(self.ops, cs_ops, state_denorm,
+                                           torque_phys)
+
     # -- Synchronous: CascadedFieldOrientedController -----------------------
     def _control_cascaded_foc(self, cs, state, reference):
         p = self.prm
@@ -534,10 +551,8 @@ class ClassicController:
             # both controller stacks; the reference duplicates ~700 LoC in
             # torque_to_current_conversion.py — same MTPC/MTPF + modulation
             # math, LUT-interpolated).
-            from ..controllers.pmsm_ops import pmsm_select_operating_point
             cs_ops = dict(new_cs["ops"])
-            idq = pmsm_select_operating_point(self.ops, cs_ops, state,
-                                              t_ref * p["torque_lim"])
+            idq = self.ops_operating_point(cs_ops, state, t_ref * p["torque_lim"])
             new_cs["ops"] = cs_ops
             ref_d = idq[0] / p["i_sd_lim"]
             ref_q = idq[1] / p["i_sq_lim"]
@@ -638,9 +653,10 @@ def _find_controller_type(d, stages):
              else "foc_rotor_flux_observer")
     cascaded = ("cascaded_foc_controller" if d["motor"] in SYNC_MOTORS
                 else "cascaded_foc_rotor_flux_observer")
+    # upstream returns the cascaded type for ANY len(stages) != 2 sync/IM
+    # config — including a one-element [[d, q]] list with i_sq referenced
+    # (classic_controllers.py:157-184); matched exactly.
     if len(stages) == 2 and len(stages[1]) == 1 and "i_sq" in refs:
-        return plain, stages
-    if "i_sq" in refs and len(stages) == 1:
         return plain, stages
     return cascaded, stages
 
@@ -764,6 +780,7 @@ def _build_sync(env, d, controller_type, stages, cont, decoupling):
         cont=cont,
         decoupling=decoupling,
         tau=d["tau"],
+        limits=d["limits"],
         mp_p=mp["p"], l_d=mp["l_d"], l_q=mp["l_q"], psi_p=mp.get("psi_p", 0.0),
         omega_idx=names.index("omega"),
         eps_idx=names.index("epsilon"),

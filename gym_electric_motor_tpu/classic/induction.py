@@ -19,6 +19,12 @@ negative argument when building the maximum-torque characteristic
 (induction_motor_torque_to_current_conversion.py:152-157), yielding NaNs that
 poison the torque clip for large-flux entries; we clamp the argument at zero.
 
+Quirk reproduced (documented): upstream's loss-optimal-flux table pairs the
+minimizing ``i_sq`` with ``i_sd`` one grid step below the true argmin
+(``i_sd[i_idx]`` against losses computed over ``i_sd[1:]``,
+induction_motor_torque_to_current_conversion.py:125-134); ``_build_t2c_luts``
+keeps the off-by-one so the LUTs match bit-for-bit.
+
 Upstream crash not reproduced: finite-control-set induction CC never builds
 its current controllers (induction_motor_foc.py:80-89) — ``build_im`` raises
 ``NotImplementedError`` with that citation instead.
@@ -79,7 +85,11 @@ def _build_t2c_luts(prm, torque_count=1001, i_sd_count=500, psi_count=1000):
     pv = 1.5 * (r_s * isd**2 + (r_s + r_r * l_m**2 / l_r**2) * i_sq**2)
     j = np.argmin(pv, axis=1)
     rows = np.arange(torque_count)
-    i_sd_opt = np.where(ts == 0.0, 0.0, i_sd[1:][j])
+    # upstream's psi_opt() computes the losses over i_sd[1:] but indexes the
+    # minimizer as i_sd[i_idx] — one grid step BELOW the true argmin
+    # (induction_motor_torque_to_current_conversion.py:125-134); quirk
+    # reproduced so the LUTs match bit-for-bit.
+    i_sd_opt = np.where(ts == 0.0, 0.0, i_sd[j])
     i_sq_opt = np.where(ts == 0.0, 0.0, i_sq[rows, j])
     psi_opt_t = np.stack([ts, l_m * i_sd_opt, i_sd_opt, i_sq_opt])
 

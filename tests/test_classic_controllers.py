@@ -225,3 +225,63 @@ def test_vmapped_control_environment():
     names = list(env.physical_system.state_names)
     err = np.abs(np.asarray(out["states"])[:, -100:, names.index("i")] - 0.3)
     assert err.mean() < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# Flux weakening through the shared OPS engine (advisor fix, round 3)
+# ---------------------------------------------------------------------------
+
+def test_cascaded_foc_flux_weakening_high_speed():
+    """The classic cascade hands the shared OPS engine the DENORMALIZED
+    state (the engine's modulation controller compares physical |u_dq|
+    against u_dc and builds the flux ceiling psi_max_ = u_dc/(sqrt(3)*w_el),
+    foc_operation_point_selection.py:110-147).  At high speed that ceiling
+    must bind: lower selected flux, more-negative i_sd.  With a normalized
+    omega the ceiling is ~1000x too large and field weakening never engages
+    — this test fails in that configuration."""
+    import jax.numpy as jnp
+    from gym_electric_motor_tpu.controllers.pmsm_ops import pmsm_ops_reset
+
+    env = gemx.make_functional("Cont-TC-PMSM-v0")
+    ctrl = Controller.make(env)
+    d = _env_data(env)
+    names = d["names"]
+    pp = ctrl.ops.ops_params
+    prm = ctrl.prm
+    t_ref = 0.9 * prm["torque_lim"]
+
+    def select(omega_norm):
+        state = np.zeros(len(names))
+        state[names.index("omega")] = omega_norm
+        cs = dict(pmsm_ops_reset())
+        idq = np.asarray(ctrl.ops_operating_point(cs, jnp.asarray(state), t_ref))
+        psi = np.hypot(prm["psi_p"] + prm["l_d"] * idq[0], prm["l_q"] * idq[1])
+        return idq, psi
+
+    idq_lo, psi_lo = select(0.05)
+    idq_hi, psi_hi = select(0.95)
+
+    omega_hi = 0.95 * prm["omega_lim"]
+    ceiling = pp["u_dc"] / (np.sqrt(3.0) * omega_hi * pp["p"])
+    # low speed: the voltage ceiling sits far above the MTPC flux
+    assert psi_lo > 1.5 * ceiling
+    # high speed: selected flux respects the ceiling (+ bounded psi_delta
+    # headroom) and the d-current is pushed further negative
+    assert psi_hi <= ceiling + pp["psi_high"] + 1e-9
+    assert idq_hi[0] < idq_lo[0] - 1e-3
+    assert psi_hi < 0.9 * psi_lo
+
+
+def test_find_controller_type_single_stage_sync_is_cascaded():
+    """classic_controllers.py:157-164: any len(stages) != 2 sync config maps
+    to the cascaded FOC type, even a one-element [[d, q]] with i_sq
+    referenced (advisor fix, round 3)."""
+    from gym_electric_motor_tpu.classic.controller import _find_controller_type
+    env = gemx.make_functional(
+        "Cont-CC-PMSM-v0", reference_generator=_multiref(("i_sd", 0.0),
+                                                         ("i_sq", 0.2)))
+    d = _env_data(env)
+    stages = [[{"controller_type": "pi_controller"},
+               {"controller_type": "pi_controller"}]]
+    ctype, _ = _find_controller_type(d, stages)
+    assert ctype == "cascaded_foc_controller"
