@@ -27,6 +27,7 @@ from .constraints import ConstraintMonitor
 from .physical_systems import PhysicsState
 from .references import ReferenceSpec, ScalarRefSpec, SwitchedRefSpec
 from .rewards import WeightedSumOfErrors
+from .utils import rng
 from .utils.pytree import struct
 
 
@@ -152,6 +153,20 @@ class ElectricMotorEnvironment:
         self.tau = ps.tau
         self.limits = np.asarray(ps.limits)[self._state_filter]
 
+        # single-PRNG-pass reset plan: when every module can consume
+        # pre-minted randomness (reset_from_u / reset_from), env.reset mints
+        # all carried keys and uniform blocks from ONE threefry evaluation —
+        # the in-kernel autoreset evaluates the reset path every step, so
+        # this pass count dominates the general-path step time (utils/rng.py)
+        n_phys = getattr(ps, "reset_n_u", None)
+        n_ref = getattr(self.reference_generator, "reset_n_u", None)
+        if (n_phys is None or n_ref is None
+                or not hasattr(ps, "reset_from_u")):
+            self._reset_plan = None
+        else:
+            self._reset_plan = (int(n_phys), int(n_ref),
+                                len(self.reference_generator.subs))
+
         self.action_space = make_space(ps.action_space)
         lo, hi = self.reference_generator.reference_space()
         self.observation_space = (
@@ -168,9 +183,25 @@ class ElectricMotorEnvironment:
 
     def reset(self, key):
         """core.py:300-319."""
-        k_phys, k_ref, k_next = jax.random.split(key, 3)
-        phys, system_state = self.physical_system.reset(k_phys)
-        refs, _ref_array, ref_obs = self.reference_generator.reset(k_ref)
+        plan = self._reset_plan
+        if plan is not None and not rng.is_typed_key(key):
+            # ONE PRNG pass for the whole reset: successor key, per-sub
+            # reference keys and every module's uniform block come from a
+            # single threefry evaluation (the key is consumed only here)
+            n_phys, n_ref, n_subs = plan
+            total = 2 + 2 * n_subs + n_phys + n_ref
+            bits = jax.random.bits(key, (total,), dtype=jnp.uint32)
+            k_next = bits[:2]
+            sub_keys = [bits[2 + 2 * i: 4 + 2 * i] for i in range(n_subs)]
+            u = rng.bits_to_uniform(bits[2 + 2 * n_subs:])
+            phys, system_state = self.physical_system.reset_from_u(
+                u[:n_phys] if n_phys else None)
+            refs, _ref_array, ref_obs = self.reference_generator.reset_from(
+                sub_keys, u[n_phys:])
+        else:
+            k_phys, k_ref, k_next = jax.random.split(key, 3)
+            phys, system_state = self.physical_system.reset(k_phys)
+            refs, _ref_array, ref_obs = self.reference_generator.reset(k_ref)
         state = EnvState(
             phys=phys,
             refs=refs,
@@ -221,7 +252,18 @@ class ElectricMotorEnvironment:
         """
         new_state, obs, reward, terminated = self.step(state, action)
         episode = state.episode + terminated.astype(jnp.int32)
-        reset_key = jax.random.fold_in(state.key, episode)
+        if self.physical_system.load.needs_noise:
+            # the OU-load step advances the key every step, so the reset
+            # stream is separated from it by folding in the episode counter
+            reset_key = jax.random.fold_in(state.key, episode)
+        else:
+            # noise-free envs consume the env key exactly once per episode
+            # (the reset's own bits pass), so it seeds the next reset
+            # directly: a per-episode hash chain (each reset mints its
+            # successor key) replaces the per-step fold_in PRNG pass.
+            # Episode k stays reproducible regardless of episode lengths —
+            # the chain depth equals the episode count.
+            reset_key = state.key
         reset_state, reset_obs = self.reset(reset_key)
         reset_state = reset_state.replace(episode=episode)
 

@@ -25,9 +25,17 @@ class SupplySpec:
     parameter: dict
     # get_voltage(sp, sup_state, t, i_sup) -> ((voltage_len,), sup_state')
     get_voltage: Callable = None
-    # reset(sp, key) -> (u_sup0, sup_state0)
-    reset: Callable = None
+    # reset_u(sp, u) -> (u_sup0, sup_state0); consumes n_reset_u uniforms
+    # from the physical system's single reset-draw block (u is None when
+    # n_reset_u == 0) — see SCMLSystem._reset_draws
+    reset_u: Callable = None
+    n_reset_u: int = 0
     n_state: int = 0  # float state entries carried in the env state
+
+    def reset(self, sp, key):
+        """Standalone key-based reset (draws its own block)."""
+        u = jax.random.uniform(key, (self.n_reset_u,)) if self.n_reset_u else None
+        return self.reset_u(sp, u)
 
     def sp(self, dtype=jnp.float32) -> dict:
         # host numpy (not jnp): closed over by jitted fns, see MotorSpec.mp
@@ -40,7 +48,7 @@ def ideal_voltage_supply(u_nominal=600.0) -> SupplySpec:
     def get_voltage(sp, sup_state, t, i_sup):
         return sp["u_nominal"] * jnp.ones((1,)), sup_state
 
-    def reset(sp, key):
+    def reset_u(sp, u):
         return sp["u_nominal"] * jnp.ones((1,)), jnp.zeros((0,))
 
     return SupplySpec(
@@ -50,7 +58,7 @@ def ideal_voltage_supply(u_nominal=600.0) -> SupplySpec:
         voltage_len=1,
         parameter={"u_nominal": float(u_nominal)},
         get_voltage=get_voltage,
-        reset=reset,
+        reset_u=reset_u,
         n_state=0,
     )
 
@@ -71,7 +79,7 @@ def rc_voltage_supply(u_nominal=600.0, supply_parameter=None) -> SupplySpec:
         u_new = u + dt * du
         return jnp.stack([u_new]), jnp.stack([u_new, t])
 
-    def reset(sp, key):
+    def reset_u(sp, u):
         return jnp.stack([sp["u_0"]]), jnp.stack([sp["u_0"], jnp.zeros(())])
 
     return SupplySpec(
@@ -81,7 +89,7 @@ def rc_voltage_supply(u_nominal=600.0, supply_parameter=None) -> SupplySpec:
         voltage_len=1,
         parameter={"u_0": float(u_nominal), "R": float(p["R"]), "C": float(p["C"])},
         get_voltage=get_voltage,
-        reset=reset,
+        reset_u=reset_u,
         n_state=2,
     )
 
@@ -99,13 +107,13 @@ def _ac_supply(kind, u_nominal, supply_parameter, n_phase, max_amp):
         )
         return u, sup_state
 
-    def reset(sp, key):
+    def reset_u(sp, u):
         if fixed_phi:
             phi = jnp.full((1,), phi0)
         else:
-            phi = jax.random.uniform(key, (1,)) * 2.0 * jnp.pi
-        u, _ = get_voltage(sp, phi, jnp.zeros(()), jnp.zeros(()))
-        return u, phi
+            phi = u[:1] * 2.0 * jnp.pi
+        u_v, _ = get_voltage(sp, phi, jnp.zeros(()), jnp.zeros(()))
+        return u_v, phi
 
     return SupplySpec(
         kind=kind,
@@ -114,7 +122,8 @@ def _ac_supply(kind, u_nominal, supply_parameter, n_phase, max_amp):
         voltage_len=n_phase,
         parameter={"f": float(f), "max_amp": float(max_amp)},
         get_voltage=get_voltage,
-        reset=reset,
+        reset_u=reset_u,
+        n_reset_u=0 if fixed_phi else 1,
         n_state=1,
     )
 

@@ -36,6 +36,7 @@ from .models.loads import LoadSpec
 from .models.motors import MotorSpec
 from .models.supplies import SupplySpec
 from .ops.integrators import make_integrator
+from .utils import rng
 from .ops.transforms import (
     abc_to_alphabeta,
     abc_to_dq,
@@ -61,12 +62,19 @@ class PhysicsState:
 
 
 def _sample_initializer(initializer, state_names, bounds_low, bounds_high):
-    """Build ``sample(key) -> values`` from an initializer spec.
+    """Build ``(names, n_u, sample(u) -> values)`` from an initializer spec.
 
     Mirrors ``ElectricMotor.initialize`` (electric_motor.py:179-268) /
     ``MechanicalLoad.initialize`` (mechanical_load.py:228-295): constant
     values, uniform in [low, high], or truncated normal.
     ``state_names`` orders the produced values.
+
+    ``sample`` consumes ``n_u`` uniforms from a caller-supplied block instead
+    of a PRNG key: the in-kernel autoreset evaluates the reset path every
+    step, so all reset randomness is drawn in ONE pass (``reset``) and
+    shaped with inverse-CDF transforms (utils/rng.py).  Constant initializers
+    consume zero uniforms — the default envs then pay no PRNG pass at all
+    for the physics reset.
     """
     states = initializer.get("states") or {state: 0.0 for state in state_names}
     names = list(states.keys())
@@ -82,25 +90,28 @@ def _sample_initializer(initializer, state_names, bounds_low, bounds_high):
     random_params = initializer.get("random_params") or (None, None)
 
     if random_dist is None:
-        def sample(key):
+        def sample(u):
             return jnp.asarray(const_values)
-    elif random_dist == "uniform":
-        def sample(key):
-            u = jax.random.uniform(key, (len(names),))
+
+        return names, 0, sample
+    if random_dist == "uniform":
+        def sample(u):
             return jnp.asarray(upper - lower) * u + jnp.asarray(lower)
-    elif random_dist in ("normal", "gaussian"):
+
+        return names, len(names), sample
+    if random_dist in ("normal", "gaussian"):
         mue = random_params[0]
         sigma = random_params[1] or 1.0
         mu = np.full(len(names), mue) if mue is not None else (upper - lower) / 2 + lower
 
-        def sample(key):
+        def sample(u):
             a = jnp.asarray((lower - mu) / sigma)
             b = jnp.asarray((upper - mu) / sigma)
-            z = jax.random.truncated_normal(key, a, b, (len(names),))
+            z = rng.truncnorm_from_u(u, a, b)
             return z * sigma + jnp.asarray(mu)
-    else:
-        raise NotImplementedError(random_dist)
-    return names, sample
+
+        return names, len(names), sample
+    raise NotImplementedError(random_dist)
 
 
 @dataclasses.dataclass
@@ -241,21 +252,50 @@ class SCMLSystem:
     def _build_initializers(self):
         m_names = list(self.motor.initializer.get("states", {}).keys()) or list(self.motor.ode_states)
         m_lo, m_hi = self._motor_init_bounds(m_names)
-        _, sample_motor = _sample_initializer(self.motor.initializer, m_names, m_lo, m_hi)
-        # scatter sampled values into the motor-ODE layout by name
+        _, m_n_u, sample_motor = _sample_initializer(self.motor.initializer, m_names, m_lo, m_hi)
+        # place sampled values into the motor-ODE layout by name with a
+        # STATIC GATHER (values[perm], zeros from a sentinel slot) — a
+        # scatter here would run un-fused every autoreset step
         ode_states = list(self.motor.ode_states)
-        m_scatter = np.array([ode_states.index(n) for n in m_names], dtype=np.int32)
-        n_motor_ode = len(ode_states)
+        perm = np.array([m_names.index(n) if n in m_names else len(m_names)
+                         for n in ode_states], dtype=np.int32)
 
-        def sample_motor_ode(key):
-            vals = sample_motor(key)
-            out = jnp.zeros((n_motor_ode,), dtype=vals.dtype)
-            return out.at[jnp.asarray(m_scatter)].set(vals)
+        def sample_motor_ode(u):
+            vals = sample_motor(u)
+            padded = jnp.concatenate([vals, jnp.zeros((1,), vals.dtype)])
+            return padded[jnp.asarray(perm)]
 
-        self._sample_motor = sample_motor_ode
+        self._sample_motor_u = sample_motor_ode
+        self._motor_n_u = m_n_u
         l_names = list(self.load.initializer.get("states", {}).keys()) or list(self.load.state_names)
         l_lo, l_hi = self._init_bounds(l_names)
-        _, self._sample_load = _sample_initializer(self.load.initializer, l_names, l_lo, l_hi)
+        _, self._load_n_u, self._sample_load_u = _sample_initializer(
+            self.load.initializer, l_names, l_lo, l_hi)
+
+    @property
+    def reset_n_u(self):
+        """Uniforms one reset consumes (0 for the default constant
+        initializers — those envs pay no PRNG pass for the physics reset)."""
+        return self._motor_n_u + self._load_n_u + self.supply.n_reset_u
+
+    def reset(self, key):
+        """Key-based reset: draws the whole uniform block in (at most) ONE
+        PRNG pass and delegates to ``reset_from_u``.  ``env.reset`` goes
+        further and mints this block together with every other module's
+        randomness from a single threefry evaluation (core.py)."""
+        n = self.reset_n_u
+        u = jax.random.uniform(key, (n,)) if n else None
+        return self.reset_from_u(u)
+
+    def _slice_reset_u(self, u):
+        """Split the reset block into the (u_motor, u_load, u_supply)
+        views; every view is None when its consumer is deterministic."""
+        n_m, n_l = self._motor_n_u, self._load_n_u
+        n_s = self.supply.n_reset_u
+        u_m = u[:n_m] if n_m else None
+        u_l = u[n_m:n_m + n_l] if n_l else None
+        u_s = u[n_m + n_l:] if n_s else None
+        return u_m, u_l, u_s
 
     def _motor_init_bounds(self, names):
         return self._init_bounds(names)
@@ -294,14 +334,14 @@ class SCMLSystem:
             return u_frac * u_sup[0]
         return u_frac * u_sup  # NoConverter + polyphase supply
 
-    def reset(self, key):
+    def reset_from_u(self, u):
         """physical_systems.py:256-287 (component order: motor, load, supply)."""
         mp = self.mp
-        k_motor, k_load, k_sup = jax.random.split(key, 3)
-        motor_state = self._sample_motor(k_motor).astype(self.dtype)
-        mech_state = self._sample_load(k_load).astype(self.dtype)
+        u_m, u_l, u_s = self._slice_reset_u(u)
+        motor_state = self._sample_motor_u(u_m).astype(self.dtype)
+        mech_state = self._sample_load_u(u_l).astype(self.dtype)
         ode_state = jnp.concatenate([mech_state, motor_state])
-        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup, sup_state = self.supply.reset_u(self.sp, u_s)
         u_sup = u_sup.astype(self.dtype)
         conv_state = self.converter.init_state()
         u_in = jnp.asarray(self.converter.u_reset, dtype=self.dtype) * u_sup[0]
@@ -414,13 +454,13 @@ class SynchronousMotorSystem(SCMLSystem):
     def _i_dq(self, ode):
         return ode[self.n_mech: self.n_mech + 2]
 
-    def reset(self, key):
+    def reset_from_u(self, u):
         mp = self.mp
-        k_motor, k_load, k_sup = jax.random.split(key, 3)
-        motor_state = self._sample_motor(k_motor).astype(self.dtype)
-        mech_state = self._sample_load(k_load).astype(self.dtype)
+        u_m, u_l, u_s = self._slice_reset_u(u)
+        motor_state = self._sample_motor_u(u_m).astype(self.dtype)
+        mech_state = self._sample_load_u(u_l).astype(self.dtype)
         ode_state = jnp.concatenate([mech_state, motor_state])
-        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup, sup_state = self.supply.reset_u(self.sp, u_s)
         u_sup = u_sup.astype(self.dtype)
         eps = ode_state[self.eps_idx]
         eps = jnp.where(eps > jnp.pi, eps - 2 * jnp.pi, eps)
@@ -514,13 +554,13 @@ class EESMSystem(SynchronousMotorSystem):
             return ("box", -np.ones(3), np.ones(3))
         return self.converter.action_space
 
-    def reset(self, key):
+    def reset_from_u(self, u):
         mp = self.mp
-        k_motor, k_load, k_sup = jax.random.split(key, 3)
-        motor_state = self._sample_motor(k_motor).astype(self.dtype)
-        mech_state = self._sample_load(k_load).astype(self.dtype)
+        u_m, u_l, u_s = self._slice_reset_u(u)
+        motor_state = self._sample_motor_u(u_m).astype(self.dtype)
+        mech_state = self._sample_load_u(u_l).astype(self.dtype)
         ode_state = jnp.concatenate([mech_state, motor_state])
-        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup, sup_state = self.supply.reset_u(self.sp, u_s)
         u_sup = u_sup.astype(self.dtype)
         eps = ode_state[self.eps_idx]
         eps = jnp.where(eps > jnp.pi, eps - 2 * jnp.pi, eps)
@@ -662,31 +702,37 @@ class SCIMSystem(SCMLSystem):
         # field angle eps_mag ~ U(-pi, pi) orients the rotor flux; the drawn
         # flux magnitude (bounded by l_m * i_sd_nominal) is split into its
         # alphabeta components along that angle.
-        base_sample = self._sample_motor
+        base_sample = self._sample_motor_u
+        base_n_u = self._motor_n_u
         ode_states = list(self.motor.ode_states)
         ia = ode_states.index("psi_ralpha")
         ib = ode_states.index("psi_rbeta")
+        n = len(ode_states)
+        # one extra uniform (the field angle); the flux rotation is written
+        # with a static select instead of two scatters
+        sel_a = jnp.arange(n) == ia
+        sel_b = jnp.arange(n) == ib
 
-        def sample(key):
-            k1, k2 = jax.random.split(key)
-            vals = base_sample(k1)
-            eps_mag = jax.random.uniform(k2, (), minval=-jnp.pi, maxval=jnp.pi)
+        def sample(u):
+            vals = base_sample(u[:base_n_u])
+            eps_mag = 2.0 * jnp.pi * u[base_n_u] - jnp.pi
             mag = jnp.abs(vals[ia])
-            vals = vals.at[ia].set(mag * jnp.cos(eps_mag))
-            vals = vals.at[ib].set(mag * jnp.sin(eps_mag))
+            vals = jnp.where(sel_a, mag * jnp.cos(eps_mag), vals)
+            vals = jnp.where(sel_b, mag * jnp.sin(eps_mag), vals)
             return vals
 
-        self._sample_motor = sample
+        self._sample_motor_u = sample
+        self._motor_n_u = base_n_u + 1
 
-    def reset(self, key):
+    def reset_from_u(self, u):
         """SCIM resets the load first — the motor init may depend on omega
         (physical_systems.py:816-847)."""
         mp = self.mp
-        k_motor, k_load, k_sup = jax.random.split(key, 3)
-        mech_state = self._sample_load(k_load).astype(self.dtype)
-        motor_state = self._sample_motor(k_motor).astype(self.dtype)
+        u_m, u_l, u_s = self._slice_reset_u(u)
+        mech_state = self._sample_load_u(u_l).astype(self.dtype)
+        motor_state = self._sample_motor_u(u_m).astype(self.dtype)
         ode_state = jnp.concatenate([mech_state, motor_state])
-        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup, sup_state = self.supply.reset_u(self.sp, u_s)
         u_sup = u_sup.astype(self.dtype)
         eps = ode_state[self.eps_idx]
         eps = jnp.where(eps > jnp.pi, eps - 2 * jnp.pi, eps)
@@ -795,13 +841,13 @@ class DFIMSystem(SCIMSystem):
         psi_r = self._flux(ode)
         return psi_r / l_r - mp["l_m"] / l_r * i_s
 
-    def reset(self, key):
+    def reset_from_u(self, u):
         mp = self.mp
-        k_motor, k_load, k_sup = jax.random.split(key, 3)
-        mech_state = self._sample_load(k_load).astype(self.dtype)
-        motor_state = self._sample_motor(k_motor).astype(self.dtype)
+        u_m, u_l, u_s = self._slice_reset_u(u)
+        mech_state = self._sample_load_u(u_l).astype(self.dtype)
+        motor_state = self._sample_motor_u(u_m).astype(self.dtype)
         ode_state = jnp.concatenate([mech_state, motor_state])
-        u_sup, sup_state = self.supply.reset(self.sp, k_sup)
+        u_sup, sup_state = self.supply.reset_u(self.sp, u_s)
         u_sup = u_sup.astype(self.dtype)
         eps_el = ode_state[self.eps_idx]
         eps_el = jnp.where(eps_el > jnp.pi, eps_el - 2 * jnp.pi, eps_el)

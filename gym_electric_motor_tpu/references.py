@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .utils import rng
+
 P_SIGMA, P_AMPLITUDE, P_FREQUENCY, P_OFFSET, P_PHASE, P_WIDTH = range(6)
 N_P = 6
 
@@ -91,19 +93,19 @@ class ScalarRefSpec:
 
     # ---------------- device functions ----------------
 
-    def _draw_params(self, key, mlo=None, mhi=None):
-        """Draw per-sub-episode parameters; returns (ep_len, p[6]).
+    def _draw_params(self, u, mlo=None, mhi=None):
+        """Per-sub-episode parameters from a uniform block ``u`` (>= 6 slots);
+        returns (ep_len, p[6]).
 
         ``mlo``/``mhi`` are the (possibly dynamic) limit margins carried in
         the generator state — dynamic so curriculum callbacks like
         RampingLimitMargin (callbacks.py:11-125) can widen them per episode
-        without recompilation."""
+        without recompilation.  The caller supplies the uniforms so reset /
+        advance each cost exactly ONE bits pass — the per-step hot path
+        evaluates this under vmap even on non-regen steps, so the RNG pass
+        count dominates the general-path step time (utils/rng.py)."""
         if mlo is None:
             mlo, mhi = self.margin
-        # ONE vector uniform draw instead of 7 key splits — the per-step
-        # hot path evaluates this under vmap even on non-regen steps, so the
-        # RNG op count matters (measured ~30% of the full env step)
-        u = jax.random.uniform(key, (6,))
         lo, hi = self.episode_lengths
         ep_len = jnp.floor(float(lo) + (float(hi) - float(lo)) * u[0]).astype(jnp.int32)
         p = jnp.zeros((N_P,))
@@ -173,31 +175,48 @@ class ScalarRefSpec:
     def reset(self, key, initial_reference=None):
         """Returns (state dict, initial reference value, first observation)."""
         if self.kind == "const":
+            return self.reset_from(key, None)
+        # ONE PRNG pass total (successor key + uniform block share a
+        # threefry evaluation); all draws come from the block via inverse
+        # CDFs (utils/rng.py)
+        key_next, u = rng.split_and_uniforms(key, 8)
+        return self.reset_from(key_next, u, initial_reference)
+
+    # number of uniforms reset_from consumes (env.reset mints the blocks of
+    # every module from one PRNG pass, core.py)
+    @property
+    def reset_n_u(self):
+        return 0 if self.kind == "const" else 8
+
+    def reset_from(self, key_state, u, initial_reference=None):
+        """Reset from a pre-minted carried key and uniform block
+        (``u: (reset_n_u,)``; None for const)."""
+        if self.kind == "const":
             value = jnp.asarray(self.reference_value)
             state = dict(value=value, k=jnp.zeros((), jnp.int32),
-                         ep_len=jnp.zeros((), jnp.int32), p=jnp.zeros((N_P,)), key=key,
+                         ep_len=jnp.zeros((), jnp.int32), p=jnp.zeros((N_P,)),
+                         key=key_state,
                          mlo=jnp.asarray(float(self.reference_value)),
                          mhi=jnp.asarray(float(self.reference_value)))
             return state, value, value
-        k_init, k_regen, key_next = jax.random.split(key, 3)
+        key_next = key_state
         mlo = jnp.asarray(float(self.margin[0]))
         mhi = jnp.asarray(float(self.margin[1]))
         if initial_reference is not None:
             value0 = jnp.asarray(initial_reference)
         elif self.kind == "wiener":
             lo, hi = self.initial_range
-            value0 = _uniform_in(k_init, float(lo), float(hi))
+            value0 = (float(hi) - float(lo)) * u[7] + float(lo)
         else:
             value0 = jnp.zeros(())
-        ep_len, p = self._draw_params(k_regen, mlo, mhi)
+        ep_len, p = self._draw_params(u, mlo, mhi)
         # first observation = the value at k=0 of the fresh sub-episode; no
         # regen can trigger at k=0 (ep_len >= 1), so the advance step is
         # inlined without the (vmap-costly) cond-regen branch
         if self.kind in ("wiener", "laplace"):
-            key_draw, key_next = jax.random.split(key_next)
             sigma = p[P_SIGMA]
-            draw = sigma * (jax.random.normal(key_draw, ()) if self.kind == "wiener"
-                            else jax.random.laplace(key_draw, ()))
+            draw = sigma * (rng.normal_from_u(u[6]) if self.kind == "wiener"
+                            else rng.laplace_from_u(u[6]))
             obs = jnp.clip(value0 + draw, mlo, mhi)
         else:
             obs = self._closed_form(p, jnp.zeros((), jnp.int32), mlo, mhi)
@@ -215,23 +234,26 @@ class ScalarRefSpec:
         if self.kind == "const":
             return state, state["value"]
 
+        # ONE PRNG pass per step (successor key + uniform block share a
+        # threefry evaluation); the regen branch consumes u[0:6], the value
+        # draw u[6] — distinct components of the same block
+        key_next, u = rng.split_and_uniforms(state["key"], 7)
+        state = {**state, "key": key_next}
+
         def regen(st):
-            k_regen, k_draw, key_next = jax.random.split(st["key"], 3)
-            ep_len, p = self._draw_params(k_regen, st["mlo"], st["mhi"])
-            return {**st, "k": jnp.zeros((), jnp.int32), "ep_len": ep_len,
-                    "p": p, "key": key_next}
+            ep_len, p = self._draw_params(u, st["mlo"], st["mhi"])
+            return {**st, "k": jnp.zeros((), jnp.int32), "ep_len": ep_len, "p": p}
 
         state = jax.lax.cond(state["k"] >= state["ep_len"], regen, lambda st: st, state)
 
         if self.kind in ("wiener", "laplace"):
-            key_draw, key_next = jax.random.split(state["key"])
             sigma = state["p"][P_SIGMA]
             if self.kind == "wiener":
-                draw = sigma * jax.random.normal(key_draw, ())
+                draw = sigma * rng.normal_from_u(u[6])
             else:
-                draw = sigma * jax.random.laplace(key_draw, ())
+                draw = sigma * rng.laplace_from_u(u[6])
             value = jnp.clip(state["value"] + draw, state["mlo"], state["mhi"])
-            new = {**state, "value": value, "k": state["k"] + 1, "key": key_next}
+            new = {**state, "value": value, "k": state["k"] + 1}
         else:
             value = self._closed_form(state["p"], state["k"], state["mlo"], state["mhi"])
             new = {**state, "value": value, "k": state["k"] + 1}
@@ -402,10 +424,39 @@ class ReferenceSpec:
     def reset(self, key):
         if not self.subs:  # ZeroReferenceGenerator (zero_reference_generator.py:7-22)
             return (), jnp.zeros((self.n_states,)), jnp.zeros((0,))
-        keys = jax.random.split(key, len(self.subs))
+        # the single-generator case (most catalog envs) uses the key directly
+        # — one fewer PRNG pass on the per-step autoreset path
+        keys = [key] if len(self.subs) == 1 else jax.random.split(key, len(self.subs))
         states, values0, obs = [], [], []
         for s, k in zip(self.subs, keys):
             st, v0, ob = s.reset(k)
+            states.append(st)
+            values0.append(v0)
+            obs.append(ob)
+        ref_array = self.to_reference_array(jnp.stack(values0))
+        return tuple(states), ref_array, jnp.stack(obs)
+
+    @property
+    def reset_n_u(self):
+        """Total uniforms ``reset_from`` consumes, or None when a sub
+        cannot be pre-minted (SwitchedRefSpec draws its own schedule)."""
+        ns = [getattr(s, "reset_n_u", None) for s in self.subs]
+        if any(n is None or not hasattr(s, "reset_from")
+               for n, s in zip(ns, self.subs)):
+            return None
+        return sum(ns)
+
+    def reset_from(self, sub_keys, u):
+        """Reset every sub from pre-minted carried keys + one uniform block
+        (layout: each sub's ``reset_n_u`` slots in order)."""
+        if not self.subs:
+            return (), jnp.zeros((self.n_states,)), jnp.zeros((0,))
+        states, values0, obs = [], [], []
+        o = 0
+        for s, k in zip(self.subs, sub_keys):
+            n = s.reset_n_u
+            st, v0, ob = s.reset_from(k, u[o:o + n] if n else None)
+            o += n
             states.append(st)
             values0.append(v0)
             obs.append(ob)
@@ -428,11 +479,19 @@ class ReferenceSpec:
         return jnp.stack([st["value"] for st in states])
 
     def to_reference_array(self, values):
-        """Scatter the per-generator values into a full state-sized array."""
-        ref = jnp.zeros((self.n_states,), dtype=values.dtype if values.size else jnp.float32)
+        """Place the per-generator values into a full state-sized array.
+
+        Written as a static gather (values[perm] with a zero sentinel slot)
+        rather than a scatter — this runs every step and scatters don't fuse
+        on TPU."""
         if not len(self.ref_indices):
-            return ref
-        return ref.at[jnp.asarray(self.ref_indices)].set(values)
+            return jnp.zeros((self.n_states,),
+                             dtype=values.dtype if values.size else jnp.float32)
+        pos = {int(i): j for j, i in enumerate(self.ref_indices)}
+        perm = np.array([pos.get(i, len(self.subs)) for i in range(self.n_states)],
+                        dtype=np.int32)
+        padded = jnp.concatenate([values, jnp.zeros((1,), values.dtype)])
+        return padded[jnp.asarray(perm)]
 
 
 # Convenience constructors mirroring the reference class names -------------

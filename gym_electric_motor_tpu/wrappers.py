@@ -97,8 +97,24 @@ class PhysicalSystemWrapper:
 
     # -- device functions (default: passthrough) --
 
+    @property
+    def reset_n_u(self):
+        """Uniform slots the composed reset consumes; None disables the
+        env's single-pass reset fast path (core.py) — wrappers that draw
+        their own randomness (StateNoiseProcessor) override with None."""
+        return getattr(self.inner, "reset_n_u", None)
+
     def reset(self, key):
-        return self.inner.reset(key)
+        return self._wrap_reset(*self.inner.reset(key))
+
+    def reset_from_u(self, u):
+        return self._wrap_reset(*self.inner.reset_from_u(u))
+
+    def _wrap_reset(self, state, system_state):
+        """Hook: build the wrapper state / transform the observation from
+        the inner reset result (key-free for every wrapper except
+        StateNoiseProcessor, which overrides reset itself)."""
+        return state, system_state
 
     def simulate(self, state, action, noise=None):
         return self.inner.simulate(state, action, noise)
@@ -135,8 +151,7 @@ class CosSinProcessor(PhysicalSystemWrapper):
         out = system_state[jnp.asarray(self._keep)]
         return jnp.concatenate([out, jnp.stack([jnp.cos(angle), jnp.sin(angle)])])
 
-    def reset(self, key):
-        state, system_state = self.inner.reset(key)
+    def _wrap_reset(self, state, system_state):
         return state, self._transform(system_state)
 
     def simulate(self, state, action, noise=None):
@@ -173,8 +188,7 @@ class CurrentSumProcessor(PhysicalSystemWrapper):
         s = jnp.sum(system_state[jnp.asarray(self._idx)])
         return jnp.concatenate([system_state, jnp.stack([s])])
 
-    def reset(self, key):
-        state, system_state = self.inner.reset(key)
+    def _wrap_reset(self, state, system_state):
         return state, self._transform(system_state)
 
     def simulate(self, state, action, noise=None):
@@ -203,8 +217,7 @@ class DeadTimeProcessor(PhysicalSystemWrapper):
             return jnp.zeros((len(self.inner.action_space[1]),), jnp.int32)
         return jnp.zeros(np.asarray(self.inner.action_space[1]).shape, jnp.float32)
 
-    def reset(self, key):
-        state, system_state = self.inner.reset(key)
+    def _wrap_reset(self, state, system_state):
         zero = self._zero_action()
         buf = jnp.stack([zero] * self.dead_time)
         return WrappedState(inner=state, extra=buf), system_state
@@ -249,8 +262,7 @@ class FluxObserver(PhysicalSystemWrapper):
         self.state_positions = {n: i for i, n in enumerate(self.state_names)}
         return self
 
-    def reset(self, key):
-        state, system_state = self.inner.reset(key)
+    def _wrap_reset(self, state, system_state):
         psi = jnp.zeros((2,), dtype=system_state.dtype)
         out = jnp.concatenate([system_state, jnp.zeros((2,), system_state.dtype)])
         return WrappedState(inner=state, extra=psi), out
@@ -315,6 +327,12 @@ class StateNoiseProcessor(PhysicalSystemWrapper):
     def _apply(self, key, system_state):
         noise = self._draw(key, system_state.dtype)
         return system_state.at[jnp.asarray(self._idx)].add(noise)
+
+    @property
+    def reset_n_u(self):
+        # draws its own noise + carries a key: opts out of the env's
+        # single-pass reset fast path
+        return None
 
     def reset(self, key):
         k_inner, k_noise, k_carry = jax.random.split(key, 3)
@@ -388,8 +406,7 @@ class DqToAbcActionProcessor(PhysicalSystemWrapper):
     def _abc_action(self, action, denorm_state):
         return dq_to_abc(action, self._advance_angle(denorm_state))
 
-    def reset(self, key):
-        state, system_state = self.inner.reset(key)
+    def _wrap_reset(self, state, system_state):
         denorm = system_state * jnp.asarray(self.inner.limits, system_state.dtype)
         return WrappedState(inner=state, extra=denorm), system_state
 
