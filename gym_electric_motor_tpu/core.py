@@ -245,11 +245,21 @@ class ElectricMotorEnvironment:
     def step_autoreset(self, state: EnvState, action):
         """Step with in-kernel episode auto-reset.
 
-        On termination the env re-initializes from a key folded with the
-        episode counter — the functional analogue of the reference's
-        ``next_generator()`` per-episode reseeding (random_component.py:85-87)
-        which keeps episode k reproducible regardless of episode lengths.
+        On termination the env re-initializes from a per-episode key — the
+        functional analogue of the reference's ``next_generator()``
+        per-episode reseeding (random_component.py:85-87) which keeps
+        episode k reproducible regardless of episode lengths.
         """
+        merged, obs, reward, terminated, _final = self.step_autoreset_full(
+            state, action)
+        return merged, obs, reward, terminated
+
+    def step_autoreset_full(self, state: EnvState, action):
+        """``step_autoreset`` that additionally returns the terminal
+        observation (the one the autoreset replaces) — the gymnasium
+        SAME_STEP vector convention surfaces it as ``infos["final_obs"]``
+        (envs/gymnasium_interop.py).  Unused outputs are dead-code
+        eliminated, so this costs nothing when the final obs is dropped."""
         new_state, obs, reward, terminated = self.step(state, action)
         episode = state.episode + terminated.astype(jnp.int32)
         if self.physical_system.load.needs_noise:
@@ -276,8 +286,9 @@ class ElectricMotorEnvironment:
         # only; wrapped systems nest their state)
         if getattr(state.phys, "mp", None) is not None:
             merged = merged.replace(phys=merged.phys.replace(mp=state.phys.mp))
+        final_obs = obs
         obs = tuple(jax.tree.map(pick, reset_obs, obs))
-        return merged, obs, reward, terminated
+        return merged, obs, reward, terminated, final_obs
 
     def randomize_motor_parameters(self, state: EnvState, key, spread=0.1, params=None):
         """Per-env multiplicative domain randomization of the motor

@@ -109,6 +109,89 @@ def make_env(env_id, **kwargs):
     return GymnasiumGemEnv(env_id, **kwargs)
 
 
+class GymnasiumVectorGemEnv(gymnasium.vector.VectorEnv):
+    """``gymnasium.vector.VectorEnv`` over the vmapped on-device batch.
+
+    Unlike ``SyncVectorEnv`` around N host envs, the whole batch steps as ONE
+    jitted device program (the reference has no vector path at all), so any
+    gymnasium-vector RL stack gets the TPU throughput unchanged:
+
+        venv = gymnasium.make_vec("Finite-CC-PMSM-v0", num_envs=4096)
+
+    Autoreset follows the SAME_STEP convention (the in-kernel autoreset
+    returns the fresh episode's observation on the terminating step); the
+    replaced terminal observation is surfaced as ``infos["final_obs"]`` with
+    the standard ``_final_obs`` mask.
+    """
+
+    metadata = {"autoreset_mode": gymnasium.vector.AutoresetMode.SAME_STEP}
+
+    def __init__(self, env_id, num_envs=1, seed=0, **kwargs):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax, self._jnp = jax, jnp
+        core = catalog.make_functional(env_id, **kwargs)
+        self._core = core
+        self.num_envs = int(num_envs)
+        self.spec = None
+        self.render_mode = None
+        self.single_action_space = to_gymnasium_space(core.action_space)
+        state_box, ref_box = core.observation_space
+        self.single_observation_space = spaces.Tuple(
+            (to_gymnasium_space(state_box), to_gymnasium_space(ref_box))
+        )
+        batch = gymnasium.vector.utils.batch_space
+        self.observation_space = batch(self.single_observation_space, self.num_envs)
+        self.action_space = batch(self.single_action_space, self.num_envs)
+        self._reset_fn = jax.jit(jax.vmap(core.reset))
+        self._step_fn = jax.jit(jax.vmap(core.step_autoreset_full))
+        self._state = None
+        self._key = jax.random.PRNGKey(seed)
+
+    # -- gymnasium.vector API --
+
+    @staticmethod
+    def _np_obs(obs):
+        state, ref = obs
+        return (np.asarray(state, dtype=np.float64),
+                np.asarray(ref, dtype=np.float64))
+
+    def reset(self, *, seed=None, options=None):
+        # gymnasium semantics: an explicit seed restarts the stream; an
+        # unseeded reset continues it (fresh episodes each call)
+        if seed is not None:
+            self._key = self._jax.random.PRNGKey(seed)
+        self._key, k = self._jax.random.split(self._key)
+        keys = self._jax.random.split(k, self.num_envs)
+        self._state, obs = self._reset_fn(keys)
+        return self._np_obs(obs), {}
+
+    def step(self, actions):
+        actions = self._jnp.asarray(np.asarray(actions))
+        self._state, obs, reward, terminated, final_obs = self._step_fn(
+            self._state, actions)
+        term = np.asarray(terminated)
+        infos = {}
+        if term.any():
+            fs, fr = self._np_obs(final_obs)
+            final = np.empty(self.num_envs, dtype=object)
+            for i in np.flatnonzero(term):
+                final[i] = (fs[i], fr[i])
+            infos["final_obs"] = final
+            infos["_final_obs"] = term.copy()
+        return (self._np_obs(obs), np.asarray(reward, dtype=np.float64),
+                term, np.zeros(self.num_envs, dtype=bool), infos)
+
+    def close_extras(self, **kwargs):
+        pass
+
+
+def make_vector_env(env_id, num_envs=1, **kwargs):
+    """Vector registry entry point (``gymnasium.make_vec``)."""
+    return GymnasiumVectorGemEnv(env_id, num_envs=num_envs, **kwargs)
+
+
 _registered = False
 
 
@@ -136,6 +219,9 @@ def register_all(force=False):
         gymnasium.register(
             id=env_id,
             entry_point="gym_electric_motor_tpu.envs.gymnasium_interop:make_env",
+            vector_entry_point=(
+                "gym_electric_motor_tpu.envs.gymnasium_interop:make_vector_env"
+            ),
             kwargs={"env_id": env_id},
         )
     _registered = True

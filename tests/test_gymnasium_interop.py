@@ -135,3 +135,47 @@ def test_step_after_termination_enforced():
     with pytest.raises(Exception):
         env.step(0)  # step before reset must fail
     env.close()
+
+
+# ---------------------------------------------------------------------------
+# Vector API: gymnasium.make_vec over the vmapped device batch (round 3)
+# ---------------------------------------------------------------------------
+
+def test_make_vec_batched_device_stepping():
+    """gymnasium.make_vec drives the whole env batch as one jitted program
+    (vector_entry_point registration; the reference has no vector path)."""
+    venv = gymnasium.make_vec("Finite-CC-PMSM-v0", num_envs=8)
+    assert venv.num_envs == 8
+    assert (venv.metadata["autoreset_mode"]
+            == gymnasium.vector.AutoresetMode.SAME_STEP)
+    obs, info = venv.reset(seed=3)
+    assert obs[0].shape == (8,) + venv.single_observation_space[0].shape
+    assert obs[1].shape == (8,) + venv.single_observation_space[1].shape
+    rng = np.random.default_rng(0)
+    total_term = 0
+    for _ in range(40):
+        actions = rng.integers(venv.single_action_space.n, size=8)
+        obs, rewards, terms, truncs, infos = venv.step(actions)
+        assert rewards.shape == (8,) and terms.dtype == bool
+        assert not truncs.any()
+        assert np.isfinite(obs[0]).all() and np.isfinite(rewards).all()
+        if terms.any():
+            total_term += int(terms.sum())
+            # SAME_STEP convention: terminal obs surfaced in infos
+            assert infos["_final_obs"].shape == (8,)
+            for i in np.flatnonzero(terms):
+                fs, fr = infos["final_obs"][i]
+                assert fs.shape == venv.single_observation_space[0].shape
+    venv.close()
+
+
+def test_make_vec_reproducible_and_continuous_actions():
+    venv = gymnasium.make_vec("Cont-CC-PermExDc-v0", num_envs=4)
+    obs1, _ = venv.reset(seed=11)
+    a = np.full((4, 1), 0.3)
+    s1 = [venv.step(a)[0][0] for _ in range(5)]
+    obs2, _ = venv.reset(seed=11)
+    np.testing.assert_array_equal(obs1[0], obs2[0])
+    s2 = [venv.step(a)[0][0] for _ in range(5)]
+    np.testing.assert_array_equal(s1[-1], s2[-1])
+    venv.close()
