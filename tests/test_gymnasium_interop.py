@@ -44,6 +44,30 @@ def _make(env_id, **kw):
             gymnasium.registry[env_id] = spec
 
 
+def _make_vec(env_id, num_envs, **kw):
+    # Same registry-collision handling as ``_make``: make_vec must resolve
+    # OUR spec (the reference package registers the identical ids with no
+    # vector entry point, and the session-scoped ``reference_gem`` fixture
+    # pins the reference's specs back after its oracle makes).
+    spec = gymnasium.registry.get(env_id)
+    ours = spec is not None and "gym_electric_motor_tpu" in str(spec.entry_point)
+    if not ours:
+        gymnasium.registry.pop(env_id, None)
+        gymnasium.register(
+            id=env_id,
+            entry_point="gym_electric_motor_tpu.envs.gymnasium_interop:make_env",
+            vector_entry_point=(
+                "gym_electric_motor_tpu.envs.gymnasium_interop:make_vector_env"
+            ),
+            kwargs={"env_id": env_id},
+        )
+    try:
+        return gymnasium.make_vec(env_id, num_envs=num_envs, **kw)
+    finally:
+        if not ours and spec is not None:
+            gymnasium.registry[env_id] = spec
+
+
 def test_all_ids_registered():
     registry_ids = set(gymnasium.registry.keys())
     missing = [i for i in ENV_IDS if i not in registry_ids]
@@ -144,7 +168,7 @@ def test_step_after_termination_enforced():
 def test_make_vec_batched_device_stepping():
     """gymnasium.make_vec drives the whole env batch as one jitted program
     (vector_entry_point registration; the reference has no vector path)."""
-    venv = gymnasium.make_vec("Finite-CC-PMSM-v0", num_envs=8)
+    venv = _make_vec("Finite-CC-PMSM-v0", num_envs=8)
     assert venv.num_envs == 8
     assert (venv.metadata["autoreset_mode"]
             == gymnasium.vector.AutoresetMode.SAME_STEP)
@@ -170,7 +194,7 @@ def test_make_vec_batched_device_stepping():
 
 
 def test_make_vec_reproducible_and_continuous_actions():
-    venv = gymnasium.make_vec("Cont-CC-PermExDc-v0", num_envs=4)
+    venv = _make_vec("Cont-CC-PermExDc-v0", num_envs=4)
     obs1, _ = venv.reset(seed=11)
     a = np.full((4, 1), 0.3)
     s1 = [venv.step(a)[0][0] for _ in range(5)]
