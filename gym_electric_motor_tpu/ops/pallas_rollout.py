@@ -53,6 +53,36 @@ def _uniform_from_bits(bits):
             * np.float32(1.0 / (1 << 24)))
 
 
+def _fused_u_sup(ps):
+    """Supply voltage constant for fused kernels.
+
+    Only the ideal supply's compile-time constant is representable in the
+    kernels today (voltage_supplies.py:60-72); RC and AC supplies carry
+    per-step dynamics / per-episode random phases and run on the general XLA
+    path.  RC/AC specs also expose ``u_nominal``, so reading it without this
+    check would *silently* simulate them as ideal."""
+    if ps.supply.kind != "IdealVoltageSupply":
+        raise NotImplementedError(
+            f"fused kernels support IdealVoltageSupply only; got "
+            f"{ps.supply.kind!r} — use the general XLA path "
+            f"(VectorEnv.rollout)")
+    return float(ps.supply.u_nominal)
+
+
+def _fused_load(ps, kinds=("ConstantSpeedLoad", "PolynomialStaticLoad")):
+    """Load spec for fused kernels, restricted to the kinds the calling
+    kernel implements.  ExternalSpeedLoad (host-defined profile closure) and
+    OrnsteinUhlenbeckLoad (per-step noise stream) run on the general XLA
+    path; without this check they would fail with a cryptic KeyError or —
+    worse — a ``float(None)`` TypeError deep in the builder."""
+    if ps.load.kind not in kinds:
+        raise NotImplementedError(
+            f"this fused kernel supports loads {kinds}; got "
+            f"{ps.load.kind!r} — use the general XLA path "
+            f"(VectorEnv.rollout)")
+    return ps.load
+
+
 def _make_rng(interpret, state_ref):
     """In-kernel PRNG: ``(seed_fn, bits_fn)`` where ``bits_fn(shape)`` yields
     uint32 random bits.
@@ -110,9 +140,9 @@ class _PmsmCtx:
 
         r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
         psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
-        omega = float(ps.load.omega_fixed)
+        omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
         self.tau = tau = float(ps.tau)
-        u_sup = float(ps.supply.u_nominal)
+        u_sup = _fused_u_sup(ps)
         self.i_lim = float(lim[names.index("i_sd")])
         # Wiener margins: nominal/limit ratio times the state-space bounds
         self.margin = float(ps.nominal_state[names.index("i_sd")] / self.i_lim)
@@ -574,9 +604,9 @@ class _PermExCtx:
 
         r_a, l_a, psi_e = (float(mp["r_a"]), float(mp["l_a"]),
                            float(mp["psi_e"]))
-        omega = float(ps.load.omega_fixed)
+        omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
         self.tau = tau = float(ps.tau)
-        u_sup = float(ps.supply.u_nominal)
+        u_sup = _fused_u_sup(ps)
         self.i_lim = float(lim[names.index("i")])
         self.margin = float(ps.nominal_state[names.index("i")] / self.i_lim)
         self.w_over_span = 1.0 / 2.0
@@ -894,9 +924,9 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
     assert kind in ("SeriesDc", "ShuntDc"), kind
 
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     l_p = float(mp["l_e_prime"])
-    lp = ps.load.parameter
+    lp = _fused_load(ps, ("PolynomialStaticLoad",)).parameter
     a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
     j_total = float(ps.load.j_load) + float(mp["j_rotor"])
     tau_decay = 1e-3
@@ -1112,7 +1142,7 @@ def _dc_family(env, R, action_mode):
     n_ch = 2 if kind == "ExtExDc" else 1
 
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     shape = (R, LANE)
 
     # --- electrical model (constants baked from the motor spec) ---
@@ -1157,7 +1187,7 @@ def _dc_family(env, R, action_mode):
     el_lims = tuple(float(lim[names.index(n)]) for n in el_names)
 
     # --- mechanical model ---
-    mech = ps.load.omega_fixed is None  # SC: PolynomialStaticLoad
+    mech = _fused_load(ps).omega_fixed is None  # SC: PolynomialStaticLoad
     w_lim = float(lim[names.index("omega")])
     if mech:
         lp = ps.load.parameter
@@ -1177,7 +1207,7 @@ def _dc_family(env, R, action_mode):
             w, el = state[0], state[1:]
             return (mech_rhs(w, el),) + el_rhs(w, el, u)
     else:
-        omega_fixed = float(ps.load.omega_fixed)
+        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
 
         def rhs(state, u):
             return el_rhs(omega_fixed, state, u)
@@ -1819,13 +1849,13 @@ def _sync_family(env, R, action_mode):
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
     psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     t_lim = float(lim[names.index("torque")])
     w_lim = float(lim[names.index("omega")])
     shape = (R, LANE)
 
-    mech = ps.load.omega_fixed is None
+    mech = _fused_load(ps).omega_fixed is None
     COS_D = SIN_D = None
     if mech:
         lp = ps.load.parameter
@@ -1834,7 +1864,7 @@ def _sync_family(env, R, action_mode):
         tau_decay = 1e-3
         omega_lin = a_c / j_total * tau_decay
     else:
-        omega_fixed = float(ps.load.omega_fixed)
+        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
 
@@ -2187,9 +2217,9 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
     c_u = 1.0 / (sigma * l_s)
     k_t = 1.5 * p * l_m / l_r
 
-    omega = float(ps.load.omega_fixed)
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
     tau = float(ps.tau)
-    u_half = 0.5 * float(ps.supply.u_nominal)
+    u_half = 0.5 * _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     t_lim = float(lim[names.index("torque")])
     t_margin = float(ps.nominal_state[names.index("torque")] / t_lim)
@@ -2378,13 +2408,13 @@ def _induction_family(env, R, action_mode):
     k_t = 1.5 * p * l_m / l_r
 
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     t_lim = float(lim[names.index("torque")])
     w_lim = float(lim[names.index("omega")])
     shape = (R, LANE)
 
-    mech = ps.load.omega_fixed is None
+    mech = _fused_load(ps).omega_fixed is None
     if mech:
         lp = ps.load.parameter
         a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
@@ -2392,7 +2422,7 @@ def _induction_family(env, R, action_mode):
         tau_decay = 1e-3
         omega_lin = a_c / j_total * tau_decay
     else:
-        omega_fixed = float(ps.load.omega_fixed)
+        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
 
     def el_rhs(w, el, u_al, u_be):
         i_sa, i_sb, ps_a, ps_b = el
@@ -2729,9 +2759,9 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
     sig = 1.0 - l_M**2 / (mp["l_d"] * l_E)
     r_s, l_d, l_q, p, k_e = mp["r_s"], mp["l_d"], mp["l_q"], mp["p"], mp["k"]
 
-    omega = float(ps.load.omega_fixed)
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     ie_lim = float(lim[names.index("i_e")])
     m_sd = float(ps.nominal_state[names.index("i_sd")] / i_lim)
@@ -2957,14 +2987,14 @@ def _eesm_family(env, R, action_mode):
     r_s, l_d, l_q, p, k_e = mp["r_s"], mp["l_d"], mp["l_q"], mp["p"], mp["k"]
 
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     ie_lim = float(lim[names.index("i_e")])
     t_lim = float(lim[names.index("torque")])
     w_lim = float(lim[names.index("omega")])
     shape = (R, LANE)
 
-    mech = ps.load.omega_fixed is None
+    mech = _fused_load(ps).omega_fixed is None
     COS_D = SIN_D = None
     if mech:
         lpar = ps.load.parameter
@@ -2974,7 +3004,7 @@ def _eesm_family(env, R, action_mode):
         tau_decay = 1e-3
         omega_lin = a_c / j_total * tau_decay
     else:
-        omega_fixed = float(ps.load.omega_fixed)
+        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
 
@@ -3343,9 +3373,9 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
     c_u = 1.0 / (sg * l_s)
     c_ur = l_m / (sg * l_r * l_s)
 
-    omega = float(ps.load.omega_fixed)
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
     tau = float(ps.tau)
-    u_half = 0.5 * float(ps.supply.u_nominal)
+    u_half = 0.5 * _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
     w_over_span = 0.5 / 2.0
@@ -3583,13 +3613,13 @@ def _dfim_family(env, R, action_mode):
     k_t = 1.5 * p * l_m / l_r
 
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     t_lim = float(lim[names.index("torque")])
     w_lim = float(lim[names.index("omega")])
     shape = (R, LANE)
 
-    mech = ps.load.omega_fixed is None
+    mech = _fused_load(ps).omega_fixed is None
     COS_D = SIN_D = None
     if mech:
         lpar = ps.load.parameter
@@ -3599,7 +3629,7 @@ def _dfim_family(env, R, action_mode):
         tau_decay = 1e-3
         omega_lin = a_c / j_total * tau_decay
     else:
-        omega_fixed = float(ps.load.omega_fixed)
+        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
 
@@ -3993,9 +4023,9 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
     # physics constants (as in make_fused_pmsm_rollout)
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
     psi_p, p = float(mp["psi_p"]), float(mp["p"])
-    omega = float(ps.load.omega_fixed)
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
     tau = float(ps.tau)
-    u_half = 0.5 * float(ps.supply.u_nominal)
+    u_half = 0.5 * _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
     w_over_span = 0.5 / 2.0
@@ -4409,9 +4439,9 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
 
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
     psi_p, p = float(mp["psi_p"]), float(mp["p"])
-    omega = float(ps.load.omega_fixed)
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     omega_n = omega / float(lim[names.index("omega")])
     eps_lim = float(lim[names.index("epsilon")])  # pi
@@ -4669,9 +4699,9 @@ def make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=16, gamma=0.99,
 
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
     psi_p, p = float(mp["psi_p"]), float(mp["p"])
-    omega = float(ps.load.omega_fixed)
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
     tau = float(ps.tau)
-    u_sup = float(ps.supply.u_nominal)
+    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     omega_n = omega / float(lim[names.index("omega")])
     eps_lim = float(lim[names.index("epsilon")])
