@@ -103,6 +103,7 @@ class ConverterSpec:
     i_sup: Callable = None
     u_reset: np.ndarray = None  # converter.reset() output voltage fractions
     subsignal_voltage_dims: tuple = None  # for multi converters
+    sub_kinds: tuple = None  # sub-converter kinds (multi converters only)
     default_action: object = 0
 
     @property
@@ -530,6 +531,7 @@ def _multi(subs, finite: bool, tau, interlocking_time) -> ConverterSpec:
         i_sup=i_sup,
         u_reset=np.concatenate([s.u_reset for s in subs]),
         subsignal_voltage_dims=tuple(s.n_out for s in subs),
+        sub_kinds=tuple(s.kind for s in subs),
         default_action=default_action,
     )
 

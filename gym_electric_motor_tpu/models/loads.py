@@ -161,7 +161,11 @@ def ornstein_uhlenbeck_load(mu=0.0, sigma=1e-4, theta=1.0, tau=1e-4,
         kind="OrnsteinUhlenbeckLoad",
         state_names=("omega",),
         j_load=0.0,
-        parameter={},
+        # constants exposed for the fused kernels (the ode closure captures
+        # them; the XLA path never reads this dict)
+        parameter={"mu": float(mu), "sigma": float(sigma),
+                   "theta": float(theta), "tau": float(tau),
+                   "omega_lo": float(lo), "omega_hi": float(hi)},
         limits={},
         nominal={},
         initializer=initializer,

@@ -120,7 +120,11 @@ def _ac_supply(kind, u_nominal, supply_parameter, n_phase, max_amp):
         u_nominal=float(u_nominal),
         supply_range=(-max_amp, max_amp),
         voltage_len=n_phase,
-        parameter={"f": float(f), "max_amp": float(max_amp)},
+        # fixed_phase/phase exposed for the fused kernels (the closures
+        # capture them; the XLA path never reads these entries)
+        parameter={"f": float(f), "max_amp": float(max_amp),
+                   "fixed_phase": 1.0 if fixed_phi else 0.0,
+                   "phase": float(phi0)},
         get_voltage=get_voltage,
         reset_u=reset_u,
         n_reset_u=0 if fixed_phi else 1,

@@ -90,6 +90,15 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     R = n_envs // LANE
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     fs = _FAMILY_NAMESPACES[family](env, R, action_mode)
+    if (getattr(fs, "sup_mode", "ideal") != "ideal"
+            or getattr(fs, "mech_mode", None) == "ou"):
+        # the recorder's in-kernel reset zeroes every plane; AC/RC supply
+        # and OU-load planes need drawn/constant reset values the recorder
+        # does not implement yet — reject rather than record wrong physics
+        raise NotImplementedError(
+            "trajectory recording supports the ideal supply and "
+            "constant-speed/polynomial loads only; use the reducing "
+            "fused rollout or the general XLA path")
 
     n_state, n_ref = fs.n_state, fs.n_ref
     n_act = len(fs.act_names)

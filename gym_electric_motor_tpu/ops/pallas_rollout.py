@@ -1128,7 +1128,23 @@ def _dc_family(env, R, action_mode):
     """Shared DC-family physics/reward/action closures — consumed by BOTH
     the reducing rollout (``make_fused_dc_rollout``) and the generic
     trajectory recorder (``ops.pallas_record``) so the two kernels cannot
-    diverge (same pattern as ``_PmsmCtx``/``_PermExCtx``)."""
+    diverge (same pattern as ``_PmsmCtx``/``_PermExCtx``).
+
+    Covers the full DC env-arg space, not just the catalog defaults:
+
+    * converters: Finite/Cont 1QC/2QC/4QC (freewheeling kinds read the
+      pre-step motor current exactly like the env converter,
+      converters.py:218-496) and the ExtExDc dual-4QC multi converter;
+    * loads: ConstantSpeedLoad, PolynomialStaticLoad (omega~0
+      linearization) and OrnsteinUhlenbeckLoad (per-step normal,
+      ornstein_uhlenbeck_load.py);
+    * supplies: IdealVoltageSupply, AC1PhaseSupply (per-episode random
+      phase, voltage_supplies.py:126-166) and RCVoltageSupply (embedded
+      Euler, voltage_supplies.py:75-123).
+
+    Non-default supplies/loads add per-env state planes (see ``n_sup``);
+    ``fused_state_arity`` accounts for them.
+    """
     ps = env.physical_system
     mp = ps.motor.parameter
     names = list(ps.state_names)
@@ -1142,8 +1158,61 @@ def _dc_family(env, R, action_mode):
     n_ch = 2 if kind == "ExtExDc" else 1
 
     tau = float(ps.tau)
-    u_sup = _fused_u_sup(ps)
     shape = (R, LANE)
+
+    # --- converter law by kind (converters.py:218-496) ---
+    if n_ch == 2:
+        sub_kinds = getattr(conv, "sub_kinds", None) or ()
+        if tuple(sub_kinds) not in (("Finite-4QC", "Finite-4QC"),
+                                    ("Cont-4QC", "Cont-4QC")):
+            raise NotImplementedError(
+                f"fused ExtExDc kernels support the default dual-4QC multi "
+                f"converter; got {sub_kinds!r} — use the general XLA path")
+        conv_kinds = tuple(sub_kinds)
+    else:
+        if conv.kind not in ("Finite-1QC", "Finite-2QC", "Finite-4QC",
+                             "Cont-1QC", "Cont-2QC", "Cont-4QC"):
+            raise NotImplementedError(
+                f"fused DC kernels support 1QC/2QC/4QC converters; got "
+                f"{conv.kind!r} — use the general XLA path")
+        conv_kinds = (conv.kind,)
+
+    def conv_u(ck, a, i):
+        """per-channel action -> voltage fraction (pre-step current ``i``
+        drives the freewheeling body-diode branches, converters.py:277-287)"""
+        if ck == "Finite-1QC":
+            return jnp.where(i >= 0.0, a.astype(jnp.float32), 1.0)
+        if ck == "Finite-2QC":
+            free = jnp.where(i < 0.0, 1.0, 0.0)
+            return jnp.where(a == 1, 1.0, jnp.where(a == 2, 0.0, free))
+        if ck == "Finite-4QC":
+            # dual half-bridge, states never free: a=1 -> +1, a=2 -> -1
+            return (jnp.where(a == 1, 1.0, 0.0)
+                    - jnp.where(a == 2, 1.0, 0.0))
+        if ck == "Cont-1QC":
+            return jnp.where(i >= 0.0, jnp.clip(a, 0.0, 1.0), 1.0)
+        if ck == "Cont-2QC":
+            return jnp.clip(a, 0.0, 1.0)
+        # Cont-4QC: duty clip (converters.py:370-410) — matters for
+        # controller-in-the-loop callers whose cascade emits overmodulated
+        # duties during transients
+        return jnp.clip(a, -1.0, 1.0)
+
+    def conv_i_sup(ck, a, i):
+        """per-channel supply current (converters.py:289-298, 429-496)"""
+        if ck == "Finite-1QC":
+            return jnp.where(a == 1, i, 0.0)
+        if ck == "Finite-2QC":
+            free = jnp.where(i < 0.0, i, 0.0)
+            return jnp.where(a == 1, i, jnp.where(a == 2, 0.0, free))
+        if ck == "Finite-4QC":
+            # hb0 = 1 + (a >= 2), hb1 = 1 + (a & 1); i_sup = hb_i(s0, i)
+            # + hb_i(s1, -i) with states in {1, 2} (never freewheeling)
+            return (jnp.where(a <= 1, i, 0.0)
+                    + jnp.where((a == 0) | (a == 2), -i, 0.0))
+        if ck in ("Cont-1QC", "Cont-2QC"):
+            return jnp.clip(a, 0.0, 1.0) * i
+        return jnp.clip(a, -1.0, 1.0) * i  # Cont-4QC: d1*i + d2*(-i)
 
     # --- electrical model (constants baked from the motor spec) ---
     if kind == "PermExDc":
@@ -1156,6 +1225,9 @@ def _dc_family(env, R, action_mode):
 
         def torque(el):
             return psi_e * el[0]
+
+        def i_in_fn(el):
+            return (el[0],)
     elif kind == "SeriesDc":
         r_t = float(mp["r_a"]) + float(mp["r_e"])
         l_t = float(mp["l_a"]) + float(mp["l_e"])
@@ -1168,6 +1240,9 @@ def _dc_family(env, R, action_mode):
 
         def torque(el):
             return l_p * el[0] * el[0]
+
+        def i_in_fn(el):
+            return (el[0],)
     else:  # ShuntDc / ExtExDc share the 2-current ODE (dc_motor.py:96-127)
         r_a, r_e = float(mp["r_a"]), float(mp["r_e"])
         l_a, l_e = float(mp["l_a"]), float(mp["l_e"])
@@ -1183,63 +1258,164 @@ def _dc_family(env, R, action_mode):
         def torque(el):
             return l_p * el[0] * el[1]
 
+        if kind == "ShuntDc":
+            def i_in_fn(el):
+                return (el[0] + el[1],)  # i = i_a + i_e (dc_shunt_motor.py:68-92)
+        else:
+            def i_in_fn(el):
+                return (el[0], el[1])
+
     n_el = len(el_names)
     el_lims = tuple(float(lim[names.index(n)]) for n in el_names)
 
     # --- mechanical model ---
-    mech = _fused_load(ps).omega_fixed is None  # SC: PolynomialStaticLoad
+    load = _fused_load(ps, ("ConstantSpeedLoad", "PolynomialStaticLoad",
+                            "OrnsteinUhlenbeckLoad"))
     w_lim = float(lim[names.index("omega")])
-    if mech:
-        lp = ps.load.parameter
+    if load.kind == "PolynomialStaticLoad":
+        mech_mode = "poly"
+        lp = load.parameter
         a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
-        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
+        j_total = float(load.j_load) + float(mp["j_rotor"])
         tau_decay = 1e-3
         omega_lin = a_c / j_total * tau_decay
 
-        def mech_rhs(w, el):
+        def mech_rhs(w, el, z):
             sign = jnp.sign(w)
             a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
                                j_total / tau_decay * w)
             t_load = sign * c_c * w * w + b_c * w + a_term
             return (torque(el) - t_load) * (1.0 / j_total)
+    elif load.kind == "OrnsteinUhlenbeckLoad":
+        mech_mode = "ou"
+        lp = load.parameter
+        mu_l, theta_l = float(lp["mu"]), float(lp["theta"])
+        sigma_l, tau_l = float(lp["sigma"]), float(lp["tau"])
+        w_lo, w_hi = float(lp["omega_lo"]), float(lp["omega_hi"])
+        sig_sqrt_tau = sigma_l * float(np.sqrt(tau_l))
 
-        def rhs(state, u):
-            w, el = state[0], state[1:]
-            return (mech_rhs(w, el),) + el_rhs(w, el, u)
+        def mech_rhs(w, el, z):
+            # torque-independent OU speed process (loads.py factory;
+            # ornstein_uhlenbeck_load.py semantics)
+            diff = theta_l * (mu_l - w) * tau_l
+            if z is not None:
+                diff = diff + sig_sqrt_tau * z
+            return jnp.clip(diff, (w_lo - w) * (1.0 / tau_l),
+                            (w_hi - w) * (1.0 / tau_l))
     else:
-        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+        mech_mode = "const"
+        omega_fixed = float(load.omega_fixed)
 
-        def rhs(state, u):
-            return el_rhs(omega_fixed, state, u)
+    mech = mech_mode != "const"
+    needs_step_noise = mech_mode == "ou" and sigma_l > 0.0
 
-    n_state = n_el + (1 if mech else 0)
+    def core_rhs(core, u, z):
+        if not mech:
+            return el_rhs(omega_fixed, core, u)
+        w, el = core[0], core[1:]
+        return (mech_rhs(w, el, z),) + el_rhs(w, el, u)
 
-    # --- converter action law ---
-    def conv_u(a):
-        """per-channel action -> terminal voltage"""
-        if finite:
-            # 4QC table: a=1 -> +u_sup, a=2 -> -u_sup, else 0
-            return (jnp.where(a == 1, 1.0, 0.0)
-                    - jnp.where(a == 2, 1.0, 0.0)) * u_sup
-        # duty clip as in the env converter (converters.py:370-410) —
-        # matters for controller-in-the-loop callers whose cascade emits
-        # overmodulated duties during transients
-        return jnp.clip(a, -1.0, 1.0) * u_sup
+    # --- supply model ---
+    sup_kind = ps.supply.kind
+    sp_par = ps.supply.parameter
+    if sup_kind == "IdealVoltageSupply":
+        sup_mode, n_sup = "ideal", 0
+        u_sup_c = float(ps.supply.u_nominal)
 
-    def step_physics(state, acts):
-        u = tuple(conv_u(a) for a in acts)
+        def supply_u(sup, i_sup_val):
+            return u_sup_c, ()
+
+        def sup_reset(bits):
+            return ()
+    elif sup_kind == "AC1PhaseSupply":
+        # u_sup(t) = max_amp * sin(2 pi f t + phi), phi random per episode
+        # (voltage_supplies.py:126-166); state planes (phi, t)
+        sup_mode, n_sup = "ac1", 2
+        f_ac, amp_ac = float(sp_par["f"]), float(sp_par["max_amp"])
+        fixed_phase = float(sp_par.get("fixed_phase", 0.0)) > 0.0
+        phi0_ac = float(sp_par.get("phase", 0.0))
+
+        def supply_u(sup, i_sup_val):
+            phi, t_c = sup
+            u = amp_ac * jnp.sin(np.float32(TWO_PI * f_ac) * t_c + phi)
+            return u, (phi, t_c + tau)
+
+        def sup_reset(bits):
+            if fixed_phase:
+                phi = jnp.full(shape, np.float32(phi0_ac))
+            else:
+                phi = np.float32(TWO_PI) * _uniform_from_bits(bits(shape))
+            return (phi, jnp.zeros(shape, jnp.float32))
+    elif sup_kind == "RCVoltageSupply":
+        # embedded-Euler RC element (voltage_supplies.py:75-123); state
+        # planes (u_sup, t); dt = 0 on the first post-reset query
+        sup_mode, n_sup = "rc", 2
+        u0_rc, r_rc, c_rc = (float(sp_par["u_0"]), float(sp_par["R"]),
+                             float(sp_par["C"]))
+
+        def supply_u(sup, i_sup_val):
+            u, t_c = sup
+            dt = jnp.minimum(t_c, tau)
+            u_new = u + dt * ((u0_rc - u - r_rc * i_sup_val)
+                              * np.float32(1.0 / (r_rc * c_rc)))
+            return u_new, (u_new, t_c + tau)
+
+        def sup_reset(bits):
+            return (jnp.full(shape, np.float32(u0_rc)),
+                    jnp.zeros(shape, jnp.float32))
+    else:
+        raise NotImplementedError(
+            f"fused DC kernels support Ideal/AC1Phase/RC supplies; got "
+            f"{sup_kind!r} — use the general XLA path")
+
+    n_core = n_el + (1 if mech else 0)
+    n_state = n_core + n_sup
+
+    def split(state):
+        return state[:n_core], state[n_core:]
+
+    def step_physics(state, acts, z=None):
+        core, sup = split(state)
+        el_pre = core[1:] if mech else core
+        i_in = i_in_fn(el_pre)
+        if sup_mode == "rc":
+            i_sup_val = conv_i_sup(conv_kinds[0], acts[0], i_in[0])
+            for j in range(1, n_ch):
+                i_sup_val = i_sup_val + conv_i_sup(conv_kinds[j], acts[j],
+                                                   i_in[j])
+        else:
+            i_sup_val = None
+        u_sup_val, sup_new = supply_u(sup, i_sup_val)
+        u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
+                  for j in range(n_ch))
 
         def axpy(s, k, c):
             return tuple(si + c * ki for si, ki in zip(s, k))
 
-        k1 = rhs(state, u)
-        k2 = rhs(axpy(state, k1, 0.5 * tau), u)
-        k3 = rhs(axpy(state, k2, 0.5 * tau), u)
-        k4 = rhs(axpy(state, k3, tau), u)
-        return tuple(
+        k1 = core_rhs(core, u, z)
+        k2 = core_rhs(axpy(core, k1, 0.5 * tau), u, z)
+        k3 = core_rhs(axpy(core, k2, 0.5 * tau), u, z)
+        k4 = core_rhs(axpy(core, k3, tau), u, z)
+        core_new = tuple(
             s + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
-            for s, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
+            for s, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
+        return core_new + sup_new
+
+    def reset_state(bits):
+        """Per-plane in-kernel reset values (drawn fresh every step,
+        selected only on violation)."""
+        zero = jnp.zeros(shape, jnp.float32)
+        if mech_mode == "ou":
+            # omega ~ U(omega_lo, omega_hi) (loads.py initializer)
+            u_r = _uniform_from_bits(bits(shape))
+            core = (np.float32(w_lo) + np.float32(w_hi - w_lo) * u_r,) + \
+                (zero,) * n_el
+        elif mech:
+            core = (zero,) * n_core
+        else:
+            core = (zero,) * n_el
+        return core + sup_reset(bits)
 
     # --- references / reward / constraints from the env spec ---
     rw = env.reward_function
@@ -1254,7 +1430,7 @@ def _dc_family(env, R, action_mode):
     def ref_quantity(state, j):
         """normalized referenced quantity j of the post-step state"""
         nm = ref_cfg[j]["name"]
-        el = state[1:] if mech else state
+        el = state[1:1 + n_el] if mech else state[:n_el]
         if nm == "omega":
             return state[0] * np.float32(1.0 / w_lim)
         if nm == "torque":
@@ -1263,26 +1439,48 @@ def _dc_family(env, R, action_mode):
         return el[el_names.index(nm)] * ref_cfg[j]["inv_lim"]
 
     def violated_fn(state):
-        el = state[1:] if mech else state
+        el = state[1:1 + n_el] if mech else state[:n_el]
         v = jnp.abs(el[0]) > el_lims[0]
         for j in range(1, n_el):
             v = v | (jnp.abs(el[j]) > el_lims[j])
         return v
 
+    # --- random-action sampling matched to the converter action space ---
+    if finite:
+        act_ns = ((int(conv.action_space[1]),) if n_ch == 1
+                  else tuple(int(x) for x in conv.action_space[1]))
+    else:
+        act_lo = np.atleast_1d(np.asarray(conv.action_space[1], np.float32))
+        act_hi = np.atleast_1d(np.asarray(conv.action_space[2], np.float32))
+
     def _sample_actions(bits):
-        if finite and n_ch == 1:
+        if finite and act_ns == (4,):
             return ((bits(shape) & jnp.uint32(3)).astype(jnp.int32),)
-        if finite:
+        if finite and act_ns == (4, 4):
             b = bits(shape)
             return ((b & jnp.uint32(3)).astype(jnp.int32),
                     ((b >> jnp.uint32(2)) & jnp.uint32(3)).astype(jnp.int32))
-        if n_ch == 1:
-            return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,)
-        return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
-                2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+        if finite:
+            acts = []
+            for n in act_ns:
+                if n & (n - 1) == 0:  # power of two: exact mask
+                    acts.append((bits(shape) & jnp.uint32(n - 1))
+                                .astype(jnp.int32))
+                else:
+                    u = _uniform_from_bits(bits(shape))
+                    acts.append(jnp.minimum(
+                        jnp.floor(u * np.float32(n)).astype(jnp.int32),
+                        n - 1))
+            return tuple(acts)
+        return tuple(
+            np.float32(act_lo[j]) + np.float32(act_hi[j] - act_lo[j])
+            * _uniform_from_bits(bits(shape))
+            for j in range(n_ch))
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
-    state_names = (("omega",) if mech else ()) + el_names
+    sup_names = {"ideal": (), "ac1": ("sup_phi", "sup_t"),
+                 "rc": ("u_sup", "sup_t")}[sup_mode]
+    state_names = (("omega",) if mech else ()) + el_names + sup_names
     act_names = ("action",) if n_ch == 1 else ("action_a", "action_e")
     act_dtype = jnp.int32 if finite else jnp.float32
 
@@ -1308,6 +1506,8 @@ def _dc_family(env, R, action_mode):
         sample_actions=_sample_actions, state_names=state_names,
         act_names=act_names, act_dtype=act_dtype, read_actions=read_actions,
         pre_step=pre_step, step=step, quantities=quantities,
+        mech_mode=mech_mode, sup_mode=sup_mode, n_sup=n_sup, n_core=n_core,
+        needs_step_noise=needs_step_noise, reset_state=reset_state,
     )
 
 
@@ -1372,7 +1572,15 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
 
         def body(t, _):
             acts = _sample_actions(bits)
-            state = _step_physics(tuple(o[:] for o in out_state), acts)
+            if fs.needs_step_noise:
+                # one standard normal per env step for the OU speed load
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                z = (jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                     * jnp.cos(np.float32(TWO_PI) * u2))
+            else:
+                z = None
+            state = _step_physics(tuple(o[:] for o in out_state), acts, z)
 
             violated = violated_fn(state)
             refs_now = rv_ref[:]
@@ -1384,9 +1592,8 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
-            zero = jnp.zeros(shape, jnp.float32)
-            for o, s in zip(out_state, state):
-                o[:] = jnp.where(violated, zero, s)
+            for o, s, r0 in zip(out_state, state, fs.reset_state(bits)):
+                o[:] = jnp.where(violated, r0, s)
 
             w_advance(t, violated)
             return 0
@@ -1415,6 +1622,11 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
+
+    if action_mode == "buffer":
+        assert not fs.needs_step_noise, (
+            "buffer (bit-validation) mode needs deterministic physics; "
+            "set the OU load's sigma to 0")
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -4257,6 +4469,9 @@ def make_fused_dc_cascade_rollout(env, ctrl, n_steps, n_envs,
     R = n_envs // LANE
     fs = _dc_family(env, R, "random")
     assert fs.mech and fs.n_ch == 1 and not fs.finite and fs.n_ref == 1
+    assert fs.mech_mode == "poly" and fs.sup_mode == "ideal", (
+        "the DC cascade kernel implements the default SC configuration "
+        "(polynomial load, ideal supply)")
     n_state, shape, shape_r = fs.n_state, fs.shape, fs.shape_r
     ref_cfg, bias, violation_reward = fs.ref_cfg, fs.bias, fs.violation_reward
     assert ref_cfg[0]["name"] == "omega"
@@ -5013,12 +5228,18 @@ FUSED_FAMILY_BUILDERS = {
 
 def fused_state_arity(env):
     """Number of ``(R, LANE)`` state planes the universal fused rollout for
-    ``env`` takes/returns (omega only for dynamic-speed SC configs)."""
-    kind = env.physical_system.motor.kind
-    mech = 1 if env.physical_system.load.omega_fixed is None else 0
+    ``env`` takes/returns: omega for dynamic-speed (poly/OU load) configs,
+    plus two supply planes for the DC family's AC1/RC supply modes
+    ((phi, t) / (u_sup, t) — see ``_dc_family``)."""
+    ps = env.physical_system
+    kind = ps.motor.kind
+    mech = 1 if ps.load.omega_fixed is None else 0
     base = {"PermExDc": 1, "SeriesDc": 1, "ShuntDc": 2, "ExtExDc": 2,
             "PMSM": 3, "SynRM": 3, "SCIM": 4, "EESM": 4, "DFIM": 5}[kind]
-    return base + mech
+    sup = 2 if (kind in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc")
+                and ps.supply.kind in ("AC1PhaseSupply",
+                                       "RCVoltageSupply")) else 0
+    return base + mech + sup
 
 
 def make_fused_rollout(env, n_steps, n_envs, action_mode="random",

@@ -64,27 +64,31 @@ def test_non_wiener_reference_is_rejected_loudly():
 
 
 def test_fused_rejects_nonideal_supply_and_dynamic_loads():
-    """RC/AC supplies and OU/external loads carry per-step dynamics the
-    fused kernels do not implement; they must be rejected LOUDLY (their
-    specs also expose u_nominal, so an unchecked read would silently
-    simulate them as ideal — voltage_supplies.py:75-213)."""
+    """Supplies/loads a kernel does not implement must be rejected LOUDLY
+    (their specs also expose u_nominal, so an unchecked read would silently
+    simulate them as ideal — voltage_supplies.py:75-213).  The DC family
+    implements AC1/RC supplies and the OU load in-kernel; the three-phase
+    families and AC3 still route to the general XLA path."""
     from gym_electric_motor_tpu.envs.catalog import make_functional
     from gym_electric_motor_tpu.models.loads import ornstein_uhlenbeck_load
-    from gym_electric_motor_tpu.models.supplies import (
-        ac_1_phase_supply, rc_voltage_supply)
+    from gym_electric_motor_tpu.models.converters import (
+        cont_multi_converter, cont_two_quadrant_converter)
+    from gym_electric_motor_tpu.models.supplies import rc_voltage_supply
     from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
 
-    env = make_functional("Finite-CC-PermExDc-v0",
-                          supply=rc_voltage_supply(u_nominal=420.0))
-    with pytest.raises(NotImplementedError, match="IdealVoltageSupply"):
-        make_fused_rollout(env, 16, 128, interpret=True)
-
     env = make_functional("Cont-CC-PMSM-v0",
-                          supply=ac_1_phase_supply(u_nominal=230.0))
+                          supply=rc_voltage_supply(u_nominal=300.0))
     with pytest.raises(NotImplementedError, match="IdealVoltageSupply"):
         make_fused_rollout(env, 16, 128, interpret=True)
 
-    env = make_functional("Cont-CC-PermExDc-v0",
+    env = make_functional(
+        "Cont-CC-ExtExDc-v0",
+        converter=cont_multi_converter([cont_two_quadrant_converter(1e-4),
+                                        cont_two_quadrant_converter(1e-4)]))
+    with pytest.raises(NotImplementedError, match="dual-4QC"):
+        make_fused_rollout(env, 16, 128, interpret=True)
+
+    env = make_functional("Cont-CC-EESM-v0",
                           load=ornstein_uhlenbeck_load(sigma=1e-4))
     with pytest.raises(NotImplementedError, match="load"):
         make_fused_rollout(env, 16, 128, interpret=True)
