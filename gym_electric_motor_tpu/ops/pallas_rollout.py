@@ -83,6 +83,170 @@ def _fused_load(ps, kinds=("ConstantSpeedLoad", "PolynomialStaticLoad")):
     return ps.load
 
 
+def _make_fused_supply(ps, shape, tau):
+    """Supply model shared by every universal family builder — the
+    in-kernel counterpart of voltage_supplies.py.
+
+    Non-ideal supplies carry per-env dynamics as extra ``(R, LANE)`` state
+    planes appended after the family's core state.  Returned namespace:
+
+    * ``mode``: ``'ideal' | 'ac1' | 'rc'``; ``n_sup``: number of supply
+      planes (0 or 2); ``names``: their record-signal names;
+    * ``needs_i_sup``: True iff ``supply_u`` consumes the converter supply
+      current (the RC element, voltage_supplies.py:75-123);
+    * ``supply_u(sup_planes, i_sup) -> (u_sup, new_planes)``: the DC-link
+      voltage for this control cycle plus advanced planes;
+    * ``sup_reset(bits)``: per-episode reset plane values (AC1 draws the
+      random phase, voltage_supplies.py:126-166).
+
+    AC3PhaseSupply (``voltage_len == 3``) is rejected: polyphase supply
+    output only composes with NoConverter (grid simulation), which has no
+    fused kernel — the general XLA path covers it.
+    """
+    sup_kind = ps.supply.kind
+    sp_par = ps.supply.parameter
+
+    if sup_kind == "IdealVoltageSupply":
+        mode, n_sup, names, needs_i_sup = "ideal", 0, (), False
+        u_sup_c = float(ps.supply.u_nominal)
+
+        def supply_u(sup, i_sup_val):
+            return u_sup_c, ()
+
+        def sup_reset(bits):
+            return ()
+    elif sup_kind == "AC1PhaseSupply":
+        # u_sup(t) = max_amp * sin(2 pi f t + phi), phi random per episode
+        # (voltage_supplies.py:126-166); state planes (phi, t)
+        mode, n_sup, needs_i_sup = "ac1", 2, False
+        names = ("sup_phi", "sup_t")
+        f_ac, amp_ac = float(sp_par["f"]), float(sp_par["max_amp"])
+        fixed_phase = float(sp_par.get("fixed_phase", 0.0)) > 0.0
+        phi0_ac = float(sp_par.get("phase", 0.0))
+
+        def supply_u(sup, i_sup_val):
+            phi, t_c = sup
+            u = amp_ac * jnp.sin(np.float32(TWO_PI * f_ac) * t_c + phi)
+            return u, (phi, t_c + tau)
+
+        def sup_reset(bits):
+            if fixed_phase:
+                phi = jnp.full(shape, np.float32(phi0_ac))
+            else:
+                phi = np.float32(TWO_PI) * _uniform_from_bits(bits(shape))
+            return (phi, jnp.zeros(shape, jnp.float32))
+    elif sup_kind == "RCVoltageSupply":
+        # embedded-Euler RC element (voltage_supplies.py:75-123); state
+        # planes (u_sup, t); dt = 0 on the first post-reset query
+        mode, n_sup, needs_i_sup = "rc", 2, True
+        names = ("u_sup", "sup_t")
+        u0_rc, r_rc, c_rc = (float(sp_par["u_0"]), float(sp_par["R"]),
+                             float(sp_par["C"]))
+
+        def supply_u(sup, i_sup_val):
+            u, t_c = sup
+            dt = jnp.minimum(t_c, tau)
+            u_new = u + dt * ((u0_rc - u - r_rc * i_sup_val)
+                              * np.float32(1.0 / (r_rc * c_rc)))
+            return u_new, (u_new, t_c + tau)
+
+        def sup_reset(bits):
+            return (jnp.full(shape, np.float32(u0_rc)),
+                    jnp.zeros(shape, jnp.float32))
+    else:
+        raise NotImplementedError(
+            f"fused kernels support IdealVoltageSupply/AC1PhaseSupply/"
+            f"RCVoltageSupply; got {sup_kind!r} — use the general XLA "
+            f"path (VectorEnv.rollout)")
+
+    return SimpleNamespace(mode=mode, n_sup=n_sup, names=names,
+                           needs_i_sup=needs_i_sup, supply_u=supply_u,
+                           sup_reset=sup_reset)
+
+
+def _make_fused_mech(ps, j_rotor, shape):
+    """Mechanical model shared by every universal family builder.
+
+    Modes: ``'const'`` (ConstantSpeedLoad — ``omega_fixed``, no omega
+    plane), ``'poly'`` (PolynomialStaticLoad incl. the omega~0
+    linearization, polynomial_static_load.py:87-107) and ``'ou'``
+    (torque-independent Ornstein-Uhlenbeck speed process,
+    ornstein_uhlenbeck_load.py / the loads.py factory closure).
+
+    ``mech_rhs(w, t_e, z)`` is d(omega)/dt given the electrical torque
+    ``t_e`` and (OU only) the per-step standard normal ``z``;
+    ``omega_reset(bits)`` is the in-kernel autoreset plane value (OU draws
+    omega ~ U(omega_lo, omega_hi); poly resets to 0 without consuming
+    bits).  ``needs_step_noise`` tells the kernel to feed one Box-Muller
+    normal per step into the RK4 stages (constant across substages, like
+    the XLA path's per-step draw).
+    """
+    load = _fused_load(ps, ("ConstantSpeedLoad", "PolynomialStaticLoad",
+                            "OrnsteinUhlenbeckLoad"))
+    mech_rhs = omega_reset = None
+    omega_fixed = None
+    needs_step_noise = False
+
+    if load.kind == "PolynomialStaticLoad":
+        mode = "poly"
+        lp = load.parameter
+        a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
+        j_total = float(load.j_load) + float(j_rotor)
+        tau_decay = 1e-3
+        omega_lin = a_c / j_total * tau_decay
+
+        def mech_rhs(w, t_e, z):
+            sign = jnp.sign(w)
+            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
+                               j_total / tau_decay * w)
+            t_load = sign * c_c * w * w + b_c * w + a_term
+            return (t_e - t_load) * (1.0 / j_total)
+
+        def omega_reset(bits):
+            return jnp.zeros(shape, jnp.float32)
+    elif load.kind == "OrnsteinUhlenbeckLoad":
+        mode = "ou"
+        lp = load.parameter
+        mu_l, theta_l = float(lp["mu"]), float(lp["theta"])
+        sigma_l, tau_l = float(lp["sigma"]), float(lp["tau"])
+        w_lo, w_hi = float(lp["omega_lo"]), float(lp["omega_hi"])
+        sig_sqrt_tau = sigma_l * float(np.sqrt(tau_l))
+        needs_step_noise = sigma_l > 0.0
+
+        def mech_rhs(w, t_e, z):
+            # torque-independent OU speed process (loads.py factory;
+            # ornstein_uhlenbeck_load.py semantics)
+            diff = theta_l * (mu_l - w) * tau_l
+            if z is not None:
+                diff = diff + sig_sqrt_tau * z
+            return jnp.clip(diff, (w_lo - w) * (1.0 / tau_l),
+                            (w_hi - w) * (1.0 / tau_l))
+
+        def omega_reset(bits):
+            # omega ~ U(omega_lo, omega_hi) (loads.py initializer)
+            u_r = _uniform_from_bits(bits(shape))
+            return np.float32(w_lo) + np.float32(w_hi - w_lo) * u_r
+    else:
+        mode = "const"
+        omega_fixed = float(load.omega_fixed)
+
+    return SimpleNamespace(mode=mode, mech=mode != "const",
+                           omega_fixed=omega_fixed, mech_rhs=mech_rhs,
+                           omega_reset=omega_reset,
+                           needs_step_noise=needs_step_noise)
+
+
+def _step_noise(needs, bits, shape):
+    """One standard normal per env step for the OU speed load (None when
+    the family carries no per-step mechanical noise)."""
+    if not needs:
+        return None
+    u1 = _uniform_from_bits(bits(shape))
+    u2 = _uniform_from_bits(bits(shape))
+    return (jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            * jnp.cos(np.float32(TWO_PI) * u2))
+
+
 def _make_rng(interpret, state_ref):
     """In-kernel PRNG: ``(seed_fn, bits_fn)`` where ``bits_fn(shape)`` yields
     uint32 random bits.
@@ -1268,105 +1432,23 @@ def _dc_family(env, R, action_mode):
     n_el = len(el_names)
     el_lims = tuple(float(lim[names.index(n)]) for n in el_names)
 
-    # --- mechanical model ---
-    load = _fused_load(ps, ("ConstantSpeedLoad", "PolynomialStaticLoad",
-                            "OrnsteinUhlenbeckLoad"))
+    # --- mechanical model (shared helper) ---
     w_lim = float(lim[names.index("omega")])
-    if load.kind == "PolynomialStaticLoad":
-        mech_mode = "poly"
-        lp = load.parameter
-        a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
-        j_total = float(load.j_load) + float(mp["j_rotor"])
-        tau_decay = 1e-3
-        omega_lin = a_c / j_total * tau_decay
-
-        def mech_rhs(w, el, z):
-            sign = jnp.sign(w)
-            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
-                               j_total / tau_decay * w)
-            t_load = sign * c_c * w * w + b_c * w + a_term
-            return (torque(el) - t_load) * (1.0 / j_total)
-    elif load.kind == "OrnsteinUhlenbeckLoad":
-        mech_mode = "ou"
-        lp = load.parameter
-        mu_l, theta_l = float(lp["mu"]), float(lp["theta"])
-        sigma_l, tau_l = float(lp["sigma"]), float(lp["tau"])
-        w_lo, w_hi = float(lp["omega_lo"]), float(lp["omega_hi"])
-        sig_sqrt_tau = sigma_l * float(np.sqrt(tau_l))
-
-        def mech_rhs(w, el, z):
-            # torque-independent OU speed process (loads.py factory;
-            # ornstein_uhlenbeck_load.py semantics)
-            diff = theta_l * (mu_l - w) * tau_l
-            if z is not None:
-                diff = diff + sig_sqrt_tau * z
-            return jnp.clip(diff, (w_lo - w) * (1.0 / tau_l),
-                            (w_hi - w) * (1.0 / tau_l))
-    else:
-        mech_mode = "const"
-        omega_fixed = float(load.omega_fixed)
-
-    mech = mech_mode != "const"
-    needs_step_noise = mech_mode == "ou" and sigma_l > 0.0
+    mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    mech_mode, mech = mload.mode, mload.mech
+    needs_step_noise = mload.needs_step_noise
+    omega_fixed = mload.omega_fixed
 
     def core_rhs(core, u, z):
         if not mech:
             return el_rhs(omega_fixed, core, u)
         w, el = core[0], core[1:]
-        return (mech_rhs(w, el, z),) + el_rhs(w, el, u)
+        return (mload.mech_rhs(w, torque(el), z),) + el_rhs(w, el, u)
 
-    # --- supply model ---
-    sup_kind = ps.supply.kind
-    sp_par = ps.supply.parameter
-    if sup_kind == "IdealVoltageSupply":
-        sup_mode, n_sup = "ideal", 0
-        u_sup_c = float(ps.supply.u_nominal)
-
-        def supply_u(sup, i_sup_val):
-            return u_sup_c, ()
-
-        def sup_reset(bits):
-            return ()
-    elif sup_kind == "AC1PhaseSupply":
-        # u_sup(t) = max_amp * sin(2 pi f t + phi), phi random per episode
-        # (voltage_supplies.py:126-166); state planes (phi, t)
-        sup_mode, n_sup = "ac1", 2
-        f_ac, amp_ac = float(sp_par["f"]), float(sp_par["max_amp"])
-        fixed_phase = float(sp_par.get("fixed_phase", 0.0)) > 0.0
-        phi0_ac = float(sp_par.get("phase", 0.0))
-
-        def supply_u(sup, i_sup_val):
-            phi, t_c = sup
-            u = amp_ac * jnp.sin(np.float32(TWO_PI * f_ac) * t_c + phi)
-            return u, (phi, t_c + tau)
-
-        def sup_reset(bits):
-            if fixed_phase:
-                phi = jnp.full(shape, np.float32(phi0_ac))
-            else:
-                phi = np.float32(TWO_PI) * _uniform_from_bits(bits(shape))
-            return (phi, jnp.zeros(shape, jnp.float32))
-    elif sup_kind == "RCVoltageSupply":
-        # embedded-Euler RC element (voltage_supplies.py:75-123); state
-        # planes (u_sup, t); dt = 0 on the first post-reset query
-        sup_mode, n_sup = "rc", 2
-        u0_rc, r_rc, c_rc = (float(sp_par["u_0"]), float(sp_par["R"]),
-                             float(sp_par["C"]))
-
-        def supply_u(sup, i_sup_val):
-            u, t_c = sup
-            dt = jnp.minimum(t_c, tau)
-            u_new = u + dt * ((u0_rc - u - r_rc * i_sup_val)
-                              * np.float32(1.0 / (r_rc * c_rc)))
-            return u_new, (u_new, t_c + tau)
-
-        def sup_reset(bits):
-            return (jnp.full(shape, np.float32(u0_rc)),
-                    jnp.zeros(shape, jnp.float32))
-    else:
-        raise NotImplementedError(
-            f"fused DC kernels support Ideal/AC1Phase/RC supplies; got "
-            f"{sup_kind!r} — use the general XLA path")
+    # --- supply model (shared helper) ---
+    sup = _make_fused_supply(ps, shape, tau)
+    sup_mode, n_sup, sup_reset = sup.mode, sup.n_sup, sup.sup_reset
+    supply_u = sup.supply_u
 
     n_core = n_el + (1 if mech else 0)
     n_state = n_core + n_sup
@@ -1375,17 +1457,17 @@ def _dc_family(env, R, action_mode):
         return state[:n_core], state[n_core:]
 
     def step_physics(state, acts, z=None):
-        core, sup = split(state)
+        core, sup_planes = split(state)
         el_pre = core[1:] if mech else core
         i_in = i_in_fn(el_pre)
-        if sup_mode == "rc":
+        if sup.needs_i_sup:
             i_sup_val = conv_i_sup(conv_kinds[0], acts[0], i_in[0])
             for j in range(1, n_ch):
                 i_sup_val = i_sup_val + conv_i_sup(conv_kinds[j], acts[j],
                                                    i_in[j])
         else:
             i_sup_val = None
-        u_sup_val, sup_new = supply_u(sup, i_sup_val)
+        u_sup_val, sup_new = supply_u(sup_planes, i_sup_val)
         u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
                   for j in range(n_ch))
 
@@ -1406,15 +1488,7 @@ def _dc_family(env, R, action_mode):
         """Per-plane in-kernel reset values (drawn fresh every step,
         selected only on violation)."""
         zero = jnp.zeros(shape, jnp.float32)
-        if mech_mode == "ou":
-            # omega ~ U(omega_lo, omega_hi) (loads.py initializer)
-            u_r = _uniform_from_bits(bits(shape))
-            core = (np.float32(w_lo) + np.float32(w_hi - w_lo) * u_r,) + \
-                (zero,) * n_el
-        elif mech:
-            core = (zero,) * n_core
-        else:
-            core = (zero,) * n_el
+        core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * n_el
         return core + sup_reset(bits)
 
     # --- references / reward / constraints from the env spec ---
@@ -1478,9 +1552,7 @@ def _dc_family(env, R, action_mode):
             for j in range(n_ch))
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
-    sup_names = {"ideal": (), "ac1": ("sup_phi", "sup_t"),
-                 "rc": ("u_sup", "sup_t")}[sup_mode]
-    state_names = (("omega",) if mech else ()) + el_names + sup_names
+    state_names = (("omega",) if mech else ()) + el_names + sup.names
     act_names = ("action",) if n_ch == 1 else ("action_a", "action_e")
     act_dtype = jnp.int32 if finite else jnp.float32
 
@@ -1572,14 +1644,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
 
         def body(t, _):
             acts = _sample_actions(bits)
-            if fs.needs_step_noise:
-                # one standard normal per env step for the OU speed load
-                u1 = _uniform_from_bits(bits(shape))
-                u2 = _uniform_from_bits(bits(shape))
-                z = (jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-                     * jnp.cos(np.float32(TWO_PI) * u2))
-            else:
-                z = None
+            z = _step_noise(fs.needs_step_noise, bits, shape)
             state = _step_physics(tuple(o[:] for o in out_state), acts, z)
 
             violated = violated_fn(state)
