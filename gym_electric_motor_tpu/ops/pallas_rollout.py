@@ -1456,14 +1456,21 @@ def _dc_family(env, R, action_mode):
     def split(state):
         return state[:n_core], state[n_core:]
 
-    def step_physics(state, acts, z=None):
+    def step_physics(state, acts, z=None, prev_acts=None):
         core, sup_planes = split(state)
         el_pre = core[1:] if mech else core
         i_in = i_in_fn(el_pre)
         if sup.needs_i_sup:
-            i_sup_val = conv_i_sup(conv_kinds[0], acts[0], i_in[0])
+            # finite converters: the reference queries i_sup BEFORE
+            # convert() applies the new switching state, so the supply
+            # current reflects the PREVIOUS cycle's switch positions
+            # (converters.py:84-97 state update order vs the i_sup call in
+            # physical_systems.py:171-203); cont converters store the new
+            # duty in set_action and i_sup sees it immediately
+            sa = prev_acts if (finite and prev_acts is not None) else acts
+            i_sup_val = conv_i_sup(conv_kinds[0], sa[0], i_in[0])
             for j in range(1, n_ch):
-                i_sup_val = i_sup_val + conv_i_sup(conv_kinds[j], acts[j],
+                i_sup_val = i_sup_val + conv_i_sup(conv_kinds[j], sa[j],
                                                    i_in[j])
         else:
             i_sup_val = None
@@ -1615,6 +1622,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     R = n_envs // LANE
     fs = _dc_family(env, R, action_mode)
     n_state, n_ch, shape, shape_r = fs.n_state, fs.n_ch, fs.shape, fs.shape_r
+    needs_prev = fs.finite and fs.sup_mode == "rc"
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
     bias, violation_reward = fs.bias, fs.violation_reward
     _step_physics, ref_quantity = fs.step_physics, fs.ref_quantity
@@ -1642,10 +1650,11 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
                                          za_ref, zb_ref, wf_ref)
         w_init()
 
-        def body(t, _):
+        def body(t, prev):
             acts = _sample_actions(bits)
             z = _step_noise(fs.needs_step_noise, bits, shape)
-            state = _step_physics(tuple(o[:] for o in out_state), acts, z)
+            state = _step_physics(tuple(o[:] for o in out_state), acts, z,
+                                  prev if needs_prev else None)
 
             violated = violated_fn(state)
             refs_now = rv_ref[:]
@@ -1661,9 +1670,15 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
                 o[:] = jnp.where(violated, r0, s)
 
             w_advance(t, violated)
-            return 0
+            if not needs_prev:
+                return 0
+            # converter.reset() on violation: switch state back to the
+            # default action (converters.py:45-54)
+            return tuple(jnp.where(violated, 0, a) for a in acts)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_ch))
+                if needs_prev else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
         out_rl[:] = rl_ref[:]
@@ -1676,12 +1691,20 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
         for o, s in zip(out_state, state0):
             o[:] = s[:]
 
-        def body(t, _):
+        def read(t):
             if n_ch == 1:
-                acts = (actions_ref[t],)
+                return (actions_ref[t],)
+            return (actions_ref[t, 0], actions_ref[t, 1])
+
+        def body(t, _):
+            acts = read(t)
+            if needs_prev:
+                prev = tuple(jnp.where(t == 0, 0, a)
+                             for a in read(jnp.maximum(t - 1, 0)))
             else:
-                acts = (actions_ref[t, 0], actions_ref[t, 1])
-            state = _step_physics(tuple(o[:] for o in out_state), acts)
+                prev = None
+            state = _step_physics(tuple(o[:] for o in out_state), acts,
+                                  None, prev)
             for o, s in zip(out_state, state):
                 o[:] = s
             return 0
@@ -2080,16 +2103,16 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
     return init, advance
 
 
-def _rotation_protocol(COS_D, SIN_D):
+def _rotation_protocol(COS_D, SIN_D, i_eps=-1):
     """Constant-increment Park rotation as a generic scratch protocol for
     const-speed three-phase families (the recorder-side counterpart of the
-    reducing kernels' c_ref/s_ref scratch): init cos/sin from eps0, 4-mul
-    advance + rsqrt renorm per step, reset to (1, 0) on violation —
-    replacing two per-step transcendentals (TPU probes: ~18% of step
-    time)."""
+    reducing kernels' c_ref/s_ref scratch): init cos/sin from eps0 (plane
+    index ``i_eps``), 4-mul advance + rsqrt renorm per step, reset to
+    (1, 0) on violation — replacing two per-step transcendentals (TPU
+    probes: ~18% of step time)."""
 
     def rot_init(state0):
-        return jnp.cos(state0[-1]), jnp.sin(state0[-1])
+        return jnp.cos(state0[i_eps]), jnp.sin(state0[i_eps])
 
     def rot_advance(c, s, violated):
         c_new = c * COS_D - s * SIN_D
@@ -2126,22 +2149,20 @@ def _sync_family(env, R, action_mode):
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
     psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
     tau = float(ps.tau)
-    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     t_lim = float(lim[names.index("torque")])
     w_lim = float(lim[names.index("omega")])
     shape = (R, LANE)
 
-    mech = _fused_load(ps).omega_fixed is None
+    mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    mech_mode, mech = mload.mode, mload.mech
+    needs_step_noise = mload.needs_step_noise
+    sup = _make_fused_supply(ps, shape, tau)
+    n_sup = sup.n_sup
+
     COS_D = SIN_D = None
-    if mech:
-        lp = ps.load.parameter
-        a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
-        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
-        tau_decay = 1e-3
-        omega_lin = a_c / j_total * tau_decay
-    else:
-        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+    omega_fixed = mload.omega_fixed
+    if not mech:
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
 
@@ -2155,34 +2176,66 @@ def _sync_family(env, R, action_mode):
         return di_sd, di_sq
 
     if mech:
-        def rhs(state, u_d, u_q):
-            w, i_sd, i_sq, eps = state
-            sign = jnp.sign(w)
-            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
-                               j_total / tau_decay * w)
-            t_load = sign * c_c * w * w + b_c * w + a_term
-            dw = (torque(i_sd, i_sq) - t_load) * (1.0 / j_total)
+        def rhs(core, u_d, u_q, z):
+            w, i_sd, i_sq, eps = core
+            dw = mload.mech_rhs(w, torque(i_sd, i_sq), z)
             di_sd, di_sq = el_rhs(w, i_sd, i_sq, u_d, u_q)
             return dw, di_sd, di_sq, p * w
     else:
-        def rhs(state, u_d, u_q):
-            i_sd, i_sq, eps = state
+        def rhs(core, u_d, u_q, z):
+            i_sd, i_sq, eps = core
             di_sd, di_sq = el_rhs(omega_fixed, i_sd, i_sq, u_d, u_q)
             return di_sd, di_sq, np.float32(p * omega_fixed) + 0.0 * eps
 
-    n_state = 4 if mech else 3
+    n_core = 4 if mech else 3
+    n_state = n_core + n_sup
+    i_eps = n_core - 1
 
-    def abc_voltage(action):
+    def abc_frac(action):
+        """phase voltage fractions of u_sup (B6: converters.py:788-823;
+        cont: duty a/2, converters.py:846-881)"""
         if finite:
-            ua = ((action >> 2) & 1).astype(jnp.float32) - 0.5
-            ub = ((action >> 1) & 1).astype(jnp.float32) - 0.5
-            uc = (action & 1).astype(jnp.float32) - 0.5
-            return ua * u_sup, ub * u_sup, uc * u_sup
-        half = 0.5 * u_sup
-        return action[0] * half, action[1] * half, action[2] * half
+            return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
+                    ((action >> 1) & 1).astype(jnp.float32) - 0.5,
+                    ((action & 1)).astype(jnp.float32) - 0.5)
+        return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
 
-    def physics_step(state, action, c, s):
-        ua, ub, uc = abc_voltage(action)
+    def b6_i_sup(action, i_abc):
+        """B6 supply current from the pre-step phase currents: finite sums
+        the upper-switch phases (states in {1,2} never freewheel,
+        converters.py:289-298, 838-839); cont weights by the half-bridge
+        duties 0.5(a+1) (converters.py:429-435, 849-853)."""
+        i_a, i_b, i_c = i_abc
+        if finite:
+            return (((action >> 2) & 1).astype(jnp.float32) * i_a
+                    + ((action >> 1) & 1).astype(jnp.float32) * i_b
+                    + (action & 1).astype(jnp.float32) * i_c)
+        return (0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0) * i_a
+                + 0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0) * i_b
+                + 0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0) * i_c)
+
+    def dq_to_abc(i_sd, i_sq, c, s):
+        """inverse Park + Clarke (t_32 rows, three_phase_motor.py:16-88)"""
+        i_al = c * i_sd - s * i_sq
+        i_be = s * i_sd + c * i_sq
+        half_b = np.float32(0.5 * np.sqrt(3.0))
+        return (i_al, -0.5 * i_al + half_b * i_be, -0.5 * i_al - half_b * i_be)
+
+    def physics_step(state, action, c, s, z=None, prev_action=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        if sup.needs_i_sup:
+            # finite B6: i_sup reads the PREVIOUS cycle's switch state (the
+            # reference queries i_sup before convert() flips the bridges —
+            # see _dc_family.step_physics for the full citation)
+            sa = (prev_action if (finite and prev_action is not None)
+                  else action)
+            i_sd, i_sq = (core[1], core[2]) if mech else (core[0], core[1])
+            i_sup_val = b6_i_sup(sa, dq_to_abc(i_sd, i_sq, c, s))
+        else:
+            i_sup_val = None
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+        fa, fb, fc = abc_frac(action)
+        ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
         u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
         u_d = c * u_alpha + s * u_beta
@@ -2191,14 +2244,19 @@ def _sync_family(env, R, action_mode):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
-        k1 = rhs(state, u_d, u_q)
-        k2 = rhs(axpy(state, k1, 0.5 * tau), u_d, u_q)
-        k3 = rhs(axpy(state, k2, 0.5 * tau), u_d, u_q)
-        k4 = rhs(axpy(state, k3, tau), u_d, u_q)
+        k1 = rhs(core, u_d, u_q, z)
+        k2 = rhs(axpy(core, k1, 0.5 * tau), u_d, u_q, z)
+        k3 = rhs(axpy(core, k2, 0.5 * tau), u_d, u_q, z)
+        k4 = rhs(axpy(core, k3, tau), u_d, u_q, z)
         return tuple(
             si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
-            for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
-        )
+            for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
+        ) + sup_new
+
+    def reset_state(bits):
+        zero = jnp.zeros(shape, jnp.float32)
+        core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 3
+        return core + sup.sup_reset(bits)
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -2226,7 +2284,8 @@ def _sync_family(env, R, action_mode):
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
-    state_names = (("omega",) if mech else ()) + ("i_sd", "i_sq", "eps")
+    state_names = ((("omega",) if mech else ()) + ("i_sd", "i_sq", "eps")
+                   + sup.names)
     act_names = (("action",) if finite
                  else ("action_a", "action_b", "action_c"))
     act_dtype = jnp.int32 if finite else jnp.float32
@@ -2241,23 +2300,23 @@ def _sync_family(env, R, action_mode):
         return tuple(ref[t, j] for j in range(3))
 
     def pre_step(cur):
-        return (jnp.cos(cur[-1]), jnp.sin(cur[-1]))
+        return (jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps]))
 
     rot_init = rot_advance = pre_step_rot = None
     if not mech:
-        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D)
+        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D, i_eps)
 
         def pre_step_rot(cur, c, s):
             return (c, s)
 
-    def step(cur, acts, aux):
+    def step(cur, acts, aux, z=None):
         c, s = aux
         a = acts[0] if finite else acts
-        state = physics_step(cur, a, c, s)
-        eps = state[-1]
+        state = physics_step(cur, a, c, s, z)
+        eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))
-        return state[:-1] + (eps,)
+        return state[:i_eps] + (eps,) + state[i_eps + 1:]
 
     def violated(state):
         i_sd, i_sq = (state[1], state[2]) if mech else (state[0], state[1])
@@ -2279,6 +2338,9 @@ def _sync_family(env, R, action_mode):
         pre_step=pre_step, step=step, violated=violated,
         quantities=quantities, pre_step_rot=pre_step_rot,
         rot_init=rot_init, rot_advance=rot_advance,
+        mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
+        i_eps=i_eps, needs_step_noise=needs_step_noise,
+        reset_state=reset_state,
     )
 
 
@@ -2296,10 +2358,13 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
     currents, Wiener references on (i_sd*, i_sq*) / torque* / omega* and
     the WSE reward.  CC/TC (ConstantSpeedLoad) keep the 4-mul incremental
     Park rotation; SC adds the PolynomialStaticLoad mechanical ODE to the
-    joint RK4 state and evaluates cos/sin(eps) per step (omega varies).
+    joint RK4 state and evaluates cos/sin(eps) per step (omega varies);
+    the OU speed load and the AC1/RC supplies run in-kernel with their
+    extra state planes exactly like the DC family (see ``_dc_family``).
 
     * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
-      term_count, rv, rk, rl, rs)``; states = (omega?, i_sd, i_sq, eps).
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sd, i_sq, eps,
+      *supply planes).
     * buffer mode: ``rollout(*state0, actions) -> states`` with an int32
       ``(n_steps, R, LANE)`` (finite) or float32 ``(n_steps, 3, R, LANE)``
       (cont) action buffer; deterministic physics only.
@@ -2311,7 +2376,8 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
-    COS_D, SIN_D = fs.COS_D, fs.SIN_D
+    COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
+    needs_prev = finite and fs.sup_mode == "rc"
     physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
     _sample_actions = fs.sample_actions
     has_wf = _ref_needs_wf(ref_cfg)
@@ -2336,8 +2402,8 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
         for o, s in zip(out_state, state0):
             o[:] = s[:]
         if not mech:
-            c_ref[:] = jnp.cos(state0[-1][:])
-            s_ref[:] = jnp.sin(state0[-1][:])
+            c_ref[:] = jnp.cos(state0[i_eps][:])
+            s_ref[:] = jnp.sin(state0[i_eps][:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
@@ -2348,17 +2414,19 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
 
         inv_2pi = np.float32(1.0 / TWO_PI)
 
-        def body(t, _):
+        def body(t, prev):
             action = _sample_actions(bits)
+            z = _step_noise(fs.needs_step_noise, bits, shape)
             cur = tuple(o[:] for o in out_state)
             if mech:
-                c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+                c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
             else:
                 c, s = c_ref[:], s_ref[:]
-            state = physics_step(cur, action, c, s)
-            eps = state[-1]
+            state = physics_step(cur, action, c, s, z,
+                                 prev if needs_prev else None)
+            eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
-            state = state[:-1] + (eps,)
+            state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
             i_sd, i_sq = (state[1], state[2]) if mech else (state[0], state[1])
             i_sd_n = i_sd * np.float32(1.0 / i_lim)
@@ -2375,8 +2443,8 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
             zero = jnp.zeros(shape, jnp.float32)
-            for o, s2 in zip(out_state, state):
-                o[:] = jnp.where(violated, zero, s2)
+            for o, s2, r0 in zip(out_state, state, fs.reset_state(bits)):
+                o[:] = jnp.where(violated, r0, s2)
             if not mech:
                 c_new = c * COS_D - s * SIN_D
                 s_new = s * COS_D + c * SIN_D
@@ -2386,9 +2454,13 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
                 s_ref[:] = jnp.where(violated, zero, s_new * inv)
 
             w_advance(t, violated)
-            return 0
+            if not needs_prev:
+                return 0
+            # converter.reset() on violation: back to the default action
+            return jnp.where(violated, 0, action)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = jnp.zeros(shape, jnp.int32) if needs_prev else 0
+        jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
         out_rl[:] = rl_ref[:]
@@ -2408,17 +2480,27 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             else:
                 action = (actions_ref[t, 0], actions_ref[t, 1],
                           actions_ref[t, 2])
+            if needs_prev:
+                prev = jnp.where(t == 0, 0,
+                                 actions_ref[jnp.maximum(t - 1, 0)])
+            else:
+                prev = None
             cur = tuple(o[:] for o in out_state)
-            c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
-            state = physics_step(cur, action, c, s)
-            eps = state[-1]
+            c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
+            state = physics_step(cur, action, c, s, None, prev)
+            eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
-            state = state[:-1] + (eps,)
+            state = state[:i_eps] + (eps,) + state[i_eps + 1:]
             for o, s2 in zip(out_state, state):
                 o[:] = s2
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
+
+    if action_mode == "buffer":
+        assert not fs.needs_step_noise, (
+            "buffer (bit-validation) mode needs deterministic physics; "
+            "set the OU load's sigma to 0")
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -2685,21 +2767,17 @@ def _induction_family(env, R, action_mode):
     k_t = 1.5 * p * l_m / l_r
 
     tau = float(ps.tau)
-    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     t_lim = float(lim[names.index("torque")])
     w_lim = float(lim[names.index("omega")])
     shape = (R, LANE)
 
-    mech = _fused_load(ps).omega_fixed is None
-    if mech:
-        lp = ps.load.parameter
-        a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
-        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
-        tau_decay = 1e-3
-        omega_lin = a_c / j_total * tau_decay
-    else:
-        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+    mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    mech_mode, mech = mload.mode, mload.mech
+    needs_step_noise = mload.needs_step_noise
+    omega_fixed = mload.omega_fixed
+    sup = _make_fused_supply(ps, shape, tau)
+    n_sup = sup.n_sup
 
     def el_rhs(w, el, u_al, u_be):
         i_sa, i_sb, ps_a, ps_b = el
@@ -2714,47 +2792,74 @@ def _induction_family(env, R, action_mode):
         return k_t * (el[2] * el[1] - el[3] * el[0])
 
     if mech:
-        def rhs(state, u_al, u_be):
-            w, el = state[0], state[1:]
-            sign = jnp.sign(w)
-            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
-                               j_total / tau_decay * w)
-            t_load = sign * c_c * w * w + b_c * w + a_term
-            dw = (torque(el) - t_load) * (1.0 / j_total)
+        def rhs(core, u_al, u_be, z):
+            w, el = core[0], core[1:]
+            dw = mload.mech_rhs(w, torque(el), z)
             return (dw,) + el_rhs(w, el, u_al, u_be)
     else:
-        def rhs(state, u_al, u_be):
-            return el_rhs(omega_fixed, state, u_al, u_be)
+        def rhs(core, u_al, u_be, z):
+            return el_rhs(omega_fixed, core, u_al, u_be)
 
-    n_state = 4 + (1 if mech else 0)
+    n_core = 4 + (1 if mech else 0)
+    n_state = n_core + n_sup
 
-    def alphabeta_voltage(action):
+    def abc_frac(action):
         if finite:
-            ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
-            ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
-            uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
+            return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
+                    ((action >> 1) & 1).astype(jnp.float32) - 0.5,
+                    ((action & 1)).astype(jnp.float32) - 0.5)
+        return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
+
+    def b6_i_sup(action, i_abc):
+        """B6 supply current (converters.py:289-298, 429-435, 838-911)"""
+        i_a, i_b, i_c = i_abc
+        if finite:
+            return (((action >> 2) & 1).astype(jnp.float32) * i_a
+                    + ((action >> 1) & 1).astype(jnp.float32) * i_b
+                    + (action & 1).astype(jnp.float32) * i_c)
+        return (0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0) * i_a
+                + 0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0) * i_b
+                + 0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0) * i_c)
+
+    def step_physics(state, action, z=None, prev_action=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        if sup.needs_i_sup:
+            # finite B6: previous cycle's switch state feeds i_sup (see
+            # _dc_family.step_physics)
+            sa = (prev_action if (finite and prev_action is not None)
+                  else action)
+            el_pre = core[1:] if mech else core
+            # stator currents are already stator-frame alpha/beta: Clarke
+            # back to abc without any rotation (physical_systems.py:771-814)
+            i_al, i_be = el_pre[0], el_pre[1]
+            half_b = np.float32(0.5 * np.sqrt(3.0))
+            i_abc = (i_al, -0.5 * i_al + half_b * i_be,
+                     -0.5 * i_al - half_b * i_be)
+            i_sup_val = b6_i_sup(sa, i_abc)
         else:
-            half = 0.5 * u_sup
-            ua, ub, uc = (action[0] * half, action[1] * half,
-                          action[2] * half)
+            i_sup_val = None
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+        fa, fb, fc = abc_frac(action)
+        ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
         u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        return u_al, u_be
-
-    def step_physics(state, action):
-        u_al, u_be = alphabeta_voltage(action)
 
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
-        k1 = rhs(state, u_al, u_be)
-        k2 = rhs(axpy(state, k1, 0.5 * tau), u_al, u_be)
-        k3 = rhs(axpy(state, k2, 0.5 * tau), u_al, u_be)
-        k4 = rhs(axpy(state, k3, tau), u_al, u_be)
+        k1 = rhs(core, u_al, u_be, z)
+        k2 = rhs(axpy(core, k1, 0.5 * tau), u_al, u_be, z)
+        k3 = rhs(axpy(core, k2, 0.5 * tau), u_al, u_be, z)
+        k4 = rhs(axpy(core, k3, tau), u_al, u_be, z)
         return tuple(
             si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
-            for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
-        )
+            for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
+        ) + sup_new
+
+    def reset_state(bits):
+        zero = jnp.zeros(shape, jnp.float32)
+        core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 4
+        return core + sup.sup_reset(bits)
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -2776,12 +2881,15 @@ def _induction_family(env, R, action_mode):
         return (jnp.where(tiny, 1.0, ps_a * inv),
                 jnp.where(tiny, 0.0, ps_b * inv))
 
+    def core_el(state):
+        return state[1:n_core] if mech else state[:n_core]
+
     def ref_quantities(state, cs):
         """cs is the PRE-step field direction: the reference refreshes the
         field angle only between sub-intervals, so the dq outputs combine
         the post-step currents with the stale angle
         (physical_systems.py:783-812)."""
-        el = state[1:] if mech else state
+        el = core_el(state)
         if needs_dq:
             c, s = cs
             i_sa, i_sb = el[0], el[1]
@@ -2810,7 +2918,8 @@ def _induction_family(env, R, action_mode):
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
-                   + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta"))
+                   + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta")
+                   + sup.names)
     act_names = (("action",) if finite
                  else ("action_a", "action_b", "action_c"))
     act_dtype = jnp.int32 if finite else jnp.float32
@@ -2828,14 +2937,14 @@ def _induction_family(env, R, action_mode):
     def pre_step(cur):
         if not needs_dq:
             return ()
-        return flux_dir(cur[1:] if mech else cur)
+        return flux_dir(core_el(cur))
 
-    def step(cur, acts, aux):
+    def step(cur, acts, aux, z=None):
         a = acts[0] if finite else acts
-        return step_physics(cur, a)
+        return step_physics(cur, a, z)
 
     def violated(state):
-        el = state[1:] if mech else state
+        el = core_el(state)
         # |i_dq| == |i_alphabeta| (rotation-invariant)
         return (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
 
@@ -2846,12 +2955,14 @@ def _induction_family(env, R, action_mode):
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,
-        step_physics=step_physics, flux_dir=flux_dir,
+        step_physics=step_physics, flux_dir=flux_dir, core_el=core_el,
         ref_quantities=ref_quantities, sample_actions=_sample_actions,
         state_names=state_names, act_names=act_names, act_dtype=act_dtype,
         sample_actions_t=sample_actions_t, read_actions=read_actions,
         pre_step=pre_step, step=step, violated=violated,
         quantities=quantities,
+        mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
+        needs_step_noise=needs_step_noise, reset_state=reset_state,
     )
 
 
@@ -2885,7 +2996,8 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
-    needs_dq, flux_dir = fs.needs_dq, fs.flux_dir
+    needs_dq, flux_dir, core_el = fs.needs_dq, fs.flux_dir, fs.core_el
+    needs_prev = finite and fs.sup_mode == "rc"
     _step_physics, ref_quantities = fs.step_physics, fs.ref_quantities
     _sample_actions = fs.sample_actions
     has_wf = _ref_needs_wf(ref_cfg)
@@ -2914,13 +3026,15 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
 
         inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
 
-        def body(t, _):
+        def body(t, prev):
             action = _sample_actions(bits)
+            z = _step_noise(fs.needs_step_noise, bits, shape)
             cur = tuple(o[:] for o in out_state)
-            cs = flux_dir(cur[1:] if mech else cur) if needs_dq else None
-            state = _step_physics(cur, action)
+            cs = flux_dir(core_el(cur)) if needs_dq else None
+            state = _step_physics(cur, action, z,
+                                  prev if needs_prev else None)
 
-            el = state[1:] if mech else state
+            el = core_el(state)
             # |i_dq| == |i_alphabeta| (rotation-invariant)
             violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
             qs = ref_quantities(state, cs)
@@ -2931,14 +3045,16 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
-            zero = jnp.zeros(shape, jnp.float32)
-            for o, s2 in zip(out_state, state):
-                o[:] = jnp.where(violated, zero, s2)
+            for o, s2, r0 in zip(out_state, state, fs.reset_state(bits)):
+                o[:] = jnp.where(violated, r0, s2)
 
             w_advance(t, violated)
-            return 0
+            if not needs_prev:
+                return 0
+            return jnp.where(violated, 0, action)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = jnp.zeros(shape, jnp.int32) if needs_prev else 0
+        jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
         out_rl[:] = rl_ref[:]
@@ -2957,12 +3073,23 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             else:
                 action = (actions_ref[t, 0], actions_ref[t, 1],
                           actions_ref[t, 2])
-            state = _step_physics(tuple(o[:] for o in out_state), action)
+            if needs_prev:
+                prev = jnp.where(t == 0, 0,
+                                 actions_ref[jnp.maximum(t - 1, 0)])
+            else:
+                prev = None
+            state = _step_physics(tuple(o[:] for o in out_state), action,
+                                  None, prev)
             for o, s in zip(out_state, state):
                 o[:] = s
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
+
+    if action_mode == "buffer":
+        assert not fs.needs_step_noise, (
+            "buffer (bit-validation) mode needs deterministic physics; "
+            "set the OU load's sigma to 0")
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -3264,24 +3391,20 @@ def _eesm_family(env, R, action_mode):
     r_s, l_d, l_q, p, k_e = mp["r_s"], mp["l_d"], mp["l_q"], mp["p"], mp["k"]
 
     tau = float(ps.tau)
-    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     ie_lim = float(lim[names.index("i_e")])
     t_lim = float(lim[names.index("torque")])
     w_lim = float(lim[names.index("omega")])
     shape = (R, LANE)
 
-    mech = _fused_load(ps).omega_fixed is None
+    mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    mech_mode, mech = mload.mode, mload.mech
+    needs_step_noise = mload.needs_step_noise
+    omega_fixed = mload.omega_fixed
+    sup = _make_fused_supply(ps, shape, tau)
+    n_sup = sup.n_sup
     COS_D = SIN_D = None
-    if mech:
-        lpar = ps.load.parameter
-        a_c, b_c, c_c = (float(lpar["a"]), float(lpar["b"]),
-                         float(lpar["c"]))
-        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
-        tau_decay = 1e-3
-        omega_lin = a_c / j_total * tau_decay
-    else:
-        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+    if not mech:
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
 
@@ -3301,54 +3424,95 @@ def _eesm_family(env, R, action_mode):
         return di_sd, di_sq, di_e
 
     if mech:
-        def rhs(state, u_d, u_q, u_e):
-            w, i_sd, i_sq, i_e, eps = state
-            sign = jnp.sign(w)
-            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
-                               j_total / tau_decay * w)
-            t_load = sign * c_c * w * w + b_c * w + a_term
-            dw = (torque3(i_sd, i_sq, i_e) - t_load) * (1.0 / j_total)
+        def rhs(core, u_d, u_q, u_e, z):
+            w, i_sd, i_sq, i_e, eps = core
+            dw = mload.mech_rhs(w, torque3(i_sd, i_sq, i_e), z)
             return (dw,) + el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e) + (p * w,)
     else:
-        def rhs(state, u_d, u_q, u_e):
-            i_sd, i_sq, i_e, eps = state
+        def rhs(core, u_d, u_q, u_e, z):
+            i_sd, i_sq, i_e, eps = core
             return (el_rhs(omega_fixed, i_sd, i_sq, i_e, u_d, u_q, u_e)
                     + (np.float32(p * omega_fixed) + 0.0 * eps,))
 
-    n_state = 5 if mech else 4
+    n_core = 5 if mech else 4
+    n_state = n_core + n_sup
+    i_eps = n_core - 1
 
-    def voltages(action, c, s):
+    def voltage_fracs(action):
+        """(phase fracs, excitation frac) of u_sup — B6 + 4QC channels
+        (converters.py:788-823, 313-368 via the multi converter)"""
         if finite:
             a_b6, a_4qc = action
-            ua = (((a_b6 >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
-            ub = (((a_b6 >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
-            uc = ((a_b6 & 1).astype(jnp.float32) - 0.5) * u_sup
-            u_e = (jnp.where(a_4qc == 1, 1.0, 0.0)
-                   - jnp.where(a_4qc == 2, 1.0, 0.0)) * u_sup
+            fa = ((a_b6 >> 2) & 1).astype(jnp.float32) - 0.5
+            fb = ((a_b6 >> 1) & 1).astype(jnp.float32) - 0.5
+            fc = (a_b6 & 1).astype(jnp.float32) - 0.5
+            fe = (jnp.where(a_4qc == 1, 1.0, 0.0)
+                  - jnp.where(a_4qc == 2, 1.0, 0.0))
         else:
-            half = 0.5 * u_sup
-            ua, ub, uc = action[0] * half, action[1] * half, action[2] * half
-            u_e = action[3] * u_sup
+            fa, fb, fc = 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
+            fe = action[3]
+        return fa, fb, fc, fe
+
+    def conv_i_sup(action, i_abc, i_e):
+        """multi-converter supply current: B6 (upper-switch / duty-weighted
+        phase sum) + excitation 4QC (converters.py:289-298, 354-368,
+        429-496, 547-612)"""
+        i_a, i_b, i_c = i_abc
+        if finite:
+            a_b6, a_4qc = action
+            i_b6 = (((a_b6 >> 2) & 1).astype(jnp.float32) * i_a
+                    + ((a_b6 >> 1) & 1).astype(jnp.float32) * i_b
+                    + (a_b6 & 1).astype(jnp.float32) * i_c)
+            i_4qc = (jnp.where(a_4qc <= 1, i_e, 0.0)
+                     + jnp.where((a_4qc == 0) | (a_4qc == 2), -i_e, 0.0))
+            return i_b6 + i_4qc
+        i_b6 = (0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0) * i_a
+                + 0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0) * i_b
+                + 0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0) * i_c)
+        return i_b6 + jnp.clip(action[3], -1.0, 1.0) * i_e
+
+    def dq_to_abc(i_sd, i_sq, c, s):
+        i_al = c * i_sd - s * i_sq
+        i_be = s * i_sd + c * i_sq
+        half_b = np.float32(0.5 * np.sqrt(3.0))
+        return (i_al, -0.5 * i_al + half_b * i_be, -0.5 * i_al - half_b * i_be)
+
+    def physics_step(state, action, c, s, z=None, prev_action=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        if sup.needs_i_sup:
+            # finite B6 + 4QC: previous cycle's switch states feed i_sup
+            # (see _dc_family.step_physics)
+            sa = (prev_action if (finite and prev_action is not None)
+                  else action)
+            i_sd, i_sq, i_e = core[1:4] if mech else core[0:3]
+            i_sup_val = conv_i_sup(sa, dq_to_abc(i_sd, i_sq, c, s), i_e)
+        else:
+            i_sup_val = None
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+        fa, fb, fc, fe = voltage_fracs(action)
+        ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
+        u_e = fe * u_sup_val
         u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
         u_d = c * u_al + s * u_be
         u_q = -s * u_al + c * u_be
-        return u_d, u_q, u_e
-
-    def physics_step(state, action, c, s):
-        u_d, u_q, u_e = voltages(action, c, s)
 
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
-        k1 = rhs(state, u_d, u_q, u_e)
-        k2 = rhs(axpy(state, k1, 0.5 * tau), u_d, u_q, u_e)
-        k3 = rhs(axpy(state, k2, 0.5 * tau), u_d, u_q, u_e)
-        k4 = rhs(axpy(state, k3, tau), u_d, u_q, u_e)
+        k1 = rhs(core, u_d, u_q, u_e, z)
+        k2 = rhs(axpy(core, k1, 0.5 * tau), u_d, u_q, u_e, z)
+        k3 = rhs(axpy(core, k2, 0.5 * tau), u_d, u_q, u_e, z)
+        k4 = rhs(axpy(core, k3, tau), u_d, u_q, u_e, z)
         return tuple(
             si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
-            for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
-        )
+            for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
+        ) + sup_new
+
+    def reset_state(bits):
+        zero = jnp.zeros(shape, jnp.float32)
+        core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 4
+        return core + sup.sup_reset(bits)
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -3378,7 +3542,7 @@ def _eesm_family(env, R, action_mode):
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
-                   + ("i_sd", "i_sq", "i_e", "eps"))
+                   + ("i_sd", "i_sq", "i_e", "eps") + sup.names)
     act_names = (("action_b6", "action_e") if finite
                  else ("action_a", "action_b", "action_c", "action_e"))
     act_dtype = jnp.int32 if finite else jnp.float32
@@ -3390,22 +3554,22 @@ def _eesm_family(env, R, action_mode):
         return tuple(ref[t, j] for j in range(n_act))
 
     def pre_step(cur):
-        return (jnp.cos(cur[-1]), jnp.sin(cur[-1]))
+        return (jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps]))
 
     rot_init = rot_advance = pre_step_rot = None
     if not mech:
-        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D)
+        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D, i_eps)
 
         def pre_step_rot(cur, c, s):
             return (c, s)
 
-    def step(cur, acts, aux):
+    def step(cur, acts, aux, z=None):
         c, s = aux
-        state = physics_step(cur, acts, c, s)
-        eps = state[-1]
+        state = physics_step(cur, acts, c, s, z)
+        eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))
-        return state[:-1] + (eps,)
+        return state[:i_eps] + (eps,) + state[i_eps + 1:]
 
     def violated(state):
         i_sd, i_sq, i_e = (state[1:4] if mech else state[0:3])
@@ -3428,6 +3592,9 @@ def _eesm_family(env, R, action_mode):
         pre_step=pre_step, step=step, violated=violated,
         quantities=quantities, pre_step_rot=pre_step_rot,
         rot_init=rot_init, rot_advance=rot_advance,
+        mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
+        i_eps=i_eps, needs_step_noise=needs_step_noise,
+        reset_state=reset_state,
     )
 
 
@@ -3460,7 +3627,8 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
     bias, violation_reward = fs.bias, fs.violation_reward
     i_lim, ie_lim = fs.i_lim, fs.ie_lim
-    COS_D, SIN_D = fs.COS_D, fs.SIN_D
+    COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
+    needs_prev = finite and fs.sup_mode == "rc"
     physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
     _sample_actions = fs.sample_actions
     has_wf = _ref_needs_wf(ref_cfg)
@@ -3485,8 +3653,8 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
         for o, s in zip(out_state, state0):
             o[:] = s[:]
         if not mech:
-            c_ref[:] = jnp.cos(state0[-1][:])
-            s_ref[:] = jnp.sin(state0[-1][:])
+            c_ref[:] = jnp.cos(state0[i_eps][:])
+            s_ref[:] = jnp.sin(state0[i_eps][:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
@@ -3499,17 +3667,19 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
         inv_ilim = np.float32(1.0 / i_lim)
         inv_ielim = np.float32(1.0 / ie_lim)
 
-        def body(t, _):
+        def body(t, prev):
             action = _sample_actions(bits)
+            z = _step_noise(fs.needs_step_noise, bits, shape)
             cur = tuple(o[:] for o in out_state)
             if mech:
-                c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+                c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
             else:
                 c, s = c_ref[:], s_ref[:]
-            state = physics_step(cur, action, c, s)
-            eps = state[-1]
+            state = physics_step(cur, action, c, s, z,
+                                 prev if needs_prev else None)
+            eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
-            state = state[:-1] + (eps,)
+            state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
             i_sd, i_sq, i_e = (state[1:4] if mech else state[0:3])
             isd_n, isq_n = i_sd * inv_ilim, i_sq * inv_ilim
@@ -3527,8 +3697,8 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
             zero = jnp.zeros(shape, jnp.float32)
-            for o, s2 in zip(out_state, state):
-                o[:] = jnp.where(violated, zero, s2)
+            for o, s2, r0 in zip(out_state, state, fs.reset_state(bits)):
+                o[:] = jnp.where(violated, r0, s2)
             if not mech:
                 c_new = c * COS_D - s * SIN_D
                 s_new = s * COS_D + c * SIN_D
@@ -3539,9 +3709,12 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
                 s_ref[:] = jnp.where(violated, zero, s_new * inv)
 
             w_advance(t, violated)
-            return 0
+            if not needs_prev:
+                return 0
+            return tuple(jnp.where(violated, 0, a) for a in action)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = ((jnp.zeros(shape, jnp.int32),) * 2 if needs_prev else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
         out_rl[:] = rl_ref[:]
@@ -3560,17 +3733,28 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
                 action = (actions_ref[t, 0], actions_ref[t, 1])
             else:
                 action = tuple(actions_ref[t, k] for k in range(4))
+            if needs_prev:
+                tm1 = jnp.maximum(t - 1, 0)
+                prev = tuple(jnp.where(t == 0, 0, actions_ref[tm1, k])
+                             for k in range(2))
+            else:
+                prev = None
             cur = tuple(o[:] for o in out_state)
-            c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
-            state = physics_step(cur, action, c, s)
-            eps = state[-1]
+            c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
+            state = physics_step(cur, action, c, s, None, prev)
+            eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
-            state = state[:-1] + (eps,)
+            state = state[:i_eps] + (eps,) + state[i_eps + 1:]
             for o, s2 in zip(out_state, state):
                 o[:] = s2
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
+
+    if action_mode == "buffer":
+        assert not fs.needs_step_noise, (
+            "buffer (bit-validation) mode needs deterministic physics; "
+            "set the OU load's sigma to 0")
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -3890,23 +4074,19 @@ def _dfim_family(env, R, action_mode):
     k_t = 1.5 * p * l_m / l_r
 
     tau = float(ps.tau)
-    u_sup = _fused_u_sup(ps)
     i_lim = float(lim[names.index("i_sd")])
     t_lim = float(lim[names.index("torque")])
     w_lim = float(lim[names.index("omega")])
     shape = (R, LANE)
 
-    mech = _fused_load(ps).omega_fixed is None
+    mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    mech_mode, mech = mload.mode, mload.mech
+    needs_step_noise = mload.needs_step_noise
+    omega_fixed = mload.omega_fixed
+    sup = _make_fused_supply(ps, shape, tau)
+    n_sup = sup.n_sup
     COS_D = SIN_D = None
-    if mech:
-        lpar = ps.load.parameter
-        a_c, b_c, c_c = (float(lpar["a"]), float(lpar["b"]),
-                         float(lpar["c"]))
-        j_total = float(ps.load.j_load) + float(mp["j_rotor"])
-        tau_decay = 1e-3
-        omega_lin = a_c / j_total * tau_decay
-    else:
-        omega_fixed = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+    if not mech:
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
 
@@ -3925,36 +4105,83 @@ def _dfim_family(env, R, action_mode):
         return di_sa, di_sb, dps_a, dps_b
 
     if mech:
-        def rhs(state, us):
-            w, el, eps = state[0], state[1:5], state[5]
-            sign = jnp.sign(w)
-            a_term = jnp.where(jnp.abs(w) > omega_lin, sign * a_c,
-                               j_total / tau_decay * w)
-            t_load = sign * c_c * w * w + b_c * w + a_term
-            dw = (torque(el) - t_load) * (1.0 / j_total)
+        def rhs(core, us, z):
+            w, el, eps = core[0], core[1:5], core[5]
+            dw = mload.mech_rhs(w, torque(el), z)
             return (dw,) + el_rhs(w, el, *us) + (p * w,)
     else:
-        def rhs(state, us):
-            el, eps = state[0:4], state[4]
+        def rhs(core, us, z):
+            el, eps = core[0:4], core[4]
             return (el_rhs(omega_fixed, el, *us)
                     + (np.float32(p * omega_fixed) + 0.0 * eps,))
 
-    n_state = 6 if mech else 5
+    n_core = 6 if mech else 5
+    n_state = n_core + n_sup
+    i_eps = n_core - 1
 
-    def voltages(action, c, s):
-        """(u_salpha, u_sbeta, u_ralpha, u_rbeta) in the stator frame"""
+    def voltage_fracs(action):
+        """dual-B6 phase voltage fractions of u_sup"""
         if finite:
             a_s, a_r = action
+
             def b6(a):
-                ua = (((a >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
-                ub = (((a >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
-                uc = ((a & 1).astype(jnp.float32) - 0.5) * u_sup
-                return ua, ub, uc
-            s_abc, r_abc = b6(a_s), b6(a_r)
+                return (((a >> 2) & 1).astype(jnp.float32) - 0.5,
+                        ((a >> 1) & 1).astype(jnp.float32) - 0.5,
+                        ((a & 1)).astype(jnp.float32) - 0.5)
+            return b6(a_s), b6(a_r)
+        return ((0.5 * action[0], 0.5 * action[1], 0.5 * action[2]),
+                (0.5 * action[3], 0.5 * action[4], 0.5 * action[5]))
+
+    def b6_i_sup(a_or_duties, i_abc, finite_chan):
+        i_a, i_b, i_c = i_abc
+        if finite_chan:
+            a = a_or_duties
+            return (((a >> 2) & 1).astype(jnp.float32) * i_a
+                    + ((a >> 1) & 1).astype(jnp.float32) * i_b
+                    + (a & 1).astype(jnp.float32) * i_c)
+        d = a_or_duties
+        return (0.5 * (jnp.clip(d[0], -1.0, 1.0) + 1.0) * i_a
+                + 0.5 * (jnp.clip(d[1], -1.0, 1.0) + 1.0) * i_b
+                + 0.5 * (jnp.clip(d[2], -1.0, 1.0) + 1.0) * i_c)
+
+    def alphabeta_to_abc(i_al, i_be):
+        half_b = np.float32(0.5 * np.sqrt(3.0))
+        return (i_al, -0.5 * i_al + half_b * i_be,
+                -0.5 * i_al - half_b * i_be)
+
+    def conv_i_sup(action, el, c, s):
+        """dual-B6 supply current: stator phases straight from Clarke
+        inverse; rotor currents reconstructed from the fluxes
+        (i_r = (psi_r - l_m i_s)/l_r, physical_systems.py:954-966) and
+        rotated back into the rotor frame before the phase split."""
+        i_sa, i_sb, ps_a, ps_b = el
+        i_ra_st = (ps_a - l_m * i_sa) * (1.0 / l_r)
+        i_rb_st = (ps_b - l_m * i_sb) * (1.0 / l_r)
+        # stator frame -> rotor frame: rotate by -eps
+        i_ra = c * i_ra_st + s * i_rb_st
+        i_rb = -s * i_ra_st + c * i_rb_st
+        if finite:
+            a_s, a_r = action
+            return (b6_i_sup(a_s, alphabeta_to_abc(i_sa, i_sb), True)
+                    + b6_i_sup(a_r, alphabeta_to_abc(i_ra, i_rb), True))
+        return (b6_i_sup(action[0:3], alphabeta_to_abc(i_sa, i_sb), False)
+                + b6_i_sup(action[3:6], alphabeta_to_abc(i_ra, i_rb), False))
+
+    def physics_step(state, action, c, s, z=None, prev_action=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        if sup.needs_i_sup:
+            # dual finite B6: previous cycle's switch states feed i_sup
+            # (see _dc_family.step_physics)
+            sa = (prev_action if (finite and prev_action is not None)
+                  else action)
+            el_pre = core[1:5] if mech else core[0:4]
+            i_sup_val = conv_i_sup(sa, el_pre, c, s)
         else:
-            half = 0.5 * u_sup
-            s_abc = (action[0] * half, action[1] * half, action[2] * half)
-            r_abc = (action[3] * half, action[4] * half, action[5] * half)
+            i_sup_val = None
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+        s_frac, r_frac = voltage_fracs(action)
+        s_abc = tuple(f * u_sup_val for f in s_frac)
+        r_abc = tuple(f * u_sup_val for f in r_frac)
 
         def clarke(abc):
             return ((2.0 / 3.0) * (abc[0] - 0.5 * (abc[1] + abc[2])),
@@ -3963,23 +4190,25 @@ def _dfim_family(env, R, action_mode):
         u_sal, u_sbe = clarke(s_abc)
         u_ral0, u_rbe0 = clarke(r_abc)
         # rotor frame -> stator frame: rotate by the electrical angle
-        return (u_sal, u_sbe,
-                c * u_ral0 - s * u_rbe0, s * u_ral0 + c * u_rbe0)
-
-    def physics_step(state, action, c, s):
-        us = voltages(action, c, s)
+        us = (u_sal, u_sbe,
+              c * u_ral0 - s * u_rbe0, s * u_ral0 + c * u_rbe0)
 
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
-        k1 = rhs(state, us)
-        k2 = rhs(axpy(state, k1, 0.5 * tau), us)
-        k3 = rhs(axpy(state, k2, 0.5 * tau), us)
-        k4 = rhs(axpy(state, k3, tau), us)
+        k1 = rhs(core, us, z)
+        k2 = rhs(axpy(core, k1, 0.5 * tau), us, z)
+        k3 = rhs(axpy(core, k2, 0.5 * tau), us, z)
+        k4 = rhs(axpy(core, k3, tau), us, z)
         return tuple(
             si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
-            for si, a1, a2, a3, a4 in zip(state, k1, k2, k3, k4)
-        )
+            for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
+        ) + sup_new
+
+    def reset_state(bits):
+        zero = jnp.zeros(shape, jnp.float32)
+        core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 5
+        return core + sup.sup_reset(bits)
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -4030,7 +4259,7 @@ def _dfim_family(env, R, action_mode):
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta",
-                      "eps"))
+                      "eps") + sup.names)
     act_names = (("action_stator", "action_rotor") if finite
                  else ("action_sa", "action_sb", "action_sc",
                        "action_ra", "action_rb", "action_rc"))
@@ -4046,11 +4275,11 @@ def _dfim_family(env, R, action_mode):
         voltage rotation)"""
         el = cur[1:5] if mech else cur[0:4]
         cs = flux_dir(el) if needs_dq else ()
-        return (cs, jnp.cos(cur[-1]), jnp.sin(cur[-1]))
+        return (cs, jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps]))
 
     rot_init = rot_advance = pre_step_rot = None
     if not mech:
-        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D)
+        rot_init, rot_advance = _rotation_protocol(COS_D, SIN_D, i_eps)
 
         def pre_step_rot(cur, c, s):
             # the flux direction depends on the evolving state — only the
@@ -4058,13 +4287,13 @@ def _dfim_family(env, R, action_mode):
             cs = flux_dir(cur[0:4]) if needs_dq else ()
             return (cs, c, s)
 
-    def step(cur, acts, aux):
+    def step(cur, acts, aux, z=None):
         _, c, s = aux
-        state = physics_step(cur, acts, c, s)
-        eps = state[-1]
+        state = physics_step(cur, acts, c, s, z)
+        eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))
-        return state[:-1] + (eps,)
+        return state[:i_eps] + (eps,) + state[i_eps + 1:]
 
     def violated(state):
         el = state[1:5] if mech else state[0:4]
@@ -4087,6 +4316,9 @@ def _dfim_family(env, R, action_mode):
         pre_step=pre_step, step=step, violated=violated,
         quantities=quantities, pre_step_rot=pre_step_rot,
         rot_init=rot_init, rot_advance=rot_advance,
+        mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
+        i_eps=i_eps, needs_step_noise=needs_step_noise,
+        reset_state=reset_state,
     )
 
 
@@ -4118,7 +4350,8 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
     needs_dq, flux_dir = fs.needs_dq, fs.flux_dir
-    COS_D, SIN_D = fs.COS_D, fs.SIN_D
+    COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
+    needs_prev = finite and fs.sup_mode == "rc"
     physics_step, ref_quantities = fs.physics_step, fs.ref_quantities
     _sample_actions = fs.sample_actions
     has_wf = _ref_needs_wf(ref_cfg)
@@ -4143,8 +4376,8 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
         for o, s in zip(out_state, state0):
             o[:] = s[:]
         if not mech:
-            c_ref[:] = jnp.cos(state0[-1][:])
-            s_ref[:] = jnp.sin(state0[-1][:])
+            c_ref[:] = jnp.cos(state0[i_eps][:])
+            s_ref[:] = jnp.sin(state0[i_eps][:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
@@ -4156,19 +4389,21 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
         inv_2pi = np.float32(1.0 / TWO_PI)
         inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
 
-        def body(t, _):
+        def body(t, prev):
             action = _sample_actions(bits)
+            z = _step_noise(fs.needs_step_noise, bits, shape)
             cur = tuple(o[:] for o in out_state)
             cs = (flux_dir(cur[1:5] if mech else cur[0:4])
                   if needs_dq else None)
             if mech:
-                c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
+                c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
             else:
                 c, s = c_ref[:], s_ref[:]
-            state = physics_step(cur, action, c, s)
-            eps = state[-1]
+            state = physics_step(cur, action, c, s, z,
+                                 prev if needs_prev else None)
+            eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
-            state = state[:-1] + (eps,)
+            state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
             el = state[1:5] if mech else state[0:4]
             # |i_dq| == |i_alphabeta| (rotation-invariant)
@@ -4182,8 +4417,8 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
             zero = jnp.zeros(shape, jnp.float32)
-            for o, s2 in zip(out_state, state):
-                o[:] = jnp.where(violated, zero, s2)
+            for o, s2, r0 in zip(out_state, state, fs.reset_state(bits)):
+                o[:] = jnp.where(violated, r0, s2)
             if not mech:
                 c_new = c * COS_D - s * SIN_D
                 s_new = s * COS_D + c * SIN_D
@@ -4194,9 +4429,12 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
                 s_ref[:] = jnp.where(violated, zero, s_new * inv)
 
             w_advance(t, violated)
-            return 0
+            if not needs_prev:
+                return 0
+            return tuple(jnp.where(violated, 0, a) for a in action)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = ((jnp.zeros(shape, jnp.int32),) * 2 if needs_prev else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
         out_rl[:] = rl_ref[:]
@@ -4215,17 +4453,28 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
                 action = (actions_ref[t, 0], actions_ref[t, 1])
             else:
                 action = tuple(actions_ref[t, k] for k in range(6))
+            if needs_prev:
+                tm1 = jnp.maximum(t - 1, 0)
+                prev = tuple(jnp.where(t == 0, 0, actions_ref[tm1, k])
+                             for k in range(2))
+            else:
+                prev = None
             cur = tuple(o[:] for o in out_state)
-            c, s = jnp.cos(cur[-1]), jnp.sin(cur[-1])
-            state = physics_step(cur, action, c, s)
-            eps = state[-1]
+            c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
+            state = physics_step(cur, action, c, s, None, prev)
+            eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
-            state = state[:-1] + (eps,)
+            state = state[:i_eps] + (eps,) + state[i_eps + 1:]
             for o, s2 in zip(out_state, state):
                 o[:] = s2
             return 0
 
         jax.lax.fori_loop(0, n_steps, body, 0)
+
+    if action_mode == "buffer":
+        assert not fs.needs_step_noise, (
+            "buffer (bit-validation) mode needs deterministic physics; "
+            "set the OU load's sigma to 0")
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -5294,16 +5543,14 @@ FUSED_FAMILY_BUILDERS = {
 def fused_state_arity(env):
     """Number of ``(R, LANE)`` state planes the universal fused rollout for
     ``env`` takes/returns: omega for dynamic-speed (poly/OU load) configs,
-    plus two supply planes for the DC family's AC1/RC supply modes
-    ((phi, t) / (u_sup, t) — see ``_dc_family``)."""
+    plus two supply planes for AC1/RC supply modes ((phi, t) / (u_sup, t)
+    — see ``_make_fused_supply``)."""
     ps = env.physical_system
     kind = ps.motor.kind
     mech = 1 if ps.load.omega_fixed is None else 0
     base = {"PermExDc": 1, "SeriesDc": 1, "ShuntDc": 2, "ExtExDc": 2,
             "PMSM": 3, "SynRM": 3, "SCIM": 4, "EESM": 4, "DFIM": 5}[kind]
-    sup = 2 if (kind in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc")
-                and ps.supply.kind in ("AC1PhaseSupply",
-                                       "RCVoltageSupply")) else 0
+    sup = 2 if ps.supply.kind in ("AC1PhaseSupply", "RCVoltageSupply") else 0
     return base + mech + sup
 
 

@@ -66,20 +66,26 @@ def test_non_wiener_reference_is_rejected_loudly():
 def test_fused_rejects_nonideal_supply_and_dynamic_loads():
     """Supplies/loads a kernel does not implement must be rejected LOUDLY
     (their specs also expose u_nominal, so an unchecked read would silently
-    simulate them as ideal — voltage_supplies.py:75-213).  The DC family
-    implements AC1/RC supplies and the OU load in-kernel; the three-phase
-    families and AC3 still route to the general XLA path."""
+    simulate them as ideal — voltage_supplies.py:75-213).  Every family
+    implements AC1/RC supplies and the OU load in-kernel; AC3 (polyphase,
+    NoConverter-only) and ExternalSpeedLoad (host profile closure) still
+    route to the general XLA path, as does the non-default ExtExDc multi
+    converter."""
+    from types import SimpleNamespace
+
     from gym_electric_motor_tpu.envs.catalog import make_functional
-    from gym_electric_motor_tpu.models.loads import ornstein_uhlenbeck_load
+    from gym_electric_motor_tpu.models.loads import external_speed_load
     from gym_electric_motor_tpu.models.converters import (
         cont_multi_converter, cont_two_quadrant_converter)
-    from gym_electric_motor_tpu.models.supplies import rc_voltage_supply
-    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+    from gym_electric_motor_tpu.models.supplies import ac_3_phase_supply
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        _make_fused_supply, make_fused_rollout)
 
-    env = make_functional("Cont-CC-PMSM-v0",
-                          supply=rc_voltage_supply(u_nominal=300.0))
+    # AC3 is polyphase: it only composes with NoConverter (grid simulation,
+    # no fused kernel) — the shared supply helper must reject it loudly
+    fake_ps = SimpleNamespace(supply=ac_3_phase_supply(u_nominal=400.0))
     with pytest.raises(NotImplementedError, match="IdealVoltageSupply"):
-        make_fused_rollout(env, 16, 128, interpret=True)
+        _make_fused_supply(fake_ps, (1, 128), 1e-4)
 
     env = make_functional(
         "Cont-CC-ExtExDc-v0",
@@ -88,7 +94,8 @@ def test_fused_rejects_nonideal_supply_and_dynamic_loads():
     with pytest.raises(NotImplementedError, match="dual-4QC"):
         make_fused_rollout(env, 16, 128, interpret=True)
 
-    env = make_functional("Cont-CC-EESM-v0",
-                          load=ornstein_uhlenbeck_load(sigma=1e-4))
+    env = make_functional(
+        "Cont-CC-EESM-v0",
+        load=external_speed_load(lambda t: 40.0 + 0.0 * t))
     with pytest.raises(NotImplementedError, match="load"):
         make_fused_rollout(env, 16, 128, interpret=True)

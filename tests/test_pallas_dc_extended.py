@@ -121,6 +121,36 @@ def test_fused_dc_rc_supply_matches_xla():
                                rtol=1e-4, atol=1e-2)
 
 
+def test_fused_dc_rc_supply_finite_matches_xla():
+    """Finite converter + RC supply: i_sup must read the PREVIOUS cycle's
+    switch state (the reference queries i_sup before convert() applies the
+    new action — physical_systems.py:171-203 call order), so the kernel
+    carries the previous action through the step loop."""
+    env = gemx.make_functional(
+        "Finite-CC-PermExDc-v0",
+        supply=rc_voltage_supply(u_nominal=420.0,
+                                 supply_parameter={"R": 2.0, "C": 1e-3}),
+        reference_generator=rg.ConstReference("i", 0.0))
+    assert fused_state_arity(env) == 3
+    rng = np.random.default_rng(9)
+    actions = rng.integers(0, 4, size=(T, 1, 128)).astype(np.int32)
+
+    roll = make_fused_dc_rollout(env, T, N, action_mode="buffer",
+                                 interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    u0 = jnp.full((1, 128), 420.0, jnp.float32)
+    out = roll(zero, u0, zero, jnp.asarray(actions))
+
+    state = _xla_states(env, actions, N)
+    ode = np.asarray(state.phys.ode_state)
+    sup = np.asarray(state.phys.sup_state)
+    assert np.std(sup[:, 0]) > 0.05
+    np.testing.assert_allclose(np.asarray(out[0]).reshape(N), ode[:, 1],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out[1]).reshape(N), sup[:, 0],
+                               rtol=1e-4, atol=1e-2)
+
+
 def test_fused_dc_ac1_supply_fixed_phase_matches_xla():
     """AC1 supply with a pinned phase is deterministic: the kernel's
     (phi, t) planes replay u = max_amp sin(2 pi f t + phi) bit-for-bit

@@ -1,0 +1,204 @@
+"""Extended three-phase fused-kernel coverage: AC1/RC supplies and the
+Ornstein-Uhlenbeck speed load for the sync/SCIM/EESM/DFIM universal family
+kernels — the env-arg space beyond the catalog defaults
+(voltage_supplies.py:75-166, ornstein_uhlenbeck_load.py), mirroring
+tests/test_pallas_dc_extended.py.
+
+The RC-supply buffer tests are the sharpest: they exercise the in-kernel
+converter supply-current reconstruction (B6 upper-switch / duty-weighted
+phase sums from the dq/alphabeta state, plus the EESM excitation 4QC and
+the DFIM rotor-current-from-flux path) because a wrong i_sup feeds back
+into u_sup and diverges the trajectories within a few steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gym_electric_motor_tpu as gemx
+from gym_electric_motor_tpu import references as rg
+from gym_electric_motor_tpu.models.loads import ornstein_uhlenbeck_load
+from gym_electric_motor_tpu.models.supplies import (
+    ac_1_phase_supply,
+    rc_voltage_supply,
+)
+from gym_electric_motor_tpu.ops.pallas_rollout import (
+    fused_state_arity,
+    make_fused_rollout,
+)
+
+from test_pallas_dc_extended import _xla_random_stats
+from test_pallas_families import _assert_states, _build_actions
+
+N, T = 128, 50
+
+# (env_id, n_core, finite channel count / highs, const-ref names,
+#  eps column in the XLA ode_state [omega, motor states...])
+FAMILY_CASES = {
+    "sync": ("Cont-CC-PMSM-v0", 3, (3, None), ["i_sd", "i_sq"], 3),
+    "scim": ("Cont-TC-SCIM-v0", 4, (3, None), ["torque"], None),
+    "eesm": ("Finite-CC-EESM-v0", 4, (2, [8, 4]), ["i_sd", "i_sq", "i_e"], 4),
+    "dfim": ("Finite-TC-DFIM-v0", 5, (2, [8, 8]), ["torque"], 5),
+}
+
+
+def _make_env(family, **kwargs):
+    env_id, n_core, (n_ch, highs), ref_names, eps_col = FAMILY_CASES[family]
+    consts = [rg.ConstReference(nm, 0.0) for nm in ref_names]
+    ref = rg.ReferenceSpec(consts) if len(consts) > 1 else consts[0]
+    env = gemx.make_functional(env_id, reference_generator=ref, **kwargs)
+    finite = highs is not None
+    return env, env_id, n_core, n_ch, highs, finite, eps_col
+
+
+def _run_xla(env, actions, finite, n_ch):
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(actions.shape[0]):
+        if n_ch > 1:
+            act = jnp.asarray(actions[t].reshape(n_ch, N).T)
+        elif finite:
+            act = jnp.asarray(actions[t].reshape(N))
+        else:
+            act = jnp.asarray(actions[t].reshape(N, 1))
+        state, _obs, _r, _term = step(state, act)
+    return (np.asarray(state.phys.ode_state),
+            np.asarray(state.phys.sup_state)
+            if state.phys.sup_state is not None else None)
+
+
+@pytest.mark.parametrize("family", list(FAMILY_CASES))
+def test_fused_threephase_rc_supply_matches_xla(family):
+    """RC DC-link: u_sup sags with the converter supply current — validates
+    the per-family i_sup reconstruction against the XLA env step-for-step
+    (voltage_supplies.py:75-123; converters.py:289-298, 429-435)."""
+    env, env_id, n_core, n_ch, highs, finite, eps_col = _make_env(
+        family, supply=rc_voltage_supply(
+            u_nominal=420.0, supply_parameter={"R": 2.0, "C": 2e-3}))
+    assert fused_state_arity(env) == n_core + 2
+    rng = np.random.default_rng(51)
+    actions = _build_actions(rng, T, finite, n_ch, finite_highs=highs)
+
+    roll = make_fused_rollout(env, T, N, action_mode="buffer",
+                              interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    u0 = jnp.full((1, 128), 420.0, jnp.float32)
+    out = roll(*([zero] * n_core), u0, zero, jnp.asarray(actions))
+
+    ode, sup = _run_xla(env, actions, finite, n_ch)
+    # the supply must actually have moved, else this test is vacuous
+    assert np.std(sup[:, 0]) > 2e-3, np.std(sup[:, 0])
+    cols = list(range(1, n_core + 1))  # XLA col 0 is omega (const speed)
+    _assert_states(out[:n_core], ode, cols, env_id, eps_col=eps_col)
+    np.testing.assert_allclose(np.asarray(out[n_core]).reshape(N),
+                               sup[:, 0], rtol=1e-4, atol=1e-2)
+
+
+def test_fused_sync_ac1_supply_fixed_phase_matches_xla():
+    """AC1 DC-link with pinned phase replays u = amp sin(2 pi f t + phi)
+    deterministically through the (phi, t) planes."""
+    env, env_id, n_core, n_ch, highs, finite, eps_col = _make_env(
+        "sync", supply=ac_1_phase_supply(
+            u_nominal=230.0,
+            supply_parameter={"frequency": 50.0, "phase": 0.7}))
+    assert fused_state_arity(env) == n_core + 2
+    rng = np.random.default_rng(52)
+    actions = _build_actions(rng, T, finite, n_ch, finite_highs=highs)
+
+    roll = make_fused_rollout(env, T, N, action_mode="buffer",
+                              interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    phi0 = jnp.full((1, 128), 0.7, jnp.float32)
+    out = roll(*([zero] * n_core), phi0, zero, jnp.asarray(actions))
+
+    ode, _sup = _run_xla(env, actions, finite, n_ch)
+    cols = list(range(1, n_core + 1))
+    _assert_states(out[:n_core], ode, cols, env_id, eps_col=eps_col)
+    np.testing.assert_allclose(np.asarray(out[n_core + 1]).reshape(N),
+                               T * float(env.physical_system.tau), rtol=1e-4)
+
+
+@pytest.mark.parametrize("family", ["sync", "dfim"])
+def test_fused_threephase_ou_load_deterministic_matches_xla(family):
+    """OU load with sigma=0: deterministic speed relaxation through the
+    shared RK4 — the mech-branch (per-step sincos) path under a
+    non-polynomial load."""
+    env, env_id, n_core, n_ch, highs, finite, eps_col = _make_env(
+        family, load=ornstein_uhlenbeck_load(
+            mu=60.0, sigma=0.0, theta=40.0, tau=1e-4,
+            omega_range=(-300.0, 300.0)))
+    n_state = n_core + 1  # omega plane joins the core
+    assert fused_state_arity(env) == n_state
+    rng = np.random.default_rng(53)
+    actions = _build_actions(rng, T, finite, n_ch, finite_highs=highs)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state0, _ = jax.jit(jax.vmap(env.reset))(keys)
+    omega0 = np.asarray(state0.phys.ode_state)[:, 0]
+    assert np.std(omega0) > 10.0  # uniform init actually randomized
+
+    roll = make_fused_rollout(env, T, N, action_mode="buffer",
+                              interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    w0 = jnp.asarray(omega0.reshape(1, 128), jnp.float32)
+    out = roll(w0, *([zero] * n_core), jnp.asarray(actions))
+
+    ode, _sup = _run_xla(env, actions, finite, n_ch)
+    cols = list(range(0, n_state))
+    _assert_states(out[:n_state], ode, cols, env_id, eps_col=eps_col)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic paths: kernel vs XLA env under random actions
+# ---------------------------------------------------------------------------
+
+N_STAT, T_STAT = 2048, 400
+
+
+@pytest.mark.parametrize("env_id,case", [
+    ("Cont-CC-PMSM-v0", "ou"),
+    ("Finite-TC-SCIM-v0", "ac1"),
+    ("Cont-SC-EESM-v0", "ou"),
+])
+def test_fused_threephase_stochastic_extensions_match_xla(env_id, case):
+    if case == "ou":
+        env = gemx.make_functional(
+            env_id, load=ornstein_uhlenbeck_load(
+                mu=0.0, sigma=25.0, theta=5.0, tau=float(
+                    gemx.make_functional(env_id).physical_system.tau),
+                omega_range=(-150.0, 150.0)))
+    else:
+        env = gemx.make_functional(
+            env_id, supply=ac_1_phase_supply(u_nominal=230.0))
+
+    n_state = fused_state_arity(env)
+    roll = make_fused_rollout(env, T_STAT, N_STAT, interpret=True)
+    R = N_STAT // 128
+    z = jnp.zeros((R, 128), jnp.float32)
+    planes = [z] * n_state
+    if case == "ac1":
+        # match the XLA env's per-episode random phase at t=0
+        rng = np.random.default_rng(11)
+        planes[n_state - 2] = jnp.asarray(
+            rng.uniform(0.0, 2.0 * np.pi, (R, 128)).astype(np.float32))
+    out = roll(3, *planes)
+    states, reward, terms = out[:n_state], out[n_state], out[n_state + 1]
+
+    kernel_mean_r = float(jnp.sum(reward)) / (N_STAT * T_STAT)
+    kernel_term_rate = float(jnp.sum(terms)) / (N_STAT * T_STAT)
+    xla_mean_r, xla_term_rate = _xla_random_stats(env, N_STAT, T_STAT)
+    assert abs(kernel_mean_r - xla_mean_r) < 0.08, (
+        f"{kernel_mean_r} vs {xla_mean_r}")
+    assert abs(kernel_term_rate - xla_term_rate) < max(
+        0.5 * max(kernel_term_rate, xla_term_rate), 5e-3)
+    for s in states:
+        assert np.all(np.isfinite(np.asarray(s)))
+
+    if case == "ou":
+        # in-kernel resets draw omega ~ U(lo, hi); with drift toward mu=0
+        # the omega plane must show real spread and respect the clip range
+        w = np.asarray(states[0]).ravel()
+        assert np.std(w) > 5.0
+        assert np.all(np.abs(w) <= 150.0 + 1e-3)
