@@ -23,8 +23,11 @@ Design (same recipe as ``make_fused_pmsm_record_rollout``):
   and the stride keeps launches with adjacent root seeds decorrelated.
 
 ``make_fused_record_rollout(env, T, N)`` returns ``rollout(seed, *state0)
--> dict`` mapping signal names (family state names, ``ref_*``,
-``action*``, ``reward``, ``done``) to ``(T, N // 128, 128)`` arrays.
+-> dict`` mapping signal names (family state names incl. any AC1/RC
+supply planes, ``ref_*``, ``action*``, ``reward``, ``done``) to
+``(T, N // 128, 128)`` arrays.  AC1/RC supplies and the OU speed load
+record in-kernel with drawn per-episode reset values, exactly like the
+reducing kernels.
 ``action_mode='buffer'`` gives the deterministic validation path:
 ``rollout(*state0, actions) -> dict`` of per-step states, matched
 step-for-step against the XLA env in tests/test_pallas_record_universal.py.
@@ -50,6 +53,7 @@ from .pallas_rollout import (
     _induction_family,
     _make_rng,
     _make_wiener,
+    _step_noise,
     _sync_family,
 )
 
@@ -90,16 +94,6 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     R = n_envs // LANE
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     fs = _FAMILY_NAMESPACES[family](env, R, action_mode)
-    if (getattr(fs, "sup_mode", "ideal") != "ideal"
-            or getattr(fs, "mech_mode", None) == "ou"):
-        # the recorder's in-kernel reset zeroes every plane; AC/RC supply
-        # and OU-load planes need drawn/constant reset values the recorder
-        # does not implement yet — reject rather than record wrong physics
-        raise NotImplementedError(
-            "trajectory recording supports the ideal supply and "
-            "constant-speed/polynomial loads only; use the reducing "
-            "fused rollout or the general XLA path")
-
     n_state, n_ref = fs.n_state, fs.n_ref
     n_act = len(fs.act_names)
     shape, shape_r = fs.shape, fs.shape_r
@@ -109,29 +103,42 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
 
     if action_mode == "buffer":
+        assert not fs.needs_step_noise, (
+            "buffer (bit-validation) mode needs deterministic physics; "
+            "set the OU load's sigma to 0")
         n_planes = n_state + n_act
         chunk = _pick_chunk(n_steps, n_planes, R, chunk)
         n_chunks = n_steps // chunk
         multi = n_act > 1
+        needs_prev_b = (fs.finite
+                        and getattr(fs, "sup_mode", "ideal") == "rc")
+        n_prev_b = n_act if needs_prev_b else 0
 
         def kernel_buf(acts_ref, *refs):
             state0 = refs[:n_state]
             outs = refs[n_state: 2 * n_state]
-            state_s = refs[2 * n_state:]
+            state_s = refs[2 * n_state: 2 * n_state + n_state]
+            pa_refs = refs[2 * n_state + n_state:]
 
             @pl.when(pl.program_id(0) == 0)
             def _():
                 for ss, s0 in zip(state_s, state0):
                     ss[:] = s0[:]
+                for pa in pa_refs:
+                    pa[:] = jnp.zeros(shape, jnp.int32)
 
             def body(k, _):
                 acts = fs.read_actions(acts_ref, k)
+                prev = (tuple(pa[:] for pa in pa_refs)
+                        if needs_prev_b else None)
                 cur = tuple(ss[:] for ss in state_s)
                 aux = fs.pre_step(cur)
-                state = fs.step(cur, acts, aux)
+                state = fs.step(cur, acts, aux, None, prev)
                 for i, (ss, s2) in enumerate(zip(state_s, state)):
                     ss[:] = s2
                     outs[i][k] = s2
+                for pa, a in zip(pa_refs, acts):
+                    pa[:] = a
                 return 0
 
             jax.lax.fori_loop(0, chunk, body, 0)
@@ -151,7 +158,9 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                 in_specs=[ablk] + [const] * n_state,
                 out_specs=(tblk,) * n_state,
                 scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
-                                for _ in range(n_state)],
+                                for _ in range(n_state)]
+                + [pltpu.VMEM(shape, jnp.int32)
+                   for _ in range(n_prev_b)],
                 interpret=interpret,
             )(actions, *state0)
             return dict(zip(fs.state_names, out))
@@ -171,6 +180,11 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     # transcendentals (same diet as the reducing kernels, +~20% measured)
     has_rot = getattr(fs, "rot_advance", None) is not None
     has_wf = _ref_needs_wf(ref_cfg)
+    # finite + RC supply: i_sup reads the previous cycle's switch state, so
+    # the previous action persists in scratch across steps AND chunks (see
+    # _dc_family.step_physics for the reference citation)
+    needs_prev = fs.finite and getattr(fs, "sup_mode", "ideal") == "rc"
+    n_prev = n_act if needs_prev else 0
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -191,7 +205,12 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
         if has_rot:
             c_ref, s_ref = scratch[j], scratch[j + 1]
             j += 2
-        wf_ref = scratch[j] if has_wf else None
+        if has_wf:
+            wf_ref = scratch[j]
+            j += 1
+        else:
+            wf_ref = None
+        pa_refs = scratch[j: j + n_prev]
 
         pid = pl.program_id(0)
         seed, bits = _make_rng(interpret, rng_ref)
@@ -212,17 +231,21 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                 c0, s0_ = fs.rot_init(tuple(s0[:] for s0 in state0))
                 c_ref[:] = c0
                 s_ref[:] = s0_
+            for pa in pa_refs:
+                pa[:] = jnp.zeros(shape, jnp.int32)
             w_init()
 
         def body(k, _):
             acts = sample(bits)
+            z = _step_noise(fs.needs_step_noise, bits, shape)
+            prev = (tuple(pa[:] for pa in pa_refs) if needs_prev else None)
             cur = tuple(ss[:] for ss in state_s)
             if has_rot:
                 rc, rs = c_ref[:], s_ref[:]
                 aux = fs.pre_step_rot(cur, rc, rs)
             else:
                 aux = fs.pre_step(cur)
-            state = fs.step(cur, acts, aux)
+            state = fs.step(cur, acts, aux, z, prev)
             violated = fs.violated(state)
             qs = fs.quantities(state, aux)
             refs_now = rv_ref[:]
@@ -232,10 +255,13 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                                      refs_now[j * R:(j + 1) * R])
             reward = jnp.where(violated, violation_reward, wse)
 
-            zero = jnp.zeros(shape, jnp.float32)
-            for i, (ss, s2) in enumerate(zip(state_s, state)):
-                ss[:] = jnp.where(violated, zero, s2)
+            for i, (ss, s2, r0) in enumerate(zip(state_s, state,
+                                                 fs.reset_state(bits))):
+                ss[:] = jnp.where(violated, r0, s2)
                 out_state[i][k] = ss[:]
+            for pa, a in zip(pa_refs, acts):
+                # converter.reset() on violation: default action
+                pa[:] = jnp.where(violated, 0, a)
             for j in range(n_ref):
                 out_ref[j][k] = refs_now[j * R:(j + 1) * R]
             for j, a in enumerate(acts):
@@ -269,6 +295,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
            if has_rot else [])
         + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
            if has_wf else [])
+        + [pltpu.VMEM(shape, jnp.int32) for _ in range(n_prev)]
     )
 
     @jax.jit

@@ -1571,8 +1571,8 @@ def _dc_family(env, R, action_mode):
     def pre_step(cur):
         return ()
 
-    def step(cur, acts, aux):
-        return step_physics(cur, acts)
+    def step(cur, acts, aux, z=None, prev=None):
+        return step_physics(cur, acts, z, prev)
 
     def quantities(state, aux):
         return [ref_quantity(state, j) for j in range(n_ref)]
@@ -2309,10 +2309,11 @@ def _sync_family(env, R, action_mode):
         def pre_step_rot(cur, c, s):
             return (c, s)
 
-    def step(cur, acts, aux, z=None):
+    def step(cur, acts, aux, z=None, prev=None):
         c, s = aux
         a = acts[0] if finite else acts
-        state = physics_step(cur, a, c, s, z)
+        state = physics_step(cur, a, c, s, z,
+                             prev[0] if prev is not None else None)
         eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))
@@ -2939,9 +2940,10 @@ def _induction_family(env, R, action_mode):
             return ()
         return flux_dir(core_el(cur))
 
-    def step(cur, acts, aux, z=None):
+    def step(cur, acts, aux, z=None, prev=None):
         a = acts[0] if finite else acts
-        return step_physics(cur, a, z)
+        return step_physics(cur, a, z,
+                            prev[0] if prev is not None else None)
 
     def violated(state):
         el = core_el(state)
@@ -3563,9 +3565,9 @@ def _eesm_family(env, R, action_mode):
         def pre_step_rot(cur, c, s):
             return (c, s)
 
-    def step(cur, acts, aux, z=None):
+    def step(cur, acts, aux, z=None, prev=None):
         c, s = aux
-        state = physics_step(cur, acts, c, s, z)
+        state = physics_step(cur, acts, c, s, z, prev)
         eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))
@@ -4287,9 +4289,9 @@ def _dfim_family(env, R, action_mode):
             cs = flux_dir(cur[0:4]) if needs_dq else ()
             return (cs, c, s)
 
-    def step(cur, acts, aux, z=None):
+    def step(cur, acts, aux, z=None, prev=None):
         _, c, s = aux
-        state = physics_step(cur, acts, c, s, z)
+        state = physics_step(cur, acts, c, s, z, prev)
         eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))

@@ -202,3 +202,75 @@ def test_fused_threephase_stochastic_extensions_match_xla(env_id, case):
         w = np.asarray(states[0]).ravel()
         assert np.std(w) > 5.0
         assert np.all(np.abs(w) <= 150.0 + 1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory recorder under the new modes
+# ---------------------------------------------------------------------------
+
+
+def test_record_buffer_rc_supply_matches_xla():
+    """Recorder + RC supply (finite sync): the recorded per-step trajectory
+    incl. the u_sup plane matches the XLA env across chunk boundaries, with
+    the previous-action scratch carrying the i_sup switch state."""
+    from gym_electric_motor_tpu.ops.pallas_record import (
+        make_fused_record_rollout)
+
+    env = gemx.make_functional(
+        "Finite-CC-PMSM-v0",
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", 0.0), rg.ConstReference("i_sq", 0.0)]),
+        supply=rc_voltage_supply(u_nominal=420.0,
+                                 supply_parameter={"R": 2.0, "C": 1e-3}))
+    T, CHUNK = 40, 8
+    rng = np.random.default_rng(61)
+    actions = rng.integers(0, 8, size=(T, 1, 128)).astype(np.int32)
+
+    roll = make_fused_record_rollout(env, T, N, chunk=CHUNK,
+                                     action_mode="buffer", interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    u0 = jnp.full((1, 128), 420.0, jnp.float32)
+    out = roll(zero, zero, zero, u0, zero, jnp.asarray(actions))
+    trajs = [out[name] for name in roll.signals]
+    assert roll.signals == ("i_sd", "i_sq", "eps", "u_sup", "sup_t")
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, _obs, _r, _term = step(state,
+                                      jnp.asarray(actions[t].reshape(N)))
+        ode = np.asarray(state.phys.ode_state)
+        sup = np.asarray(state.phys.sup_state)
+        for k, c in enumerate([1, 2, 3]):
+            got = np.asarray(trajs[k][t]).reshape(N)
+            if c == 3:
+                d = np.mod(got - ode[:, c] + np.pi, 2 * np.pi) - np.pi
+                np.testing.assert_allclose(d, 0.0, atol=1e-4,
+                                           err_msg=f"eps t={t}")
+            else:
+                np.testing.assert_allclose(got, ode[:, c], rtol=1e-4,
+                                           atol=2e-3, err_msg=f"t={t}")
+        np.testing.assert_allclose(np.asarray(trajs[3][t]).reshape(N),
+                                   sup[:, 0], rtol=1e-4, atol=1e-2,
+                                   err_msg=f"u_sup t={t}")
+
+
+def test_record_random_ou_load_smoke():
+    """Recorder + OU load (random mode): finite signals, omega stays inside
+    the clip range, done steps reset omega to a fresh uniform draw."""
+    from gym_electric_motor_tpu.ops.pallas_record import (
+        make_fused_record_rollout)
+
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        load=ornstein_uhlenbeck_load(mu=0.0, sigma=30.0, theta=5.0,
+                                     tau=1e-4, omega_range=(-200.0, 200.0)))
+    T = 512
+    roll = make_fused_record_rollout(env, T, 256, chunk=8, interpret=True)
+    zero = jnp.zeros((2, 128), jnp.float32)
+    out = {k: np.asarray(v) for k, v in roll(5, zero, zero).items()}
+    w = out["omega"]
+    assert np.all(np.isfinite(w)) and np.all(np.abs(w) <= 200.0 + 1e-3)
+    assert np.std(w) > 5.0
+    assert np.all(np.isfinite(out["reward"]))
