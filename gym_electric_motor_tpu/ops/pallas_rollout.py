@@ -5171,6 +5171,251 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
     return rollout
 
 
+def make_fused_policy_record_rollout(env, n_steps, n_envs, hidden=16,
+                                     chunk=None, interpret=False):
+    """Fused POLICY-in-the-loop TRAJECTORY RECORDER for Finite-CC-PMSM-v0 —
+    the on-policy data-collection engine behind
+    ``parallel.sharded.make_fused_ppo_trainer``.
+
+    Per step, the same 2-layer tanh MLP as ``make_fused_policy_rollout``
+    picks a categorical action in-kernel, physics/references/reward/reset
+    run fused, and the transition signals stream to HBM through the
+    chunked-grid recorder recipe (``ops.pallas_record``): post-step
+    ``(i_sd, i_sq, eps)``, the pre-advance references ``(ref_d, ref_q)``
+    (exactly what the policy observed this step), the sampled ``action``,
+    ``reward`` and ``done``.
+
+    The policy observation is 7-dimensional: ``(omega_n, i_sd/l, i_sq/l,
+    cos(eps), sin(eps), ref_d, ref_q)`` — the rotor angle enters through
+    cos/sin exactly like the reference's ``CosSinProcessor`` RL setup
+    (cos_sin_processor.py:7-89; raw wrapped eps is a discontinuous feature
+    an MLP handles poorly), and the two features are free in-kernel (the
+    incremental Park rotation scratch already holds them).  It is
+    reconstructible on the XLA side from ``(i_sd[t-1], i_sq[t-1],
+    eps[t-1], ref_d[t], ref_q[t])`` with the launch's initial state at
+    t = 0 — behavior log-probs and values recompute from the collecting
+    parameters (cos/sin of the recorded eps matches the renormalized
+    rotation scratch to ~1 ulp), so nothing else needs recording.
+
+    Returns ``rollout(seed, w1, b1, w2, b2, isd0, isq0, eps0) -> dict`` of
+    ``(n_steps, R, LANE)`` arrays keyed by ``rollout.signals``; float32
+    except the int32 action.  ``w1`` is the flat (7*hidden,) first-layer
+    matrix.  ``env`` must use
+    ``state_filter=('omega', 'i_sd', 'i_sq', 'epsilon')``.
+    """
+    assert n_envs % LANE == 0
+    assert tuple(env.state_names[i] for i in
+                 np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
+                                                    "epsilon"), \
+        "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
+    R = n_envs // LANE
+    ps = env.physical_system
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+    psi_p, p = float(mp["psi_p"]), float(mp["p"])
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+    tau = float(ps.tau)
+    u_sup = _fused_u_sup(ps)
+    i_lim = float(lim[names.index("i_sd")])
+    omega_n = omega / float(lim[names.index("omega")])
+    eps_lim = float(lim[names.index("epsilon")])  # pi
+    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
+    w_over_span = 0.5 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    p_omega = p * omega
+    F, H, A = 7, hidden, 8
+    shape = (R, LANE)
+    shape2 = (2 * R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    names_out = ("i_sd", "i_sq", "eps", "ref_d", "ref_q", "action",
+                 "reward", "done")
+    n_sig = len(names_out)
+    from .pallas_record import _pick_chunk
+    chunk = _pick_chunk(n_steps, n_sig, R, chunk)
+    n_chunks = n_steps // chunk
+
+    def rhs(i_sd, i_sq, u_d, u_q):
+        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
+        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd
+                 + u_q) * (1.0 / l_q)
+        return di_sd, di_sq
+
+    COS_D = np.float32(np.cos(tau * p_omega))
+    SIN_D = np.float32(np.sin(tau * p_omega))
+
+    def physics_cs(i_sd, i_sq, eps, c, s, action):
+        ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+        ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+        uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        u_d = c * u_al + s * u_be
+        u_q = -s * u_al + c * u_be
+        k1 = rhs(i_sd, i_sq, u_d, u_q)
+        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1], u_d, u_q)
+        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1], u_d, u_q)
+        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], u_d, u_q)
+        sixth = tau / 6.0
+        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                eps + tau * p_omega)
+
+    def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               isd0_ref, isq0_ref, eps0_ref,
+               out_isd, out_isq, out_eps, out_rd, out_rq, out_act,
+               out_reward, out_done,
+               isd_s, isq_s, eps_s, rv_ref, rk_ref, rl_ref, rs_ref,
+               rng_ref, c_ref, s_ref):
+        pid = pl.program_id(0)
+        seed, bits = _make_rng(interpret, rng_ref)
+        # per-chunk reseed, n_chunks stride (see ops/pallas_record.py)
+        seed(seed_ref[0] * n_chunks + pid)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1),
+                                  rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)),
+                                  rs_ref[:])
+
+        @pl.when(pid == 0)
+        def _():
+            isd_s[:] = isd0_ref[:]
+            isq_s[:] = isq0_ref[:]
+            eps_s[:] = eps0_ref[:]
+            c_ref[:] = jnp.cos(eps0_ref[:])
+            s_ref[:] = jnp.sin(eps0_ref[:])
+            u = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+
+        def body(k, _):
+            i_sd, i_sq, eps = isd_s[:], isq_s[:], eps_s[:]
+            refs = rv_ref[:]
+
+            obs = (jnp.full(shape, omega_n, jnp.float32),
+                   i_sd * (1.0 / i_lim), i_sq * (1.0 / i_lim),
+                   c_ref[:], s_ref[:], refs[:R], refs[R:])
+
+            hs = []
+            for j in range(H):
+                acc = b1_ref[j]
+                for f in range(F):
+                    acc = acc + w1_ref[f * H + j] * obs[f]
+                hs.append(jnp.tanh(acc))
+            logits = []
+            for a in range(A):
+                logit = b2_ref[a]
+                for j in range(H):
+                    logit = logit + w2_ref[j * A + a] * hs[j]
+                logits.append(logit)
+            # inverse-CDF categorical over the softmax (8 exps + 1 uniform)
+            m = logits[0]
+            for a in range(1, A):
+                m = jnp.maximum(m, logits[a])
+            es = [jnp.exp(l - m) for l in logits]
+            total = es[0]
+            for a in range(1, A):
+                total = total + es[a]
+            uu = _uniform_from_bits(bits(shape)) * total
+            cum = es[0]
+            action = jnp.zeros(shape, jnp.int32)
+            for a in range(1, A):
+                action = jnp.where(uu >= cum, a, action)
+                cum = cum + es[a]
+
+            c, se_ = c_ref[:], s_ref[:]
+            i_sd, i_sq, eps = physics_cs(i_sd, i_sq, eps, c, se_, action)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(
+                eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - se_ * SIN_D
+            s_new = se_ * COS_D + c * SIN_D
+            inv_cs = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv_cs
+            s_new = s_new * inv_cs
+
+            isd_n = i_sd * (1.0 / i_lim)
+            isq_n = i_sq * (1.0 / i_lim)
+            violated = (isd_n * isd_n + isq_n * isq_n) > 1.0
+            wse = -(w_over_span * jnp.abs(isd_n - refs[:R])
+                    + w_over_span * jnp.abs(isq_n - refs[R:]))
+            reward = jnp.where(violated, violation_reward, wse)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            isd_s[:] = jnp.where(violated, zero, i_sd)
+            isq_s[:] = jnp.where(violated, zero, i_sq)
+            eps_s[:] = jnp.where(violated, zero, eps)
+            c_ref[:] = jnp.where(violated, jnp.ones(shape, jnp.float32),
+                                 c_new)
+            s_ref[:] = jnp.where(violated, zero, s_new)
+
+            out_isd[k] = isd_s[:]
+            out_isq[k] = isq_s[:]
+            out_eps[k] = eps_s[:]
+            out_rd[k] = refs[:R]
+            out_rq[k] = refs[R:]
+            out_act[k] = action
+            out_reward[k] = reward
+            out_done[k] = violated.astype(jnp.float32)
+
+            viol_f = violated.astype(jnp.float32)
+            reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            theta = np.float32(TWO_PI) * u2
+            draw = jnp.concatenate(
+                [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
+            regen = (rk_ref[:] >= rl_ref[:]) | reset2
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+            u3 = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
+    tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
+    traj_f = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
+    traj_i = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.int32)
+    out_shapes = (traj_f,) * 5 + (traj_i,) + (traj_f,) * 2
+    scratch_shapes = (
+        [pltpu.VMEM(shape, jnp.float32) for _ in range(3)]
+        + [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape2, jnp.uint32)]
+        + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+    )
+
+    @jax.jit
+    def rollout(seed, w1, b1, w2, b2, isd0, isq0, eps0):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=out_shapes,
+            in_specs=[smem] * 5 + [const] * 3,
+            out_specs=(tblk,) * n_sig,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32),
+          jnp.asarray(w1, jnp.float32), jnp.asarray(b1, jnp.float32),
+          jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32),
+          isd0, isq0, eps0)
+        return dict(zip(names_out, out))
+
+    rollout.signals = names_out
+    return rollout
+
+
 def flatten_policy_params(params):
     """``parallel/sharded.py`` policy dict -> the flat (w1, b1, w2, b2)
     vectors ``make_fused_policy_rollout`` consumes (row-major)."""

@@ -429,3 +429,161 @@ def train_step_reinforce(env, mesh, params, state, key, lr=1e-3):
         return params, new_state, loss
 
     return jax.jit(step)(params, state, key)
+
+
+def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
+                           n_envs=8192, n_epochs=2, n_minibatches=8,
+                           clip_eps=0.2, gamma=0.99, lam=0.95,
+                           vf_coef=0.5, ent_coef=0.0, interpret=False):
+    """PPO with FUSED on-policy collection — the rollout runs inside the
+    policy-in-the-loop recording kernel
+    (:func:`ops.pallas_rollout.make_fused_policy_record_rollout`, billions
+    of env-steps/s) instead of the XLA step loop, while GAE + the clipped
+    surrogate updates stay in XLA.  The collecting policy is the actor
+    trunk of :func:`actor_critic` evaluated in-kernel; behavior log-probs
+    and values are recomputed exactly from the recorded observations under
+    the same (pre-update) parameters, so only (state, refs, action, reward,
+    done) leave the kernel.
+
+    ``env`` must be Finite-CC-PMSM-v0 with
+    ``state_filter=('omega', 'i_sd', 'i_sq', 'epsilon')`` (enforced by the
+    kernel builder).  The bootstrap value at the horizon reuses the last
+    recorded references (the Wiener reference moves slowly per step, so the
+    one-step-stale bootstrap observation is a standard truncation
+    approximation).
+
+    Returns ``(init_opt_state, train)`` with ``train(params, opt_state,
+    planes, seed, n_iters) -> (params', opt_state', planes', mean_reward
+    [n_iters])`` where ``planes = (i_sd0, i_sq0, eps0)`` are
+    ``(n_envs // 128, 128)`` float32 drive states and ``params`` comes from
+    :func:`init_actor_critic_params` ``(obs_dim=7, n_actions=8, hidden)``.
+
+    No reference counterpart (the reference trains through
+    stable-baselines3 on one env) — this is the TPU-native flagship RL
+    path: collection at fused-kernel speed, learning in XLA.
+    """
+    import optax
+
+    from ..ops.pallas_rollout import make_fused_policy_record_rollout
+
+    roll = make_fused_policy_record_rollout(env, horizon, n_envs,
+                                            hidden=hidden,
+                                            interpret=interpret)
+    ps = env.physical_system
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    i_lim = float(lim[names.index("i_sd")])
+    omega_fixed = float(ps.load.omega_fixed)
+    omega_n = np.float32(omega_fixed / float(lim[names.index("omega")]))
+    inv_ilim = np.float32(1.0 / i_lim)
+    inv_pi = np.float32(1.0 / np.pi)
+    two_pi = np.float32(2.0 * np.pi)
+    tx = optax.adam(lr)
+    R = n_envs // 128
+
+    def _obs(isd, isq, eps, rd, rq):
+        """(..., 7) observation as the kernel computes it (cos/sin of the
+        recorded eps match the kernel's renormalized rotation scratch to
+        ~1 ulp)."""
+        return jnp.stack([
+            jnp.broadcast_to(omega_n, isd.shape),
+            isd * inv_ilim, isq * inv_ilim,
+            jnp.cos(eps), jnp.sin(eps), rd, rq,
+        ], axis=-1)
+
+    def iteration(carry, _):
+        params, opt_state, planes, seed = carry
+        isd0, isq0, eps0 = planes
+        out = roll(seed, params["w1"].reshape(-1), params["b1"],
+                   params["wp"].reshape(-1), params["bp"],
+                   isd0, isq0, eps0)
+
+        def tn(x):
+            return x.reshape(horizon, n_envs)
+
+        isd, isq, eps = tn(out["i_sd"]), tn(out["i_sq"]), tn(out["eps"])
+        rd, rq = tn(out["ref_d"]), tn(out["ref_q"])
+        act = tn(out["action"])
+        rew_t, done_t = tn(out["reward"]), tn(out["done"])
+
+        # pre-step states: shift the recorded post-step planes by one
+        isd_p = jnp.concatenate([isd0.reshape(1, -1), isd[:-1]])
+        isq_p = jnp.concatenate([isq0.reshape(1, -1), isq[:-1]])
+        eps_p = jnp.concatenate([eps0.reshape(1, -1), eps[:-1]])
+        obs_t = _obs(isd_p, isq_p, eps_p, rd, rq)        # (T, N, 6)
+
+        logits_t, val_t = actor_critic(params, obs_t)
+        logp_t = jnp.take_along_axis(jax.nn.log_softmax(logits_t),
+                                     act[..., None], axis=-1)[..., 0]
+        logp_t = jax.lax.stop_gradient(logp_t)
+        val_t = jax.lax.stop_gradient(val_t)
+        _, last_val = actor_critic(
+            params, _obs(isd[-1], isq[-1], eps[-1], rd[-1], rq[-1]))
+        last_val = jax.lax.stop_gradient(last_val)
+
+        def gae_body(carry2, x):
+            adv_next, v_next = carry2
+            v, r, d = x
+            delta = r + gamma * v_next * (1.0 - d) - v
+            adv = delta + gamma * lam * (1.0 - d) * adv_next
+            return (adv, v), adv
+
+        _, adv_t = jax.lax.scan(
+            gae_body, (jnp.zeros_like(last_val), last_val),
+            (val_t, rew_t, done_t), reverse=True)
+        ret_t = adv_t + val_t
+        adv_t = (adv_t - jnp.mean(adv_t)) / (jnp.std(adv_t) + 1e-8)
+
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = tuple(map(flat, (obs_t, act, logp_t, adv_t, ret_t)))
+        n = batch[1].shape[0]
+        mb = n // n_minibatches
+
+        def update(carry2, perm_slice):
+            params, opt_state = carry2
+            obs, a, logp_old, adv, ret = tuple(
+                jnp.take(x, perm_slice, axis=0) for x in batch)
+
+            def loss_fn(params):
+                logits, value = actor_critic(params, obs)
+                logp = jnp.take_along_axis(jax.nn.log_softmax(logits),
+                                           a[..., None], axis=-1)[..., 0]
+                ratio = jnp.exp(logp - logp_old)
+                pg = -jnp.mean(jnp.minimum(
+                    ratio * adv,
+                    jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv,
+                ))
+                vf = jnp.mean((value - ret) ** 2)
+                ent = -jnp.mean(
+                    jnp.sum(jax.nn.softmax(logits)
+                            * jax.nn.log_softmax(logits), axis=-1))
+                return pg + vf_coef * vf - ent_coef * ent
+
+            grads = jax.grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), 0.0
+
+        def epoch(carry2, k):
+            perm = jax.random.permutation(k, n)[: mb * n_minibatches]
+            slices = perm.reshape(n_minibatches, mb)
+            return jax.lax.scan(update, carry2, slices)[0], 0.0
+
+        ks_ep = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(17),
+                                                    seed), n_epochs)
+        (params, opt_state), _ = jax.lax.scan(epoch, (params, opt_state),
+                                              ks_ep)
+        planes = (out["i_sd"][-1], out["i_sq"][-1], out["eps"][-1])
+        return (params, opt_state, planes, seed + 1), jnp.mean(rew_t)
+
+    @partial(jax.jit, static_argnums=4)
+    def train(params, opt_state, planes, seed, n_iters):
+        (params, opt_state, planes, _), rs = jax.lax.scan(
+            iteration,
+            (params, opt_state, planes, jnp.asarray(seed, jnp.int32)),
+            None, length=n_iters)
+        return params, opt_state, planes, rs
+
+    return tx.init, train

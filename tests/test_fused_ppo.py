@@ -1,0 +1,107 @@
+"""Fused-collection PPO (``make_fused_policy_record_rollout`` +
+``parallel.sharded.make_fused_ppo_trainer``).
+
+The kernel samples actions from the in-kernel actor MLP and streams
+transitions to HBM; the trainer reconstructs observations, recomputes
+behavior log-probs/values under the collecting parameters, and runs
+GAE + clipped-surrogate updates in XLA.
+
+Correctness hinges on one invariant: the reconstructed observation at
+step t must be EXACTLY what the in-kernel policy saw when it sampled
+``action[t]``.  If it is, then actions are distributed as
+``pi(.|obs_recon)`` and E[log pi(a|s)] == -E[H(pi)] over the batch; any
+off-by-one in the state/reference pairing breaks that identity by a wide
+margin.  The long-horizon learning proof (reward -0.20 -> -0.06 over
+1.3B steps) runs on hardware in tools/tpu_validate.py — interpret mode
+is far too slow for it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gym_electric_motor_tpu as gemx
+from gym_electric_motor_tpu.ops.pallas_rollout import (
+    make_fused_policy_record_rollout,
+)
+from gym_electric_motor_tpu.parallel.sharded import (
+    actor_critic,
+    init_actor_critic_params,
+    make_fused_ppo_trainer,
+)
+
+
+def _env():
+    return gemx.make_functional(
+        "Finite-CC-PMSM-v0",
+        state_filter=("omega", "i_sd", "i_sq", "epsilon"))
+
+
+def test_policy_record_obs_alignment():
+    """E[log pi(a|s_reconstructed)] == -E[H(pi)]: the sampled actions are
+    distributed exactly as the softmax of the recomputed logits, proving
+    the obs reconstruction (state shift, reference pairing, cos/sin
+    features) matches the in-kernel policy input."""
+    env = _env()
+    NE, T = 256, 128
+    params = init_actor_critic_params(jax.random.PRNGKey(1), 7, 8, 16)
+    roll = make_fused_policy_record_rollout(env, T, NE, interpret=True)
+    z = jnp.zeros((NE // 128, 128), jnp.float32)
+    out = roll(5, params["w1"].reshape(-1), params["b1"],
+               params["wp"].reshape(-1), params["bp"], z, z, z)
+
+    names = list(env.physical_system.state_names)
+    lim = np.asarray(env.physical_system.limits)
+    i_lim = float(lim[names.index("i_sd")])
+    omega_n = (float(env.physical_system.load.omega_fixed)
+               / float(lim[names.index("omega")]))
+
+    def tn(x):
+        return np.asarray(x).reshape(T, NE)
+
+    isd, isq, eps = tn(out["i_sd"]), tn(out["i_sq"]), tn(out["eps"])
+    rd, rq, act = tn(out["ref_d"]), tn(out["ref_q"]), tn(out["action"])
+    isd_p = np.concatenate([np.zeros((1, NE)), isd[:-1]])
+    isq_p = np.concatenate([np.zeros((1, NE)), isq[:-1]])
+    eps_p = np.concatenate([np.zeros((1, NE)), eps[:-1]])
+    obs = np.stack([np.full_like(isd_p, omega_n), isd_p / i_lim,
+                    isq_p / i_lim, np.cos(eps_p), np.sin(eps_p), rd, rq],
+                   -1).astype(np.float32)
+    logits, _ = actor_critic(params, jnp.asarray(obs))
+    logp = np.asarray(jax.nn.log_softmax(logits))
+    lp_a = np.take_along_axis(logp, act[..., None].astype(int), -1)[..., 0]
+    p = np.asarray(jax.nn.softmax(logits))
+    ent = -(p * logp).sum(-1)
+    # matched pairing: identity holds to sampling noise (~1/sqrt(T*NE));
+    # any off-by-one shifts E[logp] well below -E[H]
+    assert abs(lp_a.mean() + ent.mean()) < 0.02, (lp_a.mean(), -ent.mean())
+
+    # rewards recompute from the recorded signals (WSE on the dq errors)
+    isd_n, isq_n = isd / i_lim, isq / i_lim
+    viol = (isd_n**2 + isq_n**2) > 1.0
+    wse = -(0.25 * np.abs(isd_n - rd) + 0.25 * np.abs(isq_n - rq))
+    expect = np.where(viol, -10.0, wse)
+    np.testing.assert_allclose(tn(out["reward"]), expect, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(tn(out["done"]), viol.astype(np.float32))
+
+
+def test_fused_ppo_trainer_runs_and_matches_xla_scale():
+    """Short smoke: the whole (collect + GAE + minibatch Adam) x n_iters
+    program runs in interpret mode, returns finite rewards at the
+    random-policy level, and updates the parameters."""
+    env = _env()
+    init_opt, train = make_fused_ppo_trainer(env, hidden=16, horizon=32,
+                                             n_envs=256, n_minibatches=4,
+                                             lr=1e-3, interpret=True)
+    params = init_actor_critic_params(jax.random.PRNGKey(1), 7, 8, 16)
+    p0 = np.asarray(params["w1"]).copy()
+    z = jnp.zeros((2, 128), jnp.float32)
+    params, _opt, planes, rs = train(params, init_opt(params), (z, z, z),
+                                     3, 4)
+    rs = np.asarray(rs)
+    assert np.isfinite(rs).all()
+    assert -0.5 < rs.mean() < 0.0  # dense tracking reward scale
+    assert not np.allclose(np.asarray(params["w1"]), p0)
+    for pl_ in planes:
+        assert np.isfinite(np.asarray(pl_)).all()

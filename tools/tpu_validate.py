@@ -159,6 +159,39 @@ def step_two_level():
     assert np.all((np.abs(r - (O + A)) < 1e-5) | (np.abs(r - (O - A)) < 1e-5))
 
 
+def fused_ppo_improves():
+    """PPO with fused collection LEARNS: mean tracking reward improves
+    from the random-policy level (~-0.20 with the entropy-regularized
+    init) to better than -0.11 within 1200 iterations (~0.6B env steps,
+    ~1.5 min).  Run in 50-iteration compiled segments (one giant scan of
+    large-batch kernel launches has crashed the axon worker before)."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params, make_fused_ppo_trainer)
+
+    env = gemx.make_functional(
+        "Finite-CC-PMSM-v0",
+        state_filter=("omega", "i_sd", "i_sq", "epsilon"))
+    NE, T = 2048, 256
+    init_opt, train = make_fused_ppo_trainer(
+        env, hidden=32, horizon=T, n_envs=NE, n_minibatches=8,
+        n_epochs=2, lr=1e-3, gamma=0.9, vf_coef=0.1, ent_coef=0.01)
+    params = init_actor_critic_params(jax.random.PRNGKey(1), 7, 8, 32)
+    opt_state = init_opt(params)
+    planes = tuple(jnp.zeros((NE // 128, 128), jnp.float32)
+                   for _ in range(3))
+    seed, first, last = 3, None, None
+    for _seg in range(24):
+        params, opt_state, planes, rs = train(params, opt_state, planes,
+                                              seed, 50)
+        seed += 50
+        rs = np.asarray(rs)
+        if first is None:
+            first = rs[:5].mean()
+        last = rs[-10:].mean()
+    assert last > -0.11, (first, last)
+    assert last > first + 0.05, (first, last)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -170,6 +203,7 @@ def main():
     check("random:reward-recompute", random_reward_recompute)
     check("refs:sinusoid-recurrence", sinusoid_recurrence)
     check("refs:step-two-level", step_two_level)
+    check("rl:fused-ppo-improves", fused_ppo_improves)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         return 1
