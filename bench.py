@@ -20,6 +20,9 @@ Modes (env vars):
   BENCH_RECORD=1 universal trajectory-recording kernels: one config per
                  fused family streaming every per-step signal to HBM
                  (transitions/s).  Override ids: BENCH_RECORD="id1,id2".
+  BENCH_PPO=1    fused-collection PPO: full (collect + GAE + update)
+                 loop throughput in env-steps/s over BENCH_PPO_ITERS
+                 (default 60) iterations at 2048 envs x 256 steps.
   BENCH_CONSTREF=1 the controller-evaluation configuration: constant
                  references ride the fused kernel with zero per-step
                  reference work (the repo's peak env-steps/s number).
@@ -289,6 +292,55 @@ def main():
         _persist()
         print(json.dumps({
             "metric": "env_steps_per_s",
+            "value": round(v, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(v / BASELINE_STEPS_PER_S, 4),
+        }))
+        return
+
+    if os.environ.get("BENCH_PPO"):
+        # Fused-collection PPO (parallel/sharded.py::make_fused_ppo_trainer):
+        # end-to-end learning-loop throughput — in-kernel policy rollout +
+        # XLA GAE/minibatch-Adam.  Segments of 20 iterations per train()
+        # call (long large-batch kernel scans have crashed the axon worker).
+        from gym_electric_motor_tpu.parallel.sharded import (
+            init_actor_critic_params,
+            make_fused_ppo_trainer,
+        )
+
+        n_iters = int(os.environ.get("BENCH_PPO_ITERS", 60))
+        ne, horizon = 2048, 256
+        env = gemx.make_functional(
+            "Finite-CC-PMSM-v0",
+            state_filter=("omega", "i_sd", "i_sq", "epsilon"))
+        init_opt, train = make_fused_ppo_trainer(
+            env, hidden=32, horizon=horizon, n_envs=ne, n_minibatches=8,
+            n_epochs=2, lr=1e-3, gamma=0.9, vf_coef=0.1, ent_coef=0.01)
+        params = init_actor_critic_params(jax.random.PRNGKey(1), 7, 8, 32)
+        opt_state = init_opt(params)
+        planes = tuple(jnp.zeros((ne // 128, 128), jnp.float32)
+                       for _ in range(3))
+        # warm (compile)
+        params, opt_state, planes, _ = _retry(
+            lambda: train(params, opt_state, planes, 3, 20),
+            "fused-PPO warmup")
+        t0 = time.perf_counter()
+        seed, left = 23, n_iters
+        while left > 0:
+            n = min(20, left)
+            params, opt_state, planes, rs = train(params, opt_state,
+                                                  planes, seed, n)
+            float(jnp.sum(rs))
+            seed += n
+            left -= n
+        dt = time.perf_counter() - t0
+        v = n_iters * ne * horizon / dt
+        RESULTS["Finite-CC-PMSM-v0/fused-ppo-loop"] = v
+        _log(f"fused-collection PPO loop: {v / 1e6:.1f}M env-steps/s "
+             f"({n_iters} iters x {ne}x{horizon})")
+        _persist()
+        print(json.dumps({
+            "metric": "ppo_env_steps_per_s",
             "value": round(v, 1),
             "unit": "steps/s",
             "vs_baseline": round(v / BASELINE_STEPS_PER_S, 4),
