@@ -1316,8 +1316,11 @@ def _dc_family(env, R, action_mode):
     kind = ps.motor.kind
     assert kind in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc"), kind
     conv = ps.converter
-    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0, (
-        "interlocking dead time is handled only by the XLA path")
+    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
+        raise NotImplementedError(
+            "fused kernels implement the zero-interlocking converter path; "
+            "interlocking dead time (2-sub-interval schedule) runs on the "
+            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
     n_ch = 2 if kind == "ExtExDc" else 1
 
@@ -2143,7 +2146,11 @@ def _sync_family(env, R, action_mode):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
-    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0
+    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
+        raise NotImplementedError(
+            "fused kernels implement the zero-interlocking converter path; "
+            "interlocking dead time (2-sub-interval schedule) runs on the "
+            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
 
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
@@ -2752,7 +2759,11 @@ def _induction_family(env, R, action_mode):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
-    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0
+    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
+        raise NotImplementedError(
+            "fused kernels implement the zero-interlocking converter path; "
+            "interlocking dead time (2-sub-interval schedule) runs on the "
+            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
 
     l_m = float(mp["l_m"])
@@ -3381,7 +3392,11 @@ def _eesm_family(env, R, action_mode):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
-    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0
+    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
+        raise NotImplementedError(
+            "fused kernels implement the zero-interlocking converter path; "
+            "interlocking dead time (2-sub-interval schedule) runs on the "
+            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
 
     # stator-side transformed rotor params (models/motors.py:441-449)
@@ -4059,7 +4074,11 @@ def _dfim_family(env, R, action_mode):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
-    assert float(getattr(conv, "interlocking_time", 0.0) or 0.0) == 0.0
+    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
+        raise NotImplementedError(
+            "fused kernels implement the zero-interlocking converter path; "
+            "interlocking dead time (2-sub-interval schedule) runs on the "
+            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
 
     l_m = mp["l_m"]

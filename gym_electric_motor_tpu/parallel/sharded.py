@@ -434,7 +434,8 @@ def train_step_reinforce(env, mesh, params, state, key, lr=1e-3):
 def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
                            n_envs=8192, n_epochs=2, n_minibatches=8,
                            clip_eps=0.2, gamma=0.99, lam=0.95,
-                           vf_coef=0.5, ent_coef=0.0, interpret=False):
+                           vf_coef=0.5, ent_coef=0.0, mesh=None,
+                           interpret=False):
     """PPO with FUSED on-policy collection — the rollout runs inside the
     policy-in-the-loop recording kernel
     (:func:`ops.pallas_rollout.make_fused_policy_record_rollout`, billions
@@ -458,6 +459,15 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
     ``(n_envs // 128, 128)`` float32 drive states and ``params`` comes from
     :func:`init_actor_critic_params` ``(obs_dim=7, n_actions=8, hidden)``.
 
+    With ``mesh`` (a 1-D env mesh), the env batch is laid out ``P('env')``
+    along the plane-row axis and ONE recording kernel runs per device on
+    its local shard; params/optimizer state replicate, minibatches are
+    drawn within each shard and the gradient ``pmean`` per update is the
+    only cross-chip traffic — the fused-collection counterpart of
+    :func:`make_ppo_trainer`'s dp layout.  At large batches call ``train``
+    in segments of <= ~50 iterations per invocation (one giant scan of
+    large-batch kernel launches has crashed the axon TPU worker).
+
     No reference counterpart (the reference trains through
     stable-baselines3 on one env) — this is the TPU-native flagship RL
     path: collection at fused-kernel speed, learning in XLA.
@@ -466,7 +476,10 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
 
     from ..ops.pallas_rollout import make_fused_policy_record_rollout
 
-    roll = make_fused_policy_record_rollout(env, horizon, n_envs,
+    n_dev = 1 if mesh is None else mesh.size
+    assert n_envs % (n_dev * 128) == 0
+    local_envs = n_envs // n_dev
+    roll = make_fused_policy_record_rollout(env, horizon, local_envs,
                                             hidden=hidden,
                                             interpret=interpret)
     ps = env.physical_system
@@ -491,15 +504,16 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
             jnp.cos(eps), jnp.sin(eps), rd, rq,
         ], axis=-1)
 
-    def iteration(carry, _):
-        params, opt_state, planes, seed = carry
+    def _local_iteration(params, opt_state, planes, seed, axis=None):
         isd0, isq0, eps0 = planes
+        if axis is not None:
+            seed = seed * jnp.int32(n_dev) + jax.lax.axis_index(axis)
         out = roll(seed, params["w1"].reshape(-1), params["b1"],
                    params["wp"].reshape(-1), params["bp"],
                    isd0, isq0, eps0)
 
         def tn(x):
-            return x.reshape(horizon, n_envs)
+            return x.reshape(horizon, local_envs)
 
         isd, isq, eps = tn(out["i_sd"]), tn(out["i_sq"]), tn(out["eps"])
         rd, rq = tn(out["ref_d"]), tn(out["ref_q"])
@@ -562,6 +576,8 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
                 return pg + vf_coef * vf - ent_coef * ent
 
             grads = jax.grad(loss_fn)(params)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)  # only cross-chip traffic
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), 0.0
@@ -576,7 +592,34 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
         (params, opt_state), _ = jax.lax.scan(epoch, (params, opt_state),
                                               ks_ep)
         planes = (out["i_sd"][-1], out["i_sq"][-1], out["eps"][-1])
-        return (params, opt_state, planes, seed + 1), jnp.mean(rew_t)
+        mean_r = jnp.mean(rew_t)
+        if axis is not None:
+            mean_r = jax.lax.pmean(mean_r, axis)
+        return params, opt_state, planes, mean_r
+
+    if mesh is None:
+        def iteration(carry, _):
+            params, opt_state, planes, seed = carry
+            params, opt_state, planes, mean_r = _local_iteration(
+                params, opt_state, planes, seed)
+            return (params, opt_state, planes, seed + 1), mean_r
+    else:
+        (axis_name,) = mesh.axis_names
+        spec = P(axis_name)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(), (spec,) * 3, P()),
+                 out_specs=(P(), P(), (spec,) * 3, P()),
+                 check_vma=False)
+        def sharded_iter(params, opt_state, planes, seed):
+            return _local_iteration(params, opt_state, planes, seed,
+                                    axis=axis_name)
+
+        def iteration(carry, _):
+            params, opt_state, planes, seed = carry
+            params, opt_state, planes, mean_r = sharded_iter(
+                params, opt_state, planes, seed)
+            return (params, opt_state, planes, seed + 1), mean_r
 
     @partial(jax.jit, static_argnums=4)
     def train(params, opt_state, planes, seed, n_iters):

@@ -105,3 +105,28 @@ def test_fused_ppo_trainer_runs_and_matches_xla_scale():
     assert not np.allclose(np.asarray(params["w1"]), p0)
     for pl_ in planes:
         assert np.isfinite(np.asarray(pl_)).all()
+
+
+def test_fused_ppo_trainer_sharded_mesh():
+    """mesh= lays the env batch P('env') over the 8-device mesh: one
+    recording kernel per device, grads pmean'd, params identical on every
+    device, rewards finite and at the random-policy scale."""
+    from gym_electric_motor_tpu.parallel import make_env_mesh
+
+    env = _env()
+    mesh = make_env_mesh(8)
+    NE = 1024  # 128 envs per device
+    init_opt, train = make_fused_ppo_trainer(env, hidden=16, horizon=32,
+                                             n_envs=NE, n_minibatches=2,
+                                             lr=1e-3, mesh=mesh,
+                                             interpret=True)
+    params = init_actor_critic_params(jax.random.PRNGKey(1), 7, 8, 16)
+    planes = tuple(jnp.zeros((NE // 128, 128), jnp.float32)
+                   for _ in range(3))
+    params, _opt, planes, rs = train(params, init_opt(params), planes, 3, 3)
+    rs = np.asarray(rs)
+    assert np.isfinite(rs).all() and -0.5 < rs.mean() < 0.0
+    # replicated params stay a single logical array (pmean'd updates)
+    w1 = np.asarray(params["w1"])
+    assert np.isfinite(w1).all()
+    assert "env" in str(planes[0].sharding.spec)
