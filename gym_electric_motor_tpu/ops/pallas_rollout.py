@@ -236,6 +236,39 @@ def _make_fused_mech(ps, j_rotor, shape):
                            needs_step_noise=needs_step_noise)
 
 
+def _c2u(d, i, k):
+    """Cont half-bridge duty minus the interlock discount, clipped
+    (converters.py:148-184; k = t_interlock / tau, a static constant)."""
+    if k == 0.0:
+        return d
+    return jnp.clip(d - jnp.sign(i) * np.float32(k), 0.0, 1.0)
+
+
+def _c2i(d, i, k):
+    """Cont half-bridge supply current incl. the interlock correction
+    (converters.py:429-435)."""
+    if k == 0.0:
+        return d * i
+    return (d + np.float32(k) * (jnp.where(i < 0, 1.0, 0.0) - d)) * i
+
+
+def _fused_interlock(conv, tau, finite):
+    """Static interlock fraction k = t_int / tau for the fused kernels.
+
+    Cont converters fold interlocking into the duty/current corrections
+    (``_c2u``/``_c2i``); finite converters would need the 2-sub-interval
+    switching schedule (converters.py:99-111) and stay on the XLA path.
+    """
+    t_int = float(getattr(conv, "interlocking_time", 0.0) or 0.0)
+    if finite and t_int != 0.0:
+        raise NotImplementedError(
+            "fused kernels support interlocking dead time for cont "
+            "(dynamically averaged) converters only; the finite "
+            "2-sub-interval interlock schedule runs on the general XLA "
+            "path (VectorEnv.rollout)")
+    return t_int / tau
+
+
 def _step_noise(needs, bits, shape):
     """One standard normal per env step for the OU speed load (None when
     the family carries no per-step mechanical noise)."""
@@ -1316,12 +1349,8 @@ def _dc_family(env, R, action_mode):
     kind = ps.motor.kind
     assert kind in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc"), kind
     conv = ps.converter
-    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
-        raise NotImplementedError(
-            "fused kernels implement the zero-interlocking converter path; "
-            "interlocking dead time (2-sub-interval schedule) runs on the "
-            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
+    k_int = _fused_interlock(conv, float(ps.tau), finite)
     n_ch = 2 if kind == "ExtExDc" else 1
 
     tau = float(ps.tau)
@@ -1346,7 +1375,8 @@ def _dc_family(env, R, action_mode):
 
     def conv_u(ck, a, i):
         """per-channel action -> voltage fraction (pre-step current ``i``
-        drives the freewheeling body-diode branches, converters.py:277-287)"""
+        drives the freewheeling body-diode branches, converters.py:277-287;
+        cont kinds fold the interlock discount via _c2u)"""
         if ck == "Finite-1QC":
             return jnp.where(i >= 0.0, a.astype(jnp.float32), 1.0)
         if ck == "Finite-2QC":
@@ -1357,13 +1387,18 @@ def _dc_family(env, R, action_mode):
             return (jnp.where(a == 1, 1.0, 0.0)
                     - jnp.where(a == 2, 1.0, 0.0))
         if ck == "Cont-1QC":
+            # diode topology: no interlock discount (converters.py:371-401)
             return jnp.where(i >= 0.0, jnp.clip(a, 0.0, 1.0), 1.0)
         if ck == "Cont-2QC":
-            return jnp.clip(a, 0.0, 1.0)
-        # Cont-4QC: duty clip (converters.py:370-410) — matters for
-        # controller-in-the-loop callers whose cascade emits overmodulated
-        # duties during transients
-        return jnp.clip(a, -1.0, 1.0)
+            return _c2u(jnp.clip(a, 0.0, 1.0), i, k_int)
+        # Cont-4QC: dual 2QC, both see the same current (converters.py:
+        # 438-496); duty clip matters for controller-in-the-loop callers
+        # whose cascade emits overmodulated duties during transients
+        ac = jnp.clip(a, -1.0, 1.0)
+        if k_int == 0.0:
+            return ac
+        return (_c2u(0.5 * (ac + 1.0), i, k_int)
+                - _c2u(-0.5 * (ac - 1.0), i, k_int))
 
     def conv_i_sup(ck, a, i):
         """per-channel supply current (converters.py:289-298, 429-496)"""
@@ -1377,9 +1412,15 @@ def _dc_family(env, R, action_mode):
             # + hb_i(s1, -i) with states in {1, 2} (never freewheeling)
             return (jnp.where(a <= 1, i, 0.0)
                     + jnp.where((a == 0) | (a == 2), -i, 0.0))
-        if ck in ("Cont-1QC", "Cont-2QC"):
+        if ck == "Cont-1QC":
             return jnp.clip(a, 0.0, 1.0) * i
-        return jnp.clip(a, -1.0, 1.0) * i  # Cont-4QC: d1*i + d2*(-i)
+        if ck == "Cont-2QC":
+            return _c2i(jnp.clip(a, 0.0, 1.0), i, k_int)
+        ac = jnp.clip(a, -1.0, 1.0)  # Cont-4QC: d1*i + d2*(-i)
+        if k_int == 0.0:
+            return ac * i
+        return (_c2i(0.5 * (ac + 1.0), i, k_int)
+                + _c2i(-0.5 * (ac - 1.0), -i, k_int))
 
     # --- electrical model (constants baked from the motor spec) ---
     if kind == "PermExDc":
@@ -2146,12 +2187,8 @@ def _sync_family(env, R, action_mode):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
-    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
-        raise NotImplementedError(
-            "fused kernels implement the zero-interlocking converter path; "
-            "interlocking dead time (2-sub-interval schedule) runs on the "
-            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
+    k_int = _fused_interlock(conv, float(ps.tau), finite)
 
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
     psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
@@ -2198,28 +2235,37 @@ def _sync_family(env, R, action_mode):
     n_state = n_core + n_sup
     i_eps = n_core - 1
 
-    def abc_frac(action):
+    def abc_frac(action, i_abc=None):
         """phase voltage fractions of u_sup (B6: converters.py:788-823;
-        cont: duty a/2, converters.py:846-881)"""
+        cont: interlock-discounted half-bridge duty _c2u(0.5(a+1)) - 0.5,
+        converters.py:846-911 — reduces to a/2 at zero interlock)"""
         if finite:
             return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
                     ((action >> 1) & 1).astype(jnp.float32) - 0.5,
                     ((action & 1)).astype(jnp.float32) - 0.5)
-        return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
+        if k_int == 0.0:
+            return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
+        return tuple(
+            _c2u(0.5 * (jnp.clip(action[j], -1.0, 1.0) + 1.0), i_abc[j],
+                 k_int) - 0.5
+            for j in range(3))
 
     def b6_i_sup(action, i_abc):
         """B6 supply current from the pre-step phase currents: finite sums
         the upper-switch phases (states in {1,2} never freewheel,
         converters.py:289-298, 838-839); cont weights by the half-bridge
-        duties 0.5(a+1) (converters.py:429-435, 849-853)."""
+        duties 0.5(a+1) with the interlock correction (converters.py:
+        429-435, 849-853)."""
         i_a, i_b, i_c = i_abc
         if finite:
             return (((action >> 2) & 1).astype(jnp.float32) * i_a
                     + ((action >> 1) & 1).astype(jnp.float32) * i_b
                     + (action & 1).astype(jnp.float32) * i_c)
-        return (0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0) * i_a
-                + 0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0) * i_b
-                + 0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0) * i_c)
+        return (_c2i(0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0), i_a, k_int)
+                + _c2i(0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0), i_b,
+                       k_int)
+                + _c2i(0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0), i_c,
+                       k_int))
 
     def dq_to_abc(i_sd, i_sq, c, s):
         """inverse Park + Clarke (t_32 rows, three_phase_motor.py:16-88)"""
@@ -2230,18 +2276,21 @@ def _sync_family(env, R, action_mode):
 
     def physics_step(state, action, c, s, z=None, prev_action=None):
         core, sup_planes = state[:n_core], state[n_core:]
+        i_abc = None
+        if sup.needs_i_sup or (k_int != 0.0 and not finite):
+            i_sd, i_sq = (core[1], core[2]) if mech else (core[0], core[1])
+            i_abc = dq_to_abc(i_sd, i_sq, c, s)
         if sup.needs_i_sup:
             # finite B6: i_sup reads the PREVIOUS cycle's switch state (the
             # reference queries i_sup before convert() flips the bridges —
             # see _dc_family.step_physics for the full citation)
             sa = (prev_action if (finite and prev_action is not None)
                   else action)
-            i_sd, i_sq = (core[1], core[2]) if mech else (core[0], core[1])
-            i_sup_val = b6_i_sup(sa, dq_to_abc(i_sd, i_sq, c, s))
+            i_sup_val = b6_i_sup(sa, i_abc)
         else:
             i_sup_val = None
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        fa, fb, fc = abc_frac(action)
+        fa, fb, fc = abc_frac(action, i_abc)
         ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
         u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
@@ -2759,12 +2808,8 @@ def _induction_family(env, R, action_mode):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
-    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
-        raise NotImplementedError(
-            "fused kernels implement the zero-interlocking converter path; "
-            "interlocking dead time (2-sub-interval schedule) runs on the "
-            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
+    k_int = _fused_interlock(conv, float(ps.tau), finite)
 
     l_m = float(mp["l_m"])
     l_s = float(mp["l_m"] + mp["l_sigs"])
@@ -2815,12 +2860,17 @@ def _induction_family(env, R, action_mode):
     n_core = 4 + (1 if mech else 0)
     n_state = n_core + n_sup
 
-    def abc_frac(action):
+    def abc_frac(action, i_abc=None):
         if finite:
             return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
                     ((action >> 1) & 1).astype(jnp.float32) - 0.5,
                     ((action & 1)).astype(jnp.float32) - 0.5)
-        return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
+        if k_int == 0.0:
+            return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
+        return tuple(
+            _c2u(0.5 * (jnp.clip(action[j], -1.0, 1.0) + 1.0), i_abc[j],
+                 k_int) - 0.5
+            for j in range(3))
 
     def b6_i_sup(action, i_abc):
         """B6 supply current (converters.py:289-298, 429-435, 838-911)"""
@@ -2829,17 +2879,16 @@ def _induction_family(env, R, action_mode):
             return (((action >> 2) & 1).astype(jnp.float32) * i_a
                     + ((action >> 1) & 1).astype(jnp.float32) * i_b
                     + (action & 1).astype(jnp.float32) * i_c)
-        return (0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0) * i_a
-                + 0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0) * i_b
-                + 0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0) * i_c)
+        return (_c2i(0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0), i_a, k_int)
+                + _c2i(0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0), i_b,
+                       k_int)
+                + _c2i(0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0), i_c,
+                       k_int))
 
     def step_physics(state, action, z=None, prev_action=None):
         core, sup_planes = state[:n_core], state[n_core:]
-        if sup.needs_i_sup:
-            # finite B6: previous cycle's switch state feeds i_sup (see
-            # _dc_family.step_physics)
-            sa = (prev_action if (finite and prev_action is not None)
-                  else action)
+        i_abc = None
+        if sup.needs_i_sup or (k_int != 0.0 and not finite):
             el_pre = core[1:] if mech else core
             # stator currents are already stator-frame alpha/beta: Clarke
             # back to abc without any rotation (physical_systems.py:771-814)
@@ -2847,11 +2896,16 @@ def _induction_family(env, R, action_mode):
             half_b = np.float32(0.5 * np.sqrt(3.0))
             i_abc = (i_al, -0.5 * i_al + half_b * i_be,
                      -0.5 * i_al - half_b * i_be)
+        if sup.needs_i_sup:
+            # finite B6: previous cycle's switch state feeds i_sup (see
+            # _dc_family.step_physics)
+            sa = (prev_action if (finite and prev_action is not None)
+                  else action)
             i_sup_val = b6_i_sup(sa, i_abc)
         else:
             i_sup_val = None
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        fa, fb, fc = abc_frac(action)
+        fa, fb, fc = abc_frac(action, i_abc)
         ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
         u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
@@ -3392,12 +3446,8 @@ def _eesm_family(env, R, action_mode):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
-    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
-        raise NotImplementedError(
-            "fused kernels implement the zero-interlocking converter path; "
-            "interlocking dead time (2-sub-interval schedule) runs on the "
-            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
+    k_int = _fused_interlock(conv, float(ps.tau), finite)
 
     # stator-side transformed rotor params (models/motors.py:441-449)
     r_E = mp["k"] ** 2 * 1.5 * mp["r_e"]
@@ -3455,9 +3505,10 @@ def _eesm_family(env, R, action_mode):
     n_state = n_core + n_sup
     i_eps = n_core - 1
 
-    def voltage_fracs(action):
+    def voltage_fracs(action, i_abc=None, i_e=None):
         """(phase fracs, excitation frac) of u_sup — B6 + 4QC channels
-        (converters.py:788-823, 313-368 via the multi converter)"""
+        (converters.py:788-823, 313-368 via the multi converter); cont
+        channels carry the interlock discount (_c2u)"""
         if finite:
             a_b6, a_4qc = action
             fa = ((a_b6 >> 2) & 1).astype(jnp.float32) - 0.5
@@ -3465,9 +3516,17 @@ def _eesm_family(env, R, action_mode):
             fc = (a_b6 & 1).astype(jnp.float32) - 0.5
             fe = (jnp.where(a_4qc == 1, 1.0, 0.0)
                   - jnp.where(a_4qc == 2, 1.0, 0.0))
-        else:
-            fa, fb, fc = 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
-            fe = action[3]
+            return fa, fb, fc, fe
+        if k_int == 0.0:
+            return (0.5 * action[0], 0.5 * action[1], 0.5 * action[2],
+                    action[3])
+        fa, fb, fc = (
+            _c2u(0.5 * (jnp.clip(action[j], -1.0, 1.0) + 1.0), i_abc[j],
+                 k_int) - 0.5
+            for j in range(3))
+        ae = jnp.clip(action[3], -1.0, 1.0)
+        fe = (_c2u(0.5 * (ae + 1.0), i_e, k_int)
+              - _c2u(-0.5 * (ae - 1.0), i_e, k_int))
         return fa, fb, fc, fe
 
     def conv_i_sup(action, i_abc, i_e):
@@ -3483,10 +3542,16 @@ def _eesm_family(env, R, action_mode):
             i_4qc = (jnp.where(a_4qc <= 1, i_e, 0.0)
                      + jnp.where((a_4qc == 0) | (a_4qc == 2), -i_e, 0.0))
             return i_b6 + i_4qc
-        i_b6 = (0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0) * i_a
-                + 0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0) * i_b
-                + 0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0) * i_c)
-        return i_b6 + jnp.clip(action[3], -1.0, 1.0) * i_e
+        i_b6 = (_c2i(0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0), i_a, k_int)
+                + _c2i(0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0), i_b,
+                       k_int)
+                + _c2i(0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0), i_c,
+                       k_int))
+        ae = jnp.clip(action[3], -1.0, 1.0)
+        if k_int == 0.0:
+            return i_b6 + ae * i_e
+        return i_b6 + (_c2i(0.5 * (ae + 1.0), i_e, k_int)
+                       + _c2i(-0.5 * (ae - 1.0), -i_e, k_int))
 
     def dq_to_abc(i_sd, i_sq, c, s):
         i_al = c * i_sd - s * i_sq
@@ -3496,17 +3561,20 @@ def _eesm_family(env, R, action_mode):
 
     def physics_step(state, action, c, s, z=None, prev_action=None):
         core, sup_planes = state[:n_core], state[n_core:]
+        i_abc = i_e = None
+        if sup.needs_i_sup or (k_int != 0.0 and not finite):
+            i_sd, i_sq, i_e = core[1:4] if mech else core[0:3]
+            i_abc = dq_to_abc(i_sd, i_sq, c, s)
         if sup.needs_i_sup:
             # finite B6 + 4QC: previous cycle's switch states feed i_sup
             # (see _dc_family.step_physics)
             sa = (prev_action if (finite and prev_action is not None)
                   else action)
-            i_sd, i_sq, i_e = core[1:4] if mech else core[0:3]
-            i_sup_val = conv_i_sup(sa, dq_to_abc(i_sd, i_sq, c, s), i_e)
+            i_sup_val = conv_i_sup(sa, i_abc, i_e)
         else:
             i_sup_val = None
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        fa, fb, fc, fe = voltage_fracs(action)
+        fa, fb, fc, fe = voltage_fracs(action, i_abc, i_e)
         ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
         u_e = fe * u_sup_val
         u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
@@ -4074,12 +4142,8 @@ def _dfim_family(env, R, action_mode):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
-    if float(getattr(conv, "interlocking_time", 0.0) or 0.0) != 0.0:
-        raise NotImplementedError(
-            "fused kernels implement the zero-interlocking converter path; "
-            "interlocking dead time (2-sub-interval schedule) runs on the "
-            "general XLA path (VectorEnv.rollout)")
     finite = conv.action_type == "finite"
+    k_int = _fused_interlock(conv, float(ps.tau), finite)
 
     l_m = mp["l_m"]
     l_s = l_m + mp["l_sigs"]
@@ -4140,8 +4204,9 @@ def _dfim_family(env, R, action_mode):
     n_state = n_core + n_sup
     i_eps = n_core - 1
 
-    def voltage_fracs(action):
-        """dual-B6 phase voltage fractions of u_sup"""
+    def voltage_fracs(action, i_s_abc=None, i_r_abc=None):
+        """dual-B6 phase voltage fractions of u_sup (cont channels carry
+        the interlock discount on their own phase currents)"""
         if finite:
             a_s, a_r = action
 
@@ -4150,8 +4215,15 @@ def _dfim_family(env, R, action_mode):
                         ((a >> 1) & 1).astype(jnp.float32) - 0.5,
                         ((a & 1)).astype(jnp.float32) - 0.5)
             return b6(a_s), b6(a_r)
-        return ((0.5 * action[0], 0.5 * action[1], 0.5 * action[2]),
-                (0.5 * action[3], 0.5 * action[4], 0.5 * action[5]))
+        if k_int == 0.0:
+            return ((0.5 * action[0], 0.5 * action[1], 0.5 * action[2]),
+                    (0.5 * action[3], 0.5 * action[4], 0.5 * action[5]))
+
+        def duty(a, i):
+            return _c2u(0.5 * (jnp.clip(a, -1.0, 1.0) + 1.0), i,
+                        k_int) - 0.5
+        return (tuple(duty(action[j], i_s_abc[j]) for j in range(3)),
+                tuple(duty(action[3 + j], i_r_abc[j]) for j in range(3)))
 
     def b6_i_sup(a_or_duties, i_abc, finite_chan):
         i_a, i_b, i_c = i_abc
@@ -4161,46 +4233,53 @@ def _dfim_family(env, R, action_mode):
                     + ((a >> 1) & 1).astype(jnp.float32) * i_b
                     + (a & 1).astype(jnp.float32) * i_c)
         d = a_or_duties
-        return (0.5 * (jnp.clip(d[0], -1.0, 1.0) + 1.0) * i_a
-                + 0.5 * (jnp.clip(d[1], -1.0, 1.0) + 1.0) * i_b
-                + 0.5 * (jnp.clip(d[2], -1.0, 1.0) + 1.0) * i_c)
+        return (_c2i(0.5 * (jnp.clip(d[0], -1.0, 1.0) + 1.0), i_a, k_int)
+                + _c2i(0.5 * (jnp.clip(d[1], -1.0, 1.0) + 1.0), i_b, k_int)
+                + _c2i(0.5 * (jnp.clip(d[2], -1.0, 1.0) + 1.0), i_c, k_int))
 
     def alphabeta_to_abc(i_al, i_be):
         half_b = np.float32(0.5 * np.sqrt(3.0))
         return (i_al, -0.5 * i_al + half_b * i_be,
                 -0.5 * i_al - half_b * i_be)
 
-    def conv_i_sup(action, el, c, s):
-        """dual-B6 supply current: stator phases straight from Clarke
-        inverse; rotor currents reconstructed from the fluxes
-        (i_r = (psi_r - l_m i_s)/l_r, physical_systems.py:954-966) and
-        rotated back into the rotor frame before the phase split."""
+    def phase_currents(el, c, s):
+        """(stator abc, rotor 'def') phase currents: stator straight from
+        Clarke inverse; rotor currents reconstructed from the fluxes
+        (i_r = (psi_r - l_m i_s)/l_r, physical_systems.py:954-966).
+        QUIRK kept: the reference Clarkes the STATOR-FRAME rotor
+        alpha/beta current directly into what it calls 'def' — it never
+        rotates into the rotor frame (physical_systems.py:985-986), so
+        neither do we (nor does the XLA path)."""
         i_sa, i_sb, ps_a, ps_b = el
-        i_ra_st = (ps_a - l_m * i_sa) * (1.0 / l_r)
-        i_rb_st = (ps_b - l_m * i_sb) * (1.0 / l_r)
-        # stator frame -> rotor frame: rotate by -eps
-        i_ra = c * i_ra_st + s * i_rb_st
-        i_rb = -s * i_ra_st + c * i_rb_st
+        i_ra = (ps_a - l_m * i_sa) * (1.0 / l_r)
+        i_rb = (ps_b - l_m * i_sb) * (1.0 / l_r)
+        return alphabeta_to_abc(i_sa, i_sb), alphabeta_to_abc(i_ra, i_rb)
+
+    def conv_i_sup(action, i_s_abc, i_r_abc):
+        """dual-B6 supply current"""
         if finite:
             a_s, a_r = action
-            return (b6_i_sup(a_s, alphabeta_to_abc(i_sa, i_sb), True)
-                    + b6_i_sup(a_r, alphabeta_to_abc(i_ra, i_rb), True))
-        return (b6_i_sup(action[0:3], alphabeta_to_abc(i_sa, i_sb), False)
-                + b6_i_sup(action[3:6], alphabeta_to_abc(i_ra, i_rb), False))
+            return (b6_i_sup(a_s, i_s_abc, True)
+                    + b6_i_sup(a_r, i_r_abc, True))
+        return (b6_i_sup(action[0:3], i_s_abc, False)
+                + b6_i_sup(action[3:6], i_r_abc, False))
 
     def physics_step(state, action, c, s, z=None, prev_action=None):
         core, sup_planes = state[:n_core], state[n_core:]
+        i_s_abc = i_r_abc = None
+        if sup.needs_i_sup or (k_int != 0.0 and not finite):
+            el_pre = core[1:5] if mech else core[0:4]
+            i_s_abc, i_r_abc = phase_currents(el_pre, c, s)
         if sup.needs_i_sup:
             # dual finite B6: previous cycle's switch states feed i_sup
             # (see _dc_family.step_physics)
             sa = (prev_action if (finite and prev_action is not None)
                   else action)
-            el_pre = core[1:5] if mech else core[0:4]
-            i_sup_val = conv_i_sup(sa, el_pre, c, s)
+            i_sup_val = conv_i_sup(sa, i_s_abc, i_r_abc)
         else:
             i_sup_val = None
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        s_frac, r_frac = voltage_fracs(action)
+        s_frac, r_frac = voltage_fracs(action, i_s_abc, i_r_abc)
         s_abc = tuple(f * u_sup_val for f in s_frac)
         r_abc = tuple(f * u_sup_val for f in r_frac)
 

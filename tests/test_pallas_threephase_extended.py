@@ -274,3 +274,92 @@ def test_record_random_ou_load_smoke():
     assert np.all(np.isfinite(w)) and np.all(np.abs(w) <= 200.0 + 1e-3)
     assert np.std(w) > 5.0
     assert np.all(np.isfinite(out["reward"]))
+
+
+# ---------------------------------------------------------------------------
+# Cont-converter interlocking dead time (duty discount + i_sup correction)
+# ---------------------------------------------------------------------------
+
+T_INT = 4e-6  # 4% of tau=1e-4
+
+
+def _interlocked_env(family):
+    from gym_electric_motor_tpu.models import converters as cv
+
+    tau = 1e-4
+    if family == "dc2qc":
+        return gemx.make_functional(
+            "Cont-CC-PermExDc-v0",
+            converter=cv.cont_two_quadrant_converter(tau, T_INT),
+            reference_generator=rg.ConstReference("i", 0.0)), 1, None
+    if family == "dc4qc":
+        return gemx.make_functional(
+            "Cont-CC-PermExDc-v0",
+            converter=cv.cont_four_quadrant_converter(tau, T_INT),
+            reference_generator=rg.ConstReference("i", 0.0)), 1, None
+    if family == "sync":
+        env = gemx.make_functional(
+            "Cont-CC-PMSM-v0",
+            converter=cv.cont_b6_bridge_converter(tau, T_INT),
+            reference_generator=rg.ReferenceSpec(
+                [rg.ConstReference("i_sd", 0.0),
+                 rg.ConstReference("i_sq", 0.0)]))
+        return env, 3, 3
+    if family == "eesm":
+        subs = [cv.cont_b6_bridge_converter(tau, T_INT),
+                cv.cont_four_quadrant_converter(tau, T_INT)]
+        env = gemx.make_functional(
+            "Cont-CC-EESM-v0",
+            converter=cv.cont_multi_converter(subs, tau, T_INT),
+            reference_generator=rg.ReferenceSpec(
+                [rg.ConstReference(n, 0.0)
+                 for n in ("i_sd", "i_sq", "i_e")]))
+        return env, 4, 4
+    subs = [cv.cont_b6_bridge_converter(tau, T_INT),
+            cv.cont_b6_bridge_converter(tau, T_INT)]
+    env = gemx.make_functional(
+        "Cont-TC-DFIM-v0",
+        converter=cv.cont_multi_converter(subs, tau, T_INT),
+        reference_generator=rg.ConstReference("torque", 0.0))
+    return env, 6, 5
+
+
+@pytest.mark.parametrize("family", ["dc2qc", "dc4qc", "sync", "eesm",
+                                    "dfim"])
+def test_fused_cont_interlocking_matches_xla(family):
+    """Cont-converter interlocking folds into the static duty discount
+    _c2u and the i_sup correction _c2i (converters.py:148-184, 429-435):
+    fused trajectories must match the XLA env step-for-step with
+    interlocking_time > 0.  The discount flips sign with the pre-step
+    phase current, so buffer replay exercises the current-dependent
+    branch."""
+    env, n_ch, eps_col = _interlocked_env(family)
+    n_core = fused_state_arity(env)
+    rng = np.random.default_rng(71)
+    actions = _build_actions(rng, T, False, n_ch, finite_highs=None)
+
+    roll = make_fused_rollout(env, T, N, action_mode="buffer",
+                              interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    out = roll(*([zero] * n_core), jnp.asarray(actions))
+    out = out if isinstance(out, tuple) else (out,)
+
+    ode, _sup = _run_xla(env, actions, False, n_ch)
+    cols = list(range(1, n_core + 1))
+    _assert_states(out[:n_core], ode, cols, f"{family}+interlock",
+                   eps_col=eps_col)
+    # the interlock discount must actually bite: replay WITHOUT interlock
+    # must differ measurably (guards against a silently-ignored t_int)
+    env0, _n, _e = _interlocked_env(family)
+    base_id = {"dc2qc": "Cont-CC-PermExDc-v0", "dc4qc": "Cont-CC-PermExDc-v0",
+               "sync": "Cont-CC-PMSM-v0", "eesm": "Cont-CC-EESM-v0",
+               "dfim": "Cont-TC-DFIM-v0"}[family]
+    env_ni = gemx.make_functional(
+        base_id, reference_generator=env.reference_generator)
+    roll_ni = make_fused_rollout(env_ni, T, N, action_mode="buffer",
+                                 interpret=True)
+    out_ni = roll_ni(*([zero] * n_core), jnp.asarray(actions))
+    out_ni = out_ni if isinstance(out_ni, tuple) else (out_ni,)
+    diff = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+               for a, b in zip(out[:2], out_ni[:2]))
+    assert diff > 1e-3, diff
