@@ -83,6 +83,41 @@ def _fused_load(ps, kinds=("ConstantSpeedLoad", "PolynomialStaticLoad")):
     return ps.load
 
 
+_FUSED_OK_WRAPPERS = ("CurrentSumProcessor", "CosSinProcessor",
+                      "FluxObserver")
+
+
+def _fused_check_system(ps):
+    """Reject silently-ignorable-but-wrong env configurations LOUDLY.
+
+    Observation-only wrappers (CurrentSum/CosSin/FluxObserver,
+    physical_system_wrappers/) are fine: the fused kernels derive
+    rewards/constraints from the raw drive state and never emit wrapper
+    observation channels.  Wrappers that change the physics or the action
+    contract (DeadTimeProcessor's action delay, StateNoiseProcessor's
+    reward-relevant state noise, DqToAbcActionProcessor) and
+    ``control_space='dq'`` systems (2/3-dim dq actions vs the kernels'
+    abc sampling) must run on the general XLA path — without this check
+    the kernels would simulate different physics than the env contract.
+    """
+    chain = []
+    cur = ps
+    while hasattr(cur, "inner"):  # PhysicalSystemWrapper chain
+        chain.append(type(cur).__name__)
+        cur = cur.inner
+    bad = [n for n in chain if n not in _FUSED_OK_WRAPPERS]
+    if bad:
+        raise NotImplementedError(
+            f"fused kernels support observation-only wrappers "
+            f"{_FUSED_OK_WRAPPERS}; got {bad} — use the general XLA path "
+            f"(VectorEnv.rollout)")
+    if getattr(cur, "control_space", "abc") != "abc":
+        raise NotImplementedError(
+            "fused kernels sample abc converter actions; "
+            "control_space='dq' runs on the general XLA path "
+            "(VectorEnv.rollout)")
+
+
 def _make_fused_supply(ps, shape, tau):
     """Supply model shared by every universal family builder — the
     in-kernel counterpart of voltage_supplies.py.
@@ -1114,6 +1149,7 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -1343,6 +1379,7 @@ def _dc_family(env, R, action_mode):
     ``fused_state_arity`` accounts for them.
     """
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -2183,6 +2220,7 @@ def _sync_family(env, R, action_mode):
     reducing rollout (``make_fused_sync_rollout``) and the generic
     trajectory recorder (``ops.pallas_record``)."""
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -2617,6 +2655,7 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -2804,6 +2843,7 @@ def _induction_family(env, R, action_mode):
     reducing rollout (``make_fused_induction_rollout``) and the generic
     trajectory recorder (``ops.pallas_record``)."""
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -3218,6 +3258,7 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -3442,6 +3483,7 @@ def _eesm_family(env, R, action_mode):
     (``make_fused_eesm_family_rollout``) and the generic trajectory
     recorder (``ops.pallas_record``)."""
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -3903,6 +3945,7 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -4138,6 +4181,7 @@ def _dfim_family(env, R, action_mode):
     (``make_fused_dfim_family_rollout``) and the generic trajectory
     recorder (``ops.pallas_record``)."""
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -4642,6 +4686,7 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
     assert ctrl.control_task == "CC" and ctrl.output_kind == "cont"
     R = n_envs // LANE
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -5062,6 +5107,7 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
         "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
     R = n_envs // LANE
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -5308,6 +5354,7 @@ def make_fused_policy_record_rollout(env, n_steps, n_envs, hidden=16,
         "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
     R = n_envs // LANE
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -5567,6 +5614,7 @@ def make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=16, gamma=0.99,
     n_blocks = R // block_rows
     Rb = block_rows
     ps = env.physical_system
+    _fused_check_system(ps)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)

@@ -99,3 +99,38 @@ def test_fused_rejects_nonideal_supply_and_dynamic_loads():
         load=external_speed_load(lambda t: 40.0 + 0.0 * t))
     with pytest.raises(NotImplementedError, match="load"):
         make_fused_rollout(env, 16, 128, interpret=True)
+
+
+def test_fused_rejects_physics_wrappers_and_dq_control_space():
+    """Wrappers that change the physics/action contract (DeadTime delay,
+    StateNoise reward-relevant noise, dq action interface) must be
+    rejected LOUDLY — the kernels would otherwise silently simulate
+    different semantics than the env contract.  Observation-only wrappers
+    (CurrentSum/CosSin/FluxObserver) remain supported."""
+    from gym_electric_motor_tpu import wrappers as wr
+    from gym_electric_motor_tpu.envs.catalog import make_functional
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+
+    env = make_functional("Finite-CC-PMSM-v0",
+                          physical_system_wrappers=(wr.DeadTimeProcessor(),))
+    with pytest.raises(NotImplementedError, match="DeadTimeProcessor"):
+        make_fused_rollout(env, 16, 128, interpret=True)
+
+    env = make_functional(
+        "Cont-CC-PermExDc-v0",
+        physical_system_wrappers=(
+            wr.StateNoiseProcessor(("i",), random_kwargs={"scale": 0.1}),))
+    with pytest.raises(NotImplementedError, match="StateNoiseProcessor"):
+        make_fused_rollout(env, 16, 128, interpret=True)
+
+    env = make_functional("Cont-CC-PMSM-v0", control_space="dq")
+    with pytest.raises(NotImplementedError, match="dq"):
+        make_fused_rollout(env, 16, 128, interpret=True)
+
+    # observation-only wrappers stay fused (ShuntDc ships CurrentSum)
+    env = make_functional("Cont-SC-ShuntDc-v0")
+    make_fused_rollout(env, 16, 128, interpret=True)
+    env = make_functional(
+        "Finite-CC-PMSM-v0",
+        physical_system_wrappers=(wr.CosSinProcessor(),))
+    make_fused_rollout(env, 16, 128, interpret=True)
