@@ -110,9 +110,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
         chunk = _pick_chunk(n_steps, n_planes, R, chunk)
         n_chunks = n_steps // chunk
         multi = n_act > 1
-        needs_prev_b = (fs.finite
-                        and getattr(fs, "sup_mode", "ideal") == "rc")
-        n_prev_b = n_act if needs_prev_b else 0
+        n_prev_b = getattr(fs, "n_bridge", 0)
 
         def kernel_buf(acts_ref, *refs):
             state0 = refs[:n_state]
@@ -129,16 +127,19 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
 
             def body(k, _):
                 acts = fs.read_actions(acts_ref, k)
-                prev = (tuple(pa[:] for pa in pa_refs)
-                        if needs_prev_b else None)
+                bs = (tuple(pa[:] for pa in pa_refs)
+                      if n_prev_b else None)
                 cur = tuple(ss[:] for ss in state_s)
                 aux = fs.pre_step(cur)
-                state = fs.step(cur, acts, aux, None, prev)
+                state = fs.step(cur, acts, aux, None, bs)
                 for i, (ss, s2) in enumerate(zip(state_s, state)):
                     ss[:] = s2
                     outs[i][k] = s2
-                for pa, a in zip(pa_refs, acts):
-                    pa[:] = a
+                if n_prev_b:
+                    a_in = acts[0] if len(acts) == 1 else acts
+                    for pa, b in zip(pa_refs,
+                                     fs.advance_bridges(bs, a_in)):
+                        pa[:] = b
                 return 0
 
             jax.lax.fori_loop(0, chunk, body, 0)
@@ -180,11 +181,10 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     # transcendentals (same diet as the reducing kernels, +~20% measured)
     has_rot = getattr(fs, "rot_advance", None) is not None
     has_wf = _ref_needs_wf(ref_cfg)
-    # finite + RC supply: i_sup reads the previous cycle's switch state, so
-    # the previous action persists in scratch across steps AND chunks (see
+    # finite converters with RC supply or interlocking carry the half-bridge
+    # switching states in scratch across steps AND chunks (see
     # _dc_family.step_physics for the reference citation)
-    needs_prev = fs.finite and getattr(fs, "sup_mode", "ideal") == "rc"
-    n_prev = n_act if needs_prev else 0
+    n_prev = getattr(fs, "n_bridge", 0)
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -210,7 +210,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
             j += 1
         else:
             wf_ref = None
-        pa_refs = scratch[j: j + n_prev]
+        bs_refs = scratch[j: j + n_prev]
 
         pid = pl.program_id(0)
         seed, bits = _make_rng(interpret, rng_ref)
@@ -231,21 +231,21 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                 c0, s0_ = fs.rot_init(tuple(s0[:] for s0 in state0))
                 c_ref[:] = c0
                 s_ref[:] = s0_
-            for pa in pa_refs:
+            for pa in bs_refs:
                 pa[:] = jnp.zeros(shape, jnp.int32)
             w_init()
 
         def body(k, _):
             acts = sample(bits)
             z = _step_noise(fs.needs_step_noise, bits, shape)
-            prev = (tuple(pa[:] for pa in pa_refs) if needs_prev else None)
+            bs = (tuple(pa[:] for pa in bs_refs) if n_prev else None)
             cur = tuple(ss[:] for ss in state_s)
             if has_rot:
                 rc, rs = c_ref[:], s_ref[:]
                 aux = fs.pre_step_rot(cur, rc, rs)
             else:
                 aux = fs.pre_step(cur)
-            state = fs.step(cur, acts, aux, z, prev)
+            state = fs.step(cur, acts, aux, z, bs)
             violated = fs.violated(state)
             qs = fs.quantities(state, aux)
             refs_now = rv_ref[:]
@@ -259,9 +259,12 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                                                  fs.reset_state(bits))):
                 ss[:] = jnp.where(violated, r0, s2)
                 out_state[i][k] = ss[:]
-            for pa, a in zip(pa_refs, acts):
-                # converter.reset() on violation: default action
-                pa[:] = jnp.where(violated, 0, a)
+            if n_prev:
+                # converter.reset() on violation: all-off switching states
+                a_in = acts[0] if len(acts) == 1 else acts
+                for pa, b in zip(bs_refs,
+                                 fs.advance_bridges(bs, a_in)):
+                    pa[:] = jnp.where(violated, 0, b)
             for j in range(n_ref):
                 out_ref[j][k] = refs_now[j * R:(j + 1) * R]
             for j, a in enumerate(acts):

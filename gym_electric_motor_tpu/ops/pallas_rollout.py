@@ -54,18 +54,24 @@ def _uniform_from_bits(bits):
 
 
 def _fused_u_sup(ps):
-    """Supply voltage constant for fused kernels.
+    """Supply voltage constant for the SPECIALIZED fused kernels.
 
-    Only the ideal supply's compile-time constant is representable in the
-    kernels today (voltage_supplies.py:60-72); RC and AC supplies carry
-    per-step dynamics / per-episode random phases and run on the general XLA
-    path.  RC/AC specs also expose ``u_nominal``, so reading it without this
-    check would *silently* simulate them as ideal."""
+    Only the ideal supply's compile-time constant is representable in
+    these kernels (voltage_supplies.py:60-72); RC/AC supplies and
+    interlocking dead time run through the universal family kernels
+    (``make_fused_rollout``) or the general XLA path.  RC/AC specs also
+    expose ``u_nominal``, so reading it without this check would
+    *silently* simulate them as ideal."""
     if ps.supply.kind != "IdealVoltageSupply":
         raise NotImplementedError(
-            f"fused kernels support IdealVoltageSupply only; got "
-            f"{ps.supply.kind!r} — use the general XLA path "
-            f"(VectorEnv.rollout)")
+            f"the specialized fused kernels support IdealVoltageSupply "
+            f"only; got {ps.supply.kind!r} — use make_fused_rollout (the "
+            f"universal dispatch) or the general XLA path")
+    if float(getattr(ps.converter, "interlocking_time", 0.0) or 0.0) != 0.0:
+        raise NotImplementedError(
+            "the specialized fused kernels support zero interlocking dead "
+            "time only; use make_fused_rollout (the universal dispatch) "
+            "or the general XLA path")
     return float(ps.supply.u_nominal)
 
 
@@ -271,6 +277,30 @@ def _make_fused_mech(ps, j_rotor, shape):
                            needs_step_noise=needs_step_noise)
 
 
+def _hb_u_st(st, i):
+    """Half-bridge voltage fraction from the switching state
+    (converters.py:277-287): 1 -> high, 2 -> low, 0 -> body diode
+    freewheeling (high iff the current is negative)."""
+    free = jnp.where(i < 0.0, 1.0, 0.0)
+    return jnp.where(st == 1, 1.0, jnp.where(st == 2, 0.0, free))
+
+
+def _hb_i_st(st, i):
+    """Half-bridge supply current from the switching state
+    (converters.py:289-298)."""
+    free = jnp.where(i < 0.0, i, 0.0)
+    return jnp.where(st == 1, i, jnp.where(st == 2, 0.0, free))
+
+
+def _interlock_state(bs, cmd):
+    """Interval switching state under interlocking (converters.py:300-310
+    via models/converters.py::_hb_interlock_pattern): a half-bridge whose
+    command differs from its previous state (neither all-off) opens for
+    the whole control cycle — the reference's deferred-interlock quirk."""
+    return jnp.where((cmd == 0) | (bs == 0) | (cmd == bs), cmd,
+                     jnp.zeros_like(cmd))
+
+
 def _c2u(d, i, k):
     """Cont half-bridge duty minus the interlock discount, clipped
     (converters.py:148-184; k = t_interlock / tau, a static constant)."""
@@ -287,17 +317,17 @@ def _c2i(d, i, k):
     return (d + np.float32(k) * (jnp.where(i < 0, 1.0, 0.0) - d)) * i
 
 
-def _fused_interlock(conv, tau, finite):
+def _fused_interlock(conv, tau, finite, finite_ok=True):
     """Static interlock fraction k = t_int / tau for the fused kernels.
 
     Cont converters fold interlocking into the duty/current corrections
-    (``_c2u``/``_c2i``); finite converters would need the 2-sub-interval
-    switching schedule (converters.py:99-111) and stay on the XLA path.
-    """
+    (``_c2u``/``_c2i``); finite converters run the 2-sub-interval
+    switching schedule with carried half-bridge states (converters.py:
+    99-111) where the family implements it (``finite_ok``)."""
     t_int = float(getattr(conv, "interlocking_time", 0.0) or 0.0)
-    if finite and t_int != 0.0:
+    if finite and t_int != 0.0 and not finite_ok:
         raise NotImplementedError(
-            "fused kernels support interlocking dead time for cont "
+            "this fused kernel supports interlocking dead time for cont "
             "(dynamically averaged) converters only; the finite "
             "2-sub-interval interlock schedule runs on the general XLA "
             "path (VectorEnv.rollout)")
@@ -1388,6 +1418,7 @@ def _dc_family(env, R, action_mode):
     conv = ps.converter
     finite = conv.action_type == "finite"
     k_int = _fused_interlock(conv, float(ps.tau), finite)
+    t_int = k_int * float(ps.tau)
     n_ch = 2 if kind == "ExtExDc" else 1
 
     tau = float(ps.tau)
@@ -1410,19 +1441,45 @@ def _dc_family(env, R, action_mode):
                 f"{conv.kind!r} — use the general XLA path")
         conv_kinds = (conv.kind,)
 
-    def conv_u(ck, a, i):
-        """per-channel action -> voltage fraction (pre-step current ``i``
-        drives the freewheeling body-diode branches, converters.py:277-287;
-        cont kinds fold the interlock discount via _c2u)"""
+    _CHAN_BRIDGES = {"Finite-1QC": 0, "Finite-2QC": 1, "Finite-4QC": 2}
+    chan_nb = tuple(_CHAN_BRIDGES.get(ck, 0) for ck in conv_kinds)
+    n_bridge = sum(chan_nb) if (finite and (k_int > 0.0 or
+                                            getattr(ps.supply, "kind", "")
+                                            == "RCVoltageSupply")) else 0
+
+    def chan_cmd(ck, a):
+        """commanded half-bridge states for one channel (bridge_actions:
+        2QC identity; 4QC sub-state tables 1+(a>=2) / 1+(a&1))"""
+        if ck == "Finite-2QC":
+            return (a,)
+        if ck == "Finite-4QC":
+            return (1 + (a >= 2).astype(jnp.int32),
+                    1 + (a & jnp.int32(1)))
+        return ()
+
+    def split_bs(bs):
+        """flat bridge-plane tuple -> per-channel tuples"""
+        out, o = [], 0
+        for nb in chan_nb:
+            out.append(bs[o:o + nb] if bs is not None else None)
+            o += nb
+        return out
+
+    def conv_u(ck, a, i, st=None):
+        """per-channel voltage fraction from the switching state ``st``
+        (None: derive from the action — the zero-interlock identity);
+        pre-step current ``i`` drives the freewheeling body-diode branches
+        (converters.py:277-287); cont kinds fold the interlock discount
+        via _c2u"""
         if ck == "Finite-1QC":
+            # single transistor + diode: stateless (converters.py:218-245)
             return jnp.where(i >= 0.0, a.astype(jnp.float32), 1.0)
         if ck == "Finite-2QC":
-            free = jnp.where(i < 0.0, 1.0, 0.0)
-            return jnp.where(a == 1, 1.0, jnp.where(a == 2, 0.0, free))
+            return _hb_u_st(st[0] if st is not None else a, i)
         if ck == "Finite-4QC":
-            # dual half-bridge, states never free: a=1 -> +1, a=2 -> -1
-            return (jnp.where(a == 1, 1.0, 0.0)
-                    - jnp.where(a == 2, 1.0, 0.0))
+            if st is None:
+                st = chan_cmd(ck, a)
+            return _hb_u_st(st[0], i) - _hb_u_st(st[1], -i)
         if ck == "Cont-1QC":
             # diode topology: no interlock discount (converters.py:371-401)
             return jnp.where(i >= 0.0, jnp.clip(a, 0.0, 1.0), 1.0)
@@ -1437,18 +1494,19 @@ def _dc_family(env, R, action_mode):
         return (_c2u(0.5 * (ac + 1.0), i, k_int)
                 - _c2u(-0.5 * (ac - 1.0), i, k_int))
 
-    def conv_i_sup(ck, a, i):
-        """per-channel supply current (converters.py:289-298, 429-496)"""
+    def conv_i_sup(ck, a, i, st=None):
+        """per-channel supply current (converters.py:289-298, 429-496);
+        finite 2QC/4QC read the switching state ``st`` (the previous
+        cycle's — see step_physics), 1QC reads the current action like the
+        reference"""
         if ck == "Finite-1QC":
             return jnp.where(a == 1, i, 0.0)
         if ck == "Finite-2QC":
-            free = jnp.where(i < 0.0, i, 0.0)
-            return jnp.where(a == 1, i, jnp.where(a == 2, 0.0, free))
+            return _hb_i_st(st[0] if st is not None else a, i)
         if ck == "Finite-4QC":
-            # hb0 = 1 + (a >= 2), hb1 = 1 + (a & 1); i_sup = hb_i(s0, i)
-            # + hb_i(s1, -i) with states in {1, 2} (never freewheeling)
-            return (jnp.where(a <= 1, i, 0.0)
-                    + jnp.where((a == 0) | (a == 2), -i, 0.0))
+            if st is None:
+                st = chan_cmd(ck, a)
+            return _hb_i_st(st[0], i) + _hb_i_st(st[1], -i)
         if ck == "Cont-1QC":
             return jnp.clip(a, 0.0, 1.0) * i
         if ck == "Cont-2QC":
@@ -1458,6 +1516,20 @@ def _dc_family(env, R, action_mode):
             return ac * i
         return (_c2i(0.5 * (ac + 1.0), i, k_int)
                 + _c2i(-0.5 * (ac - 1.0), -i, k_int))
+
+    def advance_bridges(bs, acts):
+        """next-cycle converter state: the interlock pattern when
+        interlocking (interval_states -> (inter, inter), the deferred
+        quirk), else the commanded states"""
+        if not isinstance(acts, tuple):
+            acts = (acts,)
+        out = []
+        for ck, a, st in zip(conv_kinds, acts, split_bs(bs)):
+            cmd = chan_cmd(ck, a)
+            if k_int > 0.0:
+                cmd = tuple(_interlock_state(b, c) for b, c in zip(st, cmd))
+            out.extend(cmd)
+        return tuple(out)
 
     # --- electrical model (constants baked from the motor spec) ---
     if kind == "PermExDc":
@@ -1537,40 +1609,79 @@ def _dc_family(env, R, action_mode):
     def split(state):
         return state[:n_core], state[n_core:]
 
-    def step_physics(state, acts, z=None, prev_acts=None):
-        core, sup_planes = split(state)
-        el_pre = core[1:] if mech else core
-        i_in = i_in_fn(el_pre)
-        if sup.needs_i_sup:
-            # finite converters: the reference queries i_sup BEFORE
-            # convert() applies the new switching state, so the supply
-            # current reflects the PREVIOUS cycle's switch positions
-            # (converters.py:84-97 state update order vs the i_sup call in
-            # physical_systems.py:171-203); cont converters store the new
-            # duty in set_action and i_sup sees it immediately
-            sa = prev_acts if (finite and prev_acts is not None) else acts
-            i_sup_val = conv_i_sup(conv_kinds[0], sa[0], i_in[0])
-            for j in range(1, n_ch):
-                i_sup_val = i_sup_val + conv_i_sup(conv_kinds[j], sa[j],
-                                                   i_in[j])
-        else:
-            i_sup_val = None
-        u_sup_val, sup_new = supply_u(sup_planes, i_sup_val)
-        u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
-                  for j in range(n_ch))
-
+    def rk4(core, u, z, dt):
         def axpy(s, k, c):
             return tuple(si + c * ki for si, ki in zip(s, k))
 
         k1 = core_rhs(core, u, z)
-        k2 = core_rhs(axpy(core, k1, 0.5 * tau), u, z)
-        k3 = core_rhs(axpy(core, k2, 0.5 * tau), u, z)
-        k4 = core_rhs(axpy(core, k3, tau), u, z)
-        core_new = tuple(
-            s + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+        k2 = core_rhs(axpy(core, k1, 0.5 * dt), u, z)
+        k3 = core_rhs(axpy(core, k2, 0.5 * dt), u, z)
+        k4 = core_rhs(axpy(core, k3, dt), u, z)
+        return tuple(
+            s + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for s, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
-        return core_new + sup_new
+
+    def step_physics(state, acts, z=None, bs=None):
+        core, sup_planes = split(state)
+        el_pre = core[1:] if mech else core
+        i_in = i_in_fn(el_pre)
+        bs_ch = split_bs(bs)
+        if sup.needs_i_sup:
+            # finite 2QC/4QC: the reference queries i_sup BEFORE convert()
+            # applies the new switching state, so the supply current reads
+            # the PREVIOUS cycle's switch positions carried in ``bs``
+            # (converters.py:84-97 state update order vs the i_sup call in
+            # physical_systems.py:171-203); cont converters store the new
+            # duty in set_action and i_sup sees it immediately
+            i_sup_val = conv_i_sup(conv_kinds[0], acts[0], i_in[0],
+                                   bs_ch[0] if finite else None)
+            for j in range(1, n_ch):
+                i_sup_val = i_sup_val + conv_i_sup(
+                    conv_kinds[j], acts[j], i_in[j],
+                    bs_ch[j] if finite else None)
+        else:
+            i_sup_val = None
+        # ONE supply query per control cycle even under interlocking: the
+        # reference queries both sub-intervals at the SAME timestamp
+        # (physical_systems.py:171-203 passes self._t), so the AC sine
+        # repeats and the RC element integrates dt=0 on the second call
+        u_sup_val, sup_new = supply_u(sup_planes, i_sup_val)
+
+        if finite and k_int > 0.0:
+            # 2-sub-interval interlock schedule (converters.py:99-111):
+            # both intervals run the interlock pattern (deferred quirk);
+            # interval 1 refreshes the freewheeling currents, frozen back
+            # to interval-0 values for envs with no interlock this cycle
+            # (the reference then emits a single sub-interval)
+            inter, flag = [], None
+            for ck, a, st in zip(conv_kinds, acts, bs_ch):
+                cmd = chan_cmd(ck, a)
+                ist = tuple(_interlock_state(b, c)
+                            for b, c in zip(st, cmd))
+                inter.append(ist)
+                for b2, c2 in zip(ist, cmd):
+                    d = b2 != c2
+                    flag = d if flag is None else (flag | d)
+            if flag is None:  # stateless channels only (1QC)
+                flag = jnp.zeros(shape, jnp.bool_)
+            u0 = tuple(conv_u(conv_kinds[j], acts[j], i_in[j],
+                              inter[j] or None) * u_sup_val
+                       for j in range(n_ch))
+            core_mid = rk4(core, u0, z, t_int)
+            el_mid = core_mid[1:] if mech else core_mid
+            i_mid = i_in_fn(el_mid)
+            u1 = tuple(
+                jnp.where(flag,
+                          conv_u(conv_kinds[j], acts[j], i_mid[j],
+                                 inter[j] or None) * u_sup_val, u0[j])
+                for j in range(n_ch))
+            core_new = rk4(core_mid, u1, z, tau - t_int)
+            return core_new + sup_new
+
+        u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
+                  for j in range(n_ch))
+        return rk4(core, u, z, tau) + sup_new
 
     def reset_state(bits):
         """Per-plane in-kernel reset values (drawn fresh every step,
@@ -1652,8 +1763,8 @@ def _dc_family(env, R, action_mode):
     def pre_step(cur):
         return ()
 
-    def step(cur, acts, aux, z=None, prev=None):
-        return step_physics(cur, acts, z, prev)
+    def step(cur, acts, aux, z=None, bs=None):
+        return step_physics(cur, acts, z, bs)
 
     def quantities(state, aux):
         return [ref_quantity(state, j) for j in range(n_ref)]
@@ -1668,6 +1779,7 @@ def _dc_family(env, R, action_mode):
         pre_step=pre_step, step=step, quantities=quantities,
         mech_mode=mech_mode, sup_mode=sup_mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
+        n_bridge=n_bridge, advance_bridges=advance_bridges,
     )
 
 
@@ -1703,7 +1815,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     R = n_envs // LANE
     fs = _dc_family(env, R, action_mode)
     n_state, n_ch, shape, shape_r = fs.n_state, fs.n_ch, fs.shape, fs.shape_r
-    needs_prev = fs.finite and fs.sup_mode == "rc"
+    n_bs = fs.n_bridge
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
     bias, violation_reward = fs.bias, fs.violation_reward
     _step_physics, ref_quantity = fs.step_physics, fs.ref_quantity
@@ -1731,11 +1843,11 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
                                          za_ref, zb_ref, wf_ref)
         w_init()
 
-        def body(t, prev):
+        def body(t, bs):
             acts = _sample_actions(bits)
             z = _step_noise(fs.needs_step_noise, bits, shape)
             state = _step_physics(tuple(o[:] for o in out_state), acts, z,
-                                  prev if needs_prev else None)
+                                  bs if n_bs else None)
 
             violated = violated_fn(state)
             refs_now = rv_ref[:]
@@ -1751,14 +1863,15 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
                 o[:] = jnp.where(violated, r0, s)
 
             w_advance(t, violated)
-            if not needs_prev:
+            if not n_bs:
                 return 0
-            # converter.reset() on violation: switch state back to the
-            # default action (converters.py:45-54)
-            return tuple(jnp.where(violated, 0, a) for a in acts)
+            # converter.reset() on violation: switching state back to the
+            # init (all-off) state (converters.py:45-54)
+            return tuple(jnp.where(violated, 0, b)
+                         for b in fs.advance_bridges(bs, acts))
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_ch))
-                if needs_prev else 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
@@ -1777,20 +1890,19 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
                 return (actions_ref[t],)
             return (actions_ref[t, 0], actions_ref[t, 1])
 
-        def body(t, _):
+        def body(t, bs):
             acts = read(t)
-            if needs_prev:
-                prev = tuple(jnp.where(t == 0, 0, a)
-                             for a in read(jnp.maximum(t - 1, 0)))
-            else:
-                prev = None
             state = _step_physics(tuple(o[:] for o in out_state), acts,
-                                  None, prev)
+                                  None, bs if n_bs else None)
             for o, s in zip(out_state, state):
                 o[:] = s
-            return 0
+            if not n_bs:
+                return 0
+            return fs.advance_bridges(bs, acts)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
 
     if action_mode == "buffer":
         assert not fs.needs_step_noise, (
@@ -2227,6 +2339,7 @@ def _sync_family(env, R, action_mode):
     conv = ps.converter
     finite = conv.action_type == "finite"
     k_int = _fused_interlock(conv, float(ps.tau), finite)
+    t_int = k_int * float(ps.tau)
 
     r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
     psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
@@ -2242,11 +2355,14 @@ def _sync_family(env, R, action_mode):
     sup = _make_fused_supply(ps, shape, tau)
     n_sup = sup.n_sup
 
-    COS_D = SIN_D = None
+    COS_D = SIN_D = COS_DI = SIN_DI = None
     omega_fixed = mload.omega_fixed
     if not mech:
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
+        # mid-cycle rotation for the interlock sub-interval refresh
+        COS_DI = np.float32(np.cos(t_int * p * omega_fixed))
+        SIN_DI = np.float32(np.sin(t_int * p * omega_fixed))
 
     def torque(i_sd, i_sq):
         return 1.5 * p * (psi_p + (l_d - l_q) * i_sd) * i_sq
@@ -2273,11 +2389,31 @@ def _sync_family(env, R, action_mode):
     n_state = n_core + n_sup
     i_eps = n_core - 1
 
-    def abc_frac(action, i_abc=None):
+    n_bridge = (3 if (finite and (k_int > 0.0
+                                  or ps.supply.kind == "RCVoltageSupply"))
+                else 0)
+
+    def b6_cmd(action):
+        """commanded half-bridge states from the B6 action bits
+        (bit == 1 -> upper (state 1), else lower (state 2))"""
+        return (2 - ((action >> 2) & 1), 2 - ((action >> 1) & 1),
+                2 - (action & jnp.int32(1)))
+
+    def advance_bridges(bs, action):
+        cmd = b6_cmd(action)
+        if k_int > 0.0:
+            return tuple(_interlock_state(b, c) for b, c in zip(bs, cmd))
+        return cmd
+
+    def abc_frac(action, i_abc=None, st=None):
         """phase voltage fractions of u_sup (B6: converters.py:788-823;
-        cont: interlock-discounted half-bridge duty _c2u(0.5(a+1)) - 0.5,
-        converters.py:846-911 — reduces to a/2 at zero interlock)"""
+        interlocked finite reads the half-bridge states ``st`` incl. the
+        freewheeling all-off branch; cont: interlock-discounted duty
+        _c2u(0.5(a+1)) - 0.5, converters.py:846-911)"""
         if finite:
+            if st is not None:
+                return tuple(_hb_u_st(st[j], i_abc[j]) - 0.5
+                             for j in range(3))
             return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
                     ((action >> 1) & 1).astype(jnp.float32) - 0.5,
                     ((action & 1)).astype(jnp.float32) - 0.5)
@@ -2288,14 +2424,17 @@ def _sync_family(env, R, action_mode):
                  k_int) - 0.5
             for j in range(3))
 
-    def b6_i_sup(action, i_abc):
+    def b6_i_sup(action, i_abc, st=None):
         """B6 supply current from the pre-step phase currents: finite sums
-        the upper-switch phases (states in {1,2} never freewheel,
+        over the carried half-bridge states (incl. freewheeling,
         converters.py:289-298, 838-839); cont weights by the half-bridge
         duties 0.5(a+1) with the interlock correction (converters.py:
         429-435, 849-853)."""
         i_a, i_b, i_c = i_abc
         if finite:
+            if st is not None:
+                return (_hb_i_st(st[0], i_a) + _hb_i_st(st[1], i_b)
+                        + _hb_i_st(st[2], i_c))
             return (((action >> 2) & 1).astype(jnp.float32) * i_a
                     + ((action >> 1) & 1).astype(jnp.float32) * i_b
                     + (action & 1).astype(jnp.float32) * i_c)
@@ -2312,40 +2451,78 @@ def _sync_family(env, R, action_mode):
         half_b = np.float32(0.5 * np.sqrt(3.0))
         return (i_al, -0.5 * i_al + half_b * i_be, -0.5 * i_al - half_b * i_be)
 
-    def physics_step(state, action, c, s, z=None, prev_action=None):
-        core, sup_planes = state[:n_core], state[n_core:]
-        i_abc = None
-        if sup.needs_i_sup or (k_int != 0.0 and not finite):
-            i_sd, i_sq = (core[1], core[2]) if mech else (core[0], core[1])
-            i_abc = dq_to_abc(i_sd, i_sq, c, s)
-        if sup.needs_i_sup:
-            # finite B6: i_sup reads the PREVIOUS cycle's switch state (the
-            # reference queries i_sup before convert() flips the bridges —
-            # see _dc_family.step_physics for the full citation)
-            sa = (prev_action if (finite and prev_action is not None)
-                  else action)
-            i_sup_val = b6_i_sup(sa, i_abc)
-        else:
-            i_sup_val = None
-        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        fa, fb, fc = abc_frac(action, i_abc)
-        ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
-        u_alpha = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
-        u_beta = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        u_d = c * u_alpha + s * u_beta
-        u_q = -s * u_alpha + c * u_beta
+    def _park(u_abc, c, s):
+        u_alpha = (2.0 / 3.0) * (u_abc[0] - 0.5 * (u_abc[1] + u_abc[2]))
+        u_beta = np.float32(1.0 / np.sqrt(3.0)) * (u_abc[1] - u_abc[2])
+        return c * u_alpha + s * u_beta, -s * u_alpha + c * u_beta
 
+    def rk4(core, u_d, u_q, z, dt):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
         k1 = rhs(core, u_d, u_q, z)
-        k2 = rhs(axpy(core, k1, 0.5 * tau), u_d, u_q, z)
-        k3 = rhs(axpy(core, k2, 0.5 * tau), u_d, u_q, z)
-        k4 = rhs(axpy(core, k3, tau), u_d, u_q, z)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, z)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, z)
+        k4 = rhs(axpy(core, k3, dt), u_d, u_q, z)
         return tuple(
-            si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
-        ) + sup_new
+        )
+
+    def _dq_of(core):
+        return (core[1], core[2]) if mech else (core[0], core[1])
+
+    def physics_step(state, action, c, s, z=None, bs=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        finite_il = finite and k_int > 0.0
+        i_abc = None
+        if sup.needs_i_sup or k_int != 0.0:
+            i_sd, i_sq = _dq_of(core)
+            i_abc = dq_to_abc(i_sd, i_sq, c, s)
+        if sup.needs_i_sup:
+            # finite B6: i_sup reads the PREVIOUS cycle's switch states
+            # carried in ``bs`` (the reference queries i_sup before
+            # convert() flips the bridges — see _dc_family.step_physics)
+            i_sup_val = b6_i_sup(action, i_abc, bs if finite else None)
+        else:
+            i_sup_val = None
+        # one supply query per cycle (both reference sub-intervals query at
+        # the same timestamp — see _dc_family.step_physics)
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+
+        if finite_il:
+            # 2-sub-interval interlock schedule: interlock pattern for the
+            # whole cycle (deferred quirk); the rotor angle and currents
+            # refresh between sub-intervals, with the abc voltage frozen at
+            # interval-0 values for envs with no interlock this cycle
+            # (physical_systems.py:487-525)
+            cmd = b6_cmd(action)
+            inter = tuple(_interlock_state(b, cm)
+                          for b, cm in zip(bs, cmd))
+            flag = ((inter[0] != cmd[0]) | (inter[1] != cmd[1])
+                    | (inter[2] != cmd[2]))
+            u_abc0 = tuple(f * u_sup_val
+                           for f in abc_frac(action, i_abc, inter))
+            u_d0, u_q0 = _park(u_abc0, c, s)
+            core_mid = rk4(core, u_d0, u_q0, z, t_int)
+            if mech:
+                eps_mid = core_mid[i_eps]
+                c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
+            else:
+                c1 = c * COS_DI - s * SIN_DI
+                s1 = s * COS_DI + c * SIN_DI
+            i_sd_m, i_sq_m = _dq_of(core_mid)
+            i_abc_m = dq_to_abc(i_sd_m, i_sq_m, c1, s1)
+            u_abc1 = tuple(
+                jnp.where(flag, f * u_sup_val, u0)
+                for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
+            u_d1, u_q1 = _park(u_abc1, c1, s1)
+            return rk4(core_mid, u_d1, u_q1, z, tau - t_int) + sup_new
+
+        fa, fb, fc = abc_frac(action, i_abc)
+        u_d, u_q = _park((fa * u_sup_val, fb * u_sup_val, fc * u_sup_val),
+                         c, s)
+        return rk4(core, u_d, u_q, z, tau) + sup_new
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -2403,11 +2580,10 @@ def _sync_family(env, R, action_mode):
         def pre_step_rot(cur, c, s):
             return (c, s)
 
-    def step(cur, acts, aux, z=None, prev=None):
+    def step(cur, acts, aux, z=None, bs=None):
         c, s = aux
         a = acts[0] if finite else acts
-        state = physics_step(cur, a, c, s, z,
-                             prev[0] if prev is not None else None)
+        state = physics_step(cur, a, c, s, z, bs)
         eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))
@@ -2435,7 +2611,9 @@ def _sync_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
-        reset_state=reset_state,
+        reset_state=reset_state, n_bridge=n_bridge,
+        advance_bridges=lambda bs, acts: advance_bridges(
+            bs, acts[0] if isinstance(acts, tuple) else acts),
     )
 
 
@@ -2472,7 +2650,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
     COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
-    needs_prev = finite and fs.sup_mode == "rc"
+    n_bs = fs.n_bridge
     physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
     _sample_actions = fs.sample_actions
     has_wf = _ref_needs_wf(ref_cfg)
@@ -2509,7 +2687,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
 
         inv_2pi = np.float32(1.0 / TWO_PI)
 
-        def body(t, prev):
+        def body(t, bs):
             action = _sample_actions(bits)
             z = _step_noise(fs.needs_step_noise, bits, shape)
             cur = tuple(o[:] for o in out_state)
@@ -2518,7 +2696,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             else:
                 c, s = c_ref[:], s_ref[:]
             state = physics_step(cur, action, c, s, z,
-                                 prev if needs_prev else None)
+                                 bs if n_bs else None)
             eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
@@ -2549,12 +2727,14 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
                 s_ref[:] = jnp.where(violated, zero, s_new * inv)
 
             w_advance(t, violated)
-            if not needs_prev:
+            if not n_bs:
                 return 0
-            # converter.reset() on violation: back to the default action
-            return jnp.where(violated, 0, action)
+            # converter.reset() on violation: all-off switching states
+            return tuple(jnp.where(violated, 0, b)
+                         for b in fs.advance_bridges(bs, action))
 
-        init = jnp.zeros(shape, jnp.int32) if needs_prev else 0
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
@@ -2569,28 +2749,28 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             o[:] = s[:]
         inv_2pi = np.float32(1.0 / TWO_PI)
 
-        def body(t, _):
+        def body(t, bs):
             if finite:
                 action = actions_ref[t]
             else:
                 action = (actions_ref[t, 0], actions_ref[t, 1],
                           actions_ref[t, 2])
-            if needs_prev:
-                prev = jnp.where(t == 0, 0,
-                                 actions_ref[jnp.maximum(t - 1, 0)])
-            else:
-                prev = None
             cur = tuple(o[:] for o in out_state)
             c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
-            state = physics_step(cur, action, c, s, None, prev)
+            state = physics_step(cur, action, c, s, None,
+                                 bs if n_bs else None)
             eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
             for o, s2 in zip(out_state, state):
                 o[:] = s2
-            return 0
+            if not n_bs:
+                return 0
+            return fs.advance_bridges(bs, action)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
 
     if action_mode == "buffer":
         assert not fs.needs_step_noise, (
@@ -2850,6 +3030,7 @@ def _induction_family(env, R, action_mode):
     conv = ps.converter
     finite = conv.action_type == "finite"
     k_int = _fused_interlock(conv, float(ps.tau), finite)
+    t_int = k_int * float(ps.tau)
 
     l_m = float(mp["l_m"])
     l_s = float(mp["l_m"] + mp["l_sigs"])
@@ -2900,8 +3081,33 @@ def _induction_family(env, R, action_mode):
     n_core = 4 + (1 if mech else 0)
     n_state = n_core + n_sup
 
-    def abc_frac(action, i_abc=None):
+    n_bridge = (3 if (finite and (k_int > 0.0
+                                  or ps.supply.kind == "RCVoltageSupply"))
+                else 0)
+
+    def b6_cmd(action):
+        return (2 - ((action >> 2) & 1), 2 - ((action >> 1) & 1),
+                2 - (action & jnp.int32(1)))
+
+    def advance_bridges(bs, acts):
+        action = acts[0] if isinstance(acts, tuple) else acts
+        cmd = b6_cmd(action)
+        if k_int > 0.0:
+            return tuple(_interlock_state(b, c) for b, c in zip(bs, cmd))
+        return cmd
+
+    def _clarke_inv(i_al, i_be):
+        # stator currents are already stator-frame alpha/beta: Clarke
+        # back to abc without any rotation (physical_systems.py:771-814)
+        half_b = np.float32(0.5 * np.sqrt(3.0))
+        return (i_al, -0.5 * i_al + half_b * i_be,
+                -0.5 * i_al - half_b * i_be)
+
+    def abc_frac(action, i_abc=None, st=None):
         if finite:
+            if st is not None:
+                return tuple(_hb_u_st(st[j], i_abc[j]) - 0.5
+                             for j in range(3))
             return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
                     ((action >> 1) & 1).astype(jnp.float32) - 0.5,
                     ((action & 1)).astype(jnp.float32) - 0.5)
@@ -2912,10 +3118,13 @@ def _induction_family(env, R, action_mode):
                  k_int) - 0.5
             for j in range(3))
 
-    def b6_i_sup(action, i_abc):
+    def b6_i_sup(action, i_abc, st=None):
         """B6 supply current (converters.py:289-298, 429-435, 838-911)"""
         i_a, i_b, i_c = i_abc
         if finite:
+            if st is not None:
+                return (_hb_i_st(st[0], i_a) + _hb_i_st(st[1], i_b)
+                        + _hb_i_st(st[2], i_c))
             return (((action >> 2) & 1).astype(jnp.float32) * i_a
                     + ((action >> 1) & 1).astype(jnp.float32) * i_b
                     + (action & 1).astype(jnp.float32) * i_c)
@@ -2925,42 +3134,59 @@ def _induction_family(env, R, action_mode):
                 + _c2i(0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0), i_c,
                        k_int))
 
-    def step_physics(state, action, z=None, prev_action=None):
-        core, sup_planes = state[:n_core], state[n_core:]
-        i_abc = None
-        if sup.needs_i_sup or (k_int != 0.0 and not finite):
-            el_pre = core[1:] if mech else core
-            # stator currents are already stator-frame alpha/beta: Clarke
-            # back to abc without any rotation (physical_systems.py:771-814)
-            i_al, i_be = el_pre[0], el_pre[1]
-            half_b = np.float32(0.5 * np.sqrt(3.0))
-            i_abc = (i_al, -0.5 * i_al + half_b * i_be,
-                     -0.5 * i_al - half_b * i_be)
-        if sup.needs_i_sup:
-            # finite B6: previous cycle's switch state feeds i_sup (see
-            # _dc_family.step_physics)
-            sa = (prev_action if (finite and prev_action is not None)
-                  else action)
-            i_sup_val = b6_i_sup(sa, i_abc)
-        else:
-            i_sup_val = None
-        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        fa, fb, fc = abc_frac(action, i_abc)
-        ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
-        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
-        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+    def _uab(u_abc):
+        return ((2.0 / 3.0) * (u_abc[0] - 0.5 * (u_abc[1] + u_abc[2])),
+                np.float32(1.0 / np.sqrt(3.0)) * (u_abc[1] - u_abc[2]))
 
+    def rk4(core, u_al, u_be, z, dt):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
         k1 = rhs(core, u_al, u_be, z)
-        k2 = rhs(axpy(core, k1, 0.5 * tau), u_al, u_be, z)
-        k3 = rhs(axpy(core, k2, 0.5 * tau), u_al, u_be, z)
-        k4 = rhs(axpy(core, k3, tau), u_al, u_be, z)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_al, u_be, z)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_al, u_be, z)
+        k4 = rhs(axpy(core, k3, dt), u_al, u_be, z)
         return tuple(
-            si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
-        ) + sup_new
+        )
+
+    def step_physics(state, action, z=None, bs=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        finite_il = finite and k_int > 0.0
+        i_abc = None
+        if sup.needs_i_sup or k_int != 0.0:
+            el_pre = core[1:] if mech else core
+            i_abc = _clarke_inv(el_pre[0], el_pre[1])
+        if sup.needs_i_sup:
+            # finite B6: previous cycle's switch states feed i_sup (see
+            # _dc_family.step_physics)
+            i_sup_val = b6_i_sup(action, i_abc, bs if finite else None)
+        else:
+            i_sup_val = None
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+
+        if finite_il:
+            # 2-sub-interval interlock schedule (see _sync_family): the
+            # stator-frame SCIM needs no mid-cycle angle refresh, only the
+            # freewheeling phase currents
+            cmd = b6_cmd(action)
+            inter = tuple(_interlock_state(b, c) for b, c in zip(bs, cmd))
+            flag = ((inter[0] != cmd[0]) | (inter[1] != cmd[1])
+                    | (inter[2] != cmd[2]))
+            u_abc0 = tuple(f * u_sup_val
+                           for f in abc_frac(action, i_abc, inter))
+            core_mid = rk4(core, *_uab(u_abc0), z, t_int)
+            el_mid = core_mid[1:] if mech else core_mid
+            i_abc_m = _clarke_inv(el_mid[0], el_mid[1])
+            u_abc1 = tuple(
+                jnp.where(flag, f * u_sup_val, u0)
+                for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
+            return rk4(core_mid, *_uab(u_abc1), z, tau - t_int) + sup_new
+
+        u_al, u_be = _uab(tuple(f * u_sup_val
+                                for f in abc_frac(action, i_abc)))
+        return rk4(core, u_al, u_be, z, tau) + sup_new
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -3045,10 +3271,9 @@ def _induction_family(env, R, action_mode):
             return ()
         return flux_dir(core_el(cur))
 
-    def step(cur, acts, aux, z=None, prev=None):
+    def step(cur, acts, aux, z=None, bs=None):
         a = acts[0] if finite else acts
-        return step_physics(cur, a, z,
-                            prev[0] if prev is not None else None)
+        return step_physics(cur, a, z, bs)
 
     def violated(state):
         el = core_el(state)
@@ -3070,6 +3295,7 @@ def _induction_family(env, R, action_mode):
         quantities=quantities,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
+        n_bridge=n_bridge, advance_bridges=advance_bridges,
     )
 
 
@@ -3104,7 +3330,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
     needs_dq, flux_dir, core_el = fs.needs_dq, fs.flux_dir, fs.core_el
-    needs_prev = finite and fs.sup_mode == "rc"
+    n_bs = fs.n_bridge
     _step_physics, ref_quantities = fs.step_physics, fs.ref_quantities
     _sample_actions = fs.sample_actions
     has_wf = _ref_needs_wf(ref_cfg)
@@ -3133,13 +3359,13 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
 
         inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
 
-        def body(t, prev):
+        def body(t, bs):
             action = _sample_actions(bits)
             z = _step_noise(fs.needs_step_noise, bits, shape)
             cur = tuple(o[:] for o in out_state)
             cs = flux_dir(core_el(cur)) if needs_dq else None
             state = _step_physics(cur, action, z,
-                                  prev if needs_prev else None)
+                                  bs if n_bs else None)
 
             el = core_el(state)
             # |i_dq| == |i_alphabeta| (rotation-invariant)
@@ -3156,11 +3382,13 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
                 o[:] = jnp.where(violated, r0, s2)
 
             w_advance(t, violated)
-            if not needs_prev:
+            if not n_bs:
                 return 0
-            return jnp.where(violated, 0, action)
+            return tuple(jnp.where(violated, 0, b)
+                         for b in fs.advance_bridges(bs, action))
 
-        init = jnp.zeros(shape, jnp.int32) if needs_prev else 0
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
@@ -3174,24 +3402,23 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
         for o, s in zip(out_state, state0):
             o[:] = s[:]
 
-        def body(t, _):
+        def body(t, bs):
             if finite:
                 action = actions_ref[t]
             else:
                 action = (actions_ref[t, 0], actions_ref[t, 1],
                           actions_ref[t, 2])
-            if needs_prev:
-                prev = jnp.where(t == 0, 0,
-                                 actions_ref[jnp.maximum(t - 1, 0)])
-            else:
-                prev = None
             state = _step_physics(tuple(o[:] for o in out_state), action,
-                                  None, prev)
+                                  None, bs if n_bs else None)
             for o, s in zip(out_state, state):
                 o[:] = s
-            return 0
+            if not n_bs:
+                return 0
+            return fs.advance_bridges(bs, action)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
 
     if action_mode == "buffer":
         assert not fs.needs_step_noise, (
@@ -3490,6 +3717,7 @@ def _eesm_family(env, R, action_mode):
     conv = ps.converter
     finite = conv.action_type == "finite"
     k_int = _fused_interlock(conv, float(ps.tau), finite)
+    t_int = k_int * float(ps.tau)
 
     # stator-side transformed rotor params (models/motors.py:441-449)
     r_E = mp["k"] ** 2 * 1.5 * mp["r_e"]
@@ -3512,10 +3740,12 @@ def _eesm_family(env, R, action_mode):
     omega_fixed = mload.omega_fixed
     sup = _make_fused_supply(ps, shape, tau)
     n_sup = sup.n_sup
-    COS_D = SIN_D = None
+    COS_D = SIN_D = COS_DI = SIN_DI = None
     if not mech:
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
+        COS_DI = np.float32(np.cos(t_int * p * omega_fixed))
+        SIN_DI = np.float32(np.sin(t_int * p * omega_fixed))
 
     def torque3(i_sd, i_sq, i_e):
         return 1.5 * p * (l_M * i_e * i_k_rs + (l_d - l_q) * i_sd) * i_sq
@@ -3547,11 +3777,35 @@ def _eesm_family(env, R, action_mode):
     n_state = n_core + n_sup
     i_eps = n_core - 1
 
-    def voltage_fracs(action, i_abc=None, i_e=None):
+    n_bridge = (5 if (finite and (k_int > 0.0
+                                  or ps.supply.kind == "RCVoltageSupply"))
+                else 0)
+
+    def bridge_cmd(action):
+        """B6 (3) + excitation 4QC (2) commanded half-bridge states"""
+        a_b6, a_4qc = action
+        return (2 - ((a_b6 >> 2) & 1), 2 - ((a_b6 >> 1) & 1),
+                2 - (a_b6 & jnp.int32(1)),
+                1 + (a_4qc >= 2).astype(jnp.int32),
+                1 + (a_4qc & jnp.int32(1)))
+
+    def advance_bridges(bs, action):
+        cmd = bridge_cmd(action)
+        if k_int > 0.0:
+            return tuple(_interlock_state(b, c) for b, c in zip(bs, cmd))
+        return cmd
+
+    def voltage_fracs(action, i_abc=None, i_e=None, st=None):
         """(phase fracs, excitation frac) of u_sup — B6 + 4QC channels
         (converters.py:788-823, 313-368 via the multi converter); cont
-        channels carry the interlock discount (_c2u)"""
+        channels carry the interlock discount (_c2u); interlocked finite
+        reads the half-bridge states ``st`` incl. freewheeling"""
         if finite:
+            if st is not None:
+                return (_hb_u_st(st[0], i_abc[0]) - 0.5,
+                        _hb_u_st(st[1], i_abc[1]) - 0.5,
+                        _hb_u_st(st[2], i_abc[2]) - 0.5,
+                        _hb_u_st(st[3], i_e) - _hb_u_st(st[4], -i_e))
             a_b6, a_4qc = action
             fa = ((a_b6 >> 2) & 1).astype(jnp.float32) - 0.5
             fb = ((a_b6 >> 1) & 1).astype(jnp.float32) - 0.5
@@ -3571,12 +3825,16 @@ def _eesm_family(env, R, action_mode):
               - _c2u(-0.5 * (ae - 1.0), i_e, k_int))
         return fa, fb, fc, fe
 
-    def conv_i_sup(action, i_abc, i_e):
+    def conv_i_sup(action, i_abc, i_e, st=None):
         """multi-converter supply current: B6 (upper-switch / duty-weighted
         phase sum) + excitation 4QC (converters.py:289-298, 354-368,
         429-496, 547-612)"""
         i_a, i_b, i_c = i_abc
         if finite:
+            if st is not None:
+                return (_hb_i_st(st[0], i_a) + _hb_i_st(st[1], i_b)
+                        + _hb_i_st(st[2], i_c)
+                        + _hb_i_st(st[3], i_e) + _hb_i_st(st[4], -i_e))
             a_b6, a_4qc = action
             i_b6 = (((a_b6 >> 2) & 1).astype(jnp.float32) * i_a
                     + ((a_b6 >> 1) & 1).astype(jnp.float32) * i_b
@@ -3601,40 +3859,74 @@ def _eesm_family(env, R, action_mode):
         half_b = np.float32(0.5 * np.sqrt(3.0))
         return (i_al, -0.5 * i_al + half_b * i_be, -0.5 * i_al - half_b * i_be)
 
-    def physics_step(state, action, c, s, z=None, prev_action=None):
-        core, sup_planes = state[:n_core], state[n_core:]
-        i_abc = i_e = None
-        if sup.needs_i_sup or (k_int != 0.0 and not finite):
-            i_sd, i_sq, i_e = core[1:4] if mech else core[0:3]
-            i_abc = dq_to_abc(i_sd, i_sq, c, s)
-        if sup.needs_i_sup:
-            # finite B6 + 4QC: previous cycle's switch states feed i_sup
-            # (see _dc_family.step_physics)
-            sa = (prev_action if (finite and prev_action is not None)
-                  else action)
-            i_sup_val = conv_i_sup(sa, i_abc, i_e)
-        else:
-            i_sup_val = None
-        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        fa, fb, fc, fe = voltage_fracs(action, i_abc, i_e)
+    def _currents(core):
+        return core[1:4] if mech else core[0:3]
+
+    def _udqe(fracs, u_sup_val, c, s):
+        fa, fb, fc, fe = fracs
         ua, ub, uc = fa * u_sup_val, fb * u_sup_val, fc * u_sup_val
-        u_e = fe * u_sup_val
         u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        u_d = c * u_al + s * u_be
-        u_q = -s * u_al + c * u_be
+        return (c * u_al + s * u_be, -s * u_al + c * u_be, fe * u_sup_val)
 
+    def rk4(core, u_d, u_q, u_e, z, dt):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
         k1 = rhs(core, u_d, u_q, u_e, z)
-        k2 = rhs(axpy(core, k1, 0.5 * tau), u_d, u_q, u_e, z)
-        k3 = rhs(axpy(core, k2, 0.5 * tau), u_d, u_q, u_e, z)
-        k4 = rhs(axpy(core, k3, tau), u_d, u_q, u_e, z)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, u_e, z)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, u_e, z)
+        k4 = rhs(axpy(core, k3, dt), u_d, u_q, u_e, z)
         return tuple(
-            si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
-        ) + sup_new
+        )
+
+    def physics_step(state, action, c, s, z=None, bs=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        finite_il = finite and k_int > 0.0
+        i_abc = i_e = None
+        if sup.needs_i_sup or k_int != 0.0:
+            i_sd, i_sq, i_e = _currents(core)
+            i_abc = dq_to_abc(i_sd, i_sq, c, s)
+        if sup.needs_i_sup:
+            # finite B6 + 4QC: previous cycle's switch states feed i_sup
+            # (see _dc_family.step_physics)
+            i_sup_val = conv_i_sup(action, i_abc, i_e,
+                                   bs if finite else None)
+        else:
+            i_sup_val = None
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+
+        if finite_il:
+            # 2-sub-interval interlock schedule with mid-cycle angle and
+            # current refresh (see _sync_family.physics_step)
+            cmd = bridge_cmd(action)
+            inter = tuple(_interlock_state(b, c2)
+                          for b, c2 in zip(bs, cmd))
+            flag = inter[0] != cmd[0]
+            for b, c2 in zip(inter[1:], cmd[1:]):
+                flag = flag | (b != c2)
+            f0 = voltage_fracs(action, i_abc, i_e, inter)
+            u0 = _udqe(f0, u_sup_val, c, s)
+            core_mid = rk4(core, *u0, z, t_int)
+            if mech:
+                eps_mid = core_mid[i_eps]
+                c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
+            else:
+                c1 = c * COS_DI - s * SIN_DI
+                s1 = s * COS_DI + c * SIN_DI
+            i_sd_m, i_sq_m, i_e_m = _currents(core_mid)
+            i_abc_m = dq_to_abc(i_sd_m, i_sq_m, c1, s1)
+            f1 = voltage_fracs(action, i_abc_m, i_e_m, inter)
+            # freeze abc/excitation voltages at interval-0 values for
+            # no-interlock envs, then transform with the refreshed angle
+            fr = tuple(jnp.where(flag, b, a) for a, b in zip(f0, f1))
+            u1 = _udqe(fr, u_sup_val, c1, s1)
+            return rk4(core_mid, *u1, z, tau - t_int) + sup_new
+
+        u = _udqe(voltage_fracs(action, i_abc, i_e), u_sup_val, c, s)
+        return rk4(core, *u, z, tau) + sup_new
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -3690,9 +3982,9 @@ def _eesm_family(env, R, action_mode):
         def pre_step_rot(cur, c, s):
             return (c, s)
 
-    def step(cur, acts, aux, z=None, prev=None):
+    def step(cur, acts, aux, z=None, bs=None):
         c, s = aux
-        state = physics_step(cur, acts, c, s, z, prev)
+        state = physics_step(cur, acts, c, s, z, bs)
         eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))
@@ -3721,7 +4013,8 @@ def _eesm_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
-        reset_state=reset_state,
+        reset_state=reset_state, n_bridge=n_bridge,
+        advance_bridges=advance_bridges,
     )
 
 
@@ -3755,7 +4048,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
     bias, violation_reward = fs.bias, fs.violation_reward
     i_lim, ie_lim = fs.i_lim, fs.ie_lim
     COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
-    needs_prev = finite and fs.sup_mode == "rc"
+    n_bs = fs.n_bridge
     physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
     _sample_actions = fs.sample_actions
     has_wf = _ref_needs_wf(ref_cfg)
@@ -3794,7 +4087,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
         inv_ilim = np.float32(1.0 / i_lim)
         inv_ielim = np.float32(1.0 / ie_lim)
 
-        def body(t, prev):
+        def body(t, bs):
             action = _sample_actions(bits)
             z = _step_noise(fs.needs_step_noise, bits, shape)
             cur = tuple(o[:] for o in out_state)
@@ -3803,7 +4096,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             else:
                 c, s = c_ref[:], s_ref[:]
             state = physics_step(cur, action, c, s, z,
-                                 prev if needs_prev else None)
+                                 bs if n_bs else None)
             eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
@@ -3836,11 +4129,13 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
                 s_ref[:] = jnp.where(violated, zero, s_new * inv)
 
             w_advance(t, violated)
-            if not needs_prev:
+            if not n_bs:
                 return 0
-            return tuple(jnp.where(violated, 0, a) for a in action)
+            return tuple(jnp.where(violated, 0, b)
+                         for b in fs.advance_bridges(bs, action))
 
-        init = ((jnp.zeros(shape, jnp.int32),) * 2 if needs_prev else 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
@@ -3855,28 +4150,27 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             o[:] = s[:]
         inv_2pi = np.float32(1.0 / TWO_PI)
 
-        def body(t, _):
+        def body(t, bs):
             if finite:
                 action = (actions_ref[t, 0], actions_ref[t, 1])
             else:
                 action = tuple(actions_ref[t, k] for k in range(4))
-            if needs_prev:
-                tm1 = jnp.maximum(t - 1, 0)
-                prev = tuple(jnp.where(t == 0, 0, actions_ref[tm1, k])
-                             for k in range(2))
-            else:
-                prev = None
             cur = tuple(o[:] for o in out_state)
             c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
-            state = physics_step(cur, action, c, s, None, prev)
+            state = physics_step(cur, action, c, s, None,
+                                 bs if n_bs else None)
             eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
             for o, s2 in zip(out_state, state):
                 o[:] = s2
-            return 0
+            if not n_bs:
+                return 0
+            return fs.advance_bridges(bs, action)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
 
     if action_mode == "buffer":
         assert not fs.needs_step_noise, (
@@ -4188,6 +4482,7 @@ def _dfim_family(env, R, action_mode):
     conv = ps.converter
     finite = conv.action_type == "finite"
     k_int = _fused_interlock(conv, float(ps.tau), finite)
+    t_int = k_int * float(ps.tau)
 
     l_m = mp["l_m"]
     l_s = l_m + mp["l_sigs"]
@@ -4214,10 +4509,12 @@ def _dfim_family(env, R, action_mode):
     omega_fixed = mload.omega_fixed
     sup = _make_fused_supply(ps, shape, tau)
     n_sup = sup.n_sup
-    COS_D = SIN_D = None
+    COS_D = SIN_D = COS_DI = SIN_DI = None
     if not mech:
         COS_D = np.float32(np.cos(tau * p * omega_fixed))
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
+        COS_DI = np.float32(np.cos(t_int * p * omega_fixed))
+        SIN_DI = np.float32(np.sin(t_int * p * omega_fixed))
 
     def torque(el):
         return k_t * (el[2] * el[1] - el[3] * el[0])
@@ -4248,10 +4545,34 @@ def _dfim_family(env, R, action_mode):
     n_state = n_core + n_sup
     i_eps = n_core - 1
 
-    def voltage_fracs(action, i_s_abc=None, i_r_abc=None):
+    n_bridge = (6 if (finite and (k_int > 0.0
+                                  or ps.supply.kind == "RCVoltageSupply"))
+                else 0)
+
+    def bridge_cmd(action):
+        a_s, a_r = action
+
+        def b6(a):
+            return (2 - ((a >> 2) & 1), 2 - ((a >> 1) & 1),
+                    2 - (a & jnp.int32(1)))
+        return b6(a_s) + b6(a_r)
+
+    def advance_bridges(bs, action):
+        cmd = bridge_cmd(action)
+        if k_int > 0.0:
+            return tuple(_interlock_state(b, c) for b, c in zip(bs, cmd))
+        return cmd
+
+    def voltage_fracs(action, i_s_abc=None, i_r_abc=None, st=None):
         """dual-B6 phase voltage fractions of u_sup (cont channels carry
-        the interlock discount on their own phase currents)"""
+        the interlock discount on their own phase currents; interlocked
+        finite reads the half-bridge states incl. freewheeling)"""
         if finite:
+            if st is not None:
+                return (tuple(_hb_u_st(st[j], i_s_abc[j]) - 0.5
+                              for j in range(3)),
+                        tuple(_hb_u_st(st[3 + j], i_r_abc[j]) - 0.5
+                              for j in range(3)))
             a_s, a_r = action
 
             def b6(a):
@@ -4299,31 +4620,24 @@ def _dfim_family(env, R, action_mode):
         i_rb = (ps_b - l_m * i_sb) * (1.0 / l_r)
         return alphabeta_to_abc(i_sa, i_sb), alphabeta_to_abc(i_ra, i_rb)
 
-    def conv_i_sup(action, i_s_abc, i_r_abc):
+    def conv_i_sup(action, i_s_abc, i_r_abc, st=None):
         """dual-B6 supply current"""
         if finite:
+            if st is not None:
+                out = _hb_i_st(st[0], i_s_abc[0])
+                for j in (1, 2):
+                    out = out + _hb_i_st(st[j], i_s_abc[j])
+                for j in (0, 1, 2):
+                    out = out + _hb_i_st(st[3 + j], i_r_abc[j])
+                return out
             a_s, a_r = action
             return (b6_i_sup(a_s, i_s_abc, True)
                     + b6_i_sup(a_r, i_r_abc, True))
         return (b6_i_sup(action[0:3], i_s_abc, False)
                 + b6_i_sup(action[3:6], i_r_abc, False))
 
-    def physics_step(state, action, c, s, z=None, prev_action=None):
-        core, sup_planes = state[:n_core], state[n_core:]
-        i_s_abc = i_r_abc = None
-        if sup.needs_i_sup or (k_int != 0.0 and not finite):
-            el_pre = core[1:5] if mech else core[0:4]
-            i_s_abc, i_r_abc = phase_currents(el_pre, c, s)
-        if sup.needs_i_sup:
-            # dual finite B6: previous cycle's switch states feed i_sup
-            # (see _dc_family.step_physics)
-            sa = (prev_action if (finite and prev_action is not None)
-                  else action)
-            i_sup_val = conv_i_sup(sa, i_s_abc, i_r_abc)
-        else:
-            i_sup_val = None
-        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        s_frac, r_frac = voltage_fracs(action, i_s_abc, i_r_abc)
+    def _us_of(fracs, u_sup_val, c, s):
+        s_frac, r_frac = fracs
         s_abc = tuple(f * u_sup_val for f in s_frac)
         r_abc = tuple(f * u_sup_val for f in r_frac)
 
@@ -4334,20 +4648,67 @@ def _dfim_family(env, R, action_mode):
         u_sal, u_sbe = clarke(s_abc)
         u_ral0, u_rbe0 = clarke(r_abc)
         # rotor frame -> stator frame: rotate by the electrical angle
-        us = (u_sal, u_sbe,
-              c * u_ral0 - s * u_rbe0, s * u_ral0 + c * u_rbe0)
+        return (u_sal, u_sbe,
+                c * u_ral0 - s * u_rbe0, s * u_ral0 + c * u_rbe0)
 
+    def rk4(core, us, z, dt):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
         k1 = rhs(core, us, z)
-        k2 = rhs(axpy(core, k1, 0.5 * tau), us, z)
-        k3 = rhs(axpy(core, k2, 0.5 * tau), us, z)
-        k4 = rhs(axpy(core, k3, tau), us, z)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), us, z)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), us, z)
+        k4 = rhs(axpy(core, k3, dt), us, z)
         return tuple(
-            si + (tau / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
-        ) + sup_new
+        )
+
+    def physics_step(state, action, c, s, z=None, bs=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        finite_il = finite and k_int > 0.0
+        i_s_abc = i_r_abc = None
+        if sup.needs_i_sup or k_int != 0.0:
+            el_pre = core[1:5] if mech else core[0:4]
+            i_s_abc, i_r_abc = phase_currents(el_pre, c, s)
+        if sup.needs_i_sup:
+            # dual finite B6: previous cycle's switch states feed i_sup
+            # (see _dc_family.step_physics)
+            i_sup_val = conv_i_sup(action, i_s_abc, i_r_abc,
+                                   bs if finite else None)
+        else:
+            i_sup_val = None
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+
+        if finite_il:
+            # 2-sub-interval interlock schedule, mid-cycle angle/current
+            # refresh (see _sync_family.physics_step)
+            cmd = bridge_cmd(action)
+            inter = tuple(_interlock_state(b, c2)
+                          for b, c2 in zip(bs, cmd))
+            flag = inter[0] != cmd[0]
+            for b, c2 in zip(inter[1:], cmd[1:]):
+                flag = flag | (b != c2)
+            f0 = voltage_fracs(action, i_s_abc, i_r_abc, inter)
+            core_mid = rk4(core, _us_of(f0, u_sup_val, c, s), z, t_int)
+            if mech:
+                eps_mid = core_mid[i_eps]
+                c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
+            else:
+                c1 = c * COS_DI - s * SIN_DI
+                s1 = s * COS_DI + c * SIN_DI
+            el_mid = core_mid[1:5] if mech else core_mid[0:4]
+            i_s_m, i_r_m = phase_currents(el_mid, c1, s1)
+            f1 = voltage_fracs(action, i_s_m, i_r_m, inter)
+            fr = tuple(
+                tuple(jnp.where(flag, b, a) for a, b in zip(fa, fb))
+                for fa, fb in zip(f0, f1))
+            return rk4(core_mid, _us_of(fr, u_sup_val, c1, s1), z,
+                       tau - t_int) + sup_new
+
+        us = _us_of(voltage_fracs(action, i_s_abc, i_r_abc), u_sup_val,
+                    c, s)
+        return rk4(core, us, z, tau) + sup_new
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -4431,9 +4792,9 @@ def _dfim_family(env, R, action_mode):
             cs = flux_dir(cur[0:4]) if needs_dq else ()
             return (cs, c, s)
 
-    def step(cur, acts, aux, z=None, prev=None):
+    def step(cur, acts, aux, z=None, bs=None):
         _, c, s = aux
-        state = physics_step(cur, acts, c, s, z, prev)
+        state = physics_step(cur, acts, c, s, z, bs)
         eps = state[i_eps]
         eps = eps - np.float32(TWO_PI) * jnp.floor(
             eps * np.float32(1.0 / TWO_PI))
@@ -4462,7 +4823,8 @@ def _dfim_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
-        reset_state=reset_state,
+        reset_state=reset_state, n_bridge=n_bridge,
+        advance_bridges=advance_bridges,
     )
 
 
@@ -4495,7 +4857,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
     needs_dq, flux_dir = fs.needs_dq, fs.flux_dir
     COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
-    needs_prev = finite and fs.sup_mode == "rc"
+    n_bs = fs.n_bridge
     physics_step, ref_quantities = fs.physics_step, fs.ref_quantities
     _sample_actions = fs.sample_actions
     has_wf = _ref_needs_wf(ref_cfg)
@@ -4533,7 +4895,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
         inv_2pi = np.float32(1.0 / TWO_PI)
         inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
 
-        def body(t, prev):
+        def body(t, bs):
             action = _sample_actions(bits)
             z = _step_noise(fs.needs_step_noise, bits, shape)
             cur = tuple(o[:] for o in out_state)
@@ -4544,7 +4906,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             else:
                 c, s = c_ref[:], s_ref[:]
             state = physics_step(cur, action, c, s, z,
-                                 prev if needs_prev else None)
+                                 bs if n_bs else None)
             eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
@@ -4573,11 +4935,13 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
                 s_ref[:] = jnp.where(violated, zero, s_new * inv)
 
             w_advance(t, violated)
-            if not needs_prev:
+            if not n_bs:
                 return 0
-            return tuple(jnp.where(violated, 0, a) for a in action)
+            return tuple(jnp.where(violated, 0, b)
+                         for b in fs.advance_bridges(bs, action))
 
-        init = ((jnp.zeros(shape, jnp.int32),) * 2 if needs_prev else 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
         out_rk[:] = rk_ref[:]
@@ -4592,28 +4956,27 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             o[:] = s[:]
         inv_2pi = np.float32(1.0 / TWO_PI)
 
-        def body(t, _):
+        def body(t, bs):
             if finite:
                 action = (actions_ref[t, 0], actions_ref[t, 1])
             else:
                 action = tuple(actions_ref[t, k] for k in range(6))
-            if needs_prev:
-                tm1 = jnp.maximum(t - 1, 0)
-                prev = tuple(jnp.where(t == 0, 0, actions_ref[tm1, k])
-                             for k in range(2))
-            else:
-                prev = None
             cur = tuple(o[:] for o in out_state)
             c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
-            state = physics_step(cur, action, c, s, None, prev)
+            state = physics_step(cur, action, c, s, None,
+                                 bs if n_bs else None)
             eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
             for o, s2 in zip(out_state, state):
                 o[:] = s2
-            return 0
+            if not n_bs:
+                return 0
+            return fs.advance_bridges(bs, action)
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
 
     if action_mode == "buffer":
         assert not fs.needs_step_noise, (

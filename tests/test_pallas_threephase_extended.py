@@ -363,3 +363,76 @@ def test_fused_cont_interlocking_matches_xla(family):
     diff = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
                for a, b in zip(out[:2], out_ni[:2]))
     assert diff > 1e-3, diff
+
+
+def _finite_interlocked_env(family):
+    from gym_electric_motor_tpu.models import converters as cv
+
+    tau, ti = 1e-5, 1e-6
+    if family == "sync":
+        env = gemx.make_functional(
+            "Finite-CC-PMSM-v0",
+            converter=cv.finite_b6_bridge_converter(tau, ti),
+            reference_generator=rg.ReferenceSpec(
+                [rg.ConstReference("i_sd", 0.0),
+                 rg.ConstReference("i_sq", 0.0)]))
+        return env, 3, (1, [8]), 3
+    if family == "scim":
+        env = gemx.make_functional(
+            "Finite-TC-SCIM-v0",
+            converter=cv.finite_b6_bridge_converter(tau, ti),
+            reference_generator=rg.ConstReference("torque", 0.0))
+        return env, 4, (1, [8]), None
+    if family == "eesm":
+        subs = [cv.finite_b6_bridge_converter(tau, ti),
+                cv.finite_four_quadrant_converter(tau, ti)]
+        env = gemx.make_functional(
+            "Finite-CC-EESM-v0",
+            converter=cv.finite_multi_converter(subs, tau, ti),
+            reference_generator=rg.ReferenceSpec(
+                [rg.ConstReference(n, 0.0)
+                 for n in ("i_sd", "i_sq", "i_e")]))
+        return env, 4, (2, [8, 4]), 4
+    subs = [cv.finite_b6_bridge_converter(tau, ti),
+            cv.finite_b6_bridge_converter(tau, ti)]
+    env = gemx.make_functional(
+        "Finite-TC-DFIM-v0",
+        converter=cv.finite_multi_converter(subs, tau, ti),
+        reference_generator=rg.ConstReference("torque", 0.0))
+    return env, 5, (2, [8, 8]), 5
+
+
+@pytest.mark.parametrize("family", ["sync", "scim", "eesm", "dfim"])
+def test_fused_finite_interlocking_matches_xla(family):
+    """Finite B6/multi interlocking: carried half-bridge switching states,
+    2-sub-interval integration with mid-cycle angle/current refresh and
+    interval-1 freeze for no-interlock envs — step-for-step vs the XLA
+    env (converters.py:99-111, 300-310; physical_systems.py:487-525)."""
+    env, n_core, (n_ch, highs), eps_col = _finite_interlocked_env(family)
+    rng = np.random.default_rng(81)
+    actions = _build_actions(rng, T, True, n_ch, finite_highs=highs)
+
+    roll = make_fused_rollout(env, T, N, action_mode="buffer",
+                              interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    out = roll(*([zero] * n_core), jnp.asarray(actions))
+    out = out if isinstance(out, tuple) else (out,)
+
+    ode, _sup = _run_xla(env, actions, True, n_ch)
+    cols = list(range(1, n_core + 1))
+    _assert_states(out[:n_core], ode, cols, f"{family}+finite-interlock",
+                   eps_col=eps_col)
+
+    # the interlock must actually bite
+    env0, _c, _h, _e = _finite_interlocked_env(family)
+    base = {"sync": "Finite-CC-PMSM-v0", "scim": "Finite-TC-SCIM-v0",
+            "eesm": "Finite-CC-EESM-v0", "dfim": "Finite-TC-DFIM-v0"}[family]
+    env_ni = gemx.make_functional(
+        base, reference_generator=env.reference_generator)
+    roll_ni = make_fused_rollout(env_ni, T, N, action_mode="buffer",
+                                 interpret=True)
+    out_ni = roll_ni(*([zero] * n_core), jnp.asarray(actions))
+    out_ni = out_ni if isinstance(out_ni, tuple) else (out_ni,)
+    diff = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+               for a, b in zip(out[:2], out_ni[:2]))
+    assert diff > 1e-3, diff
