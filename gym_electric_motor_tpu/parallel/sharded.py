@@ -548,17 +548,23 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
         ret_t = adv_t + val_t
         adv_t = (adv_t - jnp.mean(adv_t)) / (jnp.std(adv_t) + 1e-8)
 
-        def flat(x):
-            return x.reshape((-1,) + x.shape[2:])
+        # env-major minibatching: transpose once to (env, time, ...) and
+        # shuffle whole env rows (coarse ~7 KB gathers) instead of
+        # permuting all horizon*n_envs transitions individually — the
+        # fine-grained 0.5M-element permutation gathers dominated the
+        # update cost (~3x the whole-loop throughput at 2048x256).
+        # Each minibatch is a contiguous block of shuffled envs over the
+        # full horizon (envs are i.i.d., the standard jax-PPO layout).
+        def env_major(x):
+            return jnp.swapaxes(x, 0, 1)
 
-        batch = tuple(map(flat, (obs_t, act, logp_t, adv_t, ret_t)))
-        n = batch[1].shape[0]
-        mb = n // n_minibatches
+        batch = tuple(map(env_major, (obs_t, act, logp_t, adv_t, ret_t)))
+        mb_envs = local_envs // n_minibatches
 
-        def update(carry2, perm_slice):
+        def update(carry2, mb):
             params, opt_state = carry2
             obs, a, logp_old, adv, ret = tuple(
-                jnp.take(x, perm_slice, axis=0) for x in batch)
+                x.reshape((-1,) + x.shape[2:]) for x in mb)
 
             def loss_fn(params):
                 logits, value = actor_critic(params, obs)
@@ -583,9 +589,12 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
             return (params, opt_state), 0.0
 
         def epoch(carry2, k):
-            perm = jax.random.permutation(k, n)[: mb * n_minibatches]
-            slices = perm.reshape(n_minibatches, mb)
-            return jax.lax.scan(update, carry2, slices)[0], 0.0
+            pe = jax.random.permutation(k, local_envs)
+            shuffled = tuple(
+                jnp.take(x, pe, axis=0).reshape(
+                    (n_minibatches, mb_envs) + x.shape[1:])
+                for x in batch)
+            return jax.lax.scan(update, carry2, shuffled)[0], 0.0
 
         ks_ep = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(17),
                                                     seed), n_epochs)
