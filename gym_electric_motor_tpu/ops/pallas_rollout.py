@@ -1677,7 +1677,12 @@ def _dc_family(env, R, action_mode):
                                  inter[j] or None) * u_sup_val, u0[j])
                 for j in range(n_ch))
             core_new = rk4(core_mid, u1, z, tau - t_int)
-            return core_new + sup_new
+            # no interlock this cycle => the reference integrates ONE
+            # sub-interval over the whole tau (single merged switching
+            # time); select per env like the XLA path
+            core_single = rk4(core, u0, z, tau)
+            return tuple(jnp.where(flag, a, b)
+                         for a, b in zip(core_new, core_single)) + sup_new
 
         u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
                   for j in range(n_ch))
@@ -2517,7 +2522,12 @@ def _sync_family(env, R, action_mode):
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
             u_d1, u_q1 = _park(u_abc1, c1, s1)
-            return rk4(core_mid, u_d1, u_q1, z, tau - t_int) + sup_new
+            core_new = rk4(core_mid, u_d1, u_q1, z, tau - t_int)
+            # single reference sub-interval when no interlock (see the DC
+            # variant)
+            core_single = rk4(core, u_d0, u_q0, z, tau)
+            return tuple(jnp.where(flag, a, b)
+                         for a, b in zip(core_new, core_single)) + sup_new
 
         fa, fb, fc = abc_frac(action, i_abc)
         u_d, u_q = _park((fa * u_sup_val, fb * u_sup_val, fc * u_sup_val),
@@ -3182,7 +3192,10 @@ def _induction_family(env, R, action_mode):
             u_abc1 = tuple(
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
-            return rk4(core_mid, *_uab(u_abc1), z, tau - t_int) + sup_new
+            core_new = rk4(core_mid, *_uab(u_abc1), z, tau - t_int)
+            core_single = rk4(core, *_uab(u_abc0), z, tau)
+            return tuple(jnp.where(flag, a, b)
+                         for a, b in zip(core_new, core_single)) + sup_new
 
         u_al, u_be = _uab(tuple(f * u_sup_val
                                 for f in abc_frac(action, i_abc)))
@@ -3923,7 +3936,10 @@ def _eesm_family(env, R, action_mode):
             # no-interlock envs, then transform with the refreshed angle
             fr = tuple(jnp.where(flag, b, a) for a, b in zip(f0, f1))
             u1 = _udqe(fr, u_sup_val, c1, s1)
-            return rk4(core_mid, *u1, z, tau - t_int) + sup_new
+            core_new = rk4(core_mid, *u1, z, tau - t_int)
+            core_single = rk4(core, *u0, z, tau)
+            return tuple(jnp.where(flag, a, b)
+                         for a, b in zip(core_new, core_single)) + sup_new
 
         u = _udqe(voltage_fracs(action, i_abc, i_e), u_sup_val, c, s)
         return rk4(core, *u, z, tau) + sup_new
@@ -4703,8 +4719,11 @@ def _dfim_family(env, R, action_mode):
             fr = tuple(
                 tuple(jnp.where(flag, b, a) for a, b in zip(fa, fb))
                 for fa, fb in zip(f0, f1))
-            return rk4(core_mid, _us_of(fr, u_sup_val, c1, s1), z,
-                       tau - t_int) + sup_new
+            core_new = rk4(core_mid, _us_of(fr, u_sup_val, c1, s1), z,
+                           tau - t_int)
+            core_single = rk4(core, _us_of(f0, u_sup_val, c, s), z, tau)
+            return tuple(jnp.where(flag, a, b)
+                         for a, b in zip(core_new, core_single)) + sup_new
 
         us = _us_of(voltage_fracs(action, i_s_abc, i_r_abc), u_sup_val,
                     c, s)

@@ -375,6 +375,7 @@ class SCMLSystem:
         t = ps.t
         u_in = None
         u_sup = None
+        ode0, u_ode0 = ode, None
         for j, dur in enumerate(durations):
             if j > 0:
                 i_in = self.motor.i_in(mp, ode[self.motor_slice])
@@ -392,6 +393,16 @@ class SCMLSystem:
             ode = self.integrate(rhs, ode, t, dur, u_in, noise)
             cur = intervals[j]
             t = t + dur
+            if j == 0:
+                u_ode0 = u_in
+        if flag is not None:
+            # no interlock this cycle => the reference integrates ONE
+            # sub-interval over the whole tau (its merged switching-time
+            # list is [t + tau]); the 2-leg split is only exact when the
+            # dead time actually bites
+            ode = jnp.where(flag, ode,
+                            self.integrate(rhs, ode0, ps.t, self.tau,
+                                           u_ode0, noise))
         torque = self.motor.torque(mp, ode[self.motor_slice])
         currents = ode[self.motor_slice][: len(self.motor.currents)]
         system_state = jnp.concatenate(
@@ -493,6 +504,7 @@ class SynchronousMotorSystem(SCMLSystem):
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_dq = u_sup = None
+        ode0, eps0, u_ode0 = ode, eps, None
         for j, dur in enumerate(durations):
             if j > 0:
                 # the rotor angle / input currents are refreshed only BETWEEN
@@ -513,6 +525,16 @@ class SynchronousMotorSystem(SCMLSystem):
             ode = self.integrate(rhs, ode, t, dur, u_dq, noise)
             cur = intervals[j]
             t = t + dur
+            if j == 0:
+                u_ode0 = u_dq
+        if flag is not None:
+            # no interlock => single reference sub-interval over tau with
+            # the cycle-start epsilon (see the DC variant above)
+            ode = jnp.where(flag, ode,
+                            self.integrate(rhs, ode0, ps.t, self.tau,
+                                           u_ode0, noise))
+            eps = jnp.where(flag, eps, eps0)
+            u_dq = abc_to_dq(u_in, eps)
         torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq = self._i_dq(ode)
@@ -597,6 +619,7 @@ class EESMSystem(SynchronousMotorSystem):
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_dq_e = u_sup = None
+        ode0, eps0, u_ode0 = ode, eps, None
         for j, dur in enumerate(durations):
             if j > 0:
                 eps = ode[self.eps_idx]
@@ -615,6 +638,14 @@ class EESMSystem(SynchronousMotorSystem):
             ode = self.integrate(rhs, ode, t, dur, u_dq_e, noise)
             cur = intervals[j]
             t = t + dur
+            if j == 0:
+                u_ode0 = u_dq_e
+        if flag is not None:
+            ode = jnp.where(flag, ode,
+                            self.integrate(rhs, ode0, ps.t, self.tau,
+                                           u_ode0, noise))
+            eps = jnp.where(flag, eps, eps0)
+            u_dq_e = jnp.concatenate([abc_to_dq(u_in[:3], eps), u_in[3:]])
         torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq_e = ode[self.motor_slice][:3]
@@ -766,6 +797,7 @@ class SCIMSystem(SCMLSystem):
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_alphabeta = u_sup = None
+        ode0, eps_fs0, u_ode0 = ode, eps_fs, None
         for j, dur in enumerate(durations):
             if j > 0:
                 # field angle refresh only BETWEEN sub-intervals; outputs use
@@ -785,6 +817,13 @@ class SCIMSystem(SCMLSystem):
             ode = self.integrate(rhs, ode, t, dur, u_alphabeta, noise)
             cur = intervals[j]
             t = t + dur
+            if j == 0:
+                u_ode0 = u_alphabeta
+        if flag is not None:
+            ode = jnp.where(flag, ode,
+                            self.integrate(rhs, ode0, ps.t, self.tau,
+                                           u_ode0, noise))
+            eps_fs = jnp.where(flag, eps_fs, eps_fs0)
         u_dq = abc_to_dq(u_in, eps_fs)
         torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
@@ -889,6 +928,7 @@ class DFIMSystem(SCIMSystem):
         t = ps.t
         u_in = u_sup = None
         u_sabc = u_rdef = u_sdq = u_rdq = None
+        ode0, epsf0, epse0, u_ode0 = ode, eps_field, eps_el, None
         for j, dur in enumerate(durations):
             if j > 0:
                 # frame angles refresh only BETWEEN sub-intervals
@@ -915,6 +955,15 @@ class DFIMSystem(SCIMSystem):
             ode = self.integrate(rhs, ode, t, dur, u_sr, noise)
             cur = intervals[j]
             t = t + dur
+            if j == 0:
+                u_ode0 = u_sr
+        if flag is not None:
+            single = self.integrate(rhs, ode0, ps.t, self.tau, u_ode0,
+                                    noise)
+            ode = jnp.where(flag, ode, single)
+            eps_field = jnp.where(flag, eps_field, epsf0)
+            eps_el = jnp.where(flag, eps_el, epse0)
+            u_rdq = abc_to_dq(u_rdef, eps_field - eps_el)
         u_sdq = abc_to_dq(u_sabc, eps_field)
         torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]

@@ -134,3 +134,70 @@ def test_extex_dc_multidiscrete(reference_gem):
             st, (s, _), _, _ = envx.step(st, jnp.asarray(a))
             s_tpu.append(np.asarray(s))
     np.testing.assert_allclose(np.array(s_tpu), s_ref, rtol=RTOL, atol=1e-10)
+
+
+@pytest.mark.parametrize("env_id,conv_name,ref_state,n_act,p_act", [
+    ("Finite-CC-PermExDc-v0", "FiniteFourQuadrantConverter", "i", 4,
+     [0.4, 0.1, 0.1, 0.4]),
+    ("Finite-CC-PermExDc-v0", "FiniteTwoQuadrantConverter", "i", 3,
+     [0.4, 0.3, 0.3]),
+    ("Finite-CC-PMSM-v0", "FiniteB6BridgeConverter", "i_sd", 8, None),
+])
+def test_interlocked_golden_trace(reference_gem, env_id, conv_name,
+                                  ref_state, n_act, p_act):
+    """Interlocking dead time vs the live reference: the 2-sub-interval
+    schedule, the deferred interlock pattern AND the reference's
+    single-interval integration on cycles with no interlock (its merged
+    switching-time list is [t + tau]) must all line up — trajectories
+    match bit-exactly (~1e-15) under matched explicit Euler + float64
+    (converters.py:99-111, 271-310; physical_systems.py:171-203)."""
+    import gym_electric_motor.physical_systems.converters as ref_cv
+    from gym_electric_motor.physical_systems.solvers import EulerSolver
+    from gym_electric_motor.reference_generators import ConstReferenceGenerator
+
+    from gym_electric_motor_tpu.models import converters as cv
+
+    tau, ti = 1e-5, 1e-6
+    rng = np.random.default_rng(7)
+    actions = rng.choice(np.arange(n_act), p=p_act, size=120)
+
+    env = reference_gem.make(
+        env_id,
+        ode_solver=EulerSolver(),
+        converter=getattr(ref_cv, conv_name)(tau=tau, interlocking_time=ti),
+        reference_generator=ConstReferenceGenerator(
+            reference_state=ref_state, reference_value=0.0),
+    )
+    (state, _), _ = env.reset(seed=0)
+    s_ref = [state]
+    for a in actions:
+        (state, _r), reward, term, trunc, _ = env.step(int(a))
+        s_ref.append(state)
+        if term:
+            break
+    s_ref = np.array(s_ref)
+    n = len(s_ref)
+
+    builders = {
+        "FiniteFourQuadrantConverter": cv.finite_four_quadrant_converter,
+        "FiniteTwoQuadrantConverter": cv.finite_two_quadrant_converter,
+        "FiniteB6BridgeConverter": cv.finite_b6_bridge_converter,
+    }
+    import jax
+
+    with jax.enable_x64():
+        import jax.numpy as jnp
+
+        envx = gemx.make_functional(
+            env_id, solver="euler", dtype=jnp.float64,
+            converter=builders[conv_name](tau, interlocking_time=ti),
+            reference_generator=rgx.ConstReference(ref_state,
+                                                   reference_value=0.0),
+        )
+        st, (s, _r) = envx.reset(jax.random.PRNGKey(0))
+        s_tpu = [np.asarray(s)]
+        for a in actions[: n - 1]:
+            st, (s, _ro), _rew, _term = envx.step(st, jnp.asarray(int(a)))
+            s_tpu.append(np.asarray(s))
+    s_tpu = np.array(s_tpu)
+    np.testing.assert_allclose(s_tpu, s_ref, rtol=RTOL, atol=1e-10)
