@@ -86,15 +86,15 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     See the module docstring for semantics.  Every scalar reference kind
     records in-kernel (wiener/laplace/const/waveforms).  Raises
     ``KeyError`` for motor kinds without a fused family (the SRM stubs)
-    and ``AssertionError`` for non-fused configurations (interlocking
-    dead time, switched reference generators): those run on the general
-    XLA path.
+    and ``AssertionError`` for non-fused configurations (nested switched
+    generators): those run on the general XLA path.
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     fs = _FAMILY_NAMESPACES[family](env, R, action_mode)
     n_state, n_ref = fs.n_state, fs.n_ref
+    n_rows = getattr(fs, "n_rows", n_ref)
     n_act = len(fs.act_names)
     shape, shape_r = fs.shape, fs.shape_r
     sample = getattr(fs, "sample_actions_t", fs.sample_actions)
@@ -199,7 +199,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                                                           n_state + 5]
         j = n_state + 5
         za_ref = zb_ref = c_ref = s_ref = None
-        if n_ref == 1:
+        if n_rows == 1:
             za_ref, zb_ref = scratch[j], scratch[j + 1]
             j += 2
         if has_rot:
@@ -293,10 +293,10 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
         + [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
-           if n_ref == 1 else [])
+           if n_rows == 1 else [])
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if has_rot else [])
-        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
         + [pltpu.VMEM(shape, jnp.int32) for _ in range(n_prev)]
     )

@@ -1703,7 +1703,8 @@ def _dc_family(env, R, action_mode):
                            require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
     assert n_ref in (1, 2)
-    shape_r = (n_ref * R, LANE)
+    n_rows = _ref_n_rows(ref_cfg)
+    shape_r = (n_rows * R, LANE)
 
     def ref_quantity(state, j):
         """normalized referenced quantity j of the post-step state"""
@@ -1776,7 +1777,7 @@ def _dc_family(env, R, action_mode):
 
     return SimpleNamespace(
         n_state=n_state, n_ch=n_ch, finite=finite, mech=mech, shape=shape,
-        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, step_physics=step_physics,
         ref_quantity=ref_quantity, violated=violated_fn,
         sample_actions=_sample_actions, state_names=state_names,
@@ -1822,6 +1823,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     n_state, n_ch, shape, shape_r = fs.n_state, fs.n_ch, fs.shape, fs.shape_r
     n_bs = fs.n_bridge
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    n_rows = fs.n_rows
     bias, violation_reward = fs.bias, fs.violation_reward
     _step_physics, ref_quantity = fs.step_physics, fs.ref_quantity
     violated_fn, _sample_actions = fs.violated, fs.sample_actions
@@ -1834,7 +1836,8 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
             refs[2 * n_state: 2 * n_state + 6])
         scratch = refs[2 * n_state + 6:]
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
-        za_ref, zb_ref = (scratch[5], scratch[6]) if n_ref == 1 else (None, None)
+        za_ref, zb_ref = ((scratch[5], scratch[6]) if n_rows == 1
+                          else (None, None))
         wf_ref = scratch[-1] if has_wf else None
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
@@ -1938,8 +1941,8 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
         [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
-           if n_ref == 1 else [])
-        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+           if n_rows == 1 else [])
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
     )
 
@@ -1978,10 +1981,36 @@ def _wse_err(cfg, q, r):
 
 
 def _ref_needs_wf(ref_cfg):
-    """True if any reference row is a waveform kind — callers then allocate
-    the extra (4 * n_ref * R, LANE) scratch plane for the per-sub-episode
-    waveform parameters (freq, offset, phase, width)."""
-    return any(c.get("kind", "wiener") in _WF_KINDS for c in ref_cfg)
+    """True if any reference row (incl. switched shadow rows) is a waveform
+    kind — callers then allocate the extra (4 * n_rows * R, LANE) scratch
+    plane for the per-sub-episode waveform parameters (freq, offset,
+    phase, width)."""
+    return any(c.get("kind", "wiener") in _WF_KINDS
+               for c in _expand_ref_rows(ref_cfg)[0])
+
+
+def _expand_ref_rows(ref_cfg):
+    """Expand switched references into the flat row layout the in-kernel
+    machinery operates on: the primary rows first (what the kernels read
+    and what the reward uses; a switched primary's rk/rl planes carry the
+    super-episode counter/length and its rs plane the active sub index),
+    then each switched reference's K sub-generators as independent static
+    SHADOW rows.  Returns ``(rows, infos)`` with
+    ``infos = [(primary_row, shadow_start_row, K, p), ...]``."""
+    rows = list(ref_cfg)
+    infos = []
+    for i, c in enumerate(ref_cfg):
+        # buffer/validation-mode configs keep kind='switched' but carry no
+        # sub rows (the reference machinery is never touched there)
+        if c.get("kind") == "switched" and "subs" in c:
+            infos.append((i, len(rows), len(c["subs"]), tuple(c["p"])))
+            rows.extend(c["subs"])
+    return rows, infos
+
+
+def _ref_n_rows(ref_cfg):
+    """Total in-kernel reference rows (primaries + switched shadows)."""
+    return len(_expand_ref_rows(ref_cfg)[0])
 
 
 def _ref_configs(env, R, require_wiener=True):
@@ -2002,13 +2031,11 @@ def _ref_configs(env, R, require_wiener=True):
     lim = np.asarray(ps.limits)
     rw = env.reward_function
     big = np.float32(1e30)  # finite sentinel for unbounded offset ranges
-    cfgs = []
-    for s in env.reference_generator.subs:
-        assert s.kind in _FUSED_REF_KINDS or not require_wiener, (
-            f"fused kernels implement every scalar reference kind "
-            f"{_FUSED_REF_KINDS}; got kind={s.kind!r} for "
-            f"{s.reference_state!r} — use the general XLA path for "
-            f"switched generators")
+
+    def _one(s, reward_row=None):
+        """cfg for one SCALAR generator; ``reward_row`` inherits the
+        reward/limit constants (switched shadows score via their primary
+        row, so their own reward fields are never read)."""
         idx = names.index(s.reference_state)
         n_pow = float(np.asarray(rw._n).ravel()[idx])
         assert n_pow > 0.0, "reward_power must be positive"
@@ -2028,9 +2055,9 @@ def _ref_configs(env, R, require_wiener=True):
         )
         if s.kind == "const" or s.kind not in _FUSED_REF_KINDS:
             # const rides the machinery with pinned margins; non-fused
-            # kinds (switched) only reach here under require_wiener=False
-            # — buffer/validation modes never touch the reference
-            # machinery, so a benign pinned row suffices
+            # kinds only reach here under require_wiener=False —
+            # buffer/validation modes never touch the reference machinery,
+            # so a benign pinned row suffices
             v = np.float32(s.reference_value if s.kind == "const" else 0.0)
             cfg.update(
                 mlo=v, mhi=v,
@@ -2062,7 +2089,48 @@ def _ref_configs(env, R, require_wiener=True):
                     off_lo=np.float32(max(o_lo, -big)),
                     off_hi=np.float32(min(o_hi, big)),
                 )
-        cfgs.append(cfg)
+        return cfg
+
+    cfgs = []
+    for s in env.reference_generator.subs:
+        if s.kind == "switched" and require_wiener:
+            # switched generator: primary row = selection machinery
+            # (rk/rl carry the super-episode counter/length drawn from
+            # super_episode_lengths, rs the active sub index), the K sub
+            # generators become static shadow rows
+            # (switched_reference_generator.py:8-95)
+            assert all(sub.kind in _FUSED_REF_KINDS for sub in s.subs), (
+                f"switched sub-generators must be scalar fused kinds "
+                f"{_FUSED_REF_KINDS}; got "
+                f"{[sub.kind for sub in s.subs]!r}")
+            idx = names.index(s.reference_state)
+            n_pow = float(np.asarray(rw._n).ravel()[idx])
+            lo, hi = s.super_episode_lengths
+            cfg = dict(
+                kind="switched",
+                tau=np.float32(ps.tau),
+                name=s.reference_state,
+                pow=n_pow,
+                coef=np.float32(rw._weights[idx]
+                                / rw._state_length[idx] ** n_pow),
+                inv_lim=np.float32(1.0 / lim[idx]),
+                mlo=np.float32(s.margin[0]), mhi=np.float32(s.margin[1]),
+                sig_base=np.float32(-30.0), sig_span=np.float32(0.0),
+                ep_lo=np.float32(lo), ep_span=np.float32(hi - lo),
+                amp_lo=np.float32(0.0), amp_hi=np.float32(0.0),
+                f_lo=np.float32(1.0), f_hi=np.float32(1.0),
+                off_lo=np.float32(0.0), off_hi=np.float32(0.0),
+                p=tuple(float(x) for x in s.p),
+                subs=[_one(sub) for sub in s.subs],
+            )
+            cfgs.append(cfg)
+            continue
+        assert s.kind in _FUSED_REF_KINDS or not require_wiener, (
+            f"fused kernels implement every scalar reference kind "
+            f"{_FUSED_REF_KINDS} plus switched compositions of them; got "
+            f"kind={s.kind!r} for {s.reference_state!r} — use the general "
+            f"XLA path")
+        cfgs.append(_one(s))
     return cfgs
 
 
@@ -2082,6 +2150,7 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
     (sharing the sigma plane), frequency/offset/phase/width in the
     ``wf_ref`` scratch plane ((4 * n_ref * R, LANE), caller-allocated when
     ``_ref_needs_wf``).  An all-const config costs zero per-step work."""
+    ref_cfg, switched_infos = _expand_ref_rows(ref_cfg)
     n_ref = len(ref_cfg)
     nR = n_ref * R
     LN10 = np.float32(np.log(10.0))
@@ -2226,6 +2295,50 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             val = _mix(ts_mask, v, val)
         return jnp.clip(val, mlo_t, mhi_t)
 
+    def _draw_active(pi, K, p):
+        """categorical draw over the switched row's sub probabilities
+        (inverse CDF, switched_reference_generator.py:60-66)"""
+        u = _uniform_from_bits(bits(shape))
+        act = jnp.zeros(shape, jnp.float32)
+        c = p[0]
+        for k in range(1, K):
+            act = jnp.where(u >= np.float32(c), np.float32(k), act)
+            c += p[k]
+        return act
+
+    def _switched_post(switch_mask_rows, reset_rows=None, is_init=False):
+        """After the standard per-row advance/init: (re)draw the active sub
+        where the super-episode expired, re-init the newly-active shadow
+        from the primary's current value on PURE switches (the reference
+        passes initial_reference=value; on env/violation resets the subs
+        keep their own standard reset draw), and write the selected shadow
+        value into the primary row."""
+        for (pi, s0, K, p) in switched_infos:
+            psl = slice(pi * R, (pi + 1) * R)
+            sw = switch_mask_rows[psl]
+            prim_prev = rv_ref[psl]
+            act = jnp.where(sw, _draw_active(pi, K, p), rs_ref[psl])
+            rs_ref[psl] = act
+            if not is_init:
+                pure = sw if reset_rows is None else (
+                    sw & jnp.logical_not(reset_rows[psl]))
+                for k in range(K):
+                    ssl = slice((s0 + k) * R, (s0 + k + 1) * R)
+                    m = pure & (act == np.float32(k))
+                    rv_ref[ssl] = jnp.where(m, prim_prev, rv_ref[ssl])
+                    rk_ref[ssl] = jnp.where(m, 0.0, rk_ref[ssl])
+                    # fresh sub-episode params for the re-initialized shadow
+                    blocks = [m if r == s0 + k else
+                              jnp.zeros(shape, jnp.bool_)
+                              for r in range(n_ref)]
+                    _draw_params(jnp.concatenate(blocks, axis=0))
+            sel = jnp.zeros(shape, jnp.float32)
+            for k in range(K):
+                ssl = slice((s0 + k) * R, (s0 + k + 1) * R)
+                sel = sel + jnp.where(act == np.float32(k), rv_ref[ssl],
+                                      0.0)
+            rv_ref[psl] = sel
+
     def init():
         u = _uniform_from_bits(bits(shape_r))
         base = mlo_t + (mhi_t - mlo_t) * u
@@ -2236,6 +2349,9 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             base = _mix(wf_mask, _wf_value(jnp.zeros(shape_r, jnp.float32)),
                         base)
         rv_ref[:] = base
+        if switched_infos:
+            _switched_post(jnp.ones(shape_r, dtype=jnp.bool_),
+                           is_init=True)
 
     def advance(t, violated):
         if n_ref >= 2:
@@ -2243,21 +2359,18 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             reset_r = jnp.concatenate([viol_f] * n_ref, axis=0) > 0.5
         else:
             reset_r = violated
+        reset_r_rows = reset_r
         if has_gauss:
             if n_ref >= 2:
-                u1 = _uniform_from_bits(bits(shape))
-                u2 = _uniform_from_bits(bits(shape))
-                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-                theta = np.float32(TWO_PI) * u2
-                parts = [rad * jnp.cos(theta), rad * jnp.sin(theta)]
-                if n_ref == 3:
-                    # third stream: one extra single BM draw (cos branch)
-                    u3 = _uniform_from_bits(bits(shape))
-                    u4 = _uniform_from_bits(bits(shape))
-                    parts.append(
-                        jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u3, 1e-12)))
-                        * jnp.cos(np.float32(TWO_PI) * u4))
-                draw = jnp.concatenate(parts, axis=0)
+                parts = []
+                for _pair in range((n_ref + 1) // 2):
+                    u1 = _uniform_from_bits(bits(shape))
+                    u2 = _uniform_from_bits(bits(shape))
+                    rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                    theta = np.float32(TWO_PI) * u2
+                    parts.append(rad * jnp.cos(theta))
+                    parts.append(rad * jnp.sin(theta))
+                draw = jnp.concatenate(parts[:n_ref], axis=0)
             else:
                 even = (t & 1) == 0
 
@@ -2285,7 +2398,18 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
         _draw_params(regen)
         rk_new = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
         rk_ref[:] = rk_new
-        value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, mlo_t, mhi_t)
+        if switched_infos:
+            # the switched primary's rs holds its ACTIVE INDEX, not a
+            # sigma — exclude it from the noise update (its value is
+            # overwritten by the selection below anyway, but act*draw
+            # could overflow the clip bounds into the reward read window
+            # between advance and selection)
+            sw_rows = _row_mask(lambda k: k == "switched")
+            sig_eff = _mix(sw_rows, jnp.zeros(shape_r, jnp.float32),
+                           rs_ref[:])
+        else:
+            sig_eff = rs_ref[:]
+        value = jnp.clip(rv_ref[:] + sig_eff * draw, mlo_t, mhi_t)
         u3 = _uniform_from_bits(bits(shape_r))
         reset_val = _mix(lap_mask, jnp.zeros(shape_r, jnp.float32),
                          mlo_t + (mhi_t - mlo_t) * u3)
@@ -2297,6 +2421,8 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             # matching the env's violation-reset stream (reset obs is k=0)
             value = _mix(wf_mask, _wf_value(rk_new), value)
         rv_ref[:] = value
+        if switched_infos:
+            _switched_post(regen, reset_rows=reset_r_rows)
 
     return init, advance
 
@@ -2542,7 +2668,8 @@ def _sync_family(env, R, action_mode):
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
-    shape_r = (n_ref * R, LANE)
+    n_rows = _ref_n_rows(ref_cfg)
+    shape_r = (n_rows * R, LANE)
     rw = env.reward_function
     bias = np.float32(rw._bias_value)
     violation_reward = np.float32(rw._violation_value)
@@ -2610,7 +2737,7 @@ def _sync_family(env, R, action_mode):
 
     return SimpleNamespace(
         n_state=n_state, finite=finite, mech=mech, shape=shape,
-        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, COS_D=COS_D,
         SIN_D=SIN_D, physics_step=physics_step, ref_quantity=ref_quantity,
         sample_actions=_sample_actions, state_names=state_names,
@@ -2658,6 +2785,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    n_rows = fs.n_rows
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
     COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
     n_bs = fs.n_bridge
@@ -2674,7 +2802,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
         j = 5
         za_ref = zb_ref = c_ref = s_ref = None
-        if n_ref == 1:
+        if n_rows == 1:
             za_ref, zb_ref = scratch[j], scratch[j + 1]
             j += 2
         if not mech:
@@ -2811,9 +2939,9 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
         [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
-           if n_ref == 1 else [])
+           if n_rows == 1 else [])
         + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
-        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
     )
 
@@ -3209,7 +3337,8 @@ def _induction_family(env, R, action_mode):
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
-    shape_r = (n_ref * R, LANE)
+    n_rows = _ref_n_rows(ref_cfg)
+    shape_r = (n_rows * R, LANE)
     rw = env.reward_function
     bias = np.float32(rw._bias_value)
     violation_reward = np.float32(rw._violation_value)
@@ -3298,7 +3427,7 @@ def _induction_family(env, R, action_mode):
 
     return SimpleNamespace(
         n_state=n_state, finite=finite, mech=mech, shape=shape,
-        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,
         step_physics=step_physics, flux_dir=flux_dir, core_el=core_el,
         ref_quantities=ref_quantities, sample_actions=_sample_actions,
@@ -3341,6 +3470,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    n_rows = fs.n_rows
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
     needs_dq, flux_dir, core_el = fs.needs_dq, fs.flux_dir, fs.core_el
     n_bs = fs.n_bridge
@@ -3355,7 +3485,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             refs[2 * n_state: 2 * n_state + 6])
         scratch = refs[2 * n_state + 6:]
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
-        za_ref, zb_ref = ((scratch[5], scratch[6]) if n_ref == 1
+        za_ref, zb_ref = ((scratch[5], scratch[6]) if n_rows == 1
                           else (None, None))
         wf_ref = scratch[-1] if has_wf else None
         seed, bits = _make_rng(interpret, rng_ref)
@@ -3462,8 +3592,8 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
         [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
-           if n_ref == 1 else [])
-        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+           if n_rows == 1 else [])
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
     )
 
@@ -3952,7 +4082,8 @@ def _eesm_family(env, R, action_mode):
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
-    shape_r = (n_ref * R, LANE)
+    n_rows = _ref_n_rows(ref_cfg)
+    shape_r = (n_rows * R, LANE)
     rw = env.reward_function
     bias = np.float32(rw._bias_value)
     violation_reward = np.float32(rw._violation_value)
@@ -4018,7 +4149,7 @@ def _eesm_family(env, R, action_mode):
 
     return SimpleNamespace(
         n_state=n_state, finite=finite, mech=mech, shape=shape,
-        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, ie_lim=ie_lim,
         COS_D=COS_D, SIN_D=SIN_D, physics_step=physics_step,
         ref_quantity=ref_quantity, sample_actions=_sample_actions,
@@ -4061,6 +4192,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    n_rows = fs.n_rows
     bias, violation_reward = fs.bias, fs.violation_reward
     i_lim, ie_lim = fs.i_lim, fs.ie_lim
     COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
@@ -4078,7 +4210,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
         j = 5
         za_ref = zb_ref = c_ref = s_ref = None
-        if n_ref == 1:
+        if n_rows == 1:
             za_ref, zb_ref = scratch[j], scratch[j + 1]
             j += 2
         if not mech:
@@ -4217,9 +4349,9 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
         [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
-           if n_ref == 1 else [])
+           if n_rows == 1 else [])
         + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
-        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
     )
 
@@ -4737,7 +4869,8 @@ def _dfim_family(env, R, action_mode):
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
     n_ref = len(ref_cfg)
-    shape_r = (n_ref * R, LANE)
+    n_rows = _ref_n_rows(ref_cfg)
+    shape_r = (n_rows * R, LANE)
     rw = env.reward_function
     bias = np.float32(rw._bias_value)
     violation_reward = np.float32(rw._violation_value)
@@ -4830,7 +4963,7 @@ def _dfim_family(env, R, action_mode):
 
     return SimpleNamespace(
         n_state=n_state, finite=finite, mech=mech, shape=shape,
-        shape_r=shape_r, n_ref=n_ref, ref_cfg=ref_cfg, bias=bias,
+        shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,
         COS_D=COS_D, SIN_D=SIN_D, physics_step=physics_step,
         flux_dir=flux_dir, ref_quantities=ref_quantities,
@@ -4873,6 +5006,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    n_rows = fs.n_rows
     bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
     needs_dq, flux_dir = fs.needs_dq, fs.flux_dir
     COS_D, SIN_D, i_eps = fs.COS_D, fs.SIN_D, fs.i_eps
@@ -4890,7 +5024,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
         j = 5
         za_ref = zb_ref = c_ref = s_ref = None
-        if n_ref == 1:
+        if n_rows == 1:
             za_ref, zb_ref = scratch[j], scratch[j + 1]
             j += 2
         if not mech:
@@ -5026,9 +5160,9 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
         [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
-           if n_ref == 1 else [])
+           if n_rows == 1 else [])
         + ([] if mech else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
-        + ([pltpu.VMEM((4 * n_ref * R, LANE), jnp.float32)]
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
     )
 

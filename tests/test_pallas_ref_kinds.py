@@ -6,8 +6,10 @@ same per-sub-episode parameter draws and closed forms as the XLA
 generators (references.py:94-252).  Validation (interpret mode, xorshift
 bit source): structural identities of each waveform on the recorded
 reference stream, reward recomputation, margin respect, and heavy tails
-for Laplace increments.  Switched generators stay on the XLA path and are
-rejected loudly.
+for Laplace increments.  Switched generators run in-kernel too: the
+primary row carries the super-episode schedule and active index while the
+K sub-generators advance as static shadow rows; nested switched stays
+rejected.
 """
 
 import jax
@@ -194,13 +196,65 @@ def test_reducing_kernel_runs_waveform_refs():
     assert rv.max() <= sub.margin[1] + 1e-6
 
 
-def test_switched_reference_rejected_loudly():
-    """SwitchedReferenceGenerator stays on the general XLA path."""
-    sw = rg.SwitchedReference([rg.WienerProcessReference("i"),
-                               rg.ConstReference("i", 0.2)])
+def test_switched_two_consts_selects_exactly():
+    """A switched pair of CONST sub-generators is fully deterministic in
+    value space: the emitted reference must only ever equal one of the two
+    constants, and BOTH must appear over a horizon spanning many
+    super-episodes (switching + selection machinery, switched_reference_
+    generator.py:8-95)."""
+    sw = rg.SwitchedReference(
+        [rg.ConstReference("i", 0.4), rg.ConstReference("i", -0.2)],
+        super_episode_length=(20, 60))
     env = gemx.make_functional("Finite-CC-PermExDc-v0",
                                reference_generator=sw)
-    with pytest.raises(AssertionError, match="switched"):
+    out = _record(env, 512, seed=9)
+    r = out["ref_i"]
+    is_a = np.abs(r - 0.4) < 1e-6
+    is_b = np.abs(r + 0.2) < 1e-6
+    assert np.all(is_a | is_b)
+    frac_a = is_a.mean()
+    assert 0.2 < frac_a < 0.8, frac_a  # both subs actually get scheduled
+    # switch cadence: per env, value changes happen but not every step
+    flips = (np.abs(np.diff(r, axis=0)) > 1e-6).mean()
+    assert 1.0 / 80 < flips < 1.0 / 8, flips
+
+
+def test_switched_wiener_sinusoid_statistics():
+    """Switched wiener+sinusoid: finite everywhere, values inside the
+    merged margins, and the recorded reward recomputes from the recorded
+    signals (the reward reads the switched PRIMARY row)."""
+    sw = rg.SwitchedReference(
+        [rg.WienerProcessReference("i"),
+         rg.SinusoidalReference("i")],
+        super_episode_length=(50, 200))
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    sub0 = env.reference_generator.subs[0]
+    mlo, mhi = sub0.margin
+    out = _record(env, 600, seed=11)
+    r, i, rew, done = (out["ref_i"], out["i"], out["reward"], out["done"])
+    assert np.all(np.isfinite(r))
+    assert np.all(r >= mlo - 1e-5) and np.all(r <= mhi + 1e-5)
+    assert np.std(r) > 1e-3
+    names = list(env.physical_system.state_names)
+    lim = np.asarray(env.physical_system.limits)
+    i_lim = float(lim[names.index("i")])
+    coef = float(env.reward_function._weights[names.index("i")]
+                 / env.reward_function._state_length[names.index("i")])
+    expect = -coef * np.abs(i / i_lim - r)
+    mask = done < 0.5
+    np.testing.assert_allclose(rew[mask], expect[mask], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_nested_switched_rejected_loudly():
+    """Switched-of-switched has no in-kernel form — rejected at build."""
+    inner = rg.SwitchedReference([rg.WienerProcessReference("i"),
+                                  rg.ConstReference("i", 0.2)])
+    sw = rg.SwitchedReference([inner, rg.ConstReference("i", 0.1)])
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    with pytest.raises(AssertionError, match="switched sub-generators"):
         make_fused_rollout(env, 8, 128, interpret=True)
 
 
