@@ -1475,10 +1475,16 @@ def _dc_family(env, R, action_mode):
             # single transistor + diode: stateless (converters.py:218-245)
             return jnp.where(i >= 0.0, a.astype(jnp.float32), 1.0)
         if ck == "Finite-2QC":
-            return _hb_u_st(st[0] if st is not None else a, i)
+            if st is None:  # cmd == state, never all-off mid-run
+                free = jnp.where(i < 0.0, 1.0, 0.0)
+                return jnp.where(a == 1, 1.0, jnp.where(a == 2, 0.0, free))
+            return _hb_u_st(st[0], i)
         if ck == "Finite-4QC":
             if st is None:
-                st = chan_cmd(ck, a)
+                # dual half-bridge, states in {1,2} never freewheel:
+                # a=1 -> +1, a=2 -> -1
+                return (jnp.where(a == 1, 1.0, 0.0)
+                        - jnp.where(a == 2, 1.0, 0.0))
             return _hb_u_st(st[0], i) - _hb_u_st(st[1], -i)
         if ck == "Cont-1QC":
             # diode topology: no interlock discount (converters.py:371-401)
@@ -1502,10 +1508,15 @@ def _dc_family(env, R, action_mode):
         if ck == "Finite-1QC":
             return jnp.where(a == 1, i, 0.0)
         if ck == "Finite-2QC":
-            return _hb_i_st(st[0] if st is not None else a, i)
+            if st is None:
+                free = jnp.where(i < 0.0, i, 0.0)
+                return jnp.where(a == 1, i, jnp.where(a == 2, 0.0, free))
+            return _hb_i_st(st[0], i)
         if ck == "Finite-4QC":
             if st is None:
-                st = chan_cmd(ck, a)
+                # states in {1,2}: i_sup = hb_i(s0, i) + hb_i(s1, -i)
+                return (jnp.where(a <= 1, i, 0.0)
+                        + jnp.where((a == 0) | (a == 2), -i, 0.0))
             return _hb_i_st(st[0], i) + _hb_i_st(st[1], -i)
         if ck == "Cont-1QC":
             return jnp.clip(a, 0.0, 1.0) * i
