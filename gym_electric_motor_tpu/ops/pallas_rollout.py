@@ -317,21 +317,16 @@ def _c2i(d, i, k):
     return (d + np.float32(k) * (jnp.where(i < 0, 1.0, 0.0) - d)) * i
 
 
-def _fused_interlock(conv, tau, finite, finite_ok=True):
+def _fused_interlock(conv, tau, finite):
     """Static interlock fraction k = t_int / tau for the fused kernels.
 
     Cont converters fold interlocking into the duty/current corrections
     (``_c2u``/``_c2i``); finite converters run the 2-sub-interval
-    switching schedule with carried half-bridge states (converters.py:
-    99-111) where the family implements it (``finite_ok``)."""
-    t_int = float(getattr(conv, "interlocking_time", 0.0) or 0.0)
-    if finite and t_int != 0.0 and not finite_ok:
-        raise NotImplementedError(
-            "this fused kernel supports interlocking dead time for cont "
-            "(dynamically averaged) converters only; the finite "
-            "2-sub-interval interlock schedule runs on the general XLA "
-            "path (VectorEnv.rollout)")
-    return t_int / tau
+    switching schedule with carried half-bridge states
+    (converters.py:99-111).  ``finite`` is kept for call-site symmetry
+    with the family builders."""
+    del finite
+    return float(getattr(conv, "interlocking_time", 0.0) or 0.0) / tau
 
 
 def _step_noise(needs, bits, shape):
@@ -2306,7 +2301,7 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             val = _mix(ts_mask, v, val)
         return jnp.clip(val, mlo_t, mhi_t)
 
-    def _draw_active(pi, K, p):
+    def _draw_active(K, p):
         """categorical draw over the switched row's sub probabilities
         (inverse CDF, switched_reference_generator.py:60-66)"""
         u = _uniform_from_bits(bits(shape))
@@ -2328,7 +2323,7 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             psl = slice(pi * R, (pi + 1) * R)
             sw = switch_mask_rows[psl]
             prim_prev = rv_ref[psl]
-            act = jnp.where(sw, _draw_active(pi, K, p), rs_ref[psl])
+            act = jnp.where(sw, _draw_active(K, p), rs_ref[psl])
             rs_ref[psl] = act
             if not is_init:
                 pure = sw if reset_rows is None else (
@@ -2370,7 +2365,6 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             reset_r = jnp.concatenate([viol_f] * n_ref, axis=0) > 0.5
         else:
             reset_r = violated
-        reset_r_rows = reset_r
         if has_gauss:
             if n_ref >= 2:
                 parts = []
@@ -2433,7 +2427,7 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             value = _mix(wf_mask, _wf_value(rk_new), value)
         rv_ref[:] = value
         if switched_infos:
-            _switched_post(regen, reset_rows=reset_r_rows)
+            _switched_post(regen, reset_rows=reset_r)
 
     return init, advance
 

@@ -489,8 +489,6 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
     omega_fixed = float(ps.load.omega_fixed)
     omega_n = np.float32(omega_fixed / float(lim[names.index("omega")]))
     inv_ilim = np.float32(1.0 / i_lim)
-    inv_pi = np.float32(1.0 / np.pi)
-    two_pi = np.float32(2.0 * np.pi)
     tx = optax.adam(lr)
     R = n_envs // 128
 
