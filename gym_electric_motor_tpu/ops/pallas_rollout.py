@@ -301,6 +301,57 @@ def _interlock_state(bs, cmd):
                      jnp.zeros_like(cmd))
 
 
+def _make_b6(finite, k_int):
+    """B6 half-bridge converter law shared by the sync/induction/EESM/DFIM
+    family builders (converters.py:743-911): command decode, voltage
+    fractions and supply current — finite via the action bits (or the
+    carried switching states ``st`` incl. the freewheeling all-off branch
+    under interlocking), cont via interlock-discounted duties.
+
+    Returns ``namespace(cmd, frac, i_sup)``:
+    ``cmd(action)`` -> 3 commanded half-bridge states (2 - bit);
+    ``frac(action, i_abc=None, st=None)`` -> 3 voltage fractions of u_sup;
+    ``i_sup(action, i_abc, st=None)`` -> converter supply current.
+    """
+
+    def cmd(action):
+        return (2 - ((action >> 2) & 1), 2 - ((action >> 1) & 1),
+                2 - (action & jnp.int32(1)))
+
+    def frac(action, i_abc=None, st=None):
+        if finite:
+            if st is not None:
+                return tuple(_hb_u_st(st[j], i_abc[j]) - 0.5
+                             for j in range(3))
+            return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
+                    ((action >> 1) & 1).astype(jnp.float32) - 0.5,
+                    ((action & 1)).astype(jnp.float32) - 0.5)
+        if k_int == 0.0:
+            return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
+        return tuple(
+            _c2u(0.5 * (jnp.clip(action[j], -1.0, 1.0) + 1.0), i_abc[j],
+                 k_int) - 0.5
+            for j in range(3))
+
+    def i_sup(action, i_abc, st=None):
+        i_a, i_b, i_c = i_abc
+        if finite:
+            if st is not None:
+                return (_hb_i_st(st[0], i_a) + _hb_i_st(st[1], i_b)
+                        + _hb_i_st(st[2], i_c))
+            return (((action >> 2) & 1).astype(jnp.float32) * i_a
+                    + ((action >> 1) & 1).astype(jnp.float32) * i_b
+                    + (action & 1).astype(jnp.float32) * i_c)
+        return (_c2i(0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0), i_a,
+                     k_int)
+                + _c2i(0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0), i_b,
+                       k_int)
+                + _c2i(0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0), i_c,
+                       k_int))
+
+    return SimpleNamespace(cmd=cmd, frac=frac, i_sup=i_sup)
+
+
 def _c2u(d, i, k):
     """Cont half-bridge duty minus the interlock discount, clipped
     (converters.py:148-184; k = t_interlock / tau, a static constant)."""
@@ -1674,7 +1725,15 @@ def _dc_family(env, R, action_mode):
             u0 = tuple(conv_u(conv_kinds[j], acts[j], i_in[j],
                               inter[j] or None) * u_sup_val
                        for j in range(n_ch))
-            core_mid = rk4(core, u0, z, t_int)
+            # no interlock this cycle => the reference integrates ONE
+            # sub-interval over the whole tau (single merged switching
+            # time): select the leg DURATIONS per env — a dt=0 RK4 leg is
+            # an exact identity, so (0, tau) reproduces the single
+            # full-tau integration bit-for-bit at 2 legs instead of 3
+            dt0 = jnp.where(flag, np.float32(t_int), 0.0)
+            dt1 = jnp.where(flag, np.float32(tau - t_int),
+                            np.float32(tau))
+            core_mid = rk4(core, u0, z, dt0)
             el_mid = core_mid[1:] if mech else core_mid
             i_mid = i_in_fn(el_mid)
             u1 = tuple(
@@ -1682,13 +1741,7 @@ def _dc_family(env, R, action_mode):
                           conv_u(conv_kinds[j], acts[j], i_mid[j],
                                  inter[j] or None) * u_sup_val, u0[j])
                 for j in range(n_ch))
-            core_new = rk4(core_mid, u1, z, tau - t_int)
-            # no interlock this cycle => the reference integrates ONE
-            # sub-interval over the whole tau (single merged switching
-            # time); select per env like the XLA path
-            core_single = rk4(core, u0, z, tau)
-            return tuple(jnp.where(flag, a, b)
-                         for a, b in zip(core_new, core_single)) + sup_new
+            return rk4(core_mid, u1, z, dt1) + sup_new
 
         u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
                   for j in range(n_ch))
@@ -2328,16 +2381,26 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             if not is_init:
                 pure = sw if reset_rows is None else (
                     sw & jnp.logical_not(reset_rows[psl]))
+                row_masks = []
                 for k in range(K):
                     ssl = slice((s0 + k) * R, (s0 + k + 1) * R)
                     m = pure & (act == np.float32(k))
-                    rv_ref[ssl] = jnp.where(m, prim_prev, rv_ref[ssl])
+                    # clip the seed into the SUB's own margins: const subs
+                    # ignore initial_reference entirely and the
+                    # subepisoded kinds clip it (subepisoded_reference_
+                    # generator.py:102-117) — without this, a
+                    # wiener->const switch would leak the old wiener value
+                    # for one step
+                    sub = ref_cfg[s0 + k]
+                    seed_v = jnp.clip(prim_prev, np.float32(sub["mlo"]),
+                                      np.float32(sub["mhi"]))
+                    rv_ref[ssl] = jnp.where(m, seed_v, rv_ref[ssl])
                     rk_ref[ssl] = jnp.where(m, 0.0, rk_ref[ssl])
-                    # fresh sub-episode params for the re-initialized shadow
-                    blocks = [m if r == s0 + k else
-                              jnp.zeros(shape, jnp.bool_)
-                              for r in range(n_ref)]
-                    _draw_params(jnp.concatenate(blocks, axis=0))
+                    row_masks.append(m)
+                # fresh sub-episode params for the re-initialized shadows
+                # (one combined draw — the per-k masks are disjoint)
+                blocks = [jnp.zeros(shape, jnp.bool_)] * s0 + row_masks +                     [jnp.zeros(shape, jnp.bool_)] * (n_ref - s0 - K)
+                _draw_params(jnp.concatenate(blocks, axis=0))
             sel = jnp.zeros(shape, jnp.float32)
             for k in range(K):
                 ssl = slice((s0 + k) * R, (s0 + k + 1) * R)
@@ -2529,56 +2592,14 @@ def _sync_family(env, R, action_mode):
                                   or ps.supply.kind == "RCVoltageSupply"))
                 else 0)
 
-    def b6_cmd(action):
-        """commanded half-bridge states from the B6 action bits
-        (bit == 1 -> upper (state 1), else lower (state 2))"""
-        return (2 - ((action >> 2) & 1), 2 - ((action >> 1) & 1),
-                2 - (action & jnp.int32(1)))
+    b6 = _make_b6(finite, k_int)
+    b6_cmd, abc_frac, b6_i_sup = b6.cmd, b6.frac, b6.i_sup
 
     def advance_bridges(bs, action):
         cmd = b6_cmd(action)
         if k_int > 0.0:
             return tuple(_interlock_state(b, c) for b, c in zip(bs, cmd))
         return cmd
-
-    def abc_frac(action, i_abc=None, st=None):
-        """phase voltage fractions of u_sup (B6: converters.py:788-823;
-        interlocked finite reads the half-bridge states ``st`` incl. the
-        freewheeling all-off branch; cont: interlock-discounted duty
-        _c2u(0.5(a+1)) - 0.5, converters.py:846-911)"""
-        if finite:
-            if st is not None:
-                return tuple(_hb_u_st(st[j], i_abc[j]) - 0.5
-                             for j in range(3))
-            return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
-                    ((action >> 1) & 1).astype(jnp.float32) - 0.5,
-                    ((action & 1)).astype(jnp.float32) - 0.5)
-        if k_int == 0.0:
-            return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
-        return tuple(
-            _c2u(0.5 * (jnp.clip(action[j], -1.0, 1.0) + 1.0), i_abc[j],
-                 k_int) - 0.5
-            for j in range(3))
-
-    def b6_i_sup(action, i_abc, st=None):
-        """B6 supply current from the pre-step phase currents: finite sums
-        over the carried half-bridge states (incl. freewheeling,
-        converters.py:289-298, 838-839); cont weights by the half-bridge
-        duties 0.5(a+1) with the interlock correction (converters.py:
-        429-435, 849-853)."""
-        i_a, i_b, i_c = i_abc
-        if finite:
-            if st is not None:
-                return (_hb_i_st(st[0], i_a) + _hb_i_st(st[1], i_b)
-                        + _hb_i_st(st[2], i_c))
-            return (((action >> 2) & 1).astype(jnp.float32) * i_a
-                    + ((action >> 1) & 1).astype(jnp.float32) * i_b
-                    + (action & 1).astype(jnp.float32) * i_c)
-        return (_c2i(0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0), i_a, k_int)
-                + _c2i(0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0), i_b,
-                       k_int)
-                + _c2i(0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0), i_c,
-                       k_int))
 
     def dq_to_abc(i_sd, i_sq, c, s):
         """inverse Park + Clarke (t_32 rows, three_phase_motor.py:16-88)"""
@@ -2640,25 +2661,28 @@ def _sync_family(env, R, action_mode):
             u_abc0 = tuple(f * u_sup_val
                            for f in abc_frac(action, i_abc, inter))
             u_d0, u_q0 = _park(u_abc0, c, s)
-            core_mid = rk4(core, u_d0, u_q0, z, t_int)
+            # single reference sub-interval when no interlock: leg
+            # durations (0, tau) per env — a dt=0 RK4 leg is an exact
+            # identity (see the DC variant)
+            dt0 = jnp.where(flag, np.float32(t_int), 0.0)
+            dt1 = jnp.where(flag, np.float32(tau - t_int),
+                            np.float32(tau))
+            core_mid = rk4(core, u_d0, u_q0, z, dt0)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
             else:
-                c1 = c * COS_DI - s * SIN_DI
-                s1 = s * COS_DI + c * SIN_DI
+                # no-interlock envs keep the cycle-start angle (their
+                # mid state IS the start state)
+                c1 = jnp.where(flag, c * COS_DI - s * SIN_DI, c)
+                s1 = jnp.where(flag, s * COS_DI + c * SIN_DI, s)
             i_sd_m, i_sq_m = _dq_of(core_mid)
             i_abc_m = dq_to_abc(i_sd_m, i_sq_m, c1, s1)
             u_abc1 = tuple(
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
             u_d1, u_q1 = _park(u_abc1, c1, s1)
-            core_new = rk4(core_mid, u_d1, u_q1, z, tau - t_int)
-            # single reference sub-interval when no interlock (see the DC
-            # variant)
-            core_single = rk4(core, u_d0, u_q0, z, tau)
-            return tuple(jnp.where(flag, a, b)
-                         for a, b in zip(core_new, core_single)) + sup_new
+            return rk4(core_mid, u_d1, u_q1, z, dt1) + sup_new
 
         fa, fb, fc = abc_frac(action, i_abc)
         u_d, u_q = _park((fa * u_sup_val, fb * u_sup_val, fc * u_sup_val),
@@ -3228,9 +3252,8 @@ def _induction_family(env, R, action_mode):
                                   or ps.supply.kind == "RCVoltageSupply"))
                 else 0)
 
-    def b6_cmd(action):
-        return (2 - ((action >> 2) & 1), 2 - ((action >> 1) & 1),
-                2 - (action & jnp.int32(1)))
+    b6 = _make_b6(finite, k_int)
+    b6_cmd = b6.cmd
 
     def advance_bridges(bs, acts):
         action = acts[0] if isinstance(acts, tuple) else acts
@@ -3246,36 +3269,7 @@ def _induction_family(env, R, action_mode):
         return (i_al, -0.5 * i_al + half_b * i_be,
                 -0.5 * i_al - half_b * i_be)
 
-    def abc_frac(action, i_abc=None, st=None):
-        if finite:
-            if st is not None:
-                return tuple(_hb_u_st(st[j], i_abc[j]) - 0.5
-                             for j in range(3))
-            return (((action >> 2) & 1).astype(jnp.float32) - 0.5,
-                    ((action >> 1) & 1).astype(jnp.float32) - 0.5,
-                    ((action & 1)).astype(jnp.float32) - 0.5)
-        if k_int == 0.0:
-            return 0.5 * action[0], 0.5 * action[1], 0.5 * action[2]
-        return tuple(
-            _c2u(0.5 * (jnp.clip(action[j], -1.0, 1.0) + 1.0), i_abc[j],
-                 k_int) - 0.5
-            for j in range(3))
-
-    def b6_i_sup(action, i_abc, st=None):
-        """B6 supply current (converters.py:289-298, 429-435, 838-911)"""
-        i_a, i_b, i_c = i_abc
-        if finite:
-            if st is not None:
-                return (_hb_i_st(st[0], i_a) + _hb_i_st(st[1], i_b)
-                        + _hb_i_st(st[2], i_c))
-            return (((action >> 2) & 1).astype(jnp.float32) * i_a
-                    + ((action >> 1) & 1).astype(jnp.float32) * i_b
-                    + (action & 1).astype(jnp.float32) * i_c)
-        return (_c2i(0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0), i_a, k_int)
-                + _c2i(0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0), i_b,
-                       k_int)
-                + _c2i(0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0), i_c,
-                       k_int))
+    abc_frac, b6_i_sup = b6.frac, b6.i_sup
 
     def _uab(u_abc):
         return ((2.0 / 3.0) * (u_abc[0] - 0.5 * (u_abc[1] + u_abc[2])),
@@ -3319,16 +3313,16 @@ def _induction_family(env, R, action_mode):
                     | (inter[2] != cmd[2]))
             u_abc0 = tuple(f * u_sup_val
                            for f in abc_frac(action, i_abc, inter))
-            core_mid = rk4(core, *_uab(u_abc0), z, t_int)
+            dt0 = jnp.where(flag, np.float32(t_int), 0.0)
+            dt1 = jnp.where(flag, np.float32(tau - t_int),
+                            np.float32(tau))
+            core_mid = rk4(core, *_uab(u_abc0), z, dt0)
             el_mid = core_mid[1:] if mech else core_mid
             i_abc_m = _clarke_inv(el_mid[0], el_mid[1])
             u_abc1 = tuple(
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
-            core_new = rk4(core_mid, *_uab(u_abc1), z, tau - t_int)
-            core_single = rk4(core, *_uab(u_abc0), z, tau)
-            return tuple(jnp.where(flag, a, b)
-                         for a, b in zip(core_new, core_single)) + sup_new
+            return rk4(core_mid, *_uab(u_abc1), z, dt1) + sup_new
 
         u_al, u_be = _uab(tuple(f * u_sup_val
                                 for f in abc_frac(action, i_abc)))
@@ -3929,13 +3923,13 @@ def _eesm_family(env, R, action_mode):
                                   or ps.supply.kind == "RCVoltageSupply"))
                 else 0)
 
+    b6 = _make_b6(finite, k_int)
+
     def bridge_cmd(action):
         """B6 (3) + excitation 4QC (2) commanded half-bridge states"""
         a_b6, a_4qc = action
-        return (2 - ((a_b6 >> 2) & 1), 2 - ((a_b6 >> 1) & 1),
-                2 - (a_b6 & jnp.int32(1)),
-                1 + (a_4qc >= 2).astype(jnp.int32),
-                1 + (a_4qc & jnp.int32(1)))
+        return b6.cmd(a_b6) + (1 + (a_4qc >= 2).astype(jnp.int32),
+                               1 + (a_4qc & jnp.int32(1)))
 
     def advance_bridges(bs, action):
         cmd = bridge_cmd(action)
@@ -3949,25 +3943,17 @@ def _eesm_family(env, R, action_mode):
         channels carry the interlock discount (_c2u); interlocked finite
         reads the half-bridge states ``st`` incl. freewheeling"""
         if finite:
-            if st is not None:
-                return (_hb_u_st(st[0], i_abc[0]) - 0.5,
-                        _hb_u_st(st[1], i_abc[1]) - 0.5,
-                        _hb_u_st(st[2], i_abc[2]) - 0.5,
-                        _hb_u_st(st[3], i_e) - _hb_u_st(st[4], -i_e))
             a_b6, a_4qc = action
-            fa = ((a_b6 >> 2) & 1).astype(jnp.float32) - 0.5
-            fb = ((a_b6 >> 1) & 1).astype(jnp.float32) - 0.5
-            fc = (a_b6 & 1).astype(jnp.float32) - 0.5
-            fe = (jnp.where(a_4qc == 1, 1.0, 0.0)
-                  - jnp.where(a_4qc == 2, 1.0, 0.0))
+            fa, fb, fc = b6.frac(a_b6, i_abc, st[:3] if st else None)
+            if st is not None:
+                fe = _hb_u_st(st[3], i_e) - _hb_u_st(st[4], -i_e)
+            else:
+                fe = (jnp.where(a_4qc == 1, 1.0, 0.0)
+                      - jnp.where(a_4qc == 2, 1.0, 0.0))
             return fa, fb, fc, fe
+        fa, fb, fc = b6.frac(action[:3], i_abc)
         if k_int == 0.0:
-            return (0.5 * action[0], 0.5 * action[1], 0.5 * action[2],
-                    action[3])
-        fa, fb, fc = (
-            _c2u(0.5 * (jnp.clip(action[j], -1.0, 1.0) + 1.0), i_abc[j],
-                 k_int) - 0.5
-            for j in range(3))
+            return fa, fb, fc, action[3]
         ae = jnp.clip(action[3], -1.0, 1.0)
         fe = (_c2u(0.5 * (ae + 1.0), i_e, k_int)
               - _c2u(-0.5 * (ae - 1.0), i_e, k_int))
@@ -3977,24 +3963,15 @@ def _eesm_family(env, R, action_mode):
         """multi-converter supply current: B6 (upper-switch / duty-weighted
         phase sum) + excitation 4QC (converters.py:289-298, 354-368,
         429-496, 547-612)"""
-        i_a, i_b, i_c = i_abc
         if finite:
-            if st is not None:
-                return (_hb_i_st(st[0], i_a) + _hb_i_st(st[1], i_b)
-                        + _hb_i_st(st[2], i_c)
-                        + _hb_i_st(st[3], i_e) + _hb_i_st(st[4], -i_e))
             a_b6, a_4qc = action
-            i_b6 = (((a_b6 >> 2) & 1).astype(jnp.float32) * i_a
-                    + ((a_b6 >> 1) & 1).astype(jnp.float32) * i_b
-                    + (a_b6 & 1).astype(jnp.float32) * i_c)
-            i_4qc = (jnp.where(a_4qc <= 1, i_e, 0.0)
-                     + jnp.where((a_4qc == 0) | (a_4qc == 2), -i_e, 0.0))
-            return i_b6 + i_4qc
-        i_b6 = (_c2i(0.5 * (jnp.clip(action[0], -1.0, 1.0) + 1.0), i_a, k_int)
-                + _c2i(0.5 * (jnp.clip(action[1], -1.0, 1.0) + 1.0), i_b,
-                       k_int)
-                + _c2i(0.5 * (jnp.clip(action[2], -1.0, 1.0) + 1.0), i_c,
-                       k_int))
+            i_b6 = b6.i_sup(a_b6, i_abc, st[:3] if st else None)
+            if st is not None:
+                return i_b6 + _hb_i_st(st[3], i_e) + _hb_i_st(st[4], -i_e)
+            return i_b6 + (jnp.where(a_4qc <= 1, i_e, 0.0)
+                           + jnp.where((a_4qc == 0) | (a_4qc == 2), -i_e,
+                                       0.0))
+        i_b6 = b6.i_sup(action[:3], i_abc)
         ae = jnp.clip(action[3], -1.0, 1.0)
         if k_int == 0.0:
             return i_b6 + ae * i_e
@@ -4057,13 +4034,16 @@ def _eesm_family(env, R, action_mode):
                 flag = flag | (b != c2)
             f0 = voltage_fracs(action, i_abc, i_e, inter)
             u0 = _udqe(f0, u_sup_val, c, s)
-            core_mid = rk4(core, *u0, z, t_int)
+            dt0 = jnp.where(flag, np.float32(t_int), 0.0)
+            dt1 = jnp.where(flag, np.float32(tau - t_int),
+                            np.float32(tau))
+            core_mid = rk4(core, *u0, z, dt0)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
             else:
-                c1 = c * COS_DI - s * SIN_DI
-                s1 = s * COS_DI + c * SIN_DI
+                c1 = jnp.where(flag, c * COS_DI - s * SIN_DI, c)
+                s1 = jnp.where(flag, s * COS_DI + c * SIN_DI, s)
             i_sd_m, i_sq_m, i_e_m = _currents(core_mid)
             i_abc_m = dq_to_abc(i_sd_m, i_sq_m, c1, s1)
             f1 = voltage_fracs(action, i_abc_m, i_e_m, inter)
@@ -4071,10 +4051,7 @@ def _eesm_family(env, R, action_mode):
             # no-interlock envs, then transform with the refreshed angle
             fr = tuple(jnp.where(flag, b, a) for a, b in zip(f0, f1))
             u1 = _udqe(fr, u_sup_val, c1, s1)
-            core_new = rk4(core_mid, *u1, z, tau - t_int)
-            core_single = rk4(core, *u0, z, tau)
-            return tuple(jnp.where(flag, a, b)
-                         for a, b in zip(core_new, core_single)) + sup_new
+            return rk4(core_mid, *u1, z, dt1) + sup_new
 
         u = _udqe(voltage_fracs(action, i_abc, i_e), u_sup_val, c, s)
         return rk4(core, *u, z, tau) + sup_new
@@ -4702,13 +4679,11 @@ def _dfim_family(env, R, action_mode):
                                   or ps.supply.kind == "RCVoltageSupply"))
                 else 0)
 
+    b6 = _make_b6(finite, k_int)
+
     def bridge_cmd(action):
         a_s, a_r = action
-
-        def b6(a):
-            return (2 - ((a >> 2) & 1), 2 - ((a >> 1) & 1),
-                    2 - (a & jnp.int32(1)))
-        return b6(a_s) + b6(a_r)
+        return b6.cmd(a_s) + b6.cmd(a_r)
 
     def advance_bridges(bs, action):
         cmd = bridge_cmd(action)
@@ -4721,39 +4696,11 @@ def _dfim_family(env, R, action_mode):
         the interlock discount on their own phase currents; interlocked
         finite reads the half-bridge states incl. freewheeling)"""
         if finite:
-            if st is not None:
-                return (tuple(_hb_u_st(st[j], i_s_abc[j]) - 0.5
-                              for j in range(3)),
-                        tuple(_hb_u_st(st[3 + j], i_r_abc[j]) - 0.5
-                              for j in range(3)))
             a_s, a_r = action
-
-            def b6(a):
-                return (((a >> 2) & 1).astype(jnp.float32) - 0.5,
-                        ((a >> 1) & 1).astype(jnp.float32) - 0.5,
-                        ((a & 1)).astype(jnp.float32) - 0.5)
-            return b6(a_s), b6(a_r)
-        if k_int == 0.0:
-            return ((0.5 * action[0], 0.5 * action[1], 0.5 * action[2]),
-                    (0.5 * action[3], 0.5 * action[4], 0.5 * action[5]))
-
-        def duty(a, i):
-            return _c2u(0.5 * (jnp.clip(a, -1.0, 1.0) + 1.0), i,
-                        k_int) - 0.5
-        return (tuple(duty(action[j], i_s_abc[j]) for j in range(3)),
-                tuple(duty(action[3 + j], i_r_abc[j]) for j in range(3)))
-
-    def b6_i_sup(a_or_duties, i_abc, finite_chan):
-        i_a, i_b, i_c = i_abc
-        if finite_chan:
-            a = a_or_duties
-            return (((a >> 2) & 1).astype(jnp.float32) * i_a
-                    + ((a >> 1) & 1).astype(jnp.float32) * i_b
-                    + (a & 1).astype(jnp.float32) * i_c)
-        d = a_or_duties
-        return (_c2i(0.5 * (jnp.clip(d[0], -1.0, 1.0) + 1.0), i_a, k_int)
-                + _c2i(0.5 * (jnp.clip(d[1], -1.0, 1.0) + 1.0), i_b, k_int)
-                + _c2i(0.5 * (jnp.clip(d[2], -1.0, 1.0) + 1.0), i_c, k_int))
+            return (b6.frac(a_s, i_s_abc, st[:3] if st else None),
+                    b6.frac(a_r, i_r_abc, st[3:] if st else None))
+        return (b6.frac(action[:3], i_s_abc),
+                b6.frac(action[3:6], i_r_abc))
 
     def alphabeta_to_abc(i_al, i_be):
         half_b = np.float32(0.5 * np.sqrt(3.0))
@@ -4776,18 +4723,11 @@ def _dfim_family(env, R, action_mode):
     def conv_i_sup(action, i_s_abc, i_r_abc, st=None):
         """dual-B6 supply current"""
         if finite:
-            if st is not None:
-                out = _hb_i_st(st[0], i_s_abc[0])
-                for j in (1, 2):
-                    out = out + _hb_i_st(st[j], i_s_abc[j])
-                for j in (0, 1, 2):
-                    out = out + _hb_i_st(st[3 + j], i_r_abc[j])
-                return out
             a_s, a_r = action
-            return (b6_i_sup(a_s, i_s_abc, True)
-                    + b6_i_sup(a_r, i_r_abc, True))
-        return (b6_i_sup(action[0:3], i_s_abc, False)
-                + b6_i_sup(action[3:6], i_r_abc, False))
+            return (b6.i_sup(a_s, i_s_abc, st[:3] if st else None)
+                    + b6.i_sup(a_r, i_r_abc, st[3:] if st else None))
+        return (b6.i_sup(action[0:3], i_s_abc)
+                + b6.i_sup(action[3:6], i_r_abc))
 
     def _us_of(fracs, u_sup_val, c, s):
         s_frac, r_frac = fracs
@@ -4843,24 +4783,24 @@ def _dfim_family(env, R, action_mode):
             for b, c2 in zip(inter[1:], cmd[1:]):
                 flag = flag | (b != c2)
             f0 = voltage_fracs(action, i_s_abc, i_r_abc, inter)
-            core_mid = rk4(core, _us_of(f0, u_sup_val, c, s), z, t_int)
+            dt0 = jnp.where(flag, np.float32(t_int), 0.0)
+            dt1 = jnp.where(flag, np.float32(tau - t_int),
+                            np.float32(tau))
+            core_mid = rk4(core, _us_of(f0, u_sup_val, c, s), z, dt0)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
             else:
-                c1 = c * COS_DI - s * SIN_DI
-                s1 = s * COS_DI + c * SIN_DI
+                c1 = jnp.where(flag, c * COS_DI - s * SIN_DI, c)
+                s1 = jnp.where(flag, s * COS_DI + c * SIN_DI, s)
             el_mid = core_mid[1:5] if mech else core_mid[0:4]
             i_s_m, i_r_m = phase_currents(el_mid, c1, s1)
             f1 = voltage_fracs(action, i_s_m, i_r_m, inter)
             fr = tuple(
                 tuple(jnp.where(flag, b, a) for a, b in zip(fa, fb))
                 for fa, fb in zip(f0, f1))
-            core_new = rk4(core_mid, _us_of(fr, u_sup_val, c1, s1), z,
-                           tau - t_int)
-            core_single = rk4(core, _us_of(f0, u_sup_val, c, s), z, tau)
-            return tuple(jnp.where(flag, a, b)
-                         for a, b in zip(core_new, core_single)) + sup_new
+            return rk4(core_mid, _us_of(fr, u_sup_val, c1, s1), z,
+                       dt1) + sup_new
 
         us = _us_of(voltage_fracs(action, i_s_abc, i_r_abc), u_sup_val,
                     c, s)
@@ -5601,6 +5541,64 @@ def make_fused_dc_cascade_rollout(env, ctrl, n_steps, n_envs,
     return rollout
 
 
+def _policy_pmsm_ctx(env):
+    """Shared PMSM physics/reward constants + step closures for the
+    policy-in-the-loop kernels (reducing evaluation, trajectory recording,
+    in-kernel REINFORCE) — ONE definition so collection, evaluation and
+    training kernels cannot diverge (the same convention as
+    _PmsmCtx/_PermExCtx for the plain rollout/record pair)."""
+    ps = env.physical_system
+    _fused_check_system(ps)
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+    psi_p, p = float(mp["psi_p"]), float(mp["p"])
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+    tau = float(ps.tau)
+    u_sup = _fused_u_sup(ps)
+    i_lim = float(lim[names.index("i_sd")])
+    p_omega = p * omega
+
+    def rhs(i_sd, i_sq, u_d, u_q):
+        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
+        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd
+                 + u_q) * (1.0 / l_q)
+        return di_sd, di_sq
+
+    def physics_cs(i_sd, i_sq, eps, c, s, action):
+        ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+        ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+        uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        u_d = c * u_al + s * u_be
+        u_q = -s * u_al + c * u_be
+        k1 = rhs(i_sd, i_sq, u_d, u_q)
+        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1],
+                 u_d, u_q)
+        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1],
+                 u_d, u_q)
+        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], u_d, u_q)
+        sixth = tau / 6.0
+        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                eps + tau * p_omega)
+
+    return SimpleNamespace(
+        rhs=rhs, physics_cs=physics_cs, tau=tau, u_sup=u_sup,
+        i_lim=i_lim, p_omega=p_omega,
+        omega_n=omega / float(lim[names.index("omega")]),
+        eps_lim=float(lim[names.index("epsilon")]),  # pi
+        margin=float(ps.nominal_state[names.index("i_sd")] / i_lim),
+        w_over_span=0.5 / 2.0,
+        violation_reward=-1.0 / (1.0 - 0.9),
+        COS_D=np.float32(np.cos(tau * p_omega)),
+        SIN_D=np.float32(np.sin(tau * p_omega)),
+    )
+
+
 def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
                               sample="categorical", ref_mode="wiener",
                               interpret=False):
@@ -5627,56 +5625,17 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
                                                     "epsilon"), \
         "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
     R = n_envs // LANE
-    ps = env.physical_system
-    _fused_check_system(ps)
-    mp = ps.motor.parameter
-    names = list(ps.state_names)
-    lim = np.asarray(ps.limits)
-
-    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
-    psi_p, p = float(mp["psi_p"]), float(mp["p"])
-    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
-    tau = float(ps.tau)
-    u_sup = _fused_u_sup(ps)
-    i_lim = float(lim[names.index("i_sd")])
-    omega_n = omega / float(lim[names.index("omega")])
-    eps_lim = float(lim[names.index("epsilon")])  # pi
-    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
-    w_over_span = 0.5 / 2.0
-    violation_reward = -1.0 / (1.0 - 0.9)
-    p_omega = p * omega
+    ctx = _policy_pmsm_ctx(env)
+    physics_cs, i_lim, omega_n = ctx.physics_cs, ctx.i_lim, ctx.omega_n
+    eps_lim, margin = ctx.eps_lim, ctx.margin
+    w_over_span, violation_reward = ctx.w_over_span, ctx.violation_reward
+    COS_D, SIN_D = ctx.COS_D, ctx.SIN_D
     F, H, A = 6, hidden, 8
     shape = (R, LANE)
     shape2 = (2 * R, LANE)
     LN10 = np.float32(np.log(10.0))
     greedy = sample == "greedy"
     wiener = ref_mode == "wiener"
-
-    def rhs(i_sd, i_sq, u_d, u_q):
-        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
-        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd + u_q) * (1.0 / l_q)
-        return di_sd, di_sq
-
-    # constant-increment rotor-angle rotation (see make_fused_pmsm_rollout)
-    COS_D = np.float32(np.cos(tau * p_omega))
-    SIN_D = np.float32(np.sin(tau * p_omega))
-
-    def physics_cs(i_sd, i_sq, eps, c, s, action):
-        ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
-        ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
-        uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
-        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
-        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        u_d = c * u_al + s * u_be
-        u_q = -s * u_al + c * u_be
-        k1 = rhs(i_sd, i_sq, u_d, u_q)
-        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1], u_d, u_q)
-        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1], u_d, u_q)
-        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], u_d, u_q)
-        sixth = tau / 6.0
-        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
-                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
-                eps + tau * p_omega)
 
     def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,
@@ -5874,24 +5833,11 @@ def make_fused_policy_record_rollout(env, n_steps, n_envs, hidden=16,
                                                     "epsilon"), \
         "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
     R = n_envs // LANE
-    ps = env.physical_system
-    _fused_check_system(ps)
-    mp = ps.motor.parameter
-    names = list(ps.state_names)
-    lim = np.asarray(ps.limits)
-
-    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
-    psi_p, p = float(mp["psi_p"]), float(mp["p"])
-    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
-    tau = float(ps.tau)
-    u_sup = _fused_u_sup(ps)
-    i_lim = float(lim[names.index("i_sd")])
-    omega_n = omega / float(lim[names.index("omega")])
-    eps_lim = float(lim[names.index("epsilon")])  # pi
-    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
-    w_over_span = 0.5 / 2.0
-    violation_reward = -1.0 / (1.0 - 0.9)
-    p_omega = p * omega
+    ctx = _policy_pmsm_ctx(env)
+    physics_cs, i_lim, omega_n = ctx.physics_cs, ctx.i_lim, ctx.omega_n
+    margin, w_over_span = ctx.margin, ctx.w_over_span
+    violation_reward = ctx.violation_reward
+    COS_D, SIN_D = ctx.COS_D, ctx.SIN_D
     F, H, A = 7, hidden, 8
     shape = (R, LANE)
     shape2 = (2 * R, LANE)
@@ -5903,32 +5849,6 @@ def make_fused_policy_record_rollout(env, n_steps, n_envs, hidden=16,
     from .pallas_record import _pick_chunk
     chunk = _pick_chunk(n_steps, n_sig, R, chunk)
     n_chunks = n_steps // chunk
-
-    def rhs(i_sd, i_sq, u_d, u_q):
-        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
-        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd
-                 + u_q) * (1.0 / l_q)
-        return di_sd, di_sq
-
-    COS_D = np.float32(np.cos(tau * p_omega))
-    SIN_D = np.float32(np.sin(tau * p_omega))
-
-    def physics_cs(i_sd, i_sq, eps, c, s, action):
-        ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
-        ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
-        uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
-        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
-        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        u_d = c * u_al + s * u_be
-        u_q = -s * u_al + c * u_be
-        k1 = rhs(i_sd, i_sq, u_d, u_q)
-        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1], u_d, u_q)
-        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1], u_d, u_q)
-        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], u_d, u_q)
-        sixth = tau / 6.0
-        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
-                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
-                eps + tau * p_omega)
 
     def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                isd0_ref, isq0_ref, eps0_ref,
@@ -6134,24 +6054,10 @@ def make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=16, gamma=0.99,
     R = n_envs // LANE
     n_blocks = R // block_rows
     Rb = block_rows
-    ps = env.physical_system
-    _fused_check_system(ps)
-    mp = ps.motor.parameter
-    names = list(ps.state_names)
-    lim = np.asarray(ps.limits)
-
-    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
-    psi_p, p = float(mp["psi_p"]), float(mp["p"])
-    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
-    tau = float(ps.tau)
-    u_sup = _fused_u_sup(ps)
-    i_lim = float(lim[names.index("i_sd")])
-    omega_n = omega / float(lim[names.index("omega")])
-    eps_lim = float(lim[names.index("epsilon")])
-    margin = float(ps.nominal_state[names.index("i_sd")] / i_lim)
-    w_over_span = 0.5 / 2.0
-    violation_reward = -1.0 / (1.0 - 0.9)
-    p_omega = p * omega
+    ctx = _policy_pmsm_ctx(env)
+    i_lim, omega_n, eps_lim = ctx.i_lim, ctx.omega_n, ctx.eps_lim
+    margin, w_over_span = ctx.margin, ctx.w_over_span
+    violation_reward = ctx.violation_reward
     F, H, A = 6, hidden, 8
     P1, P2, P3, P4 = F * H, H, H * A, A
     P = P1 + P2 + P3 + P4
@@ -6162,28 +6068,9 @@ def make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=16, gamma=0.99,
     wiener = ref_mode == "wiener"
     gamma = np.float32(gamma)
 
-    def rhs(i_sd, i_sq, u_d, u_q):
-        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
-        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd + u_q) * (1.0 / l_q)
-        return di_sd, di_sq
-
     def physics(i_sd, i_sq, eps, action):
-        ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
-        ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
-        uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
-        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
-        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
-        c, s = jnp.cos(eps), jnp.sin(eps)
-        u_d = c * u_al + s * u_be
-        u_q = -s * u_al + c * u_be
-        k1 = rhs(i_sd, i_sq, u_d, u_q)
-        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1], u_d, u_q)
-        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1], u_d, u_q)
-        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], u_d, u_q)
-        sixth = tau / 6.0
-        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
-                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
-                eps + tau * p_omega)
+        return ctx.physics_cs(i_sd, i_sq, eps, jnp.cos(eps), jnp.sin(eps),
+                              action)
 
     def kernel(seed_ref, base_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,

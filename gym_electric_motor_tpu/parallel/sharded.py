@@ -490,7 +490,6 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
     omega_n = np.float32(omega_fixed / float(lim[names.index("omega")]))
     inv_ilim = np.float32(1.0 / i_lim)
     tx = optax.adam(lr)
-    R = n_envs // 128
 
     def _obs(isd, isq, eps, rd, rq):
         """(..., 7) observation as the kernel computes it (cos/sin of the

@@ -370,12 +370,19 @@ class SCMLSystem:
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
         flag = self.converter.interlock_flag(ps.conv_state, action)
+        if flag is not None:
+            # no interlock this cycle => the reference integrates ONE
+            # sub-interval over the whole tau (its merged switching-time
+            # list is [t + tau]): select the leg DURATIONS per env — a
+            # dt=0 leg is an exact identity, and with dur0=0 the j>0
+            # refresh reads the cycle-start state/angles automatically
+            durations = (jnp.where(flag, durations[0], 0.0),
+                         jnp.where(flag, durations[1], self.tau))
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
         u_in = None
         u_sup = None
-        ode0, u_ode0 = ode, None
         for j, dur in enumerate(durations):
             if j > 0:
                 i_in = self.motor.i_in(mp, ode[self.motor_slice])
@@ -393,16 +400,6 @@ class SCMLSystem:
             ode = self.integrate(rhs, ode, t, dur, u_in, noise)
             cur = intervals[j]
             t = t + dur
-            if j == 0:
-                u_ode0 = u_in
-        if flag is not None:
-            # no interlock this cycle => the reference integrates ONE
-            # sub-interval over the whole tau (its merged switching-time
-            # list is [t + tau]); the 2-leg split is only exact when the
-            # dead time actually bites
-            ode = jnp.where(flag, ode,
-                            self.integrate(rhs, ode0, ps.t, self.tau,
-                                           u_ode0, noise))
         torque = self.motor.torque(mp, ode[self.motor_slice])
         currents = ode[self.motor_slice][: len(self.motor.currents)]
         system_state = jnp.concatenate(
@@ -500,11 +497,18 @@ class SynchronousMotorSystem(SCMLSystem):
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
         flag = self.converter.interlock_flag(ps.conv_state, action)
+        if flag is not None:
+            # no interlock this cycle => the reference integrates ONE
+            # sub-interval over the whole tau (its merged switching-time
+            # list is [t + tau]): select the leg DURATIONS per env — a
+            # dt=0 leg is an exact identity, and with dur0=0 the j>0
+            # refresh reads the cycle-start state/angles automatically
+            durations = (jnp.where(flag, durations[0], 0.0),
+                         jnp.where(flag, durations[1], self.tau))
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_dq = u_sup = None
-        ode0, eps0, u_ode0 = ode, eps, None
         for j, dur in enumerate(durations):
             if j > 0:
                 # the rotor angle / input currents are refreshed only BETWEEN
@@ -525,16 +529,6 @@ class SynchronousMotorSystem(SCMLSystem):
             ode = self.integrate(rhs, ode, t, dur, u_dq, noise)
             cur = intervals[j]
             t = t + dur
-            if j == 0:
-                u_ode0 = u_dq
-        if flag is not None:
-            # no interlock => single reference sub-interval over tau with
-            # the cycle-start epsilon (see the DC variant above)
-            ode = jnp.where(flag, ode,
-                            self.integrate(rhs, ode0, ps.t, self.tau,
-                                           u_ode0, noise))
-            eps = jnp.where(flag, eps, eps0)
-            u_dq = abc_to_dq(u_in, eps)
         torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq = self._i_dq(ode)
@@ -615,11 +609,18 @@ class EESMSystem(SynchronousMotorSystem):
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
         flag = self.converter.interlock_flag(ps.conv_state, action)
+        if flag is not None:
+            # no interlock this cycle => the reference integrates ONE
+            # sub-interval over the whole tau (its merged switching-time
+            # list is [t + tau]): select the leg DURATIONS per env — a
+            # dt=0 leg is an exact identity, and with dur0=0 the j>0
+            # refresh reads the cycle-start state/angles automatically
+            durations = (jnp.where(flag, durations[0], 0.0),
+                         jnp.where(flag, durations[1], self.tau))
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_dq_e = u_sup = None
-        ode0, eps0, u_ode0 = ode, eps, None
         for j, dur in enumerate(durations):
             if j > 0:
                 eps = ode[self.eps_idx]
@@ -638,14 +639,6 @@ class EESMSystem(SynchronousMotorSystem):
             ode = self.integrate(rhs, ode, t, dur, u_dq_e, noise)
             cur = intervals[j]
             t = t + dur
-            if j == 0:
-                u_ode0 = u_dq_e
-        if flag is not None:
-            ode = jnp.where(flag, ode,
-                            self.integrate(rhs, ode0, ps.t, self.tau,
-                                           u_ode0, noise))
-            eps = jnp.where(flag, eps, eps0)
-            u_dq_e = jnp.concatenate([abc_to_dq(u_in[:3], eps), u_in[3:]])
         torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
         i_dq_e = ode[self.motor_slice][:3]
@@ -793,11 +786,18 @@ class SCIMSystem(SCMLSystem):
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
         flag = self.converter.interlock_flag(ps.conv_state, action)
+        if flag is not None:
+            # no interlock this cycle => the reference integrates ONE
+            # sub-interval over the whole tau (its merged switching-time
+            # list is [t + tau]): select the leg DURATIONS per env — a
+            # dt=0 leg is an exact identity, and with dur0=0 the j>0
+            # refresh reads the cycle-start state/angles automatically
+            durations = (jnp.where(flag, durations[0], 0.0),
+                         jnp.where(flag, durations[1], self.tau))
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_alphabeta = u_sup = None
-        ode0, eps_fs0, u_ode0 = ode, eps_fs, None
         for j, dur in enumerate(durations):
             if j > 0:
                 # field angle refresh only BETWEEN sub-intervals; outputs use
@@ -817,13 +817,6 @@ class SCIMSystem(SCMLSystem):
             ode = self.integrate(rhs, ode, t, dur, u_alphabeta, noise)
             cur = intervals[j]
             t = t + dur
-            if j == 0:
-                u_ode0 = u_alphabeta
-        if flag is not None:
-            ode = jnp.where(flag, ode,
-                            self.integrate(rhs, ode0, ps.t, self.tau,
-                                           u_ode0, noise))
-            eps_fs = jnp.where(flag, eps_fs, eps_fs0)
         u_dq = abc_to_dq(u_in, eps_fs)
         torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]
@@ -923,12 +916,19 @@ class DFIMSystem(SCIMSystem):
         intervals = self.converter.interval_states(ps.conv_state, action)
         durations = self.converter.interval_durations()
         flag = self.converter.interlock_flag(ps.conv_state, action)
+        if flag is not None:
+            # no interlock this cycle => the reference integrates ONE
+            # sub-interval over the whole tau (its merged switching-time
+            # list is [t + tau]): select the leg DURATIONS per env — a
+            # dt=0 leg is an exact identity, and with dur0=0 the j>0
+            # refresh reads the cycle-start state/angles automatically
+            durations = (jnp.where(flag, durations[0], 0.0),
+                         jnp.where(flag, durations[1], self.tau))
         cur = ps.conv_state
         sup_state = ps.sup_state
         t = ps.t
         u_in = u_sup = None
         u_sabc = u_rdef = u_sdq = u_rdq = None
-        ode0, epsf0, epse0, u_ode0 = ode, eps_field, eps_el, None
         for j, dur in enumerate(durations):
             if j > 0:
                 # frame angles refresh only BETWEEN sub-intervals
@@ -955,15 +955,6 @@ class DFIMSystem(SCIMSystem):
             ode = self.integrate(rhs, ode, t, dur, u_sr, noise)
             cur = intervals[j]
             t = t + dur
-            if j == 0:
-                u_ode0 = u_sr
-        if flag is not None:
-            single = self.integrate(rhs, ode0, ps.t, self.tau, u_ode0,
-                                    noise)
-            ode = jnp.where(flag, ode, single)
-            eps_field = jnp.where(flag, eps_field, epsf0)
-            eps_el = jnp.where(flag, eps_el, epse0)
-            u_rdq = abc_to_dq(u_rdef, eps_field - eps_el)
         u_sdq = abc_to_dq(u_sabc, eps_field)
         torque = self.motor.torque(mp, ode[self.motor_slice])
         mech = ode[: self.n_mech]

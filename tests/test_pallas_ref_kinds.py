@@ -287,3 +287,36 @@ def test_fused_reward_power(power):
     assert bad.any()
     np.testing.assert_allclose(out["reward"][bad],
                                float(rw._violation_value), rtol=1e-6)
+
+
+def test_switched_wiener_to_const_no_one_step_leak():
+    """On a pure switch into a CONST sub, the emitted reference must be
+    the constant IMMEDIATELY (const generators ignore initial_reference;
+    subepisoded kinds clip it into their margins) — no one-step leak of
+    the previous sub's value."""
+    sw = rg.SwitchedReference(
+        [rg.WienerProcessReference("i"), rg.ConstReference("i", 0.25)],
+        super_episode_length=(15, 40))
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    out = _record(env, 600, seed=13)
+    r, done = out["ref_i"], out["done"]
+    sub0 = env.reference_generator.subs[0]
+    mlo, mhi = sub0.margin
+    is_const = np.abs(r - 0.25) < 1e-6
+    assert 0.2 < is_const.mean() < 0.8
+    # whenever the reference is NOT the const value it must be a wiener
+    # value inside the WIENER margins (no merged-margin strays); allow the
+    # violation-reset steps their own uniform draw within margins too
+    w = r[~is_const]
+    assert np.all(w >= mlo - 1e-5) and np.all(w <= mhi + 1e-5)
+    # const stretches must last more than one step (leaked values would
+    # show as isolated single-step const-violations inside const runs):
+    # look for 0-1-0 patterns along time in the is_const mask
+    m = is_const.astype(np.int8)
+    isolated_nonconst = (m[:-2] == 1) & (m[1:-1] == 0) & (m[2:] == 1)
+    # such a pattern can only arise from a 1-step leak (a real switch to
+    # wiener lasts >= 15 steps) or a violation reset landing mid-const-run
+    leak_rate = isolated_nonconst.mean()
+    reset_rate = done.mean()
+    assert leak_rate <= reset_rate + 1e-4, (leak_rate, reset_rate)
