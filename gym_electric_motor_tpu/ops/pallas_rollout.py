@@ -158,7 +158,11 @@ def _make_fused_supply(ps, shape, tau):
             return ()
     elif sup_kind == "AC1PhaseSupply":
         # u_sup(t) = max_amp * sin(2 pi f t + phi), phi random per episode
-        # (voltage_supplies.py:126-166); state planes (phi, t)
+        # (voltage_supplies.py:126-166); state planes (phi, t).  NOTE: the
+        # float32 absolute-time plane accumulates tau per step, so the sine
+        # phase gets noisy (~4e-3 rad ulp at t~1e5 steps) deep into very
+        # long launches — identical to the XLA path's float32 t, so the
+        # two stay in lockstep, but both drift from a float64 reference
         mode, n_sup, needs_i_sup = "ac1", 2, False
         names = ("sup_phi", "sup_t")
         f_ac, amp_ac = float(sp_par["f"]), float(sp_par["max_amp"])

@@ -436,3 +436,24 @@ def test_fused_finite_interlocking_matches_xla(family):
     diff = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
                for a, b in zip(out[:2], out_ni[:2]))
     assert diff > 1e-3, diff
+
+
+def test_sharded_auto_dispatch_with_supply_planes():
+    """make_sharded_fused_rollout(kernel='auto') handles the extra supply
+    state planes (arity via fused_state_arity) over the 8-device mesh."""
+    from gym_electric_motor_tpu.parallel import make_env_mesh
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_sharded_fused_rollout)
+
+    mesh = make_env_mesh(8)
+    env = gemx.make_functional("Cont-CC-PMSM-v0",
+                               supply=ac_1_phase_supply(u_nominal=230.0))
+    n = fused_state_arity(env)
+    assert n == 5  # (i_sd, i_sq, eps, sup_phi, sup_t)
+    roll = make_sharded_fused_rollout(env, 32, 2048, mesh, kernel="auto",
+                                      interpret=True)
+    planes = [jnp.zeros((16, 128), jnp.float32) for _ in range(n)]
+    out = roll(7, *planes)
+    assert np.isfinite(float(out[-2][0]))
+    for x in out[:n]:
+        assert np.isfinite(np.asarray(x)).all()
