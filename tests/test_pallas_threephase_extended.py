@@ -457,3 +457,44 @@ def test_sharded_auto_dispatch_with_supply_planes():
     assert np.isfinite(float(out[-2][0]))
     for x in out[:n]:
         assert np.isfinite(np.asarray(x)).all()
+
+
+def test_record_buffer_finite_interlock_matches_xla():
+    """Recorder + finite interlocking: the half-bridge switching states
+    persist in scratch across chunk boundaries; recorded trajectories
+    match the XLA env step-for-step."""
+    from gym_electric_motor_tpu.models import converters as cv
+    from gym_electric_motor_tpu.ops.pallas_record import (
+        make_fused_record_rollout)
+
+    env = gemx.make_functional(
+        "Finite-CC-PMSM-v0",
+        converter=cv.finite_b6_bridge_converter(1e-5, interlocking_time=1e-6),
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", 0.0), rg.ConstReference("i_sq", 0.0)]))
+    T, CHUNK = 40, 8
+    rng = np.random.default_rng(91)
+    actions = rng.integers(0, 8, size=(T, 1, 128)).astype(np.int32)
+
+    roll = make_fused_record_rollout(env, T, N, chunk=CHUNK,
+                                     action_mode="buffer", interpret=True)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    out = roll(zero, zero, zero, jnp.asarray(actions))
+    trajs = [out[name] for name in roll.signals]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, _obs, _r, _term = step(state,
+                                      jnp.asarray(actions[t].reshape(N)))
+        ode = np.asarray(state.phys.ode_state)
+        for k, c in enumerate([1, 2, 3]):
+            got = np.asarray(trajs[k][t]).reshape(N)
+            if c == 3:
+                d = np.mod(got - ode[:, c] + np.pi, 2 * np.pi) - np.pi
+                np.testing.assert_allclose(d, 0.0, atol=1e-4,
+                                           err_msg=f"eps t={t}")
+            else:
+                np.testing.assert_allclose(got, ode[:, c], rtol=1e-4,
+                                           atol=2e-3, err_msg=f"t={t}")
