@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_rollout import (
     FUSED_FAMILY_BUILDERS,
+    _check_switched_min_envs,
     _wse_err,
     LANE,
     fused_state_arity,
@@ -93,6 +94,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     R = n_envs // LANE
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     fs = _FAMILY_NAMESPACES[family](env, R, action_mode)
+    _check_switched_min_envs(fs, R, interpret)
     n_state, n_ref = fs.n_state, fs.n_ref
     n_rows = getattr(fs, "n_rows", n_ref)
     n_act = len(fs.act_names)

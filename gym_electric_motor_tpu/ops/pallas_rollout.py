@@ -1883,6 +1883,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _dc_family(env, R, action_mode)
+    _check_switched_min_envs(fs, R, interpret)
     n_state, n_ch, shape, shape_r = fs.n_state, fs.n_ch, fs.shape, fs.shape_r
     n_bs = fs.n_bridge
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
@@ -2074,6 +2075,21 @@ def _expand_ref_rows(ref_cfg):
 def _ref_n_rows(ref_cfg):
     """Total in-kernel reference rows (primaries + switched shadows)."""
     return len(_expand_ref_rows(ref_cfg)[0])
+
+
+def _check_switched_min_envs(fs, R, interpret):
+    """Switched references on the COMPILED TPU path need R >= 8 (n_envs >=
+    1024): the per-switched-row slice updates touch sub-8-sublane windows
+    of the row-stacked reference planes, which crashes the Mosaic compiler
+    (HTTP 500 from the remote compile helper observed at R in {2, 4}).
+    Interpret mode (the CPU test path) has no such restriction."""
+    if getattr(fs, "n_rows", fs.n_ref) != fs.n_ref and not interpret \
+            and R < 8:
+        raise NotImplementedError(
+            "switched references in compiled fused kernels need "
+            "n_envs >= 1024 (R >= 8) — smaller batches crash the Mosaic "
+            "compiler on sub-sublane row slices; use more envs, interpret "
+            "mode, or the general XLA path")
 
 
 def _ref_configs(env, R, require_wiener=True):
@@ -2815,6 +2831,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _sync_family(env, R, action_mode)
+    _check_switched_min_envs(fs, R, interpret)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
@@ -3470,6 +3487,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _induction_family(env, R, action_mode)
+    _check_switched_min_envs(fs, R, interpret)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
@@ -4175,6 +4193,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _eesm_family(env, R, action_mode)
+    _check_switched_min_envs(fs, R, interpret)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
@@ -4952,6 +4971,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _dfim_family(env, R, action_mode)
+    _check_switched_min_envs(fs, R, interpret)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

@@ -159,6 +159,63 @@ def step_two_level():
     assert np.all((np.abs(r - (O + A)) < 1e-5) | (np.abs(r - (O - A)) < 1e-5))
 
 
+def interlocked_buffer_parity():
+    """Finite B6 interlocking compiled on TPU: carried bridge states +
+    2-sub-interval schedule match the XLA env step-for-step (both on the
+    TPU)."""
+    from gym_electric_motor_tpu.models import converters as cv
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+
+    env = gemx.make_functional(
+        "Finite-CC-PMSM-v0",
+        converter=cv.finite_b6_bridge_converter(1e-5, interlocking_time=1e-6),
+        reference_generator=rg.ReferenceSpec(
+            [rg.ConstReference("i_sd", 0.0),
+             rg.ConstReference("i_sq", 0.0)]))
+    N, T = 256, 50
+    rng = np.random.default_rng(7)
+    actions = rng.integers(0, 8, size=(T, N // 128, 128)).astype(np.int32)
+    roll = make_fused_rollout(env, T, N, action_mode="buffer")
+    zero = jnp.zeros((N // 128, 128), jnp.float32)
+    out = roll(zero, zero, zero, jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, _o, _r, _te = step(state, jnp.asarray(actions[t].reshape(N)))
+    ode = np.asarray(state.phys.ode_state)
+    for k, c in enumerate([1, 2]):
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N), ode[:, c],
+                                   rtol=1e-4, atol=2e-3)
+
+
+def switched_consts_exact():
+    """Switched const-pair compiled on TPU: the emitted reference is only
+    ever one of the two constants and both appear."""
+    from gym_electric_motor_tpu.ops.pallas_record import (
+        make_fused_record_rollout)
+
+    sw = rg.SwitchedReference(
+        [rg.ConstReference("i", 0.4), rg.ConstReference("i", -0.2)],
+        super_episode_length=(20, 60))
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    # switched kernels need n_envs >= 1024 compiled (Mosaic sub-sublane
+    # row-slice crash below R=8 — _check_switched_min_envs)
+    zero = jnp.zeros((8, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, 512, 1024, chunk=8)
+    out = {k: np.asarray(v) for k, v in roll(9, zero).items()}
+    r, done = out["ref_i"], out["done"]
+    is_a = np.abs(r - 0.4) < 1e-6
+    is_b = np.abs(r + 0.2) < 1e-6
+    # every non-{a,b} value must coincide with a violation-reset step
+    # (the env-reset uniform draw within the merged margins)
+    stray = ~(is_a | is_b)
+    assert stray.mean() <= done.mean() + 1e-4, (stray.mean(), done.mean())
+    assert 0.15 < is_a.mean() < 0.85
+
+
 def fused_ppo_improves():
     """PPO with fused collection LEARNS: mean tracking reward improves
     from the random-policy level (~-0.20 with the entropy-regularized
@@ -203,6 +260,8 @@ def main():
     check("random:reward-recompute", random_reward_recompute)
     check("refs:sinusoid-recurrence", sinusoid_recurrence)
     check("refs:step-two-level", step_two_level)
+    check("buffer:interlocked-PMSM", interlocked_buffer_parity)
+    check("refs:switched-consts", switched_consts_exact)
     check("rl:fused-ppo-improves", fused_ppo_improves)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
