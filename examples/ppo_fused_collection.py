@@ -4,7 +4,7 @@ The rollout runs INSIDE a Pallas kernel (the actor MLP is evaluated
 per-step in VMEM, its sampled switching action drives the B6 bridge, and
 the transition stream is written straight to HBM), while GAE and the
 clipped-surrogate updates stay in XLA.  On one TPU v5e chip this trains
-on ~1.3 BILLION environment steps in ~2.5 minutes — mean tracking reward
+on ~1.3 BILLION environment steps in ~45 seconds — mean tracking reward
 improves from the random-policy -0.20 to ~-0.06.  The reference trains
 the same kind of task through stable-baselines3 at ~1e3-1e4 steps/s
 (examples/reinforcement_learning_controllers/), where 1.3B steps would
@@ -16,7 +16,7 @@ CosSinProcessor trick — a raw wrapped angle is a discontinuous feature),
 and the data budget is ~1000x what single-env collection affords.
 
 Run: ``python examples/ppo_fused_collection.py [n_iters]``
-(~3 min on TPU with the default 2500; pass 200 for a quick look).
+(~1 min on TPU with the default 2500; pass 200 for a quick look).
 """
 
 import sys
