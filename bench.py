@@ -243,7 +243,10 @@ def _persist():
             merged = json.load(f).get("results_steps_per_s", {})
     except Exception:
         pass
-    merged.update({k: round(v, 1) for k, v in RESULTS.items()})
+    # ratios (efficiency etc.) keep 4 decimals — a 1-decimal round once
+    # overstated 0.881 weak-scaling as "0.9" (ADVICE round 3)
+    merged.update({k: round(v, 4 if abs(v) < 10.0 else 1)
+                   for k, v in RESULTS.items()})
     payload = {
         "n_envs": N_ENVS,
         "n_steps": N_STEPS,

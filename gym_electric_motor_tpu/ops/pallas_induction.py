@@ -1,0 +1,661 @@
+"""Squirrel-cage induction (SCIM) fused kernels: the Cont-TC-SCIM
+reducing kernel and the universal induction family builder
+(_induction_family / make_fused_induction_rollout)."""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_common import (
+    LANE,
+    TWO_PI,
+    _check_switched_min_envs,
+    _fused_check_system,
+    _fused_interlock,
+    _fused_load,
+    _fused_u_sup,
+    _interlock_state,
+    _make_b6,
+    _make_fused_mech,
+    _make_fused_supply,
+    _make_rng,
+    _make_wiener,
+    _ref_configs,
+    _ref_n_rows,
+    _ref_needs_wf,
+    _step_noise,
+    _uniform_from_bits,
+    _wse_err,
+)
+
+
+def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
+                            interpret=False):
+    """Fused rollout for Cont-TC-SCIM-v0 — the stiffest family: 5-state
+    alpha/beta induction ODE (induction_motor.py:287-313, rotor shorted),
+    continuous B6 duty-cycle converter, Wiener torque reference, WSE torque
+    reward and the squared dq-current constraint (which needs no field-angle
+    atan2: the Park rotation preserves the current norm).
+
+    ``action_mode='buffer'``: ``rollout(isa0, isb0, psa0, psb0, actions)``
+    with a ``(n_steps, 3, n_envs//128, 128)`` float32 abc duty buffer in
+    [-1, 1], deterministic physics only — the bit-level validation path."""
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    ps = env.physical_system
+    _fused_check_system(ps)
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    l_m = float(mp["l_m"])
+    l_s = float(mp["l_m"] + mp["l_sigs"])
+    l_r = float(mp["l_m"] + mp["l_sigr"])
+    r_s, r_r, p = float(mp["r_s"]), float(mp["r_r"]), float(mp["p"])
+    sigma = (l_s * l_r - l_m**2) / (l_s * l_r)
+    tau_r = l_r / r_r
+    tau_sig = sigma * l_s / (r_s + r_r * l_m**2 / l_r**2)
+    c_psi = l_m * r_r / (sigma * l_s * l_r**2)
+    c_w = l_m * p / (sigma * l_r * l_s)
+    c_u = 1.0 / (sigma * l_s)
+    k_t = 1.5 * p * l_m / l_r
+
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+    tau = float(ps.tau)
+    u_half = 0.5 * _fused_u_sup(ps)
+    i_lim = float(lim[names.index("i_sd")])
+    t_lim = float(lim[names.index("torque")])
+    t_margin = float(ps.nominal_state[names.index("torque")] / t_lim)
+    w_over_span = 1.0 / 2.0
+    violation_reward = -1.0 / (1.0 - 0.9)
+    p_omega = p * omega
+    shape = (R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    def rhs(i_sa, i_sb, ps_a, ps_b, u_a, u_b):
+        di_sa = -i_sa / tau_sig + c_psi * ps_a + c_w * omega * ps_b + c_u * u_a
+        di_sb = -i_sb / tau_sig + c_psi * ps_b - c_w * omega * ps_a + c_u * u_b
+        dps_a = (l_m * i_sa - ps_a) / tau_r - p_omega * ps_b
+        dps_b = (l_m * i_sb - ps_b) / tau_r + p_omega * ps_a
+        return di_sa, di_sb, dps_a, dps_b
+
+    def _step_physics(isa, isb, pa, pb, ua, ub, uc):
+        # continuous B6: u_phase = a * u_sup / 2 per phase
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        k1 = rhs(isa, isb, pa, pb, u_al, u_be)
+        k2 = rhs(isa + 0.5 * tau * k1[0], isb + 0.5 * tau * k1[1],
+                 pa + 0.5 * tau * k1[2], pb + 0.5 * tau * k1[3], u_al, u_be)
+        k3 = rhs(isa + 0.5 * tau * k2[0], isb + 0.5 * tau * k2[1],
+                 pa + 0.5 * tau * k2[2], pb + 0.5 * tau * k2[3], u_al, u_be)
+        k4 = rhs(isa + tau * k3[0], isb + tau * k3[1],
+                 pa + tau * k3[2], pb + tau * k3[3], u_al, u_be)
+        sixth = tau / 6.0
+        return (isa + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                isb + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                pa + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2]),
+                pb + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3]))
+
+    def kernel(seed_ref, isa_ref, isb_ref, psa_ref, psb_ref,
+               out_isa, out_isb, out_psa, out_psb, out_reward, out_terms,
+               out_rv, out_rk, out_rl, out_rs,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, za_ref, zb_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        out_isa[:] = isa_ref[:]
+        out_isb[:] = isb_ref[:]
+        out_psa[:] = psa_ref[:]
+        out_psb[:] = psb_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        u = _uniform_from_bits(bits(shape))
+        rv_ref[:] = (2.0 * u - 1.0) * t_margin
+        rk_ref[:] = jnp.zeros(shape, jnp.float32)
+        _draw_params(jnp.ones(shape, dtype=jnp.bool_))
+
+        def body(t, _):
+            ua = (2.0 * _uniform_from_bits(bits(shape)) - 1.0) * u_half
+            ub = (2.0 * _uniform_from_bits(bits(shape)) - 1.0) * u_half
+            uc = (2.0 * _uniform_from_bits(bits(shape)) - 1.0) * u_half
+            isa, isb, pa, pb = _step_physics(
+                out_isa[:], out_isb[:], out_psa[:], out_psb[:], ua, ub, uc)
+
+            torque = k_t * (pa * isb - pb * isa)
+            t_n = torque * (1.0 / t_lim)
+            # |i_dq| == |i_alphabeta| (rotation-invariant) -> no atan2 needed
+            violated = (isa * isa + isb * isb) * (1.0 / (i_lim * i_lim)) > 1.0
+            reward = jnp.where(violated, violation_reward,
+                               -w_over_span * jnp.abs(t_n - rv_ref[:]))
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isa[:] = jnp.where(violated, zero, isa)
+            out_isb[:] = jnp.where(violated, zero, isb)
+            out_psa[:] = jnp.where(violated, zero, pa)
+            out_psb[:] = jnp.where(violated, zero, pb)
+
+            # one Box-Muller pair every other step (see the PermExDc kernel)
+            even = (t & 1) == 0
+
+            @pl.when(even)
+            def _():
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                za_ref[:] = rad * jnp.cos(theta)
+                zb_ref[:] = rad * jnp.sin(theta)
+
+            draw = jnp.where(even, za_ref[:], zb_ref[:])
+            regen = (rk_ref[:] >= rl_ref[:]) | violated
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -t_margin, t_margin)
+            u3 = _uniform_from_bits(bits(shape))
+            rv_ref[:] = jnp.where(violated, (2.0 * u3 - 1.0) * t_margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(isa_ref, isb_ref, psa_ref, psb_ref, actions_ref,
+                      out_isa, out_isb, out_psa, out_psb):
+        out_isa[:] = isa_ref[:]
+        out_isb[:] = isb_ref[:]
+        out_psa[:] = psa_ref[:]
+        out_psb[:] = psb_ref[:]
+
+        def body(t, _):
+            ua = actions_ref[t, 0] * u_half
+            ub = actions_ref[t, 1] * u_half
+            uc = actions_ref[t, 2] * u_half
+            isa, isb, pa, pb = _step_physics(
+                out_isa[:], out_isb[:], out_psa[:], out_psb[:], ua, ub, uc)
+            out_isa[:] = isa
+            out_isb[:] = isb
+            out_psa[:] = pa
+            out_psb[:] = pb
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(isa0, isb0, psa0, psb0, actions):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(4)),
+                in_specs=[vmem] * 5,
+                out_specs=tuple(vmem for _ in range(4)),
+                interpret=interpret,
+            )(isa0, isb0, psa0, psb0, actions)
+
+        return rollout
+
+    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(10))
+
+    @jax.jit
+    def rollout(seed, isa0, isb0, psa0, psb0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 4,
+            out_specs=tuple(vmem for _ in range(10)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), isa0, isb0, psa0, psb0)
+
+    return rollout
+
+
+def _induction_family(env, R, action_mode):
+    """Shared squirrel-cage-induction-family closures — consumed by the
+    reducing rollout (``make_fused_induction_rollout``) and the generic
+    trajectory recorder (``ops.pallas_record``)."""
+    ps = env.physical_system
+    _fused_check_system(ps)
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+    conv = ps.converter
+    finite = conv.action_type == "finite"
+    k_int = _fused_interlock(conv, float(ps.tau), finite)
+    t_int = k_int * float(ps.tau)
+
+    l_m = float(mp["l_m"])
+    l_s = float(mp["l_m"] + mp["l_sigs"])
+    l_r = float(mp["l_m"] + mp["l_sigr"])
+    r_s, r_r, p = float(mp["r_s"]), float(mp["r_r"]), float(mp["p"])
+    sigma = (l_s * l_r - l_m**2) / (l_s * l_r)
+    tau_r = l_r / r_r
+    tau_sig = sigma * l_s / (r_s + r_r * l_m**2 / l_r**2)
+    c_psi = l_m * r_r / (sigma * l_s * l_r**2)
+    c_w = l_m * p / (sigma * l_r * l_s)
+    c_u = 1.0 / (sigma * l_s)
+    k_t = 1.5 * p * l_m / l_r
+
+    tau = float(ps.tau)
+    i_lim = float(lim[names.index("i_sd")])
+    t_lim = float(lim[names.index("torque")])
+    w_lim = float(lim[names.index("omega")])
+    shape = (R, LANE)
+
+    mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    mech_mode, mech = mload.mode, mload.mech
+    needs_step_noise = mload.needs_step_noise
+    omega_fixed = mload.omega_fixed
+    sup = _make_fused_supply(ps, shape, tau)
+    n_sup = sup.n_sup
+
+    def el_rhs(w, el, u_al, u_be):
+        i_sa, i_sb, ps_a, ps_b = el
+        pw = p * w
+        di_sa = -i_sa / tau_sig + c_psi * ps_a + c_w * w * ps_b + c_u * u_al
+        di_sb = -i_sb / tau_sig + c_psi * ps_b - c_w * w * ps_a + c_u * u_be
+        dps_a = (l_m * i_sa - ps_a) / tau_r - pw * ps_b
+        dps_b = (l_m * i_sb - ps_b) / tau_r + pw * ps_a
+        return di_sa, di_sb, dps_a, dps_b
+
+    def torque(el):
+        return k_t * (el[2] * el[1] - el[3] * el[0])
+
+    if mech:
+        def rhs(core, u_al, u_be, z):
+            w, el = core[0], core[1:]
+            dw = mload.mech_rhs(w, torque(el), z)
+            return (dw,) + el_rhs(w, el, u_al, u_be)
+    else:
+        def rhs(core, u_al, u_be, z):
+            return el_rhs(omega_fixed, core, u_al, u_be)
+
+    n_core = 4 + (1 if mech else 0)
+    n_state = n_core + n_sup
+
+    n_bridge = (3 if (finite and (k_int > 0.0
+                                  or ps.supply.kind == "RCVoltageSupply"))
+                else 0)
+
+    b6 = _make_b6(finite, k_int)
+    b6_cmd = b6.cmd
+
+    def advance_bridges(bs, acts):
+        action = acts[0] if isinstance(acts, tuple) else acts
+        cmd = b6_cmd(action)
+        if k_int > 0.0:
+            return tuple(_interlock_state(b, c) for b, c in zip(bs, cmd))
+        return cmd
+
+    def _clarke_inv(i_al, i_be):
+        # stator currents are already stator-frame alpha/beta: Clarke
+        # back to abc without any rotation (physical_systems.py:771-814)
+        half_b = np.float32(0.5 * np.sqrt(3.0))
+        return (i_al, -0.5 * i_al + half_b * i_be,
+                -0.5 * i_al - half_b * i_be)
+
+    abc_frac, b6_i_sup = b6.frac, b6.i_sup
+
+    def _uab(u_abc):
+        return ((2.0 / 3.0) * (u_abc[0] - 0.5 * (u_abc[1] + u_abc[2])),
+                np.float32(1.0 / np.sqrt(3.0)) * (u_abc[1] - u_abc[2]))
+
+    def rk4(core, u_al, u_be, z, dt):
+        def axpy(st, k, cc):
+            return tuple(si + cc * ki for si, ki in zip(st, k))
+
+        k1 = rhs(core, u_al, u_be, z)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_al, u_be, z)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_al, u_be, z)
+        k4 = rhs(axpy(core, k3, dt), u_al, u_be, z)
+        return tuple(
+            si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
+            for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
+        )
+
+    def step_physics(state, action, z=None, bs=None):
+        core, sup_planes = state[:n_core], state[n_core:]
+        finite_il = finite and k_int > 0.0
+        i_abc = None
+        if sup.needs_i_sup or k_int != 0.0:
+            el_pre = core[1:] if mech else core
+            i_abc = _clarke_inv(el_pre[0], el_pre[1])
+        if sup.needs_i_sup:
+            # finite B6: previous cycle's switch states feed i_sup (see
+            # _dc_family.step_physics)
+            i_sup_val = b6_i_sup(action, i_abc, bs if finite else None)
+        else:
+            i_sup_val = None
+        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+
+        if finite_il:
+            # 2-sub-interval interlock schedule (see _sync_family): the
+            # stator-frame SCIM needs no mid-cycle angle refresh, only the
+            # freewheeling phase currents
+            cmd = b6_cmd(action)
+            inter = tuple(_interlock_state(b, c) for b, c in zip(bs, cmd))
+            flag = ((inter[0] != cmd[0]) | (inter[1] != cmd[1])
+                    | (inter[2] != cmd[2]))
+            u_abc0 = tuple(f * u_sup_val
+                           for f in abc_frac(action, i_abc, inter))
+            dt0 = jnp.where(flag, np.float32(t_int), 0.0)
+            dt1 = jnp.where(flag, np.float32(tau - t_int),
+                            np.float32(tau))
+            core_mid = rk4(core, *_uab(u_abc0), z, dt0)
+            el_mid = core_mid[1:] if mech else core_mid
+            i_abc_m = _clarke_inv(el_mid[0], el_mid[1])
+            u_abc1 = tuple(
+                jnp.where(flag, f * u_sup_val, u0)
+                for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
+            return rk4(core_mid, *_uab(u_abc1), z, dt1) + sup_new
+
+        u_al, u_be = _uab(tuple(f * u_sup_val
+                                for f in abc_frac(action, i_abc)))
+        return rk4(core, u_al, u_be, z, tau) + sup_new
+
+    def reset_state(bits):
+        zero = jnp.zeros(shape, jnp.float32)
+        core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 4
+        return core + sup.sup_reset(bits)
+
+    ref_cfg = _ref_configs(env, R,
+                           require_wiener=action_mode == "random")
+    n_ref = len(ref_cfg)
+    n_rows = _ref_n_rows(ref_cfg)
+    shape_r = (n_rows * R, LANE)
+    rw = env.reward_function
+    bias = np.float32(rw._bias_value)
+    violation_reward = np.float32(rw._violation_value)
+    needs_dq = any(c["name"] in ("i_sd", "i_sq") for c in ref_cfg)
+
+    def flux_dir(el):
+        """cos/sin of the rotor-flux field angle, computed as psi/|psi|
+        instead of an atan2+sincos round trip (atan2(0,0) = 0 -> (1, 0) at
+        zero flux)"""
+        ps_a, ps_b = el[2], el[3]
+        mag2 = ps_a * ps_a + ps_b * ps_b
+        tiny = mag2 < 1e-24
+        inv = jax.lax.rsqrt(jnp.where(tiny, 1.0, mag2))
+        return (jnp.where(tiny, 1.0, ps_a * inv),
+                jnp.where(tiny, 0.0, ps_b * inv))
+
+    def core_el(state):
+        return state[1:n_core] if mech else state[:n_core]
+
+    def ref_quantities(state, cs):
+        """cs is the PRE-step field direction: the reference refreshes the
+        field angle only between sub-intervals, so the dq outputs combine
+        the post-step currents with the stale angle
+        (physical_systems.py:783-812)."""
+        el = core_el(state)
+        if needs_dq:
+            c, s = cs
+            i_sa, i_sb = el[0], el[1]
+            i_dq = (c * i_sa + s * i_sb, c * i_sb - s * i_sa)
+        else:
+            i_dq = (None, None)
+        out = []
+        for cfg in ref_cfg:
+            nm = cfg["name"]
+            if nm == "omega":
+                out.append(state[0] * np.float32(1.0 / w_lim))
+            elif nm == "torque":
+                out.append(torque(el) * np.float32(1.0 / t_lim))
+            elif nm == "i_sd":
+                out.append(i_dq[0] * cfg["inv_lim"])
+            else:
+                out.append(i_dq[1] * cfg["inv_lim"])
+        return out
+
+    def _sample_actions(bits):
+        if finite:
+            return (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
+        return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
+                2.0 * _uniform_from_bits(bits(shape)) - 1.0,
+                2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+
+    # --- generic record-adapter surface (see ops/pallas_record.py) ---
+    state_names = ((("omega",) if mech else ())
+                   + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta")
+                   + sup.names)
+    act_names = (("action",) if finite
+                 else ("action_a", "action_b", "action_c"))
+    act_dtype = jnp.int32 if finite else jnp.float32
+    inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
+
+    def sample_actions_t(bits):
+        a = _sample_actions(bits)
+        return (a,) if finite else a
+
+    def read_actions(ref, t):
+        if finite:
+            return (ref[t],)
+        return tuple(ref[t, j] for j in range(3))
+
+    def pre_step(cur):
+        if not needs_dq:
+            return ()
+        return flux_dir(core_el(cur))
+
+    def step(cur, acts, aux, z=None, bs=None):
+        a = acts[0] if finite else acts
+        return step_physics(cur, a, z, bs)
+
+    def violated(state):
+        el = core_el(state)
+        # |i_dq| == |i_alphabeta| (rotation-invariant)
+        return (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
+
+    def quantities(state, aux):
+        return ref_quantities(state, aux if needs_dq else None)
+
+    return SimpleNamespace(
+        n_state=n_state, finite=finite, mech=mech, shape=shape,
+        shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
+        violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,
+        step_physics=step_physics, flux_dir=flux_dir, core_el=core_el,
+        ref_quantities=ref_quantities, sample_actions=_sample_actions,
+        state_names=state_names, act_names=act_names, act_dtype=act_dtype,
+        sample_actions_t=sample_actions_t, read_actions=read_actions,
+        pre_step=pre_step, step=step, violated=violated,
+        quantities=quantities,
+        mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
+        needs_step_noise=needs_step_noise, reset_state=reset_state,
+        n_bridge=n_bridge, advance_bridges=advance_bridges,
+    )
+
+
+def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
+                                 interpret=False):
+    """Universal fused rollout for the squirrel-cage induction family — all
+    6 {Finite,Cont} x {CC,TC,SC} SCIM catalog configs from one builder.
+
+    The 4-state alpha/beta ODE (induction_motor.py:287-313, rotor shorted)
+    integrates under Clarke-only converter voltages (no Park — the SCIM
+    system is stator-frame, physical_systems.py:771-814); dq output
+    quantities for the CC reward are produced by rotating the stator
+    current into the rotor-flux frame, with the flux direction computed as
+    (psi_ra, psi_rb)/|psi| instead of an atan2+sincos round trip
+    (physical_systems.py:736-741's eps_fs enters only through its cos/sin).
+    SC adds the polynomial-load mechanical ODE; torque = k_t (psi_ra i_sb -
+    psi_rb i_sa).  References/reward/constraint read from the env spec as
+    in the DC/sync universal builders.
+
+    * random mode: ``rollout(seed, *state0) -> (*states, reward_sum,
+      term_count, rv, rk, rl, rs)``; states = (omega?, i_sa, i_sb,
+      psi_ra, psi_rb).
+    * buffer mode: ``rollout(*state0, actions) -> states`` with int32
+      ``(n_steps, R, LANE)`` B6 bits (finite) / float32
+      ``(n_steps, 3, R, LANE)`` duties (cont); deterministic physics only.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _induction_family(env, R, action_mode)
+    _check_switched_min_envs(fs, R, interpret)
+    n_state, finite, mech, shape, shape_r = (
+        fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
+    n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
+    n_rows = fs.n_rows
+    bias, violation_reward, i_lim = fs.bias, fs.violation_reward, fs.i_lim
+    needs_dq, flux_dir, core_el = fs.needs_dq, fs.flux_dir, fs.core_el
+    n_bs = fs.n_bridge
+    _step_physics, ref_quantities = fs.step_physics, fs.ref_quantities
+    _sample_actions = fs.sample_actions
+    has_wf = _ref_needs_wf(ref_cfg)
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        out_reward, out_terms, out_rv, out_rk, out_rl, out_rs = (
+            refs[2 * n_state: 2 * n_state + 6])
+        scratch = refs[2 * n_state + 6:]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
+        za_ref, zb_ref = ((scratch[5], scratch[6]) if n_rows == 1
+                          else (None, None))
+        wf_ref = scratch[-1] if has_wf else None
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref, wf_ref)
+        w_init()
+
+        inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
+
+        def body(t, bs):
+            action = _sample_actions(bits)
+            z = _step_noise(fs.needs_step_noise, bits, shape)
+            cur = tuple(o[:] for o in out_state)
+            cs = flux_dir(core_el(cur)) if needs_dq else None
+            state = _step_physics(cur, action, z,
+                                  bs if n_bs else None)
+
+            el = core_el(state)
+            # |i_dq| == |i_alphabeta| (rotation-invariant)
+            violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
+            qs = ref_quantities(state, cs)
+            refs_now = rv_ref[:]
+            wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
+            if n_ref == 2:
+                wse = wse - _wse_err(ref_cfg[1], qs[1], refs_now[R:])
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            for o, s2, r0 in zip(out_state, state, fs.reset_state(bits)):
+                o[:] = jnp.where(violated, r0, s2)
+
+            w_advance(t, violated)
+            if not n_bs:
+                return 0
+            return tuple(jnp.where(violated, 0, b)
+                         for b in fs.advance_bridges(bs, action))
+
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    def kernel_buffer(*refs):
+        state0 = refs[:n_state]
+        actions_ref = refs[n_state]
+        out_state = refs[n_state + 1:]
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+
+        def body(t, bs):
+            if finite:
+                action = actions_ref[t]
+            else:
+                action = (actions_ref[t, 0], actions_ref[t, 1],
+                          actions_ref[t, 2])
+            state = _step_physics(tuple(o[:] for o in out_state), action,
+                                  None, bs if n_bs else None)
+            for o, s in zip(out_state, state):
+                o[:] = s
+            if not n_bs:
+                return 0
+            return fs.advance_bridges(bs, action)
+
+        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+                if n_bs else 0)
+        jax.lax.fori_loop(0, n_steps, body, init)
+
+    if action_mode == "buffer":
+        assert not fs.needs_step_noise, (
+            "buffer (bit-validation) mode needs deterministic physics; "
+            "set the OU load's sigma to 0")
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if action_mode == "buffer":
+        @jax.jit
+        def rollout(*args):
+            return pl.pallas_call(
+                kernel_buffer,
+                out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                                for _ in range(n_state)),
+                in_specs=[vmem] * (n_state + 1),
+                out_specs=tuple(vmem for _ in range(n_state)),
+                interpret=interpret,
+            )(*args)
+
+        return rollout
+
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(n_state + 2))
+                  + tuple(jax.ShapeDtypeStruct(shape_r, jnp.float32)
+                          for _ in range(4)))
+    scratch_shapes = (
+        [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_rows == 1 else [])
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
+           if has_wf else [])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * n_state,
+            out_specs=tuple(vmem for _ in range(len(out_shapes))),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
+
+    return rollout
+
+

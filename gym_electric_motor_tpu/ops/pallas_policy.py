@@ -1,0 +1,818 @@
+"""Policy-in-the-loop fused kernels: the in-kernel actor MLP
+(reducing evaluation, trajectory recording for fused-collection
+PPO, in-kernel REINFORCE training)."""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_common import (
+    LANE,
+    TWO_PI,
+    _fused_check_system,
+    _fused_load,
+    _fused_u_sup,
+    _make_rng,
+    _uniform_from_bits,
+)
+
+
+def _policy_pmsm_ctx(env):
+    """Shared PMSM physics/reward constants + step closures for the
+    policy-in-the-loop kernels (reducing evaluation, trajectory recording,
+    in-kernel REINFORCE) — ONE definition so collection, evaluation and
+    training kernels cannot diverge (the same convention as
+    _PmsmCtx/_PermExCtx for the plain rollout/record pair)."""
+    ps = env.physical_system
+    _fused_check_system(ps)
+    mp = ps.motor.parameter
+    names = list(ps.state_names)
+    lim = np.asarray(ps.limits)
+
+    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
+    psi_p, p = float(mp["psi_p"]), float(mp["p"])
+    omega = float(_fused_load(ps, ("ConstantSpeedLoad",)).omega_fixed)
+    tau = float(ps.tau)
+    u_sup = _fused_u_sup(ps)
+    i_lim = float(lim[names.index("i_sd")])
+    p_omega = p * omega
+
+    def rhs(i_sd, i_sq, u_d, u_q):
+        di_sd = (-r_s * i_sd + l_q * p_omega * i_sq + u_d) * (1.0 / l_d)
+        di_sq = (-psi_p * p_omega - r_s * i_sq - l_d * p_omega * i_sd
+                 + u_q) * (1.0 / l_q)
+        return di_sd, di_sq
+
+    def physics_cs(i_sd, i_sq, eps, c, s, action):
+        ua = (((action >> 2) & 1).astype(jnp.float32) - 0.5) * u_sup
+        ub = (((action >> 1) & 1).astype(jnp.float32) - 0.5) * u_sup
+        uc = ((action & 1).astype(jnp.float32) - 0.5) * u_sup
+        u_al = (2.0 / 3.0) * (ua - 0.5 * (ub + uc))
+        u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
+        u_d = c * u_al + s * u_be
+        u_q = -s * u_al + c * u_be
+        k1 = rhs(i_sd, i_sq, u_d, u_q)
+        k2 = rhs(i_sd + 0.5 * tau * k1[0], i_sq + 0.5 * tau * k1[1],
+                 u_d, u_q)
+        k3 = rhs(i_sd + 0.5 * tau * k2[0], i_sq + 0.5 * tau * k2[1],
+                 u_d, u_q)
+        k4 = rhs(i_sd + tau * k3[0], i_sq + tau * k3[1], u_d, u_q)
+        sixth = tau / 6.0
+        return (i_sd + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+                i_sq + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+                eps + tau * p_omega)
+
+    return SimpleNamespace(
+        rhs=rhs, physics_cs=physics_cs, tau=tau, u_sup=u_sup,
+        i_lim=i_lim, p_omega=p_omega,
+        omega_n=omega / float(lim[names.index("omega")]),
+        eps_lim=float(lim[names.index("epsilon")]),  # pi
+        margin=float(ps.nominal_state[names.index("i_sd")] / i_lim),
+        w_over_span=0.5 / 2.0,
+        violation_reward=-1.0 / (1.0 - 0.9),
+        COS_D=np.float32(np.cos(tau * p_omega)),
+        SIN_D=np.float32(np.sin(tau * p_omega)),
+    )
+
+
+def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
+                              sample="categorical", ref_mode="wiener",
+                              interpret=False):
+    """Fused POLICY-in-the-loop rollout for Finite-CC-PMSM-v0: a 2-layer
+    tanh MLP (the ``parallel/sharded.py`` policy architecture) is evaluated
+    inside the kernel each step, its sampled discrete action drives the B6
+    converter, and physics/references/reward/reset run as in
+    ``make_fused_pmsm_rollout`` — RL evaluation & data collection at fused
+    speed instead of the XLA path.
+
+    ``env`` must use ``state_filter=("omega", "i_sd", "i_sq", "epsilon")``
+    so the 6-feature observation (4 filtered states + 2 current references)
+    is reconstructible from the kernel state.
+
+    Returns ``rollout(seed, w1, b1, w2, b2, i_sd0, i_sq0, eps0)`` with
+    ``w1 (6*hidden,)``, ``b1 (hidden,)``, ``w2 (hidden*8,)``, ``b2 (8,)``
+    flat float32 param vectors (``flatten_policy_params`` converts the
+    training dict).  ``sample='greedy'`` takes argmax actions — fully
+    deterministic, used for step-for-step validation vs the XLA env.
+    """
+    assert n_envs % LANE == 0
+    assert tuple(env.state_names[i] for i in
+                 np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
+                                                    "epsilon"), \
+        "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
+    R = n_envs // LANE
+    ctx = _policy_pmsm_ctx(env)
+    physics_cs, i_lim, omega_n = ctx.physics_cs, ctx.i_lim, ctx.omega_n
+    eps_lim, margin = ctx.eps_lim, ctx.margin
+    w_over_span, violation_reward = ctx.w_over_span, ctx.violation_reward
+    COS_D, SIN_D = ctx.COS_D, ctx.SIN_D
+    F, H, A = 6, hidden, 8
+    shape = (R, LANE)
+    shape2 = (2 * R, LANE)
+    LN10 = np.float32(np.log(10.0))
+    greedy = sample == "greedy"
+    wiener = ref_mode == "wiener"
+
+    def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,
+               out_isd, out_isq, out_eps, out_reward, out_terms,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref, c_ref, s_ref):
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        out_isd[:] = isd_ref[:]
+        out_isq[:] = isq_ref[:]
+        out_eps[:] = eps_ref[:]
+        c_ref[:] = jnp.cos(eps_ref[:])
+        s_ref[:] = jnp.sin(eps_ref[:])
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        if wiener:
+            u = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+        else:
+            rv_ref[:] = jnp.concatenate([rd_ref[:], rq_ref[:]], axis=0)
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            rl_ref[:] = jnp.full(shape2, 1e9, jnp.float32)
+            rs_ref[:] = jnp.zeros(shape2, jnp.float32)
+
+        def body(t, _):
+            i_sd, i_sq, eps = out_isd[:], out_isq[:], out_eps[:]
+            refs = rv_ref[:]
+
+            # ---- observation (normalized, matching the XLA env's
+            #      state_filter + reference concat order)
+            eps_w = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            eps_w = jnp.where(eps_w > np.float32(np.pi),
+                              eps_w - np.float32(TWO_PI), eps_w)
+            obs = (jnp.full(shape, omega_n, jnp.float32),
+                   i_sd * (1.0 / i_lim), i_sq * (1.0 / i_lim),
+                   eps_w * (1.0 / eps_lim), refs[:R], refs[R:])
+
+            # ---- 2-layer tanh MLP, weights as SMEM scalars
+            hs = []
+            for j in range(H):
+                acc = b1_ref[j]
+                for f in range(F):
+                    acc = acc + w1_ref[f * H + j] * obs[f]
+                hs.append(jnp.tanh(acc))
+            # ---- logits + action over 8 levels.  Greedy: plain argmax.
+            # Stochastic: inverse-CDF categorical sampling over the softmax
+            # (8 exps + 1 uniform) instead of Gumbel-max (16 logs)
+            logits = []
+            for a in range(A):
+                logit = b2_ref[a]
+                for j in range(H):
+                    logit = logit + w2_ref[j * A + a] * hs[j]
+                logits.append(logit)
+            if greedy:
+                best_logit = logits[0]
+                action = jnp.zeros(shape, jnp.int32)
+                for a in range(1, A):
+                    take = logits[a] > best_logit
+                    best_logit = jnp.where(take, logits[a], best_logit)
+                    action = jnp.where(take, a, action)
+            else:
+                m = logits[0]
+                for a in range(1, A):
+                    m = jnp.maximum(m, logits[a])
+                es = [jnp.exp(l - m) for l in logits]
+                total = es[0]
+                for a in range(1, A):
+                    total = total + es[a]
+                uu = _uniform_from_bits(bits(shape)) * total
+                cum = es[0]
+                action = jnp.zeros(shape, jnp.int32)
+                for a in range(1, A):
+                    action = jnp.where(uu >= cum, a, action)
+                    cum = cum + es[a]
+
+            c, se_ = c_ref[:], s_ref[:]
+            i_sd, i_sq, eps = physics_cs(i_sd, i_sq, eps, c, se_, action)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - se_ * SIN_D
+            s_new = se_ * COS_D + c * SIN_D
+            inv_cs = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv_cs
+            s_new = s_new * inv_cs
+
+            isd_n = i_sd * (1.0 / i_lim)
+            isq_n = i_sq * (1.0 / i_lim)
+            violated = (isd_n * isd_n + isq_n * isq_n) > 1.0
+            wse = -(w_over_span * jnp.abs(isd_n - refs[:R])
+                    + w_over_span * jnp.abs(isq_n - refs[R:]))
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isd[:] = jnp.where(violated, zero, i_sd)
+            out_isq[:] = jnp.where(violated, zero, i_sq)
+            out_eps[:] = jnp.where(violated, zero, eps)
+            c_ref[:] = jnp.where(violated, jnp.ones(shape, jnp.float32), c_new)
+            s_ref[:] = jnp.where(violated, zero, s_new)
+
+            if wiener:
+                # concat float masks, not bools: Mosaic rejects the i1 vreg
+                # cast the bool concat needs when R is not a multiple of the
+                # sublane count (small-batch kernels)
+                viol_f = violated.astype(jnp.float32)
+                reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                theta = np.float32(TWO_PI) * u2
+                draw = jnp.concatenate(
+                    [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
+                regen = (rk_ref[:] >= rl_ref[:]) | reset2
+                _draw_params(regen)
+                rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+                value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+                u3 = _uniform_from_bits(bits(shape2))
+                rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shapes = tuple(jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(5))
+
+    @jax.jit
+    def rollout(seed, w1, b1, w2, b2, isd0, isq0, eps0,
+                ref_d=None, ref_q=None):
+        z = jnp.zeros(shape, jnp.float32)
+        ref_d = z if ref_d is None else ref_d
+        ref_q = z if ref_q is None else ref_q
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[smem] * 5 + [vmem] * 5,
+            out_specs=tuple(vmem for _ in range(5)),
+            scratch_shapes=(
+                [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
+                + [pltpu.VMEM(shape2, jnp.uint32)]
+                + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+            ),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32),
+          jnp.asarray(w1, jnp.float32), jnp.asarray(b1, jnp.float32),
+          jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32),
+          isd0, isq0, eps0, ref_d, ref_q)
+
+    return rollout
+
+
+def make_fused_policy_record_rollout(env, n_steps, n_envs, hidden=16,
+                                     chunk=None, interpret=False):
+    """Fused POLICY-in-the-loop TRAJECTORY RECORDER for Finite-CC-PMSM-v0 —
+    the on-policy data-collection engine behind
+    ``parallel.sharded.make_fused_ppo_trainer``.
+
+    Per step, the same 2-layer tanh MLP as ``make_fused_policy_rollout``
+    picks a categorical action in-kernel, physics/references/reward/reset
+    run fused, and the transition signals stream to HBM through the
+    chunked-grid recorder recipe (``ops.pallas_record``): post-step
+    ``(i_sd, i_sq, eps)``, the pre-advance references ``(ref_d, ref_q)``
+    (exactly what the policy observed this step), the sampled ``action``,
+    ``reward`` and ``done``.
+
+    The policy observation is 7-dimensional: ``(omega_n, i_sd/l, i_sq/l,
+    cos(eps), sin(eps), ref_d, ref_q)`` — the rotor angle enters through
+    cos/sin exactly like the reference's ``CosSinProcessor`` RL setup
+    (cos_sin_processor.py:7-89; raw wrapped eps is a discontinuous feature
+    an MLP handles poorly), and the two features are free in-kernel (the
+    incremental Park rotation scratch already holds them).  It is
+    reconstructible on the XLA side from ``(i_sd[t-1], i_sq[t-1],
+    eps[t-1], ref_d[t], ref_q[t])`` with the launch's initial state at
+    t = 0 — behavior log-probs and values recompute from the collecting
+    parameters (cos/sin of the recorded eps matches the renormalized
+    rotation scratch to ~1 ulp), so nothing else needs recording.
+
+    Returns ``rollout(seed, w1, b1, w2, b2, isd0, isq0, eps0) -> dict`` of
+    ``(n_steps, R, LANE)`` arrays keyed by ``rollout.signals``; float32
+    except the int32 action.  ``w1`` is the flat (7*hidden,) first-layer
+    matrix.  ``env`` must use
+    ``state_filter=('omega', 'i_sd', 'i_sq', 'epsilon')``.
+    """
+    assert n_envs % LANE == 0
+    assert tuple(env.state_names[i] for i in
+                 np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
+                                                    "epsilon"), \
+        "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
+    R = n_envs // LANE
+    ctx = _policy_pmsm_ctx(env)
+    physics_cs, i_lim, omega_n = ctx.physics_cs, ctx.i_lim, ctx.omega_n
+    margin, w_over_span = ctx.margin, ctx.w_over_span
+    violation_reward = ctx.violation_reward
+    COS_D, SIN_D = ctx.COS_D, ctx.SIN_D
+    F, H, A = 7, hidden, 8
+    shape = (R, LANE)
+    shape2 = (2 * R, LANE)
+    LN10 = np.float32(np.log(10.0))
+
+    names_out = ("i_sd", "i_sq", "eps", "ref_d", "ref_q", "action",
+                 "reward", "done")
+    n_sig = len(names_out)
+    from .pallas_record import _pick_chunk
+    chunk = _pick_chunk(n_steps, n_sig, R, chunk)
+    n_chunks = n_steps // chunk
+
+    def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               isd0_ref, isq0_ref, eps0_ref,
+               out_isd, out_isq, out_eps, out_rd, out_rq, out_act,
+               out_reward, out_done,
+               isd_s, isq_s, eps_s, rv_ref, rk_ref, rl_ref, rs_ref,
+               rng_ref, c_ref, s_ref):
+        pid = pl.program_id(0)
+        seed, bits = _make_rng(interpret, rng_ref)
+        # per-chunk reseed, n_chunks stride (see ops/pallas_record.py)
+        seed(seed_ref[0] * n_chunks + pid)
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1),
+                                  rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)),
+                                  rs_ref[:])
+
+        @pl.when(pid == 0)
+        def _():
+            isd_s[:] = isd0_ref[:]
+            isq_s[:] = isq0_ref[:]
+            eps_s[:] = eps0_ref[:]
+            c_ref[:] = jnp.cos(eps0_ref[:])
+            s_ref[:] = jnp.sin(eps0_ref[:])
+            u = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+
+        def body(k, _):
+            i_sd, i_sq, eps = isd_s[:], isq_s[:], eps_s[:]
+            refs = rv_ref[:]
+
+            obs = (jnp.full(shape, omega_n, jnp.float32),
+                   i_sd * (1.0 / i_lim), i_sq * (1.0 / i_lim),
+                   c_ref[:], s_ref[:], refs[:R], refs[R:])
+
+            hs = []
+            for j in range(H):
+                acc = b1_ref[j]
+                for f in range(F):
+                    acc = acc + w1_ref[f * H + j] * obs[f]
+                hs.append(jnp.tanh(acc))
+            logits = []
+            for a in range(A):
+                logit = b2_ref[a]
+                for j in range(H):
+                    logit = logit + w2_ref[j * A + a] * hs[j]
+                logits.append(logit)
+            # inverse-CDF categorical over the softmax (8 exps + 1 uniform)
+            m = logits[0]
+            for a in range(1, A):
+                m = jnp.maximum(m, logits[a])
+            es = [jnp.exp(l - m) for l in logits]
+            total = es[0]
+            for a in range(1, A):
+                total = total + es[a]
+            uu = _uniform_from_bits(bits(shape)) * total
+            cum = es[0]
+            action = jnp.zeros(shape, jnp.int32)
+            for a in range(1, A):
+                action = jnp.where(uu >= cum, a, action)
+                cum = cum + es[a]
+
+            c, se_ = c_ref[:], s_ref[:]
+            i_sd, i_sq, eps = physics_cs(i_sd, i_sq, eps, c, se_, action)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(
+                eps * np.float32(1.0 / TWO_PI))
+            c_new = c * COS_D - se_ * SIN_D
+            s_new = se_ * COS_D + c * SIN_D
+            inv_cs = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+            c_new = c_new * inv_cs
+            s_new = s_new * inv_cs
+
+            isd_n = i_sd * (1.0 / i_lim)
+            isq_n = i_sq * (1.0 / i_lim)
+            violated = (isd_n * isd_n + isq_n * isq_n) > 1.0
+            wse = -(w_over_span * jnp.abs(isd_n - refs[:R])
+                    + w_over_span * jnp.abs(isq_n - refs[R:]))
+            reward = jnp.where(violated, violation_reward, wse)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            isd_s[:] = jnp.where(violated, zero, i_sd)
+            isq_s[:] = jnp.where(violated, zero, i_sq)
+            eps_s[:] = jnp.where(violated, zero, eps)
+            c_ref[:] = jnp.where(violated, jnp.ones(shape, jnp.float32),
+                                 c_new)
+            s_ref[:] = jnp.where(violated, zero, s_new)
+
+            out_isd[k] = isd_s[:]
+            out_isq[k] = isq_s[:]
+            out_eps[k] = eps_s[:]
+            out_rd[k] = refs[:R]
+            out_rq[k] = refs[R:]
+            out_act[k] = action
+            out_reward[k] = reward
+            out_done[k] = violated.astype(jnp.float32)
+
+            viol_f = violated.astype(jnp.float32)
+            reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+            u1 = _uniform_from_bits(bits(shape))
+            u2 = _uniform_from_bits(bits(shape))
+            rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            theta = np.float32(TWO_PI) * u2
+            draw = jnp.concatenate(
+                [rad * jnp.cos(theta), rad * jnp.sin(theta)], axis=0)
+            regen = (rk_ref[:] >= rl_ref[:]) | reset2
+            _draw_params(regen)
+            rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+            value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+            u3 = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
+    tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
+    traj_f = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
+    traj_i = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.int32)
+    out_shapes = (traj_f,) * 5 + (traj_i,) + (traj_f,) * 2
+    scratch_shapes = (
+        [pltpu.VMEM(shape, jnp.float32) for _ in range(3)]
+        + [pltpu.VMEM(shape2, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape2, jnp.uint32)]
+        + [pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+    )
+
+    @jax.jit
+    def rollout(seed, w1, b1, w2, b2, isd0, isq0, eps0):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=out_shapes,
+            in_specs=[smem] * 5 + [const] * 3,
+            out_specs=(tblk,) * n_sig,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32),
+          jnp.asarray(w1, jnp.float32), jnp.asarray(b1, jnp.float32),
+          jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32),
+          isd0, isq0, eps0)
+        return dict(zip(names_out, out))
+
+    rollout.signals = names_out
+    return rollout
+
+
+def flatten_policy_params(params):
+    """``parallel/sharded.py`` policy dict -> the flat (w1, b1, w2, b2)
+    vectors ``make_fused_policy_rollout`` consumes (row-major)."""
+    return (np.asarray(params["w1"], np.float32).reshape(-1),
+            np.asarray(params["b1"], np.float32).reshape(-1),
+            np.asarray(params["w2"], np.float32).reshape(-1),
+            np.asarray(params["b2"], np.float32).reshape(-1))
+
+
+def make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=16, gamma=0.99,
+                                 sample="categorical", ref_mode="wiener",
+                                 block_rows=8, interpret=False):
+    """Fused REINFORCE rollout WITH the backward pass in-kernel: policy
+    evaluation, sampling, physics, reward, auto-reset AND the policy-gradient
+    accumulation all run inside one ``pallas_call`` — training data never
+    leaves VMEM, and the only HBM traffic is initial/final env state plus one
+    (n_params, 128) gradient block.
+
+    The gradient is computed forward-only with per-env eligibility traces
+    (no T-length activation storage):
+
+        e_t = gamma * (1 - reset_{t-1}) * e_{t-1} + grad log pi(a_t | s_t)
+        G  += (r_t - baseline) * e_t
+
+    which for ``gamma=0`` reduces exactly to the per-step estimator of
+    ``parallel/sharded.py::_build_reinforce_step`` (the XLA trainer) — the
+    property the deterministic parity test exploits.  ``grad log pi`` is the
+    categorical score ``onehot(a) - softmax(logits)`` backpropagated through
+    the 2-layer tanh MLP by hand (the same network as
+    ``make_fused_policy_rollout``).
+
+    Per-env traces need ``n_params`` floats per env, so the kernel runs on a
+    1-D grid over blocks of ``block_rows * 128`` envs: each block scans all
+    ``n_steps`` with its traces resident in VMEM scratch and flushes its
+    lane-summed gradient into a shared accumulator block (TPU grids are
+    sequential, so ``+=`` across grid steps is well-defined).
+
+    Returns ``rollout(seed, baseline, w1, b1, w2, b2, isd0, isq0, eps0,
+    ref_d=None, ref_q=None) -> (isd, isq, eps, reward_sum, term_count,
+    grad_block)`` with ``grad_block`` of shape ``(n_params, 128)``;
+    ``grad_block.sum(-1)`` is the UNNORMALIZED ascent direction, packed
+    ``[w1 (f*H+j) | b1 | w2 (j*A+a) | b2]`` — ``unflatten_policy_grads``
+    converts it back to the params dict layout.
+    """
+    assert n_envs % (block_rows * LANE) == 0
+    assert tuple(env.state_names[i] for i in
+                 np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
+                                                    "epsilon"), \
+        "build the env with state_filter=('omega','i_sd','i_sq','epsilon')"
+    R = n_envs // LANE
+    n_blocks = R // block_rows
+    Rb = block_rows
+    ctx = _policy_pmsm_ctx(env)
+    i_lim, omega_n, eps_lim = ctx.i_lim, ctx.omega_n, ctx.eps_lim
+    margin, w_over_span = ctx.margin, ctx.w_over_span
+    violation_reward = ctx.violation_reward
+    F, H, A = 6, hidden, 8
+    P1, P2, P3, P4 = F * H, H, H * A, A
+    P = P1 + P2 + P3 + P4
+    shape = (Rb, LANE)
+    shape2 = (2 * Rb, LANE)
+    LN10 = np.float32(np.log(10.0))
+    greedy = sample == "greedy"
+    wiener = ref_mode == "wiener"
+    gamma = np.float32(gamma)
+
+    def physics(i_sd, i_sq, eps, action):
+        return ctx.physics_cs(i_sd, i_sq, eps, jnp.cos(eps), jnp.sin(eps),
+                              action)
+
+    def kernel(seed_ref, base_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               isd_ref, isq_ref, eps_ref, rd_ref, rq_ref,
+               out_isd, out_isq, out_eps, out_reward, out_terms, out_grad,
+               e_ref, g_acc_ref, viol_ref,
+               rv_ref, rk_ref, rl_ref, rs_ref, rng_ref):
+        pid = pl.program_id(0)
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0] + pid * jnp.int32(7919))
+        out_isd[:] = isd_ref[:]
+        out_isq[:] = isq_ref[:]
+        out_eps[:] = eps_ref[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+        e_ref[:] = jnp.zeros((P, Rb, LANE), jnp.float32)
+        g_acc_ref[:] = jnp.zeros((P, Rb, LANE), jnp.float32)
+        viol_ref[:] = jnp.zeros(shape, jnp.float32)
+        baseline = base_ref[0]
+
+        def _draw_params(mask):
+            u1 = _uniform_from_bits(bits(shape2))
+            u2 = _uniform_from_bits(bits(shape2))
+            rl_ref[:] = jnp.where(mask, jnp.floor(500.0 + 1500.0 * u1), rl_ref[:])
+            rs_ref[:] = jnp.where(mask, jnp.exp(LN10 * (-3.0 + 2.0 * u2)), rs_ref[:])
+
+        if wiener:
+            u = _uniform_from_bits(bits(shape2))
+            rv_ref[:] = (2.0 * u - 1.0) * margin
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            _draw_params(jnp.ones(shape2, dtype=jnp.bool_))
+        else:
+            rv_ref[:] = jnp.concatenate([rd_ref[:], rq_ref[:]], axis=0)
+            rk_ref[:] = jnp.zeros(shape2, jnp.float32)
+            rl_ref[:] = jnp.full(shape2, 1e9, jnp.float32)
+            rs_ref[:] = jnp.zeros(shape2, jnp.float32)
+
+        def body(t, _):
+            i_sd, i_sq, eps = out_isd[:], out_isq[:], out_eps[:]
+            refs = rv_ref[:]
+
+            eps_w = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            eps_w = jnp.where(eps_w > np.float32(np.pi),
+                              eps_w - np.float32(TWO_PI), eps_w)
+            obs = (jnp.full(shape, omega_n, jnp.float32),
+                   i_sd * (1.0 / i_lim), i_sq * (1.0 / i_lim),
+                   eps_w * (1.0 / eps_lim), refs[:Rb], refs[Rb:])
+
+            # ---- forward: 2-layer tanh MLP (weights as SMEM scalars)
+            hs = []
+            for j in range(H):
+                acc = b1_ref[j]
+                for f in range(F):
+                    acc = acc + w1_ref[f * H + j] * obs[f]
+                hs.append(jnp.tanh(acc))
+            logits = []
+            for a in range(A):
+                logit = b2_ref[a]
+                for j in range(H):
+                    logit = logit + w2_ref[j * A + a] * hs[j]
+                logits.append(logit)
+
+            # ---- action: Gumbel-max (== categorical) or argmax
+            best = None
+            action = jnp.zeros(shape, jnp.int32)
+            for a in range(A):
+                pert = logits[a]
+                if not greedy:
+                    ug = _uniform_from_bits(bits(shape))
+                    pert = pert - jnp.log(-jnp.log(jnp.maximum(ug, 1e-12)))
+                if best is None:
+                    best = pert
+                else:
+                    take = pert > best
+                    best = jnp.where(take, pert, best)
+                    action = jnp.where(take, a, action)
+
+            # ---- categorical score: dlogit_a = onehot(a) - softmax(logits)
+            m = logits[0]
+            for a in range(1, A):
+                m = jnp.maximum(m, logits[a])
+            exps = [jnp.exp(logits[a] - m) for a in range(A)]
+            z = exps[0]
+            for a in range(1, A):
+                z = z + exps[a]
+            inv_z = 1.0 / z
+            dlogit = [(action == a).astype(jnp.float32) - exps[a] * inv_z
+                      for a in range(A)]
+
+            # ---- manual backprop through the MLP -> per-param score g
+            dh = []
+            for j in range(H):
+                acc = w2_ref[j * A] * dlogit[0]
+                for a in range(1, A):
+                    acc = acc + w2_ref[j * A + a] * dlogit[a]
+                dh.append(acc)
+            dpre = [(1.0 - hs[j] * hs[j]) * dh[j] for j in range(H)]
+            g_parts = []
+            for f in range(F):
+                for j in range(H):
+                    g_parts.append(obs[f] * dpre[j])
+            g_parts.extend(dpre)
+            for j in range(H):
+                for a in range(A):
+                    g_parts.append(hs[j] * dlogit[a])
+            g_parts.extend(dlogit)
+            g_stack = jnp.stack(g_parts, axis=0)  # (P, Rb, LANE)
+
+            # ---- eligibility trace update (decay zeroed across resets)
+            geff = gamma * (1.0 - viol_ref[:])
+            e_ref[:] = e_ref[:] * geff[None] + g_stack
+
+            # ---- physics + reward + reset (as make_fused_policy_rollout)
+            i_sd, i_sq, eps = physics(i_sd, i_sq, eps, action)
+            eps = eps - np.float32(TWO_PI) * jnp.floor(eps * np.float32(1.0 / TWO_PI))
+            isd_n = i_sd * (1.0 / i_lim)
+            isq_n = i_sq * (1.0 / i_lim)
+            violated = (isd_n * isd_n + isq_n * isq_n) > 1.0
+            wse = -(w_over_span * jnp.abs(isd_n - refs[:Rb])
+                    + w_over_span * jnp.abs(isq_n - refs[Rb:]))
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+
+            # ---- gradient accumulation: G += (r - baseline) * e
+            g_acc_ref[:] = g_acc_ref[:] + (reward - baseline)[None] * e_ref[:]
+            viol_ref[:] = violated.astype(jnp.float32)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            out_isd[:] = jnp.where(violated, zero, i_sd)
+            out_isq[:] = jnp.where(violated, zero, i_sq)
+            out_eps[:] = jnp.where(violated, zero, eps)
+
+            if wiener:
+                viol_f = violated.astype(jnp.float32)
+                reset2 = jnp.concatenate([viol_f, viol_f], axis=0) > 0.5
+                u1 = _uniform_from_bits(bits(shape2))
+                u2 = _uniform_from_bits(bits(shape2))
+                draw = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12))) * jnp.cos(
+                    np.float32(TWO_PI) * u2)
+                regen = (rk_ref[:] >= rl_ref[:]) | reset2
+                _draw_params(regen)
+                rk_ref[:] = jnp.where(regen, 0.0, rk_ref[:]) + 1.0
+                value = jnp.clip(rv_ref[:] + rs_ref[:] * draw, -margin, margin)
+                u3 = _uniform_from_bits(bits(shape2))
+                rv_ref[:] = jnp.where(reset2, (2.0 * u3 - 1.0) * margin, value)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+
+        # flush: lane-block gradient = sum over this block's sublane envs
+        block_grad = jnp.sum(g_acc_ref[:], axis=1)  # (P, LANE)
+
+        @pl.when(pid == 0)
+        def _():
+            out_grad[:] = block_grad
+
+        @pl.when(pid != 0)
+        def _():
+            out_grad[:] = out_grad[:] + block_grad
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((Rb, LANE), lambda i: (i, 0))
+    acc = pl.BlockSpec((P, LANE), lambda i: (0, 0))
+
+    @jax.jit
+    def rollout(seed, baseline, w1, b1, w2, b2, isd0, isq0, eps0,
+                ref_d=None, ref_q=None):
+        z = jnp.zeros((R, LANE), jnp.float32)
+        ref_d = z if ref_d is None else ref_d
+        ref_q = z if ref_q is None else ref_q
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            out_shape=(
+                tuple(jax.ShapeDtypeStruct((R, LANE), jnp.float32)
+                      for _ in range(5))
+                + (jax.ShapeDtypeStruct((P, LANE), jnp.float32),)
+            ),
+            in_specs=[smem] * 6 + [blk] * 5,
+            out_specs=(blk,) * 5 + (acc,),
+            scratch_shapes=[
+                pltpu.VMEM((P, Rb, LANE), jnp.float32),  # eligibility traces
+                pltpu.VMEM((P, Rb, LANE), jnp.float32),  # gradient accumulator
+                pltpu.VMEM(shape, jnp.float32),          # previous-step resets
+                pltpu.VMEM(shape2, jnp.float32),         # Wiener value
+                pltpu.VMEM(shape2, jnp.float32),         # Wiener step counter
+                pltpu.VMEM(shape2, jnp.float32),         # Wiener sub-ep length
+                pltpu.VMEM(shape2, jnp.float32),         # Wiener sigma
+                pltpu.VMEM(shape2, jnp.uint32),          # interpret-mode RNG
+            ],
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32),
+          jnp.asarray([baseline], jnp.float32),
+          jnp.asarray(w1, jnp.float32), jnp.asarray(b1, jnp.float32),
+          jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32),
+          isd0, isq0, eps0, ref_d, ref_q)
+
+    return rollout
+
+
+def unflatten_policy_grads(grad_block, obs_dim=6, n_actions=8, hidden=16):
+    """(n_params, 128) kernel gradient block -> params-dict pytree (the
+    inverse of ``flatten_policy_params``'s packing, lane dimension summed)."""
+    g = jnp.sum(grad_block, axis=-1)
+    f, h, a = obs_dim, hidden, n_actions
+    p1, p2, p3 = f * h, h, h * a
+    return {
+        "w1": g[:p1].reshape(f, h),
+        "b1": g[p1:p1 + p2],
+        "w2": g[p1 + p2:p1 + p2 + p3].reshape(h, a),
+        "b2": g[p1 + p2 + p3:],
+    }
+
+
+def make_fused_reinforce_trainer(env, n_steps, n_envs, hidden=16, gamma=0.99,
+                                 lr=0.05, baseline_decay=0.9, block_rows=8,
+                                 interpret=False):
+    """Whole-training-run REINFORCE with the rollout AND backward pass fused
+    in-kernel: ``train(seed, params, n_iters)`` scans SGD iterations inside
+    ONE jitted program, each iteration being one ``make_fused_reinforce_rollout``
+    launch (T env steps + in-kernel policy gradient) followed by an ascent
+    update and a moving-average reward baseline.
+
+    Env state persists across iterations (continuing envs, as the XLA
+    trainer ``parallel/sharded.py::make_reinforce_trainer``).  Returns
+    ``(params', mean_reward_per_iter)``.
+    """
+    roll = make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=hidden,
+                                        gamma=gamma, block_rows=block_rows,
+                                        interpret=interpret)
+    R = n_envs // LANE
+    denom = 1.0 / float(n_envs * n_steps)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def train(seed, params, n_iters):
+        z = jnp.zeros((R, LANE), jnp.float32)
+
+        def body(carry, i):
+            params, isd, isq, eps, baseline = carry
+            w1 = params["w1"].reshape(-1)
+            b1 = params["b1"]
+            w2 = params["w2"].reshape(-1)
+            b2 = params["b2"]
+            out = roll(seed + i, baseline, w1, b1, w2, b2, isd, isq, eps)
+            isd, isq, eps, reward_sum, _terms, grad_block = out
+            mean_r = jnp.sum(reward_sum) * denom
+            grads = unflatten_policy_grads(grad_block, 6, 8, hidden)
+            params = jax.tree.map(
+                lambda p_, g: p_ + lr * g * denom, params, grads)
+            baseline = baseline_decay * baseline + (1.0 - baseline_decay) * mean_r
+            return (params, isd, isq, eps, baseline), mean_r
+
+        init = (params, z, z, z, jnp.float32(0.0))
+        (params, _isd, _isq, _eps, _b), rs = jax.lax.scan(
+            body, init, jnp.arange(n_iters, dtype=jnp.int32))
+        return params, rs
+
+    return train
+
+
+#: motor kind -> universal family builder.  Every one of the catalog's 54
+#: env ids resolves to one of these five builders.
