@@ -136,21 +136,51 @@ def _make_fused_supply(ps, shape, tau):
             return ()
     elif sup_kind == "AC1PhaseSupply":
         # u_sup(t) = max_amp * sin(2 pi f t + phi), phi random per episode
-        # (voltage_supplies.py:126-166); state planes (phi, t).  NOTE: the
-        # float32 absolute-time plane accumulates tau per step, so the sine
-        # phase gets noisy (~4e-3 rad ulp at t~1e5 steps) deep into very
-        # long launches — identical to the XLA path's float32 t, so the
-        # two stay in lockstep, but both drift from a float64 reference
+        # (voltage_supplies.py:126-166); state planes (theta, theta_lo):
+        # the FULL sine phase accumulated in DOUBLE-FLOAT32.  A plain
+        # float32 time/phase accumulator loses ~ulp/2 per step with a
+        # systematic component — measured ~0.08 rad of phase noise by 2M
+        # steps even with period wrapping, and Kahan summation only bounds
+        # the error relative to the (linearly growing) sum of |increments|
+        # (measured 4.8e-3 rad at 2M steps).  TwoSum-based double-float
+        # accumulation tracks the exact rounding error instead: theta
+        # advances by the increment split into hi+lo float32 parts
+        # (capturing the float64 value to ~1e-15) and wraps at 2 pi the
+        # same way — residual phase error ~1.4e-9 rad at 2M steps, i.e.
+        # drift-free for any launch length (tests/test_ac1_phase_drift.py
+        # runs the closure 2M steps against the float64 closed form).
+        # theta(0) = phi, so buffer-mode callers feed (phi0, 0) exactly as
+        # they fed the old (phi, t=0) planes.
         mode, n_sup, needs_i_sup = "ac1", 2, False
-        names = ("sup_phi", "sup_t")
+        names = ("sup_theta", "sup_theta_lo")
         f_ac, amp_ac = float(sp_par["f"]), float(sp_par["max_amp"])
         fixed_phase = float(sp_par.get("fixed_phase", 0.0)) > 0.0
         phi0_ac = float(sp_par.get("phase", 0.0))
+        d_real = 2.0 * np.pi * f_ac * tau          # float64 increment
+        DHI = np.float32(d_real)
+        DLO = np.float32(d_real - float(DHI))
+        P2HI = np.float32(2.0 * np.pi)
+        P2LO = np.float32(2.0 * np.pi - float(P2HI))
+
+        def _dfadd(hi, lo, dhi, dlo):
+            """double-float32 (hi, lo) += (dhi, dlo): TwoSum on the hi
+            parts, error + lo parts folded, fast-two-sum renormalize"""
+            s = hi + dhi
+            bb = s - hi
+            err = (hi - (s - bb)) + (dhi - bb)
+            lo2 = lo + (err + dlo)
+            hi2 = s + lo2
+            return hi2, lo2 - (hi2 - s)
 
         def supply_u(sup, i_sup_val):
-            phi, t_c = sup
-            u = amp_ac * jnp.sin(np.float32(TWO_PI * f_ac) * t_c + phi)
-            return u, (phi, t_c + tau)
+            theta, lo = sup
+            u = amp_ac * jnp.sin(theta)
+            theta, lo = _dfadd(theta, lo, DHI, DLO)
+            wrap = theta >= np.float32(2.0 * np.pi)
+            tw, lw = _dfadd(theta, lo, -P2HI, -P2LO)
+            theta = jnp.where(wrap, tw, theta)
+            lo = jnp.where(wrap, lw, lo)
+            return u, (theta, lo)
 
         def sup_reset(bits):
             if fixed_phase:
@@ -471,21 +501,6 @@ def _ref_n_rows(ref_cfg):
     return len(_expand_ref_rows(ref_cfg)[0])
 
 
-def _check_switched_min_envs(fs, R, interpret):
-    """Switched references on the COMPILED TPU path need R >= 8 (n_envs >=
-    1024): the per-switched-row slice updates touch sub-8-sublane windows
-    of the row-stacked reference planes, which crashes the Mosaic compiler
-    (HTTP 500 from the remote compile helper observed at R in {2, 4}).
-    Interpret mode (the CPU test path) has no such restriction."""
-    if getattr(fs, "n_rows", fs.n_ref) != fs.n_ref and not interpret \
-            and R < 8:
-        raise NotImplementedError(
-            "switched references in compiled fused kernels need "
-            "n_envs >= 1024 (R >= 8) — smaller batches crash the Mosaic "
-            "compiler on sub-sublane row slices; use more envs, interpret "
-            "mode, or the general XLA path")
-
-
 def _ref_configs(env, R, require_wiener=True):
     """Per-referenced-state Wiener/reward constants read from the env spec
     (subepisoded_reference_generator.py:28-117, weighted_sum_of_errors.py:
@@ -779,25 +794,37 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             c += p[k]
         return act
 
+    def _put_rows(ref, updates):
+        """Write ``{row_index: (R, LANE) block}`` into the row-stacked
+        ``(n_ref * R, LANE)`` plane with ONE aligned full-plane store.
+        Sub-8-sublane row-slice WRITES (``ref[pi*R:(pi+1)*R] = ...`` at
+        R < 8) crash the Mosaic compiler; sub-sublane READS compile fine,
+        so read-modify-concat-write keeps any batch size compiling."""
+        blocks = [updates.get(r, ref[r * R:(r + 1) * R])
+                  for r in range(n_ref)]
+        ref[:] = jnp.concatenate(blocks, axis=0)
+
     def _switched_post(switch_mask_rows, reset_rows=None, is_init=False):
         """After the standard per-row advance/init: (re)draw the active sub
         where the super-episode expired, re-init the newly-active shadow
         from the primary's current value on PURE switches (the reference
         passes initial_reference=value; on env/violation resets the subs
         keep their own standard reset draw), and write the selected shadow
-        value into the primary row."""
+        value into the primary row.  All plane stores go through
+        ``_put_rows`` (aligned full-plane writes) and the mask concat uses
+        float blocks — both Mosaic requirements below 8 sublanes."""
         for (pi, s0, K, p) in switched_infos:
             psl = slice(pi * R, (pi + 1) * R)
             sw = switch_mask_rows[psl]
             prim_prev = rv_ref[psl]
             act = jnp.where(sw, _draw_active(K, p), rs_ref[psl])
-            rs_ref[psl] = act
+            _put_rows(rs_ref, {pi: act})
             if not is_init:
                 pure = sw if reset_rows is None else (
                     sw & jnp.logical_not(reset_rows[psl]))
-                row_masks = []
+                rv_up, rk_up, row_masks = {}, {}, []
                 for k in range(K):
-                    ssl = slice((s0 + k) * R, (s0 + k + 1) * R)
+                    r = s0 + k
                     m = pure & (act == np.float32(k))
                     # clip the seed into the SUB's own margins: const subs
                     # ignore initial_reference entirely and the
@@ -805,22 +832,28 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
                     # generator.py:102-117) — without this, a
                     # wiener->const switch would leak the old wiener value
                     # for one step
-                    sub = ref_cfg[s0 + k]
+                    sub = ref_cfg[r]
                     seed_v = jnp.clip(prim_prev, np.float32(sub["mlo"]),
                                       np.float32(sub["mhi"]))
-                    rv_ref[ssl] = jnp.where(m, seed_v, rv_ref[ssl])
-                    rk_ref[ssl] = jnp.where(m, 0.0, rk_ref[ssl])
-                    row_masks.append(m)
+                    rv_up[r] = jnp.where(m, seed_v,
+                                         rv_ref[r * R:(r + 1) * R])
+                    rk_up[r] = jnp.where(m, 0.0, rk_ref[r * R:(r + 1) * R])
+                    row_masks.append(m.astype(jnp.float32))
+                _put_rows(rv_ref, rv_up)
+                _put_rows(rk_ref, rk_up)
                 # fresh sub-episode params for the re-initialized shadows
-                # (one combined draw — the per-k masks are disjoint)
-                blocks = [jnp.zeros(shape, jnp.bool_)] * s0 + row_masks +                     [jnp.zeros(shape, jnp.bool_)] * (n_ref - s0 - K)
-                _draw_params(jnp.concatenate(blocks, axis=0))
+                # (one combined draw — the per-k masks are disjoint; float
+                # concat: Mosaic rejects i1 vreg concats at sub-sublane R)
+                zero = jnp.zeros(shape, jnp.float32)
+                blocks = ([zero] * s0 + row_masks
+                          + [zero] * (n_ref - s0 - K))
+                _draw_params(jnp.concatenate(blocks, axis=0) > 0.5)
             sel = jnp.zeros(shape, jnp.float32)
             for k in range(K):
                 ssl = slice((s0 + k) * R, (s0 + k + 1) * R)
                 sel = sel + jnp.where(act == np.float32(k), rv_ref[ssl],
                                       0.0)
-            rv_ref[psl] = sel
+            _put_rows(rv_ref, {pi: sel})
 
     def init():
         u = _uniform_from_bits(bits(shape_r))
@@ -907,6 +940,36 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
             _switched_post(regen, reset_rows=reset_r)
 
     return init, advance
+
+
+def _pick_chunk(n_steps, n_planes, R, chunk):
+    """Steps per grid iteration: the output window (``n_planes`` signals x
+    chunk x (R, LANE) x 4 B per buffer, ~4 MiB, so ~8 MiB double-buffered
+    — the compiler's scoped-VMEM limit is 16 MiB), clamped to ``n_steps``
+    and snapped down to a divisor of it."""
+    if chunk is None:
+        chunk = min(max(1, (64 * LANE) // (R * n_planes)), n_steps)
+        while n_steps % chunk:
+            chunk -= 1
+    assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
+    return chunk
+
+
+def _policy_obs_spec(mech, w_lim, omega_fixed, entries):
+    """Observation feature spec for the policy-in-the-loop kernels
+    (``ops.pallas_policy.make_fused_policy_record_universal``): the speed
+    feature (normalized omega plane for dynamic-speed configs, a constant
+    for const-speed ones — matching the XLA env's normalized ``omega``
+    observation channel) followed by the family's ``entries``.  Each entry
+    is one of ``("const", value)``, ``("state", plane_idx, scale)`` or
+    ``("cos"/"sin", plane_idx)`` (angle states enter through cos/sin
+    exactly like the reference's CosSinProcessor RL setup,
+    cos_sin_processor.py:7-89).  The n_ref reference features are appended
+    by the kernel builder, so both the kernel and the host-side PPO
+    reconstruction derive the identical observation from this one spec."""
+    head = ((("state", 0, 1.0 / w_lim),) if mech
+            else (("const", float(omega_fixed) / w_lim),))
+    return head + tuple(entries)
 
 
 def _rotation_protocol(COS_D, SIN_D, i_eps=-1):

@@ -19,7 +19,6 @@ from .pallas_common import (
     TWO_PI,
     _c2i,
     _c2u,
-    _check_switched_min_envs,
     _fused_check_system,
     _fused_interlock,
     _fused_load,
@@ -31,6 +30,7 @@ from .pallas_common import (
     _make_fused_supply,
     _make_rng,
     _make_wiener,
+    _policy_obs_spec,
     _ref_configs,
     _ref_n_rows,
     _ref_needs_wf,
@@ -977,7 +977,13 @@ def _dc_family(env, R, action_mode):
     def quantities(state, aux):
         return [ref_quantity(state, j) for j in range(n_ref)]
 
+    # --- policy-adapter surface (see ops/pallas_policy.py) ---
+    off = 1 if mech else 0
+    obs_spec = _policy_obs_spec(mech, w_lim, omega_fixed, [
+        ("state", off + j, 1.0 / el_lims[j]) for j in range(n_el)])
+
     return SimpleNamespace(
+        obs_spec=obs_spec, act_ns=(act_ns if finite else None), aux_cs=None,
         n_state=n_state, n_ch=n_ch, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, step_physics=step_physics,
@@ -1022,7 +1028,6 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _dc_family(env, R, action_mode)
-    _check_switched_min_envs(fs, R, interpret)
     n_state, n_ch, shape, shape_r = fs.n_state, fs.n_ch, fs.shape, fs.shape_r
     n_bs = fs.n_bridge
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

@@ -16,7 +16,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import (
     LANE,
     TWO_PI,
-    _check_switched_min_envs,
     _fused_check_system,
     _fused_interlock,
     _fused_load,
@@ -27,6 +26,7 @@ from .pallas_common import (
     _make_fused_supply,
     _make_rng,
     _make_wiener,
+    _policy_obs_spec,
     _ref_configs,
     _ref_n_rows,
     _ref_needs_wf,
@@ -592,7 +592,17 @@ def _dfim_family(env, R, action_mode):
         cs = aux[0]
         return ref_quantities(state, cs if needs_dq else None)
 
+    # --- policy-adapter surface (see ops/pallas_policy.py) ---
+    off = 1 if mech else 0
+    psi_lim = float(l_m) * i_lim
+    obs_spec = _policy_obs_spec(mech, w_lim, omega_fixed, [
+        ("state", off, 1.0 / i_lim), ("state", off + 1, 1.0 / i_lim),
+        ("state", off + 2, 1.0 / psi_lim), ("state", off + 3, 1.0 / psi_lim),
+        ("cos", i_eps), ("sin", i_eps)])
+
     return SimpleNamespace(
+        obs_spec=obs_spec, act_ns=((8, 8) if finite else None),
+        aux_cs=lambda aux: (aux[1], aux[2]),
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,
@@ -634,7 +644,6 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _dfim_family(env, R, action_mode)
-    _check_switched_min_envs(fs, R, interpret)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

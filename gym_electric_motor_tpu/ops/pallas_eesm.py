@@ -18,7 +18,6 @@ from .pallas_common import (
     TWO_PI,
     _c2i,
     _c2u,
-    _check_switched_min_envs,
     _fused_check_system,
     _fused_interlock,
     _fused_load,
@@ -31,6 +30,7 @@ from .pallas_common import (
     _make_fused_supply,
     _make_rng,
     _make_wiener,
+    _policy_obs_spec,
     _ref_configs,
     _ref_n_rows,
     _ref_needs_wf,
@@ -560,7 +560,15 @@ def _eesm_family(env, R, action_mode):
     def quantities(state, aux):
         return [ref_quantity(state, j) for j in range(n_ref)]
 
+    # --- policy-adapter surface (see ops/pallas_policy.py) ---
+    off = 1 if mech else 0
+    obs_spec = _policy_obs_spec(mech, w_lim, omega_fixed, [
+        ("state", off, 1.0 / i_lim), ("state", off + 1, 1.0 / i_lim),
+        ("state", off + 2, 1.0 / ie_lim), ("cos", i_eps), ("sin", i_eps)])
+
     return SimpleNamespace(
+        obs_spec=obs_spec, act_ns=((8, 4) if finite else None),
+        aux_cs=lambda aux: aux,
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, ie_lim=ie_lim,
@@ -602,7 +610,6 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _eesm_family(env, R, action_mode)
-    _check_switched_min_envs(fs, R, interpret)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

@@ -20,7 +20,11 @@ from .pallas_common import (
     _fused_load,
     _fused_u_sup,
     _make_rng,
+    _make_wiener,
+    _ref_needs_wf,
+    _step_noise,
     _uniform_from_bits,
+    _wse_err,
 )
 
 
@@ -329,7 +333,7 @@ def make_fused_policy_record_rollout(env, n_steps, n_envs, hidden=16,
     names_out = ("i_sd", "i_sq", "eps", "ref_d", "ref_q", "action",
                  "reward", "done")
     n_sig = len(names_out)
-    from .pallas_record import _pick_chunk
+    from .pallas_common import _pick_chunk
     chunk = _pick_chunk(n_steps, n_sig, R, chunk)
     n_chunks = n_steps // chunk
 
@@ -482,6 +486,18 @@ def make_fused_policy_record_rollout(env, n_steps, n_envs, hidden=16,
         return dict(zip(names_out, out))
 
     rollout.signals = names_out
+    # metadata surface shared with make_fused_policy_record_universal so
+    # parallel.sharded.make_fused_ppo_trainer drives both through one path
+    rollout.state_names = ("i_sd", "i_sq", "eps")
+    rollout.ref_names = ("ref_d", "ref_q")
+    rollout.act_names = ("action",)
+    rollout.act_ns = (8,)
+    rollout.obs_spec = (("const", float(omega_n)),
+                        ("state", 0, 1.0 / i_lim),
+                        ("state", 1, 1.0 / i_lim),
+                        ("cos", 2), ("sin", 2))
+    rollout.obs_dim = 7
+    rollout.n_state = 3
     return rollout
 
 
@@ -815,4 +831,370 @@ def make_fused_reinforce_trainer(env, n_steps, n_envs, hidden=16, gamma=0.99,
 
 
 #: motor kind -> universal family builder.  Every one of the catalog's 54
-#: env ids resolves to one of these five builders.
+#: env ids resolves to one of these five builders.\n
+
+# --------------------------------------------------------------------------
+# Universal policy-in-the-loop recorder: every finite-action catalog env
+# --------------------------------------------------------------------------
+
+_POLICY_FAMILY_NAMESPACES = None
+
+
+def _policy_family(env, R, action_mode="random"):
+    """Resolve the family namespace for the universal policy kernels
+    (lazy import: the family modules are siblings, no facade cycle)."""
+    global _POLICY_FAMILY_NAMESPACES
+    if _POLICY_FAMILY_NAMESPACES is None:
+        from .pallas_dc import _dc_family
+        from .pallas_dfim import _dfim_family
+        from .pallas_eesm import _eesm_family
+        from .pallas_induction import _induction_family
+        from .pallas_sync import _sync_family
+        _POLICY_FAMILY_NAMESPACES = {
+            "PermExDc": _dc_family, "SeriesDc": _dc_family,
+            "ShuntDc": _dc_family, "ExtExDc": _dc_family,
+            "PMSM": _sync_family, "SynRM": _sync_family,
+            "SCIM": _induction_family,
+            "EESM": _eesm_family, "DFIM": _dfim_family,
+        }
+    return _POLICY_FAMILY_NAMESPACES[env.physical_system.motor.kind](
+        env, R, action_mode)
+
+
+def policy_obs_dim(env):
+    """Observation feature count of the universal policy kernel for
+    ``env``: the family ``obs_spec`` features plus, per referenced state,
+    the normalized controlled quantity and its reference value (see
+    ``_policy_obs_spec``)."""
+    fs = _policy_family(env, 1)
+    return len(fs.obs_spec) + 2 * fs.n_ref
+
+
+def policy_act_ns(env):
+    """Per-head categorical cardinalities of ``env``'s finite action space
+    as the universal policy kernel factorizes it (one independent softmax
+    head per converter sub-action, e.g. EESM = (8, 4): B6 x 4QC)."""
+    fs = _policy_family(env, 1)
+    assert fs.act_ns is not None, (
+        "the in-kernel policy needs a finite (discrete) action space; "
+        "continuous-action envs train through the XLA-collection "
+        "make_ppo_trainer")
+    return fs.act_ns
+
+
+def policy_obs_host(roll, prev_states, refs):
+    """Host-side observation reconstruction — the EXACT features the
+    kernel's MLP saw at each step, rebuilt from the recorded signals.
+
+    ``prev_states``: dict of PRE-step state arrays (the recorded post-step
+    planes shifted by one, with the launch's initial planes at t = 0),
+    keyed by ``roll.state_names``; ``refs``: dict of the recorded
+    ``ref_*`` signals (the kernel reads references before advancing them,
+    so the recorded value IS what the policy observed).  Returns an
+    ``(..., obs_dim)`` stack.  Angle features recompute as cos/sin of the
+    recorded angle plane — they match the kernel's renormalized
+    incremental rotation to ~1 ulp (same argument as the PMSM-specific
+    ``make_fused_policy_record_rollout``).
+    """
+    names = roll.state_names
+    some = prev_states[names[0]]
+    feats = []
+    for e in roll.obs_spec:
+        if e[0] == "const":
+            feats.append(jnp.broadcast_to(jnp.float32(e[1]), some.shape))
+        elif e[0] == "state":
+            feats.append(prev_states[names[e[1]]] * np.float32(e[2]))
+        elif e[0] == "cos":
+            feats.append(jnp.cos(prev_states[names[e[1]]]))
+        else:
+            feats.append(jnp.sin(prev_states[names[e[1]]]))
+    # the controlled-quantity features ride the SAME family closures the
+    # kernel evaluated (pure jnp on state planes — shape-polymorphic)
+    if getattr(roll, "fs_quantities", None) is not None:
+        cur = tuple(prev_states[nm] for nm in names)
+        aux = roll.fs_pre_step(cur)
+        for q in roll.fs_quantities(cur, aux):
+            feats.append(q)
+    for nm in roll.ref_names:
+        feats.append(refs[nm])
+    return jnp.stack(feats, axis=-1)
+
+
+def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
+                                       chunk=None, interpret=False):
+    """Fused POLICY-in-the-loop trajectory recorder for ANY finite-action
+    catalog env — the generalization of the PMSM-specific
+    ``make_fused_policy_record_rollout`` to all five motor families.
+
+    Per step, a 2-layer tanh MLP (weights as SMEM scalars) reads the
+    family's observation (``_policy_obs_spec``: normalized speed/current/
+    flux planes, cos/sin of the rotor angle where one exists, plus the
+    current reference values), samples each converter sub-action from its
+    own softmax head by inverse CDF, and the family's physics/references/
+    reward/auto-reset run exactly as in the universal trajectory recorder
+    (``ops.pallas_record.make_fused_record_rollout`` — the same
+    ``pre_step``/``step``/``violated``/``quantities`` closures, so the
+    policy kernel cannot diverge from the validated env semantics).  The
+    recorded signals stream to HBM through the chunked-grid recipe.
+
+    Returns ``rollout(seed, w1, b1, w2, b2, *state0) -> dict`` keyed by
+    ``rollout.signals`` (family state names + ``ref_*`` + action head(s) +
+    ``reward`` + ``done``), each ``(n_steps, R, LANE)``.  Flat param
+    vectors: ``w1 (F*hidden,)``, ``b1 (hidden,)``, ``w2 (hidden*A,)``,
+    ``b2 (A,)`` with ``F = policy_obs_dim(env)`` and ``A =
+    sum(policy_act_ns(env))`` (heads concatenated in converter order).
+    Behavior log-probs and values recompute host-side from
+    ``policy_obs_host`` under the collecting parameters — the
+    fused-collection PPO contract (``parallel.sharded
+    .make_fused_ppo_trainer``).
+
+    Reference capability matched: SB3 RL training runs on arbitrary GEM
+    envs (/root/reference/examples/reinforcement_learning_controllers/);
+    here collection runs in-kernel at fused speed on every finite-action
+    catalog id.
+    """
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _policy_family(env, R, "random")
+    assert fs.act_ns is not None, (
+        "the in-kernel policy needs a finite (discrete) action space; "
+        "continuous-action envs train through the XLA-collection "
+        "make_ppo_trainer")
+    act_ns, obs_spec, aux_cs = fs.act_ns, fs.obs_spec, fs.aux_cs
+    n_state, n_ref = fs.n_state, fs.n_ref
+    n_rows = getattr(fs, "n_rows", n_ref)
+    n_act = len(fs.act_names)
+    assert n_act == len(act_ns)
+    shape, shape_r = fs.shape, fs.shape_r
+    ref_cfg, bias, violation_reward = fs.ref_cfg, fs.bias, fs.violation_reward
+
+    F = len(obs_spec) + 2 * n_ref
+    H = hidden
+    A = int(sum(act_ns))
+
+    from .pallas_common import _pick_chunk
+    names = (tuple(fs.state_names)
+             + tuple("ref_" + c["name"] for c in ref_cfg)
+             + tuple(fs.act_names) + ("reward", "done"))
+    n_sig = len(names)
+    chunk = _pick_chunk(n_steps, n_sig, R, chunk)
+    n_chunks = n_steps // chunk
+    has_rot = getattr(fs, "rot_advance", None) is not None
+    has_wf = _ref_needs_wf(ref_cfg)
+    n_prev = getattr(fs, "n_bridge", 0)
+
+    def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref, *refs):
+        state0 = refs[:n_state]
+        outs = refs[n_state: n_state + n_sig]
+        out_state = outs[:n_state]
+        out_ref = outs[n_state: n_state + n_ref]
+        out_act = outs[n_state + n_ref: n_state + n_ref + n_act]
+        out_reward, out_done = outs[-2], outs[-1]
+        scratch = refs[n_state + n_sig:]
+        state_s = scratch[:n_state]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[n_state:
+                                                          n_state + 5]
+        j = n_state + 5
+        za_ref = zb_ref = c_ref = s_ref = None
+        if n_rows == 1:
+            za_ref, zb_ref = scratch[j], scratch[j + 1]
+            j += 2
+        if has_rot:
+            c_ref, s_ref = scratch[j], scratch[j + 1]
+            j += 2
+        if has_wf:
+            wf_ref = scratch[j]
+            j += 1
+        else:
+            wf_ref = None
+        bs_refs = scratch[j: j + n_prev]
+
+        pid = pl.program_id(0)
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0] * n_chunks + pid)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref, wf_ref)
+
+        @pl.when(pid == 0)
+        def _():
+            for ss, s0 in zip(state_s, state0):
+                ss[:] = s0[:]
+            if has_rot:
+                c0, s0_ = fs.rot_init(tuple(s0[:] for s0 in state0))
+                c_ref[:] = c0
+                s_ref[:] = s0_
+            for pa in bs_refs:
+                pa[:] = jnp.zeros(shape, jnp.int32)
+            w_init()
+
+        def body(k, _):
+            z = _step_noise(fs.needs_step_noise, bits, shape)
+            bs = (tuple(pa[:] for pa in bs_refs) if n_prev else None)
+            cur = tuple(ss[:] for ss in state_s)
+            if has_rot:
+                rc, rs = c_ref[:], s_ref[:]
+                aux = fs.pre_step_rot(cur, rc, rs)
+            else:
+                aux = fs.pre_step(cur)
+            refs_now = rv_ref[:]
+
+            # ---- observation features (the host rebuilds the identical
+            #      stack via policy_obs_host)
+            cs = aux_cs(aux) if aux_cs is not None else None
+            obs = []
+            for e in obs_spec:
+                if e[0] == "const":
+                    obs.append(jnp.full(shape, np.float32(e[1])))
+                elif e[0] == "state":
+                    obs.append(cur[e[1]] * np.float32(e[2]))
+                elif e[0] == "cos":
+                    obs.append(cs[0] if cs is not None
+                               else jnp.cos(cur[e[1]]))
+                else:
+                    obs.append(cs[1] if cs is not None
+                               else jnp.sin(cur[e[1]]))
+            # the controlled quantities themselves (normalized, via the
+            # family closure the reward uses — gives TC/SC policies the
+            # torque/speed they are asked to track, and CC-on-alpha/beta
+            # families the flux-frame dq currents)
+            for q in fs.quantities(cur, aux):
+                obs.append(q)
+            for jr in range(n_ref):
+                obs.append(refs_now[jr * R:(jr + 1) * R])
+
+            # ---- 2-layer tanh MLP on SMEM scalar weights
+            hs = []
+            for jh in range(H):
+                acc = b1_ref[jh]
+                for f in range(F):
+                    acc = acc + w1_ref[f * H + jh] * obs[f]
+                hs.append(jnp.tanh(acc))
+            logits = []
+            for a in range(A):
+                logit = b2_ref[a]
+                for jh in range(H):
+                    logit = logit + w2_ref[jh * A + a] * hs[jh]
+                logits.append(logit)
+
+            # ---- one inverse-CDF categorical sample per head
+            acts = []
+            off = 0
+            for n in act_ns:
+                ls = logits[off:off + n]
+                off += n
+                m = ls[0]
+                for a in range(1, n):
+                    m = jnp.maximum(m, ls[a])
+                es = [jnp.exp(l - m) for l in ls]
+                total = es[0]
+                for a in range(1, n):
+                    total = total + es[a]
+                uu = _uniform_from_bits(bits(shape)) * total
+                cum = es[0]
+                action = jnp.zeros(shape, jnp.int32)
+                for a in range(1, n):
+                    action = jnp.where(uu >= cum, a, action)
+                    cum = cum + es[a]
+                acts.append(action)
+            acts = tuple(acts)
+
+            # ---- physics / reward / reset: identical to the universal
+            #      recorder (ops/pallas_record.py)
+            state = fs.step(cur, acts, aux, z, bs)
+            violated = fs.violated(state)
+            qs = fs.quantities(state, aux)
+            wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
+            for jr in range(1, n_ref):
+                wse = wse - _wse_err(ref_cfg[jr], qs[jr],
+                                     refs_now[jr * R:(jr + 1) * R])
+            reward = jnp.where(violated, violation_reward, wse)
+
+            for i, (ss, s2, r0) in enumerate(zip(state_s, state,
+                                                 fs.reset_state(bits))):
+                ss[:] = jnp.where(violated, r0, s2)
+                out_state[i][k] = ss[:]
+            if n_prev:
+                a_in = acts[0] if len(acts) == 1 else acts
+                for pa, b in zip(bs_refs,
+                                 fs.advance_bridges(bs, a_in)):
+                    pa[:] = jnp.where(violated, 0, b)
+            for jr in range(n_ref):
+                out_ref[jr][k] = refs_now[jr * R:(jr + 1) * R]
+            for jr, a in enumerate(acts):
+                out_act[jr][k] = a
+            out_reward[k] = reward
+            out_done[k] = violated.astype(jnp.float32)
+
+            if has_rot:
+                c_new, s_new = fs.rot_advance(rc, rs, violated)
+                c_ref[:] = c_new
+                s_ref[:] = s_new
+            w_advance(pid * chunk + k, violated)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
+    traj_f = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
+    traj_a = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.int32)
+    out_shapes = ((traj_f,) * (n_state + n_ref) + (traj_a,) * n_act
+                  + (traj_f, traj_f))
+    scratch_shapes = (
+        [pltpu.VMEM(shape, jnp.float32) for _ in range(n_state)]
+        + [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_rows == 1 else [])
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if has_rot else [])
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
+           if has_wf else [])
+        + [pltpu.VMEM(shape, jnp.int32) for _ in range(n_prev)]
+    )
+
+    @jax.jit
+    def rollout(seed, w1, b1, w2, b2, *state0):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=out_shapes,
+            in_specs=[smem] * 5 + [const] * n_state,
+            out_specs=(tblk,) * n_sig,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32),
+          jnp.asarray(w1, jnp.float32), jnp.asarray(b1, jnp.float32),
+          jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32),
+          *state0)
+        return dict(zip(names, out))
+
+    rollout.signals = names
+    rollout.state_names = tuple(fs.state_names)
+    rollout.ref_names = tuple("ref_" + c["name"] for c in ref_cfg)
+    rollout.act_names = tuple(fs.act_names)
+    rollout.obs_spec = obs_spec
+    rollout.act_ns = act_ns
+    rollout.obs_dim = F
+    rollout.n_state = n_state
+    rollout.fs_pre_step = fs.pre_step
+    rollout.fs_quantities = fs.quantities
+    return rollout
+
+
+def fused_policy_init_planes(env, n_envs):
+    """Initial ``(R, LANE)`` state planes for the universal policy
+    recorder / PPO trainer: zeros for the drive state (the in-kernel
+    reset value for every core plane) and the supply planes\' proper
+    reset values (AC1: (phi, t) = (0, 0); RC: (u_0, 0) — zeros would
+    mis-start the RC element at 0 V, voltage_supplies.py:75-123)."""
+    fs = _policy_family(env, n_envs // LANE, "random")
+    R = n_envs // LANE
+    planes = [np.zeros((R, LANE), np.float32) for _ in range(fs.n_state)]
+    if fs.sup_mode == "rc":
+        u0 = float(env.physical_system.supply.parameter["u_0"])
+        planes[fs.n_state - fs.n_sup] += np.float32(u0)
+    return tuple(jnp.asarray(x) for x in planes)

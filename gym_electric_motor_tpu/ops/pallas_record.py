@@ -42,8 +42,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_rollout import (
+    _pick_chunk,
     FUSED_FAMILY_BUILDERS,
-    _check_switched_min_envs,
     _wse_err,
     LANE,
     fused_state_arity,
@@ -67,19 +67,6 @@ _FAMILY_NAMESPACES = {
 }
 
 
-def _pick_chunk(n_steps, n_planes, R, chunk):
-    """Steps per grid iteration: the output window (``n_planes`` signals x
-    chunk x (R, LANE) x 4 B per buffer, ~4 MiB, so ~8 MiB double-buffered
-    — the compiler's scoped-VMEM limit is 16 MiB), clamped to ``n_steps``
-    and snapped down to a divisor of it."""
-    if chunk is None:
-        chunk = min(max(1, (64 * LANE) // (R * n_planes)), n_steps)
-        while n_steps % chunk:
-            chunk -= 1
-    assert n_steps % chunk == 0, "n_steps must be a multiple of chunk"
-    return chunk
-
-
 def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                               action_mode="random", interpret=False):
     """Build the trajectory-recording rollout for any catalog env.
@@ -94,7 +81,6 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     R = n_envs // LANE
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     fs = _FAMILY_NAMESPACES[family](env, R, action_mode)
-    _check_switched_min_envs(fs, R, interpret)
     n_state, n_ref = fs.n_state, fs.n_ref
     n_rows = getattr(fs, "n_rows", n_ref)
     n_act = len(fs.act_names)

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pallas_common import (  # noqa: F401
+    _pick_chunk,
+    _policy_obs_spec,
     LANE,
     TWO_PI,
     _FUSED_OK_WRAPPERS,
@@ -46,7 +48,6 @@ from .pallas_common import (  # noqa: F401
     _WF_KINDS,
     _c2i,
     _c2u,
-    _check_switched_min_envs,
     _expand_ref_rows,
     _fused_check_system,
     _fused_interlock,
@@ -102,6 +103,11 @@ from .pallas_dfim import (  # noqa: F401
     make_fused_dfim_rollout,
 )
 from .pallas_policy import (  # noqa: F401
+    fused_policy_init_planes,
+    make_fused_policy_record_universal,
+    policy_act_ns,
+    policy_obs_dim,
+    policy_obs_host,
     _policy_pmsm_ctx,
     flatten_policy_params,
     make_fused_policy_record_rollout,

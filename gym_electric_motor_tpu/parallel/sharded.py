@@ -435,29 +435,38 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
                            n_envs=8192, n_epochs=2, n_minibatches=8,
                            clip_eps=0.2, gamma=0.99, lam=0.95,
                            vf_coef=0.5, ent_coef=0.0, mesh=None,
-                           interpret=False):
-    """PPO with FUSED on-policy collection — the rollout runs inside the
-    policy-in-the-loop recording kernel
-    (:func:`ops.pallas_rollout.make_fused_policy_record_rollout`, billions
-    of env-steps/s) instead of the XLA step loop, while GAE + the clipped
-    surrogate updates stay in XLA.  The collecting policy is the actor
-    trunk of :func:`actor_critic` evaluated in-kernel; behavior log-probs
-    and values are recomputed exactly from the recorded observations under
-    the same (pre-update) parameters, so only (state, refs, action, reward,
-    done) leave the kernel.
+                           interpret=False, kernel="auto"):
+    """PPO with FUSED on-policy collection for ANY finite-action catalog
+    env — the rollout runs inside a policy-in-the-loop recording kernel
+    (billions of env-steps/s) instead of the XLA step loop, while GAE +
+    the clipped surrogate updates stay in XLA.  The collecting policy is
+    the actor trunk of :func:`actor_critic` evaluated in-kernel; behavior
+    log-probs and values are recomputed exactly from the recorded
+    observations under the same (pre-update) parameters, so only (state,
+    refs, action(s), reward, done) leave the kernel.
 
-    ``env`` must be Finite-CC-PMSM-v0 with
-    ``state_filter=('omega', 'i_sd', 'i_sq', 'epsilon')`` (enforced by the
-    kernel builder).  The bootstrap value at the horizon reuses the last
-    recorded references (the Wiener reference moves slowly per step, so the
+    ``kernel`` selects the collection kernel: ``'pmsm'`` — the specialized
+    Finite-CC-PMSM recorder (requires ``state_filter=('omega', 'i_sd',
+    'i_sq', 'epsilon')``); ``'universal'`` —
+    :func:`ops.pallas_policy.make_fused_policy_record_universal`, covering
+    every finite-action catalog id through the family-namespace surface
+    (multi-head factorized-categorical policies for the EESM/DFIM/ExtExDc
+    dual converters); ``'auto'`` — the specialized kernel when the env
+    qualifies, universal otherwise.  Observation features come from the
+    family ``obs_spec`` (normalized speed/current/flux planes, cos/sin of
+    the rotor angle, current reference values); action heads from
+    ``policy_act_ns(env)``.  The bootstrap value at the horizon reuses the
+    last recorded references (the reference moves slowly per step, so the
     one-step-stale bootstrap observation is a standard truncation
     approximation).
 
     Returns ``(init_opt_state, train)`` with ``train(params, opt_state,
     planes, seed, n_iters) -> (params', opt_state', planes', mean_reward
-    [n_iters])`` where ``planes = (i_sd0, i_sq0, eps0)`` are
-    ``(n_envs // 128, 128)`` float32 drive states and ``params`` comes from
-    :func:`init_actor_critic_params` ``(obs_dim=7, n_actions=8, hidden)``.
+    [n_iters])`` where ``planes`` are the family's ``(n_envs // 128,
+    128)`` float32 state planes (:func:`ops.pallas_policy
+    .fused_policy_init_planes` builds the initial set) and ``params``
+    comes from :func:`init_actor_critic_params` ``(obs_dim=
+    policy_obs_dim(env), n_actions=sum(policy_act_ns(env)), hidden)``.
 
     With ``mesh`` (a 1-D env mesh), the env batch is laid out ``P('env')``
     along the plane-row axis and ONE recording kernel runs per device on
@@ -468,68 +477,84 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
     in segments of <= ~50 iterations per invocation (one giant scan of
     large-batch kernel launches has crashed the axon TPU worker).
 
-    No reference counterpart (the reference trains through
-    stable-baselines3 on one env) — this is the TPU-native flagship RL
-    path: collection at fused-kernel speed, learning in XLA.
+    Reference capability matched: the reference trains through
+    stable-baselines3 on arbitrary envs, one CPU env instance at a time
+    (examples/reinforcement_learning_controllers/) — this is the
+    TPU-native flagship RL path: collection at fused-kernel speed on any
+    finite-action catalog id, learning in XLA.
     """
     import optax
 
-    from ..ops.pallas_rollout import make_fused_policy_record_rollout
+    from ..ops.pallas_policy import (
+        make_fused_policy_record_rollout,
+        make_fused_policy_record_universal, policy_obs_host)
 
     n_dev = 1 if mesh is None else mesh.size
     assert n_envs % (n_dev * 128) == 0
     local_envs = n_envs // n_dev
-    roll = make_fused_policy_record_rollout(env, horizon, local_envs,
-                                            hidden=hidden,
-                                            interpret=interpret)
-    ps = env.physical_system
-    names = list(ps.state_names)
-    lim = np.asarray(ps.limits)
-    i_lim = float(lim[names.index("i_sd")])
-    omega_fixed = float(ps.load.omega_fixed)
-    omega_n = np.float32(omega_fixed / float(lim[names.index("omega")]))
-    inv_ilim = np.float32(1.0 / i_lim)
+    if kernel == "auto":
+        try:
+            roll = make_fused_policy_record_rollout(
+                env, horizon, local_envs, hidden=hidden,
+                interpret=interpret)
+        except (AssertionError, NotImplementedError, KeyError, ValueError):
+            roll = make_fused_policy_record_universal(
+                env, horizon, local_envs, hidden=hidden,
+                interpret=interpret)
+    elif kernel == "pmsm":
+        roll = make_fused_policy_record_rollout(
+            env, horizon, local_envs, hidden=hidden, interpret=interpret)
+    else:
+        assert kernel == "universal", kernel
+        roll = make_fused_policy_record_universal(
+            env, horizon, local_envs, hidden=hidden, interpret=interpret)
+    state_names, ref_names = roll.state_names, roll.ref_names
+    act_names, act_ns = roll.act_names, roll.act_ns
+    n_state, n_heads = roll.n_state, len(roll.act_ns)
     tx = optax.adam(lr)
 
-    def _obs(isd, isq, eps, rd, rq):
-        """(..., 7) observation as the kernel computes it (cos/sin of the
-        recorded eps match the kernel's renormalized rotation scratch to
-        ~1 ulp)."""
-        return jnp.stack([
-            jnp.broadcast_to(omega_n, isd.shape),
-            isd * inv_ilim, isq * inv_ilim,
-            jnp.cos(eps), jnp.sin(eps), rd, rq,
-        ], axis=-1)
+    def _heads_logp_ent(logits, acts):
+        """Factorized-categorical log-prob of the taken sub-actions and
+        total entropy: sums over the independent converter heads (one
+        softmax slice per head; single-head envs reduce to the plain
+        categorical)."""
+        lp = ent = 0.0
+        off = 0
+        for h, n in enumerate(act_ns):
+            ls = logits[..., off:off + n]
+            off += n
+            logp = jax.nn.log_softmax(ls)
+            lp = lp + jnp.take_along_axis(
+                logp, acts[..., h][..., None], axis=-1)[..., 0]
+            ent = ent - jnp.sum(jax.nn.softmax(ls) * logp, axis=-1)
+        return lp, ent
 
     def _local_iteration(params, opt_state, planes, seed, axis=None):
-        isd0, isq0, eps0 = planes
         if axis is not None:
             seed = seed * jnp.int32(n_dev) + jax.lax.axis_index(axis)
         out = roll(seed, params["w1"].reshape(-1), params["b1"],
-                   params["wp"].reshape(-1), params["bp"],
-                   isd0, isq0, eps0)
+                   params["wp"].reshape(-1), params["bp"], *planes)
 
         def tn(x):
             return x.reshape(horizon, local_envs)
 
-        isd, isq, eps = tn(out["i_sd"]), tn(out["i_sq"]), tn(out["eps"])
-        rd, rq = tn(out["ref_d"]), tn(out["ref_q"])
-        act = tn(out["action"])
+        # pre-step states: shift the recorded post-step planes by one
+        prev = {nm: jnp.concatenate([planes[i].reshape(1, -1),
+                                     tn(out[nm])[:-1]])
+                for i, nm in enumerate(state_names)}
+        refs = {nm: tn(out[nm]) for nm in ref_names}
+        obs_t = policy_obs_host(roll, prev, refs)        # (T, N, F)
+        act = jnp.stack([tn(out[an]) for an in act_names], axis=-1)
         rew_t, done_t = tn(out["reward"]), tn(out["done"])
 
-        # pre-step states: shift the recorded post-step planes by one
-        isd_p = jnp.concatenate([isd0.reshape(1, -1), isd[:-1]])
-        isq_p = jnp.concatenate([isq0.reshape(1, -1), isq[:-1]])
-        eps_p = jnp.concatenate([eps0.reshape(1, -1), eps[:-1]])
-        obs_t = _obs(isd_p, isq_p, eps_p, rd, rq)        # (T, N, 6)
-
         logits_t, val_t = actor_critic(params, obs_t)
-        logp_t = jnp.take_along_axis(jax.nn.log_softmax(logits_t),
-                                     act[..., None], axis=-1)[..., 0]
+        logp_t, _ = _heads_logp_ent(logits_t, act)
         logp_t = jax.lax.stop_gradient(logp_t)
         val_t = jax.lax.stop_gradient(val_t)
-        _, last_val = actor_critic(
-            params, _obs(isd[-1], isq[-1], eps[-1], rd[-1], rq[-1]))
+        obs_last = policy_obs_host(
+            roll, {nm: tn(out[nm])[-1] for nm in state_names},
+            {nm: refs[nm][-1] for nm in ref_names})
+        _, last_val = actor_critic(params, obs_last)
         last_val = jax.lax.stop_gradient(last_val)
 
         def gae_body(carry2, x):
@@ -565,17 +590,14 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
 
             def loss_fn(params):
                 logits, value = actor_critic(params, obs)
-                logp = jnp.take_along_axis(jax.nn.log_softmax(logits),
-                                           a[..., None], axis=-1)[..., 0]
+                logp, ent_all = _heads_logp_ent(logits, a)
                 ratio = jnp.exp(logp - logp_old)
                 pg = -jnp.mean(jnp.minimum(
                     ratio * adv,
                     jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv,
                 ))
                 vf = jnp.mean((value - ret) ** 2)
-                ent = -jnp.mean(
-                    jnp.sum(jax.nn.softmax(logits)
-                            * jax.nn.log_softmax(logits), axis=-1))
+                ent = jnp.mean(ent_all)
                 return pg + vf_coef * vf - ent_coef * ent
 
             grads = jax.grad(loss_fn)(params)
@@ -597,7 +619,7 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
                                                     seed), n_epochs)
         (params, opt_state), _ = jax.lax.scan(epoch, (params, opt_state),
                                               ks_ep)
-        planes = (out["i_sd"][-1], out["i_sq"][-1], out["eps"][-1])
+        planes = tuple(out[nm][-1] for nm in state_names)
         mean_r = jnp.mean(rew_t)
         if axis is not None:
             mean_r = jax.lax.pmean(mean_r, axis)
@@ -614,8 +636,8 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
         spec = P(axis_name)
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(), P(), (spec,) * 3, P()),
-                 out_specs=(P(), P(), (spec,) * 3, P()),
+                 in_specs=(P(), P(), (spec,) * n_state, P()),
+                 out_specs=(P(), P(), (spec,) * n_state, P()),
                  check_vma=False)
         def sharded_iter(params, opt_state, planes, seed):
             return _local_iteration(params, opt_state, planes, seed,

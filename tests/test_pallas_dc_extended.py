@@ -153,8 +153,9 @@ def test_fused_dc_rc_supply_finite_matches_xla():
 
 def test_fused_dc_ac1_supply_fixed_phase_matches_xla():
     """AC1 supply with a pinned phase is deterministic: the kernel's
-    (phi, t) planes replay u = max_amp sin(2 pi f t + phi) bit-for-bit
-    (voltage_supplies.py:126-166)."""
+    (theta, theta_lo) double-float phase planes replay
+    u = max_amp sin(2 pi f t + phi) (voltage_supplies.py:126-166;
+    theta(0) = phi)."""
     env = gemx.make_functional(
         "Finite-CC-PermExDc-v0",
         supply=ac_1_phase_supply(
@@ -175,9 +176,10 @@ def test_fused_dc_ac1_supply_fixed_phase_matches_xla():
     ode = np.asarray(state.phys.ode_state)
     np.testing.assert_allclose(np.asarray(out[0]).reshape(N), ode[:, 1],
                                rtol=1e-4, atol=1e-3)
-    # time plane advanced T control periods
-    np.testing.assert_allclose(np.asarray(out[2]).reshape(N), T * 1e-5,
-                               rtol=1e-4)
+    # theta plane advanced T increments past the pinned phase
+    np.testing.assert_allclose(np.asarray(out[1]).reshape(N),
+                               0.3 + T * 2.0 * np.pi * 50.0 * 1e-5,
+                               rtol=1e-5)
 
 
 def test_fused_dc_ou_load_deterministic_core_matches_xla():

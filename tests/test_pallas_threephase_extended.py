@@ -98,7 +98,8 @@ def test_fused_threephase_rc_supply_matches_xla(family):
 
 def test_fused_sync_ac1_supply_fixed_phase_matches_xla():
     """AC1 DC-link with pinned phase replays u = amp sin(2 pi f t + phi)
-    deterministically through the (phi, t) planes."""
+    deterministically through the (theta, theta_lo) double-float phase
+    planes (theta(0) = phi)."""
     env, env_id, n_core, n_ch, highs, finite, eps_col = _make_env(
         "sync", supply=ac_1_phase_supply(
             u_nominal=230.0,
@@ -116,8 +117,11 @@ def test_fused_sync_ac1_supply_fixed_phase_matches_xla():
     ode, _sup = _run_xla(env, actions, finite, n_ch)
     cols = list(range(1, n_core + 1))
     _assert_states(out[:n_core], ode, cols, env_id, eps_col=eps_col)
-    np.testing.assert_allclose(np.asarray(out[n_core + 1]).reshape(N),
-                               T * float(env.physical_system.tau), rtol=1e-4)
+    # theta plane advanced T increments past the pinned phase
+    tau = float(env.physical_system.tau)
+    np.testing.assert_allclose(np.asarray(out[n_core]).reshape(N),
+                               0.7 + T * 2.0 * np.pi * 50.0 * tau,
+                               rtol=1e-5)
 
 
 @pytest.mark.parametrize("family", ["sync", "dfim"])

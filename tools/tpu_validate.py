@@ -201,19 +201,22 @@ def switched_consts_exact():
         super_episode_length=(20, 60))
     env = gemx.make_functional("Finite-CC-PermExDc-v0",
                                reference_generator=sw)
-    # switched kernels need n_envs >= 1024 compiled (Mosaic sub-sublane
-    # row-slice crash below R=8 — _check_switched_min_envs)
-    zero = jnp.zeros((8, 128), jnp.float32)
-    roll = make_fused_record_rollout(env, 512, 1024, chunk=8)
-    out = {k: np.asarray(v) for k, v in roll(9, zero).items()}
-    r, done = out["ref_i"], out["done"]
-    is_a = np.abs(r - 0.4) < 1e-6
-    is_b = np.abs(r + 0.2) < 1e-6
-    # every non-{a,b} value must coincide with a violation-reset step
-    # (the env-reset uniform draw within the merged margins)
-    stray = ~(is_a | is_b)
-    assert stray.mean() <= done.mean() + 1e-4, (stray.mean(), done.mean())
-    assert 0.15 < is_a.mean() < 0.85
+    # run at BOTH n_envs=1024 (R=8) and n_envs=256 (R=2): small batches
+    # used to crash the Mosaic compiler on sub-sublane row-slice writes;
+    # _switched_post now stores whole aligned planes so any batch compiles
+    for n_envs in (1024, 256):
+        zero = jnp.zeros((n_envs // 128, 128), jnp.float32)
+        roll = make_fused_record_rollout(env, 512, n_envs, chunk=8)
+        out = {k: np.asarray(v) for k, v in roll(9, zero).items()}
+        r, done = out["ref_i"], out["done"]
+        is_a = np.abs(r - 0.4) < 1e-6
+        is_b = np.abs(r + 0.2) < 1e-6
+        # every non-{a,b} value must coincide with a violation-reset step
+        # (the env-reset uniform draw within the merged margins)
+        stray = ~(is_a | is_b)
+        assert stray.mean() <= done.mean() + 1e-4, (
+            n_envs, stray.mean(), done.mean())
+        assert 0.15 < is_a.mean() < 0.85, (n_envs, is_a.mean())
 
 
 def fused_ppo_improves():
