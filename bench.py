@@ -311,37 +311,66 @@ def main():
             make_fused_ppo_trainer,
         )
 
+        from gym_electric_motor_tpu.ops.pallas_policy import (
+            fused_policy_init_planes,
+            policy_act_ns,
+            policy_obs_dim,
+        )
+
         n_iters = int(os.environ.get("BENCH_PPO_ITERS", 60))
         ne, horizon = 2048, 256
+
+        def _run_ppo(env, kernel, obs_dim, n_actions):
+            init_opt, train = make_fused_ppo_trainer(
+                env, hidden=32, horizon=horizon, n_envs=ne,
+                n_minibatches=8, n_epochs=2, lr=1e-3, gamma=0.9,
+                vf_coef=0.1, ent_coef=0.01, kernel=kernel)
+            params = init_actor_critic_params(jax.random.PRNGKey(1),
+                                              obs_dim, n_actions, 32)
+            opt_state = init_opt(params)
+            planes = fused_policy_init_planes(env, ne)
+            params, opt_state, planes, _ = _retry(
+                lambda: train(params, opt_state, planes, 3, 20),
+                "fused-PPO warmup")
+            # one more discarded segment: the first post-compile segment
+            # pays the axon tunnel's data-path warmup (~2.5 s/iter once,
+            # then steady ~18 ms/iter)
+            params, opt_state, planes, rs0 = train(params, opt_state,
+                                                   planes, 23, 20)
+            float(jnp.sum(rs0))
+            t0 = time.perf_counter()
+            seed, left = 43, n_iters
+            while left > 0:
+                n = min(20, left)
+                params, opt_state, planes, rs = train(params, opt_state,
+                                                      planes, seed, n)
+                float(jnp.sum(rs))
+                seed += n
+                left -= n
+            return n_iters * ne * horizon / (time.perf_counter() - t0)
+
+        # headline: the specialized PMSM kernel (7-feature obs)
         env = gemx.make_functional(
             "Finite-CC-PMSM-v0",
             state_filter=("omega", "i_sd", "i_sq", "epsilon"))
-        init_opt, train = make_fused_ppo_trainer(
-            env, hidden=32, horizon=horizon, n_envs=ne, n_minibatches=8,
-            n_epochs=2, lr=1e-3, gamma=0.9, vf_coef=0.1, ent_coef=0.01)
-        params = init_actor_critic_params(jax.random.PRNGKey(1), 7, 8, 32)
-        opt_state = init_opt(params)
-        planes = tuple(jnp.zeros((ne // 128, 128), jnp.float32)
-                       for _ in range(3))
-        # warm (compile)
-        params, opt_state, planes, _ = _retry(
-            lambda: train(params, opt_state, planes, 3, 20),
-            "fused-PPO warmup")
-        t0 = time.perf_counter()
-        seed, left = 23, n_iters
-        while left > 0:
-            n = min(20, left)
-            params, opt_state, planes, rs = train(params, opt_state,
-                                                  planes, seed, n)
-            float(jnp.sum(rs))
-            seed += n
-            left -= n
-        dt = time.perf_counter() - t0
-        v = n_iters * ne * horizon / dt
+        v = _run_ppo(env, "pmsm", 7, 8)
         RESULTS["Finite-CC-PMSM-v0/fused-ppo-loop"] = v
         _log(f"fused-collection PPO loop: {v / 1e6:.1f}M env-steps/s "
              f"({n_iters} iters x {ne}x{horizon})")
         _persist()
+
+        # one universal-kernel row per motor family (the round-4
+        # generalization: in-kernel policies on every finite-action id)
+        for eid in ("Finite-CC-PermExDc-v0", "Finite-CC-SCIM-v0",
+                    "Finite-CC-EESM-v0", "Finite-CC-DFIM-v0",
+                    "Finite-CC-PMSM-v0"):
+            fenv = gemx.make_functional(eid)
+            vu = _run_ppo(fenv, "universal", policy_obs_dim(fenv),
+                          int(sum(policy_act_ns(fenv))))
+            RESULTS[f"{eid}/fused-ppo-universal"] = vu
+            _log(f"  universal PPO {eid}: {vu / 1e6:.1f}M env-steps/s")
+            _persist()
+
         print(json.dumps({
             "metric": "ppo_env_steps_per_s",
             "value": round(v, 1),
@@ -395,6 +424,59 @@ def main():
             "value": round(best_r, 1),
             "unit": "transitions/s",
             "vs_baseline": round(best_r / BASELINE_STEPS_PER_S, 4),
+        }))
+        return
+
+    if os.environ.get("BENCH_WRAP"):
+        # Round-4 env-arg corners fused into the family kernels: the
+        # DeadTimeProcessor action delay (carried action planes) and the
+        # ExternalSpeedLoad profile-forced speed (carried time plane +
+        # stage-time RK4) — previously XLA-path-only.
+        from gym_electric_motor_tpu.models.loads import external_speed_load
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            fused_state_arity,
+            make_fused_rollout,
+        )
+        from gym_electric_motor_tpu.wrappers import DeadTimeProcessor
+
+        n_steps = int(os.environ.get("BENCH_FUSED_STEPS", 1024000))
+        z = jnp.zeros((N_ENVS // 128, 128), jnp.float32)
+
+        def _profile(t):
+            return 60.0 * jnp.sin(2.0 * jnp.pi * 8.0 * t) + 20.0
+
+        cases = (
+            ("Finite-CC-PMSM-v0/dead-time", gemx.make_functional(
+                "Finite-CC-PMSM-v0",
+                physical_system_wrappers=(DeadTimeProcessor(steps=1),))),
+            ("Finite-CC-PermExDc-v0/dead-time", gemx.make_functional(
+                "Finite-CC-PermExDc-v0",
+                physical_system_wrappers=(DeadTimeProcessor(steps=1),))),
+            ("Cont-SC-PermExDc-v0/external-speed", gemx.make_functional(
+                "Cont-SC-PermExDc-v0",
+                load=external_speed_load(_profile, tau=1e-4))),
+            ("Cont-SC-PMSM-v0/external-speed", gemx.make_functional(
+                "Cont-SC-PMSM-v0",
+                load=external_speed_load(_profile, tau=1e-4))),
+        )
+        best_w = 0.0
+        for name, e in cases:
+            n_state = fused_state_arity(e)
+
+            def call(r, seed, _n=n_state):
+                return float(r(seed, *([z] * _n))[_n].sum())
+
+            v = _measure_fused_kernel(
+                name, lambda _e=e: make_fused_rollout(_e, n_steps, N_ENVS),
+                call, n_steps)
+            _log(f"{name} (fused): {v / 1e6:.1f}M env-steps/s")
+            best_w = max(best_w, v)
+        _persist()
+        print(json.dumps({
+            "metric": "env_steps_per_s",
+            "value": round(best_w, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(best_w / BASELINE_STEPS_PER_S, 4),
         }))
         return
 

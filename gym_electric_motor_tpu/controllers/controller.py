@@ -288,6 +288,16 @@ class GemController:
         # --- output stage
         ctrl._tune_output_stage(env, state_names, limits, low, high, out_volt_names)
 
+        # finite two-level output + FOC modulation controller: low-pass
+        # the measured modulation index over ~100 switching cycles (the
+        # raw per-cycle B6 vector always reads |a| ~ 1.33 — permanent
+        # fake overmodulation that crushes the flux command; see
+        # pmsm_ops._modulation_control)
+        if (ctrl.output_kind != "cont"
+                and isinstance(getattr(ctrl, "ops_params", None), dict)
+                and "a_max" in ctrl.ops_params):
+            ctrl.ops_params["a_filter_tau"] = 100.0 * tau
+
         # --- reference input scaling (input_stage.py:42-58)
         ref_idx = [state_names.index(r) for r in env.reference_names]
         ctrl.n_ref = len(ref_idx)
@@ -390,6 +400,9 @@ class GemController:
         low_level = -0.33 * (v_range_high - v_range_low)
         high_level = 0.33 * (v_range_high - v_range_low)
         self.disc_levels = (low_level, high_level)
+        # actual per-channel applied voltages of the two-level bridge —
+        # the sigma-delta B6 stage integrates (requested - applied)
+        self.applied_levels = (v_range_low, v_range_high)
         kind = space[0]
         if kind == "discrete":
             n = space[1]
@@ -431,6 +444,13 @@ class GemController:
             cs["cc_last_error"] = jnp.zeros(len(self.current_idx))
         if self.control_task == "SC":
             cs["sc_integrator"] = jnp.zeros(1)
+        nb6 = 0
+        if self.output_kind == "b6":
+            nb6 = 3
+        elif self.output_kind == "multidisc":
+            nb6 = 3 * sum(1 for a in self.disc_actions if a == "b6")
+        if nb6:
+            cs["b6_acc"] = jnp.zeros(nb6)
         if self.ops_kind == "pmsm":
             from .pmsm_ops import pmsm_ops_reset
 
@@ -542,7 +562,7 @@ class GemController:
             u_out = u
 
         # ---- output stage
-        action = self._output(u_out)
+        cs, action = self._output(cs, u_out)
         if collect_internals:
             return cs, action, internals
         return cs, action
@@ -617,23 +637,43 @@ class GemController:
             return eesm_select_operating_point(self, cs, state, t)
         raise NotImplementedError(k)
 
-    def _b6_action(self, u3, levels):
-        """Per-phase two-level switching -> Discrete(8) index of the B6
-        subaction table (converters.py:788-797). Extension: the reference's
-        to_b6_discrete raises NotImplementedError."""
-        upper = (u3 >= levels).astype(jnp.int32)
-        return 4 * upper[0] + 2 * upper[1] + upper[2]
+    def _b6_action(self, u3, levels, acc, lo3, hi3):
+        """First-order sigma-delta two-level switching -> Discrete(8) index
+        of the B6 subaction table (converters.py:788-797).  Extension: the
+        reference's to_b6_discrete raises NotImplementedError upstream.
 
-    def _output(self, u_out):
+        A plain per-phase sign comparison loses the requested voltage
+        MAGNITUDE (every cycle applies a full +-u_sup/2 vector), which
+        starves the small d-axis (flux) component on the DFIM torque task
+        (measured: i_sd reaches only 40% of its reference while i_sq
+        tracks — tests/test_controllers.py).  Integrating the per-phase
+        quantization error (requested - applied, clamped to one full
+        swing) and comparing the compensated voltage makes the applied
+        CYCLE-AVERAGE track the request, like a 1-bit sigma-delta DAC.
+        The first cycle (acc = 0) reduces to the plain sign comparison."""
+        u_eff = u3 + acc
+        upper = (u_eff >= levels).astype(jnp.int32)
+        applied = jnp.where(upper == 1, hi3, lo3)
+        span = hi3 - lo3
+        acc_new = jnp.clip(acc + (u3 - applied), -span, span)
+        return 4 * upper[0] + 2 * upper[1] + upper[2], acc_new
+
+    def _output(self, cs, u_out):
         lims = jnp.asarray(self.output_limits, u_out.dtype)
         if self.output_kind == "cont":
             a = u_out / lims  # cont_output_stage.py:23-24
             if self.action_pad:
                 a = jnp.concatenate([a, jnp.zeros((self.action_pad,), a.dtype)])
-            return a
+            return cs, a
         low_level, high_level = self.disc_levels
         if self.output_kind == "b6":
-            return self._b6_action(u_out[:3], jnp.asarray(0.5 * (low_level + high_level))[:3])
+            lo3 = jnp.asarray(self.applied_levels[0])[:3]
+            hi3 = jnp.asarray(self.applied_levels[1])[:3]
+            action, acc = self._b6_action(
+                u_out[:3], jnp.asarray(0.5 * (low_level + high_level))[:3],
+                cs["b6_acc"], lo3, hi3)
+            cs["b6_acc"] = acc
+            return cs, action
         if self.output_kind == "disc":
             low_a, idle_a, high_a = self.disc_actions
             lvl = jnp.select(
@@ -641,10 +681,12 @@ class GemController:
                 [jnp.full_like(u_out, low_a), jnp.full_like(u_out, high_a)],
                 jnp.full_like(u_out, idle_a),
             ).astype(jnp.int32)
-            return lvl[0]
+            return cs, lvl[0]
         # multidisc: map each sub-range of the output voltages
         actions = []
         pos = 0
+        acc_pos = 0
+        accs = []
         for acts in self.disc_actions:
             if acts == "zero":
                 actions.append(jnp.zeros((), jnp.int32))
@@ -652,8 +694,14 @@ class GemController:
                 seg = u_out[pos: pos + 3]
                 mid = 0.5 * (jnp.asarray(low_level)[pos: pos + 3]
                              + jnp.asarray(high_level)[pos: pos + 3])
-                actions.append(self._b6_action(seg, mid))
+                lo3 = jnp.asarray(self.applied_levels[0])[pos: pos + 3]
+                hi3 = jnp.asarray(self.applied_levels[1])[pos: pos + 3]
+                a, acc = self._b6_action(
+                    seg, mid, cs["b6_acc"][acc_pos: acc_pos + 3], lo3, hi3)
+                actions.append(a)
+                accs.append(acc)
                 pos += 3
+                acc_pos += 3
             else:
                 low_a, idle_a, high_a = acts
                 v = u_out[pos]
@@ -661,7 +709,9 @@ class GemController:
                               jnp.where(v >= high_level[pos], high_a, idle_a))
                 actions.append(a.astype(jnp.int32))
                 pos += 1
-        return jnp.stack(actions)
+        if accs:
+            cs["b6_acc"] = jnp.concatenate(accs)
+        return cs, jnp.stack(actions)
 
     # ------------------------------------------------------------------
     # Closed-loop convenience (gem_controller.py:144-173)

@@ -149,6 +149,7 @@ def scim_ops_reset():
     return {
         "mod_integrated": jnp.zeros(()),
         "mod_limited": jnp.zeros((), bool),
+        "mod_a_filt": jnp.zeros((2,)),
         "fc_integrator": jnp.zeros(()),
     }
 
@@ -373,6 +374,7 @@ def eesm_ops_reset():
     return {
         "mod_integrated": jnp.zeros(()),
         "mod_limited": jnp.zeros((), bool),
+        "mod_a_filt": jnp.zeros((2,)),
     }
 
 

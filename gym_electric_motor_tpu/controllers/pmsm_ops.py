@@ -343,13 +343,33 @@ def pmsm_ops_reset():
     return {
         "mod_integrated": jnp.zeros(()),
         "mod_limited": jnp.zeros((), bool),
+        "mod_a_filt": jnp.zeros((2,)),
     }
 
 
 def _modulation_control(pp, cs, state):
-    """foc_operation_point_selection.py:110-147, branch-free."""
+    """foc_operation_point_selection.py:110-147, branch-free.
+
+    Finite (two-level) output stages additionally low-pass the measured
+    modulation index (``a_filter_tau``): the per-cycle applied B6 vector
+    always has FULL magnitude (a ~ 1.33 every active cycle), so the raw
+    reference law — built for duty-cycle-averaged continuous outputs —
+    reads permanent overmodulation, winds its integrator to the floor and
+    crushes the flux command (measured on Finite-TC-DFIM: i_sd* at 40%,
+    torque at 45% of reference).  PT1-filtering the dq voltage
+    COMPONENTS over ~100 switching cycles (they are quasi-DC in the
+    field frame; filtering |u| would still read E[|u|] ~ 1.33) recovers
+    the duty-cycle-average modulation index the law expects.  The
+    reference never exercises this path (its finite AC torque tune
+    crashes upstream) — extension, tests/test_controllers.py.
+    """
     u_sd, u_sq = state[pp["u_sd_idx"]], state[pp["u_sq_idx"]]
     omega = jnp.maximum(jnp.abs(state[pp["omega_idx"]]), 1e-4)
+    if pp.get("a_filter_tau"):
+        k_f = pp["tau"] / pp["a_filter_tau"]
+        u_f = cs["mod_a_filt"] + k_f * (jnp.stack([u_sd, u_sq])
+                                        - cs["mod_a_filt"])
+        u_sd, u_sq = u_f[0], u_f[1]
     a = 2.0 * jnp.sqrt(u_sd**2 + u_sq**2) / pp["u_dc"]
     integrated = jnp.where(a > 1.1 * pp["a_max"],
                            pp["integrated_reset"], cs["mod_integrated"])
@@ -378,6 +398,8 @@ def _modulation_control(pp, cs, state):
                                   pp["integ_floor"], 0.0)
         psi = jnp.maximum(psi, pp["psi_rel_floor"] * psi_max_)
     new_cs = {"mod_integrated": new_integrated, "mod_limited": new_limited}
+    if pp.get("a_filter_tau"):
+        new_cs["mod_a_filt"] = u_f
     return psi, new_cs
 
 

@@ -130,7 +130,7 @@ def external_speed_load(speed_profile, tau=1e-4, speed_profile_kwargs=None,
         kind="ExternalSpeedLoad",
         state_names=("omega",),
         j_load=0.0,
-        parameter={},
+        parameter={"tau": float(tau)},
         limits={},
         nominal={},
         initializer={"states": {"omega": omega0}, "interval": None, "random_init": None,

@@ -71,25 +71,30 @@ _FUSED_OK_WRAPPERS = ("CurrentSumProcessor", "CosSinProcessor",
                       "FluxObserver")
 
 
-def _fused_check_system(ps):
+def _fused_check_system(ps, allow_dead_time=False):
     """Reject silently-ignorable-but-wrong env configurations LOUDLY.
 
     Observation-only wrappers (CurrentSum/CosSin/FluxObserver,
     physical_system_wrappers/) are fine: the fused kernels derive
     rewards/constraints from the raw drive state and never emit wrapper
-    observation channels.  Wrappers that change the physics or the action
-    contract (DeadTimeProcessor's action delay, StateNoiseProcessor's
-    reward-relevant state noise, DqToAbcActionProcessor) and
-    ``control_space='dq'`` systems (2/3-dim dq actions vs the kernels'
-    abc sampling) must run on the general XLA path — without this check
-    the kernels would simulate different physics than the env contract.
+    observation channels.  The DeadTimeProcessor action delay is fused by
+    the universal FAMILY builders (``allow_dead_time=True`` — carried
+    action planes, see ``_wrap_dead_time``) but not by the specialized
+    kernels.  Wrappers that change the physics or the action contract
+    otherwise (StateNoiseProcessor's reward-relevant state noise,
+    DqToAbcActionProcessor) and ``control_space='dq'`` systems (2/3-dim
+    dq actions vs the kernels' abc sampling) must run on the general XLA
+    path — without this check the kernels would simulate different
+    physics than the env contract.
     """
+    ok = _FUSED_OK_WRAPPERS + (("DeadTimeProcessor",) if allow_dead_time
+                               else ())
     chain = []
     cur = ps
     while hasattr(cur, "inner"):  # PhysicalSystemWrapper chain
         chain.append(type(cur).__name__)
         cur = cur.inner
-    bad = [n for n in chain if n not in _FUSED_OK_WRAPPERS]
+    bad = [n for n in chain if n not in ok]
     if bad:
         raise NotImplementedError(
             f"fused kernels support observation-only wrappers "
@@ -100,6 +105,106 @@ def _fused_check_system(ps):
             "fused kernels sample abc converter actions; "
             "control_space='dq' runs on the general XLA path "
             "(VectorEnv.rollout)")
+
+
+def _fused_dead_time_steps(ps):
+    """Total DeadTimeProcessor delay (control cycles) in the wrapper
+    chain; 0 when absent (dead_time_processor.py:9-88)."""
+    cur, steps = ps, 0
+    while hasattr(cur, "inner"):
+        if type(cur).__name__ == "DeadTimeProcessor":
+            steps += int(cur.dead_time)
+        cur = cur.inner
+    return steps
+
+
+def _wrap_mech_time(mload, tau, physics, advance, n_bridge, has_cs, k_int):
+    """Append ONE carried float32 time plane for time-dependent mechanical
+    models (ExternalSpeedLoad): the cycle-start absolute time, accumulated
+    ``t += tau`` in float32 exactly like the XLA path's ``PhysicsState.t``
+    (bit-lockstep; the kernels' violation reset to 0 reproduces the env
+    reset restarting the profile at t = 0).  The wrapped physics strips
+    the plane off the carried ``bs`` tuple and passes it as ``t0`` so the
+    family RK4 can evaluate the profile at the stage times, matching
+    ``ops.integrators.rk4_step``.  Identity pass-through for
+    time-independent loads."""
+    base = (jnp.int32,) * n_bridge
+    if not getattr(mload, "needs_time", False):
+        return physics, advance, n_bridge, base
+    if k_int > 0.0:
+        raise NotImplementedError(
+            "ExternalSpeedLoad with interlocking dead time is not fused "
+            "(sub-interval stage times) — use the general XLA path")
+
+    if has_cs:
+        def physics2(state, a, c, s, z=None, bs=None):
+            t0 = bs[-1]
+            ibs = tuple(bs[:-1]) or None
+            return physics(state, a, c, s, z, ibs, t0=t0)
+    else:
+        def physics2(state, a, z=None, bs=None):
+            t0 = bs[-1]
+            ibs = tuple(bs[:-1]) or None
+            return physics(state, a, z, ibs, t0=t0)
+
+    def advance2(bs, acts):
+        t0 = bs[-1]
+        ibs = tuple(bs[:-1]) or None
+        inner = advance(ibs, acts) if n_bridge else ()
+        return tuple(inner) + (t0 + np.float32(tau),)
+
+    return physics2, advance2, n_bridge + 1, base + (jnp.float32,)
+
+
+def _wrap_dead_time(ps, act_dtypes, inner_physics, inner_advance,
+                    n_bridge, has_cs, base_dtypes=None):
+    """Fuse the DeadTimeProcessor action delay into a family's physics/
+    bridge closures (dead_time_processor.py:9-88: the converter applies
+    the action from ``steps`` control cycles ago; the delay deque starts
+    as zero actions after every reset).
+
+    The deque becomes ``steps * n_planes`` extra carried planes PREPENDED
+    to the family's bridge planes (newest action first), riding the same
+    fori-carry / scratch machinery — the kernels' violation reset to 0
+    reproduces the wrapper's zero-action refill.  ``act_dtypes`` gives
+    one dtype per action plane (int32 finite / float32 cont);
+    ``has_cs`` selects the three-phase closure signature
+    ``(state, a, c, s, z, bs)`` vs the DC/induction ``(state, a, z, bs)``.
+
+    Returns ``(physics', advance', n_bridge', bridge_dtypes')`` —
+    identity pass-through when the env has no DeadTimeProcessor.
+    """
+    steps = _fused_dead_time_steps(ps)
+    if base_dtypes is None:
+        base_dtypes = (jnp.int32,) * n_bridge
+    if not steps:
+        return inner_physics, inner_advance, n_bridge, base_dtypes
+    n_pl = len(act_dtypes)
+    n_d = steps * n_pl
+
+    def _delayed(bs, acts):
+        """(the action applied THIS cycle, the inner bridge planes)"""
+        d = bs[:n_d]
+        inner = tuple(bs[n_d:]) or None
+        old = tuple(d[(steps - 1) * n_pl: steps * n_pl])
+        return (old if isinstance(acts, tuple) else old[0]), inner
+
+    if has_cs:
+        def physics(state, action, c, s, z=None, bs=None):
+            a_d, ibs = _delayed(bs, action)
+            return inner_physics(state, a_d, c, s, z, ibs)
+    else:
+        def physics(state, action, z=None, bs=None):
+            a_d, ibs = _delayed(bs, action)
+            return inner_physics(state, a_d, z, ibs)
+
+    def advance(bs, acts):
+        a_d, ibs = _delayed(bs, acts)
+        new_inner = inner_advance(ibs, a_d) if n_bridge else ()
+        new = acts if isinstance(acts, tuple) else (acts,)
+        return tuple(new) + tuple(bs[:n_d - n_pl]) + tuple(new_inner)
+
+    return physics, advance, n_bridge + n_d, act_dtypes * steps + base_dtypes
 
 
 def _make_fused_supply(ps, shape, tau):
@@ -235,8 +340,8 @@ def _make_fused_mech(ps, j_rotor, shape):
     the XLA path's per-step draw).
     """
     load = _fused_load(ps, ("ConstantSpeedLoad", "PolynomialStaticLoad",
-                            "OrnsteinUhlenbeckLoad"))
-    mech_rhs = omega_reset = None
+                            "OrnsteinUhlenbeckLoad", "ExternalSpeedLoad"))
+    mech_rhs = mech_rhs_t = omega_reset = None
     omega_fixed = None
     needs_step_noise = False
 
@@ -279,12 +384,37 @@ def _make_fused_mech(ps, j_rotor, shape):
             # omega ~ U(omega_lo, omega_hi) (loads.py initializer)
             u_r = _uniform_from_bits(bits(shape))
             return np.float32(w_lo) + np.float32(w_hi - w_lo) * u_r
+    elif load.kind == "ExternalSpeedLoad":
+        # omega forced onto the host-defined profile by forward-Euler
+        # forcing (external_speed_load.py:113-119; loads.py factory): the
+        # rhs is TIME-DEPENDENT, so the families pass the RK4 stage time
+        # ``ts`` (cycle-start time from the carried float plane, see
+        # ``_wrap_mech_time``) and the profile closure traces into the
+        # kernel — it must be pure jnp with no captured device arrays
+        # (the same contract the jitted XLA path already imposes).
+        mode = "external"
+        profile = load.speed_profile
+        pk = dict(load.speed_profile_kwargs or {})
+        tau_l = float(load.parameter["tau"])
+
+        def mech_rhs_t(w, t_e, z, ts):
+            w_next = profile(t=ts + np.float32(tau_l), **pk)
+            return (w_next - w) * np.float32(1.0 / tau_l)
+
+        # evaluated at BUILD time (inside the kernel trace omnistaging
+        # would turn even this constant profile(0) into a tracer)
+        omega0_ext = np.float32(float(profile(t=0.0, **pk)))
+
+        def omega_reset(bits):
+            return jnp.full(shape, omega0_ext)
     else:
         mode = "const"
         omega_fixed = float(load.omega_fixed)
 
     return SimpleNamespace(mode=mode, mech=mode != "const",
                            omega_fixed=omega_fixed, mech_rhs=mech_rhs,
+                           mech_rhs_t=mech_rhs_t,
+                           needs_time=mode == "external",
                            omega_reset=omega_reset,
                            needs_step_noise=needs_step_noise)
 

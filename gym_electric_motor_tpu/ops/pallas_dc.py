@@ -20,6 +20,8 @@ from .pallas_common import (
     _c2i,
     _c2u,
     _fused_check_system,
+    _wrap_dead_time,
+    _wrap_mech_time,
     _fused_interlock,
     _fused_load,
     _fused_u_sup,
@@ -598,7 +600,7 @@ def _dc_family(env, R, action_mode):
     ``fused_state_arity`` accounts for them.
     """
     ps = env.physical_system
-    _fused_check_system(ps)
+    _fused_check_system(ps, allow_dead_time=True)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -792,11 +794,13 @@ def _dc_family(env, R, action_mode):
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
 
-    def core_rhs(core, u, z):
+    def core_rhs(core, u, z, ts=None):
         if not mech:
             return el_rhs(omega_fixed, core, u)
         w, el = core[0], core[1:]
-        return (mload.mech_rhs(w, torque(el), z),) + el_rhs(w, el, u)
+        dw = (mload.mech_rhs_t(w, torque(el), z, ts) if mload.needs_time
+              else mload.mech_rhs(w, torque(el), z))
+        return (dw,) + el_rhs(w, el, u)
 
     # --- supply model (shared helper) ---
     sup = _make_fused_supply(ps, shape, tau)
@@ -809,20 +813,23 @@ def _dc_family(env, R, action_mode):
     def split(state):
         return state[:n_core], state[n_core:]
 
-    def rk4(core, u, z, dt):
+    def rk4(core, u, z, dt, t0=None):
         def axpy(s, k, c):
             return tuple(si + c * ki for si, ki in zip(s, k))
 
-        k1 = core_rhs(core, u, z)
-        k2 = core_rhs(axpy(core, k1, 0.5 * dt), u, z)
-        k3 = core_rhs(axpy(core, k2, 0.5 * dt), u, z)
-        k4 = core_rhs(axpy(core, k3, dt), u, z)
+        tm = te = None
+        if t0 is not None:
+            tm, te = t0 + 0.5 * dt, t0 + dt
+        k1 = core_rhs(core, u, z, t0)
+        k2 = core_rhs(axpy(core, k1, 0.5 * dt), u, z, tm)
+        k3 = core_rhs(axpy(core, k2, 0.5 * dt), u, z, tm)
+        k4 = core_rhs(axpy(core, k3, dt), u, z, te)
         return tuple(
             s + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for s, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
-    def step_physics(state, acts, z=None, bs=None):
+    def step_physics(state, acts, z=None, bs=None, t0=None):
         core, sup_planes = split(state)
         el_pre = core[1:] if mech else core
         i_in = i_in_fn(el_pre)
@@ -888,7 +895,7 @@ def _dc_family(env, R, action_mode):
 
         u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
                   for j in range(n_ch))
-        return rk4(core, u, z, tau) + sup_new
+        return rk4(core, u, z, tau, t0) + sup_new
 
     def reset_state(bits):
         """Per-plane in-kernel reset values (drawn fresh every step,
@@ -958,6 +965,16 @@ def _dc_family(env, R, action_mode):
             * _uniform_from_bits(bits(shape))
             for j in range(n_ch))
 
+    # --- DeadTimeProcessor fused as carried action planes (see
+    #     pallas_common._wrap_dead_time) ---
+    step_physics, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_mech_time(mload, tau, step_physics, advance_bridges,
+                        n_bridge, has_cs=False, k_int=k_int)
+    step_physics, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_dead_time(ps, (jnp.int32,) * n_ch if finite else (jnp.float32,) * n_ch,
+                        step_physics, advance_bridges, n_bridge,
+                        has_cs=False, base_dtypes=bridge_dtypes)
+
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = (("omega",) if mech else ()) + el_names + sup.names
     act_names = ("action",) if n_ch == 1 else ("action_a", "action_e")
@@ -993,7 +1010,7 @@ def _dc_family(env, R, action_mode):
         pre_step=pre_step, step=step, quantities=quantities,
         mech_mode=mech_mode, sup_mode=sup_mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
-        n_bridge=n_bridge, advance_bridges=advance_bridges,
+        n_bridge=n_bridge, bridge_dtypes=bridge_dtypes, advance_bridges=advance_bridges,
     )
 
 
@@ -1086,7 +1103,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
             return tuple(jnp.where(violated, 0, b)
                          for b in fs.advance_bridges(bs, acts))
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
@@ -1116,7 +1133,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
                 return 0
             return fs.advance_bridges(bs, acts)
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
 

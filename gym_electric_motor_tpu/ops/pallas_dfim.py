@@ -17,6 +17,8 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _wrap_dead_time,
+    _wrap_mech_time,
     _fused_interlock,
     _fused_load,
     _fused_u_sup,
@@ -291,7 +293,7 @@ def _dfim_family(env, R, action_mode):
     (``make_fused_dfim_family_rollout``) and the generic trajectory
     recorder (``ops.pallas_record``)."""
     ps = env.physical_system
-    _fused_check_system(ps)
+    _fused_check_system(ps, allow_dead_time=True)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -347,12 +349,13 @@ def _dfim_family(env, R, action_mode):
         return di_sa, di_sb, dps_a, dps_b
 
     if mech:
-        def rhs(core, us, z):
+        def rhs(core, us, z, ts=None):
             w, el, eps = core[0], core[1:5], core[5]
-            dw = mload.mech_rhs(w, torque(el), z)
+            dw = (mload.mech_rhs_t(w, torque(el), z, ts)
+                  if mload.needs_time else mload.mech_rhs(w, torque(el), z))
             return (dw,) + el_rhs(w, el, *us) + (p * w,)
     else:
-        def rhs(core, us, z):
+        def rhs(core, us, z, ts=None):
             el, eps = core[0:4], core[4]
             return (el_rhs(omega_fixed, el, *us)
                     + (np.float32(p * omega_fixed) + 0.0 * eps,))
@@ -430,20 +433,23 @@ def _dfim_family(env, R, action_mode):
         return (u_sal, u_sbe,
                 c * u_ral0 - s * u_rbe0, s * u_ral0 + c * u_rbe0)
 
-    def rk4(core, us, z, dt):
+    def rk4(core, us, z, dt, t0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
-        k1 = rhs(core, us, z)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), us, z)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), us, z)
-        k4 = rhs(axpy(core, k3, dt), us, z)
+        tm = te = None
+        if t0 is not None:
+            tm, te = t0 + 0.5 * dt, t0 + dt
+        k1 = rhs(core, us, z, t0)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), us, z, tm)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), us, z, tm)
+        k4 = rhs(axpy(core, k3, dt), us, z, te)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
-    def physics_step(state, action, c, s, z=None, bs=None):
+    def physics_step(state, action, c, s, z=None, bs=None, t0=None):
         core, sup_planes = state[:n_core], state[n_core:]
         finite_il = finite and k_int > 0.0
         i_s_abc = i_r_abc = None
@@ -490,7 +496,7 @@ def _dfim_family(env, R, action_mode):
 
         us = _us_of(voltage_fracs(action, i_s_abc, i_r_abc), u_sup_val,
                     c, s)
-        return rk4(core, us, z, tau) + sup_new
+        return rk4(core, us, z, tau, t0) + sup_new
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -543,6 +549,16 @@ def _dfim_family(env, R, action_mode):
                     ((b >> jnp.uint32(3)) & jnp.uint32(7)).astype(jnp.int32))
         return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
                      for _ in range(6))
+
+    # --- DeadTimeProcessor fused as carried action planes (see
+    #     pallas_common._wrap_dead_time) ---
+    physics_step, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_mech_time(mload, tau, physics_step, advance_bridges,
+                        n_bridge, has_cs=True, k_int=k_int)
+    physics_step, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_dead_time(ps, (jnp.int32,) * 2 if finite else (jnp.float32,) * 6,
+                        physics_step, advance_bridges, n_bridge,
+                        has_cs=True, base_dtypes=bridge_dtypes)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
@@ -616,7 +632,7 @@ def _dfim_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
-        reset_state=reset_state, n_bridge=n_bridge,
+        reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         advance_bridges=advance_bridges,
     )
 
@@ -734,7 +750,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             return tuple(jnp.where(violated, 0, b)
                          for b in fs.advance_bridges(bs, action))
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
@@ -768,7 +784,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
                 return 0
             return fs.advance_bridges(bs, action)
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
 

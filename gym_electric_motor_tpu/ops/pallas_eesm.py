@@ -19,6 +19,8 @@ from .pallas_common import (
     _c2i,
     _c2u,
     _fused_check_system,
+    _wrap_dead_time,
+    _wrap_mech_time,
     _fused_interlock,
     _fused_load,
     _fused_u_sup,
@@ -283,7 +285,7 @@ def _eesm_family(env, R, action_mode):
     (``make_fused_eesm_family_rollout``) and the generic trajectory
     recorder (``ops.pallas_record``)."""
     ps = env.physical_system
-    _fused_check_system(ps)
+    _fused_check_system(ps, allow_dead_time=True)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -336,12 +338,14 @@ def _eesm_family(env, R, action_mode):
         return di_sd, di_sq, di_e
 
     if mech:
-        def rhs(core, u_d, u_q, u_e, z):
+        def rhs(core, u_d, u_q, u_e, z, ts=None):
             w, i_sd, i_sq, i_e, eps = core
-            dw = mload.mech_rhs(w, torque3(i_sd, i_sq, i_e), z)
+            dw = (mload.mech_rhs_t(w, torque3(i_sd, i_sq, i_e), z, ts)
+                  if mload.needs_time
+                  else mload.mech_rhs(w, torque3(i_sd, i_sq, i_e), z))
             return (dw,) + el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e) + (p * w,)
     else:
-        def rhs(core, u_d, u_q, u_e, z):
+        def rhs(core, u_d, u_q, u_e, z, ts=None):
             i_sd, i_sq, i_e, eps = core
             return (el_rhs(omega_fixed, i_sd, i_sq, i_e, u_d, u_q, u_e)
                     + (np.float32(p * omega_fixed) + 0.0 * eps,))
@@ -425,20 +429,23 @@ def _eesm_family(env, R, action_mode):
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
         return (c * u_al + s * u_be, -s * u_al + c * u_be, fe * u_sup_val)
 
-    def rk4(core, u_d, u_q, u_e, z, dt):
+    def rk4(core, u_d, u_q, u_e, z, dt, t0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
-        k1 = rhs(core, u_d, u_q, u_e, z)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, u_e, z)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, u_e, z)
-        k4 = rhs(axpy(core, k3, dt), u_d, u_q, u_e, z)
+        tm = te = None
+        if t0 is not None:
+            tm, te = t0 + 0.5 * dt, t0 + dt
+        k1 = rhs(core, u_d, u_q, u_e, z, t0)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, u_e, z, tm)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, u_e, z, tm)
+        k4 = rhs(axpy(core, k3, dt), u_d, u_q, u_e, z, te)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
-    def physics_step(state, action, c, s, z=None, bs=None):
+    def physics_step(state, action, c, s, z=None, bs=None, t0=None):
         core, sup_planes = state[:n_core], state[n_core:]
         finite_il = finite and k_int > 0.0
         i_abc = i_e = None
@@ -485,7 +492,7 @@ def _eesm_family(env, R, action_mode):
             return rk4(core_mid, *u1, z, dt1) + sup_new
 
         u = _udqe(voltage_fracs(action, i_abc, i_e), u_sup_val, c, s)
-        return rk4(core, *u, z, tau) + sup_new
+        return rk4(core, *u, z, tau, t0) + sup_new
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -518,6 +525,16 @@ def _eesm_family(env, R, action_mode):
                     ((b >> jnp.uint32(3)) & jnp.uint32(3)).astype(jnp.int32))
         return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
                      for _ in range(4))
+
+    # --- DeadTimeProcessor fused as carried action planes (see
+    #     pallas_common._wrap_dead_time) ---
+    physics_step, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_mech_time(mload, tau, physics_step, advance_bridges,
+                        n_bridge, has_cs=True, k_int=k_int)
+    physics_step, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_dead_time(ps, (jnp.int32,) * 2 if finite else (jnp.float32,) * 4,
+                        physics_step, advance_bridges, n_bridge,
+                        has_cs=True, base_dtypes=bridge_dtypes)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
@@ -581,7 +598,7 @@ def _eesm_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
-        reset_state=reset_state, n_bridge=n_bridge,
+        reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         advance_bridges=advance_bridges,
     )
 
@@ -703,7 +720,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             return tuple(jnp.where(violated, 0, b)
                          for b in fs.advance_bridges(bs, action))
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
@@ -737,7 +754,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
                 return 0
             return fs.advance_bridges(bs, action)
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
 

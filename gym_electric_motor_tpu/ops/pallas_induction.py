@@ -17,6 +17,8 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _wrap_dead_time,
+    _wrap_mech_time,
     _fused_interlock,
     _fused_load,
     _fused_u_sup,
@@ -238,7 +240,7 @@ def _induction_family(env, R, action_mode):
     reducing rollout (``make_fused_induction_rollout``) and the generic
     trajectory recorder (``ops.pallas_record``)."""
     ps = env.physical_system
-    _fused_check_system(ps)
+    _fused_check_system(ps, allow_dead_time=True)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -285,12 +287,13 @@ def _induction_family(env, R, action_mode):
         return k_t * (el[2] * el[1] - el[3] * el[0])
 
     if mech:
-        def rhs(core, u_al, u_be, z):
+        def rhs(core, u_al, u_be, z, ts=None):
             w, el = core[0], core[1:]
-            dw = mload.mech_rhs(w, torque(el), z)
+            dw = (mload.mech_rhs_t(w, torque(el), z, ts)
+                  if mload.needs_time else mload.mech_rhs(w, torque(el), z))
             return (dw,) + el_rhs(w, el, u_al, u_be)
     else:
-        def rhs(core, u_al, u_be, z):
+        def rhs(core, u_al, u_be, z, ts=None):
             return el_rhs(omega_fixed, core, u_al, u_be)
 
     n_core = 4 + (1 if mech else 0)
@@ -323,20 +326,23 @@ def _induction_family(env, R, action_mode):
         return ((2.0 / 3.0) * (u_abc[0] - 0.5 * (u_abc[1] + u_abc[2])),
                 np.float32(1.0 / np.sqrt(3.0)) * (u_abc[1] - u_abc[2]))
 
-    def rk4(core, u_al, u_be, z, dt):
+    def rk4(core, u_al, u_be, z, dt, t0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
-        k1 = rhs(core, u_al, u_be, z)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), u_al, u_be, z)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), u_al, u_be, z)
-        k4 = rhs(axpy(core, k3, dt), u_al, u_be, z)
+        tm = te = None
+        if t0 is not None:
+            tm, te = t0 + 0.5 * dt, t0 + dt
+        k1 = rhs(core, u_al, u_be, z, t0)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_al, u_be, z, tm)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_al, u_be, z, tm)
+        k4 = rhs(axpy(core, k3, dt), u_al, u_be, z, te)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
-    def step_physics(state, action, z=None, bs=None):
+    def step_physics(state, action, z=None, bs=None, t0=None):
         core, sup_planes = state[:n_core], state[n_core:]
         finite_il = finite and k_int > 0.0
         i_abc = None
@@ -374,7 +380,7 @@ def _induction_family(env, R, action_mode):
 
         u_al, u_be = _uab(tuple(f * u_sup_val
                                 for f in abc_frac(action, i_abc)))
-        return rk4(core, u_al, u_be, z, tau) + sup_new
+        return rk4(core, u_al, u_be, z, tau, t0) + sup_new
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -437,6 +443,16 @@ def _induction_family(env, R, action_mode):
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0,
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0)
 
+    # --- DeadTimeProcessor fused as carried action planes (see
+    #     pallas_common._wrap_dead_time) ---
+    step_physics, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_mech_time(mload, tau, step_physics, advance_bridges,
+                        n_bridge, has_cs=False, k_int=k_int)
+    step_physics, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_dead_time(ps, (jnp.int32,) if finite else (jnp.float32,) * 3,
+                        step_physics, advance_bridges, n_bridge,
+                        has_cs=False, base_dtypes=bridge_dtypes)
+
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta")
@@ -494,7 +510,7 @@ def _induction_family(env, R, action_mode):
         quantities=quantities,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
-        n_bridge=n_bridge, advance_bridges=advance_bridges,
+        n_bridge=n_bridge, bridge_dtypes=bridge_dtypes, advance_bridges=advance_bridges,
     )
 
 
@@ -587,7 +603,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             return tuple(jnp.where(violated, 0, b)
                          for b in fs.advance_bridges(bs, action))
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
@@ -616,7 +632,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
                 return 0
             return fs.advance_bridges(bs, action)
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
 

@@ -982,6 +982,7 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     has_rot = getattr(fs, "rot_advance", None) is not None
     has_wf = _ref_needs_wf(ref_cfg)
     n_prev = getattr(fs, "n_bridge", 0)
+    bds = getattr(fs, "bridge_dtypes", (jnp.int32,) * n_prev)
 
     def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref, *refs):
         state0 = refs[:n_state]
@@ -1025,8 +1026,8 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
                 c0, s0_ = fs.rot_init(tuple(s0[:] for s0 in state0))
                 c_ref[:] = c0
                 s_ref[:] = s0_
-            for pa in bs_refs:
-                pa[:] = jnp.zeros(shape, jnp.int32)
+            for pa, dt in zip(bs_refs, bds):
+                pa[:] = jnp.zeros(shape, dt)
             w_init()
 
         def body(k, _):
@@ -1153,7 +1154,7 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
            if has_rot else [])
         + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
-        + [pltpu.VMEM(shape, jnp.int32) for _ in range(n_prev)]
+        + [pltpu.VMEM(shape, dt) for dt in bds]
     )
 
     @jax.jit

@@ -90,6 +90,9 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
 
     const = pl.BlockSpec((R, LANE), lambda i: (0, 0))
 
+    bds = getattr(fs, "bridge_dtypes",
+                  (jnp.int32,) * getattr(fs, "n_bridge", 0))
+
     if action_mode == "buffer":
         assert not fs.needs_step_noise, (
             "buffer (bit-validation) mode needs deterministic physics; "
@@ -110,8 +113,8 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
             def _():
                 for ss, s0 in zip(state_s, state0):
                     ss[:] = s0[:]
-                for pa in pa_refs:
-                    pa[:] = jnp.zeros(shape, jnp.int32)
+                for pa, dt in zip(pa_refs, bds):
+                    pa[:] = jnp.zeros(shape, dt)
 
             def body(k, _):
                 acts = fs.read_actions(acts_ref, k)
@@ -148,8 +151,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                 out_specs=(tblk,) * n_state,
                 scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
                                 for _ in range(n_state)]
-                + [pltpu.VMEM(shape, jnp.int32)
-                   for _ in range(n_prev_b)],
+                + [pltpu.VMEM(shape, dt) for dt in bds],
                 interpret=interpret,
             )(actions, *state0)
             return dict(zip(fs.state_names, out))
@@ -219,8 +221,8 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                 c0, s0_ = fs.rot_init(tuple(s0[:] for s0 in state0))
                 c_ref[:] = c0
                 s_ref[:] = s0_
-            for pa in bs_refs:
-                pa[:] = jnp.zeros(shape, jnp.int32)
+            for pa, dt in zip(bs_refs, bds):
+                pa[:] = jnp.zeros(shape, dt)
             w_init()
 
         def body(k, _):
@@ -286,7 +288,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
            if has_rot else [])
         + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
-        + [pltpu.VMEM(shape, jnp.int32) for _ in range(n_prev)]
+        + [pltpu.VMEM(shape, dt) for dt in bds]
     )
 
     @jax.jit

@@ -19,6 +19,8 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _wrap_dead_time,
+    _wrap_mech_time,
     _fused_interlock,
     _fused_load,
     _fused_u_sup,
@@ -507,7 +509,7 @@ def _sync_family(env, R, action_mode):
     reducing rollout (``make_fused_sync_rollout``) and the generic
     trajectory recorder (``ops.pallas_record``)."""
     ps = env.physical_system
-    _fused_check_system(ps)
+    _fused_check_system(ps, allow_dead_time=True)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -549,13 +551,15 @@ def _sync_family(env, R, action_mode):
         return di_sd, di_sq
 
     if mech:
-        def rhs(core, u_d, u_q, z):
+        def rhs(core, u_d, u_q, z, ts=None):
             w, i_sd, i_sq, eps = core
-            dw = mload.mech_rhs(w, torque(i_sd, i_sq), z)
+            dw = (mload.mech_rhs_t(w, torque(i_sd, i_sq), z, ts)
+                  if mload.needs_time
+                  else mload.mech_rhs(w, torque(i_sd, i_sq), z))
             di_sd, di_sq = el_rhs(w, i_sd, i_sq, u_d, u_q)
             return dw, di_sd, di_sq, p * w
     else:
-        def rhs(core, u_d, u_q, z):
+        def rhs(core, u_d, u_q, z, ts=None):
             i_sd, i_sq, eps = core
             di_sd, di_sq = el_rhs(omega_fixed, i_sd, i_sq, u_d, u_q)
             return di_sd, di_sq, np.float32(p * omega_fixed) + 0.0 * eps
@@ -589,14 +593,19 @@ def _sync_family(env, R, action_mode):
         u_beta = np.float32(1.0 / np.sqrt(3.0)) * (u_abc[1] - u_abc[2])
         return c * u_alpha + s * u_beta, -s * u_alpha + c * u_beta
 
-    def rk4(core, u_d, u_q, z, dt):
+    def rk4(core, u_d, u_q, z, dt, t0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
-        k1 = rhs(core, u_d, u_q, z)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, z)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, z)
-        k4 = rhs(axpy(core, k3, dt), u_d, u_q, z)
+        # RK4 stage times (ops/integrators.py rk4_step) — only evaluated
+        # for time-dependent mech models (ExternalSpeedLoad)
+        tm = te = None
+        if t0 is not None:
+            tm, te = t0 + 0.5 * dt, t0 + dt
+        k1 = rhs(core, u_d, u_q, z, t0)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, z, tm)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, z, tm)
+        k4 = rhs(axpy(core, k3, dt), u_d, u_q, z, te)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
@@ -605,7 +614,7 @@ def _sync_family(env, R, action_mode):
     def _dq_of(core):
         return (core[1], core[2]) if mech else (core[0], core[1])
 
-    def physics_step(state, action, c, s, z=None, bs=None):
+    def physics_step(state, action, c, s, z=None, bs=None, t0=None):
         core, sup_planes = state[:n_core], state[n_core:]
         finite_il = finite and k_int > 0.0
         i_abc = None
@@ -663,7 +672,7 @@ def _sync_family(env, R, action_mode):
         fa, fb, fc = abc_frac(action, i_abc)
         u_d, u_q = _park((fa * u_sup_val, fb * u_sup_val, fc * u_sup_val),
                          c, s)
-        return rk4(core, u_d, u_q, z, tau) + sup_new
+        return rk4(core, u_d, u_q, z, tau, t0) + sup_new
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -695,6 +704,16 @@ def _sync_family(env, R, action_mode):
         return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0,
                 2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+
+    # --- ExternalSpeedLoad time plane + DeadTimeProcessor action
+    #     planes, fused as carried state (see pallas_common) ---
+    physics_step, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_mech_time(mload, tau, physics_step, advance_bridges,
+                        n_bridge, has_cs=True, k_int=k_int)
+    physics_step, advance_bridges, n_bridge, bridge_dtypes = \
+        _wrap_dead_time(ps, (jnp.int32,) if finite else (jnp.float32,) * 3,
+                        physics_step, advance_bridges, n_bridge,
+                        has_cs=True, base_dtypes=bridge_dtypes)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ()) + ("i_sd", "i_sq", "eps")
@@ -761,9 +780,13 @@ def _sync_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
-        reset_state=reset_state, n_bridge=n_bridge,
+        reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
+        # single-head finite callers pass (action,) — unwrap to the plane
+        # form advance_bridges expects; cont multi-channel tuples (which
+        # only reach here through the dead-time pipeline) pass through
         advance_bridges=lambda bs, acts: advance_bridges(
-            bs, acts[0] if isinstance(acts, tuple) else acts),
+            bs, acts[0] if (isinstance(acts, tuple) and len(acts) == 1)
+            else acts),
     )
 
 
@@ -884,7 +907,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             return tuple(jnp.where(violated, 0, b)
                          for b in fs.advance_bridges(bs, action))
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
         out_rv[:] = rv_ref[:]
@@ -919,7 +942,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
                 return 0
             return fs.advance_bridges(bs, action)
 
-        init = (tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_bs))
+        init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
         jax.lax.fori_loop(0, n_steps, body, init)
 

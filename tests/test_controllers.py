@@ -228,19 +228,47 @@ def test_dfim_finite_speed_control():
     assert not np.asarray(out["terminations"]).any()
 
 
-def test_dfim_finite_torque_control_stable_partial_tracking():
-    """Finite-TC is stable with zero violations but tracks only ~45% of the
-    torque reference: the two-level B6 quantization at tau=1e-5 limits the
-    realizable average voltage vector (the speed-aware torque ceiling is
-    0.55 normalized at this operating point, so the cascade itself is not
-    the limiter).  Documented behavior; the reference crashes at tune time
+def test_dfim_finite_torque_control_tracks():
+    """Finite-TC-DFIM tracks the torque reference to ~99% (round 4; was
+    ~45%).  Root cause, established by an isolating experiment (the same
+    cascade through a CONTINUOUS ideal-modulator converter at the same
+    tau=1e-5 tracked 0.299/0.3, so neither the cascade nor a physical B6
+    ceiling was the limiter): the FOC modulation controller read the raw
+    per-cycle applied |u_dq| — under two-level switching that is ALWAYS
+    the full vector magnitude (a ~ 1.33 > a_max), so its integrator wound
+    to the floor and crushed the flux command to the 15% magnetization
+    floor (measured i_sd at 40% of its reference while i_sq tracked).
+    Fix: PT1-filter the dq voltage COMPONENTS (quasi-DC in the field
+    frame) over ~100 switching cycles before forming the modulation index
+    (pmsm_ops._modulation_control, ``a_filter_tau``) — filtering |u|
+    would still read E[|u|] ~ 1.33.  The reference crashes at tune time
     for every finite AC torque task, so there is no upstream baseline."""
     env = _scim_env("Finite-TC-DFIM-v0", rg.ConstReference("torque", reference_value=0.3))
     ctrl = GemController.make(env, "Finite-TC-DFIM-v0")
     out = ctrl.control_environment(env, 20000, key=jax.random.PRNGKey(0))
     tq = env.state_names.index("torque")
     final = float(np.asarray(out["states"])[-500:, tq].mean())
-    assert 0.08 < final < 0.35, final
+    np.testing.assert_allclose(final, 0.3, atol=0.03)
+    assert not np.asarray(out["terminations"]).any()
+
+
+def test_finite_tc_cont_equivalence_isolating_experiment():
+    """The isolating experiment behind the round-4 modulation-filter fix,
+    committed as a regression guard: the SAME cascade through the
+    continuous (ideal-modulator) converter at the finite env's tau=1e-5
+    tracks the torque reference — proving any future finite-path tracking
+    deficit is a modulation/measurement artifact, not a cascade or
+    physical converter ceiling."""
+    from gym_electric_motor_tpu import wrappers as wr
+    env = gemx.make_functional(
+        "Cont-TC-DFIM-v0", tau=1e-5,
+        physical_system_wrappers=(wr.FluxObserver(),),
+        reference_generator=rg.ConstReference("torque", reference_value=0.3))
+    ctrl = GemController.make(env, "Cont-TC-DFIM-v0")
+    out = ctrl.control_environment(env, 20000, key=jax.random.PRNGKey(0))
+    tq = env.state_names.index("torque")
+    final = float(np.asarray(out["states"])[-500:, tq].mean())
+    np.testing.assert_allclose(final, 0.3, atol=0.03)
     assert not np.asarray(out["terminations"]).any()
 
 

@@ -79,9 +79,9 @@ def test_fused_rejects_nonideal_supply_and_dynamic_loads():
     """Supplies/loads a kernel does not implement must be rejected LOUDLY
     (their specs also expose u_nominal, so an unchecked read would silently
     simulate them as ideal — voltage_supplies.py:75-213).  Every family
-    implements AC1/RC supplies and the OU load in-kernel; AC3 (polyphase,
-    NoConverter-only) and ExternalSpeedLoad (host profile closure) still
-    route to the general XLA path, as does the non-default ExtExDc multi
+    implements AC1/RC supplies and the OU + ExternalSpeedLoad loads
+    in-kernel (round 4); AC3 (polyphase, NoConverter-only) still routes
+    to the general XLA path, as does the non-default ExtExDc multi
     converter."""
     from types import SimpleNamespace
 
@@ -106,27 +106,28 @@ def test_fused_rejects_nonideal_supply_and_dynamic_loads():
     with pytest.raises(NotImplementedError, match="dual-4QC"):
         make_fused_rollout(env, 16, 128, interpret=True)
 
+    # ExternalSpeedLoad is fused since round 4
     env = make_functional(
         "Cont-CC-EESM-v0",
         load=external_speed_load(lambda t: 40.0 + 0.0 * t))
-    with pytest.raises(NotImplementedError, match="load"):
-        make_fused_rollout(env, 16, 128, interpret=True)
+    make_fused_rollout(env, 16, 128, interpret=True)
 
 
 def test_fused_rejects_physics_wrappers_and_dq_control_space():
-    """Wrappers that change the physics/action contract (DeadTime delay,
-    StateNoise reward-relevant noise, dq action interface) must be
-    rejected LOUDLY — the kernels would otherwise silently simulate
-    different semantics than the env contract.  Observation-only wrappers
-    (CurrentSum/CosSin/FluxObserver) remain supported."""
+    """Wrappers that change the physics/action contract (StateNoise
+    reward-relevant noise, dq action interface) must be rejected LOUDLY —
+    the kernels would otherwise silently simulate different semantics
+    than the env contract.  Observation-only wrappers (CurrentSum/CosSin/
+    FluxObserver) remain supported, and since round 4 the DeadTime action
+    delay is FUSED by the universal family builders (carried action
+    planes, tests/test_pallas_dead_time.py)."""
     from gym_electric_motor_tpu import wrappers as wr
     from gym_electric_motor_tpu.envs.catalog import make_functional
     from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
 
     env = make_functional("Finite-CC-PMSM-v0",
                           physical_system_wrappers=(wr.DeadTimeProcessor(),))
-    with pytest.raises(NotImplementedError, match="DeadTimeProcessor"):
-        make_fused_rollout(env, 16, 128, interpret=True)
+    make_fused_rollout(env, 16, 128, interpret=True)  # fused since round 4
 
     env = make_functional(
         "Cont-CC-PermExDc-v0",
