@@ -75,6 +75,81 @@ def rk45_step(f, y, t, dt, *args):
     return out
 
 
+# 4th-order embedded solution weights of the Dormand-Prince pair — the
+# difference to _DP_B is the local error estimate driving the adaptive
+# substep controller below (same pair scipy's dopri5 uses internally).
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
+
+
+def rk45_adaptive_step(f, y, t, dt, *args, rtol=1e-4, atol=1e-5,
+                       max_sub=256):
+    """Error-monitored Dormand-Prince over ONE fixed control period: the
+    outer ``dt`` stays the env's tau (static shapes, one call per cycle)
+    while the INNER step size adapts via the embedded 4(5) error estimate
+    — the escape hatch for stiff user motor parameterizations where
+    single-step rk4 at tau degrades or blows up.  This matches the
+    robustness role of the reference's default adaptive
+    ``ScipyOdeSolver('dopri5')`` (solvers.py:139-184) without giving up
+    XLA compilation: the substep loop is a ``lax.while_loop`` with a
+    standard 0.9 err^-1/5 controller, bounded by ``max_sub`` substeps
+    (beyond the bound the last 5th-order solution is accepted — a loud
+    NaN beats a silent hang on truly pathological systems).  The default
+    tolerances sit above the float32 noise floor of the embedded error
+    estimate (the (b5 - b4) cancellation sum rounds at ~1e-6 relative;
+    tighter rtol makes the controller chase rounding noise and grind the
+    step size to nothing).
+
+    Works under jit/vmap/scan (vmapped instances mask until all lanes
+    finish).  Select with ``solver='rk45_adaptive'``; the fused Pallas
+    kernels keep their hand-rolled fixed-step RK4 (sequential
+    while_loops do not vectorize across the VPU lanes there).
+    """
+    dt = jnp.asarray(dt, y.dtype)
+
+    def embedded(y0, t0, h):
+        ks = [f(t0, y0, *args)]
+        for ci, ai in zip(_DP_C, _DP_A):
+            y_stage = y0
+            for a, k in zip(ai, ks):
+                y_stage = y_stage + h * a * k
+            ks.append(f(t0 + ci * h, y_stage, *args))
+        y5 = y0
+        for b, k in zip(_DP_B, ks):
+            y5 = y5 + h * b * k
+        # 7th (FSAL) stage: b5_7 = 0 but the 4th-order weight b4_7 = 1/40
+        # is nonzero — dropping it injects a phantom error ~ h|k|/40 that
+        # makes the controller grind h to the stability scale
+        ks.append(f(t0 + h, y5, *args))
+        err = jnp.zeros_like(y0)
+        for b5, b4, k in zip(_DP_B + (0.0,), _DP_B4, ks):
+            err = err + h * (b5 - b4) * k
+        scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y5))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        return y5, err_norm
+
+    def cond(carry):
+        tl, _y, _h, n = carry
+        return (tl < dt) & (n < max_sub)
+
+    def body(carry):
+        tl, yc, h, n = carry
+        h_eff = jnp.minimum(h, dt - tl)
+        y5, err_norm = embedded(yc, t + tl, h_eff)
+        accept = err_norm <= 1.0
+        yc = jnp.where(accept, y5, yc)
+        tl = jnp.where(accept, tl + h_eff, tl)
+        # standard step-size controller, clamped growth/shrink
+        fac = jnp.clip(0.9 * (jnp.maximum(err_norm, 1e-12) ** -0.2),
+                       0.2, 5.0)
+        return tl, yc, h_eff * fac, n + 1
+
+    zero = jnp.zeros((), y.dtype)
+    _tl, y_out, _h, _n = jax.lax.while_loop(
+        cond, body, (zero, y, dt, jnp.zeros((), jnp.int32)))
+    return y_out
+
+
 def semi_implicit_euler_step(f, y, t, dt, *args):
     """Linearly-implicit (Rosenbrock-style) Euler step for stiff systems —
     the role of the reference's jacobian-consuming implicit integrators
@@ -98,6 +173,7 @@ _STEPPERS = {
     "rk4": rk4_step,
     "rk45": rk45_step,
     "dopri5": rk45_step,
+    "rk45_adaptive": rk45_adaptive_step,
     "implicit_euler": semi_implicit_euler_step,
 }
 

@@ -12,7 +12,7 @@ The dashboard is a host-side matplotlib consumer fed either
 """
 
 from .console_printer import ConsolePrinter
-from .motor_dashboard import MotorDashboard, RenderMode
+from .motor_dashboard import (MotorDashboard, MotorDashboardLegacy, RenderMode)
 from .motor_dashboard_plots import (
     ActionPlot,
     CumulativeConstraintViolationPlot,
@@ -27,7 +27,7 @@ from .motor_dashboard_plots import (
 )
 
 __all__ = [
-    "MotorDashboard", "RenderMode", "ConsolePrinter",
+    "MotorDashboard", "MotorDashboardLegacy", "RenderMode", "ConsolePrinter",
     "MotorDashboardPlot", "TimePlot", "EpisodePlot", "StepPlot",
     "StatePlot", "ActionPlot", "RewardPlot",
     "EpisodeLengthPlot", "MeanEpisodeRewardPlot", "CumulativeConstraintViolationPlot",

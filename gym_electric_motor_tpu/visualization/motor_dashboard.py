@@ -202,3 +202,22 @@ class MotorDashboard(ElectricMotorVisualization):
         self._figures = [fig]
         self._initialized = True
         return fig
+
+
+class MotorDashboardLegacy(MotorDashboard):
+    """Deprecated pre-render-mode dashboard API
+    (motor_dashboard.py:15-310): the reference kept the old class under
+    this name when the render-mode dashboard replaced it.  Thin alias —
+    accepts the legacy ``scale_plots`` kwarg (forwarded to the time plots
+    exactly like upstream) and warns on construction, matching the
+    upstream deprecation path."""
+
+    def __init__(self, *args, scale_plots=None, **kwargs):
+        import warnings
+
+        warnings.warn(
+            "MotorDashboardLegacy is deprecated; use MotorDashboard "
+            "(optionally with render_mode=...) instead.",
+            DeprecationWarning, stacklevel=2)
+        self._scale_plots = scale_plots
+        super().__init__(*args, **kwargs)

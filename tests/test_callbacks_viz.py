@@ -142,3 +142,18 @@ def test_state_observer():
     assert np.isfinite(ref_obs.observe())
     with pytest.raises(KeyError):
         StateObserver("nonsense", env).observe()
+
+
+def test_motor_dashboard_legacy_alias():
+    """The deprecated MotorDashboardLegacy API (motor_dashboard.py:15-310)
+    constructs with the legacy scale_plots kwarg and warns."""
+    import warnings
+
+    from gym_electric_motor_tpu.visualization import MotorDashboardLegacy
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dash = MotorDashboardLegacy(state_plots="all", reward_plot=True,
+                                    scale_plots=True)
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert dash.update_interval == 1000

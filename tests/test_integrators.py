@@ -101,3 +101,64 @@ def test_implicit_euler_in_env():
     for _ in range(5):
         state, (s, r), rew, term = env.step(state, jnp.asarray([0.4]))
     assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_rk45_adaptive_holds_tolerance_where_rk4_blows_up():
+    """The stiff escape hatch (solver='rk45_adaptive'): a linear system
+    with k*dt = 50 (electrical time constant 1/50th of the control
+    period).  Single-step rk4 is unstable at this stiffness (|R(z)| > 1
+    for |z| > ~2.78) and diverges within a few cycles; the adaptive
+    Dormand-Prince substep controller holds the float64-exact decay to
+    ~1e-5 — the robustness role of the reference's default adaptive
+    ScipyOdeSolver('dopri5') (solvers.py:139-184)."""
+    import jax
+
+    from gym_electric_motor_tpu.ops.integrators import make_integrator
+
+    k, dt = 2000.0, 1e-2  # k*dt = 20 (rk4 stability bound is ~2.78)
+
+    def f(t, y):
+        return -k * (y - 1.0)   # relaxation toward 1 (O(1) answer, so
+                                # the rtol check is meaningful)
+
+    y0 = jnp.zeros((3,))
+    rk4 = make_integrator("rk4")
+    ada = make_integrator("rk45_adaptive")
+
+    y_rk4 = np.asarray(jax.jit(lambda: rk4(f, y0, 0.0, dt))())
+    assert np.abs(y_rk4).max() > 10.0, y_rk4   # unstable: blows up
+
+    y_ada = np.asarray(jax.jit(lambda: ada(f, y0, 0.0, dt))())
+    truth = 1.0 - np.exp(-k * dt)
+    np.testing.assert_allclose(y_ada, truth, rtol=1e-3)
+
+
+def test_rk45_adaptive_env_runs_stiff_motor():
+    """End-to-end: a PermExDc with a 100x smaller inductance (electrical
+    time constant ~ tau/40) steps stably under solver='rk45_adaptive'
+    where the default rk4 env produces non-finite currents."""
+    import jax
+
+    import gym_electric_motor_tpu as gemx
+    from gym_electric_motor_tpu.models.motors import permex_dc
+
+    stiff = permex_dc(motor_parameter={
+        "r_a": 16e-3, "l_a": 19e-8, "psi_e": 0.165, "j_rotor": 0.025})
+
+    def rollout(env, n=50):
+        state, _ = env.reset(jax.random.PRNGKey(0))
+
+        def body(st, i):
+            st, _obs, _r, _t = env.step(st, jnp.ones((1,)))
+            return st, st.phys.ode_state
+        _, traj = jax.lax.scan(body, state, jnp.arange(n))
+        return np.asarray(traj)
+
+    env_rk4 = gemx.make_functional("Cont-CC-PermExDc-v0", motor=stiff)
+    env_ada = gemx.make_functional("Cont-CC-PermExDc-v0", motor=stiff,
+                                   solver="rk45_adaptive")
+    t_rk4 = rollout(env_rk4)
+    t_ada = rollout(env_ada)
+    assert not np.isfinite(t_rk4).all() or np.abs(t_rk4).max() > 1e6
+    assert np.isfinite(t_ada).all()
+    assert np.abs(t_ada[:, 1]).max() < 1e6
