@@ -1001,6 +1001,9 @@ def _dc_family(env, R, action_mode):
 
     return SimpleNamespace(
         obs_spec=obs_spec, act_ns=(act_ns if finite else None), aux_cs=None,
+        act_range=(None if finite else
+                   (np.asarray(act_lo, np.float32),
+                    np.asarray(act_hi, np.float32))),
         n_state=n_state, n_ch=n_ch, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, step_physics=step_physics,

@@ -618,6 +618,7 @@ def _dfim_family(env, R, action_mode):
 
     return SimpleNamespace(
         obs_spec=obs_spec, act_ns=((8, 8) if finite else None),
+        act_range=(None if finite else (np.full((6,), -1.0, np.float32), np.ones((6,), np.float32))),
         aux_cs=lambda aux: (aux[1], aux[2]),
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,

@@ -499,6 +499,7 @@ def _induction_family(env, R, action_mode):
 
     return SimpleNamespace(
         obs_spec=obs_spec, act_ns=((8,) if finite else None), aux_cs=None,
+        act_range=(None if finite else (np.full((3,), -1.0, np.float32), np.ones((3,), np.float32))),
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,

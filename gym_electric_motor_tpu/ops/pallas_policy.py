@@ -873,13 +873,17 @@ def policy_obs_dim(env):
 def policy_act_ns(env):
     """Per-head categorical cardinalities of ``env``'s finite action space
     as the universal policy kernel factorizes it (one independent softmax
-    head per converter sub-action, e.g. EESM = (8, 4): B6 x 4QC)."""
+    head per converter sub-action, e.g. EESM = (8, 4): B6 x 4QC) — or
+    ``None`` for continuous-action envs, which get one squashed-Gaussian
+    channel per converter duty instead (``policy_n_cont``)."""
+    return _policy_family(env, 1).act_ns
+
+
+def policy_n_cont(env):
+    """Number of continuous action channels (squashed-Gaussian heads) for
+    ``env``, 0 for finite-action envs."""
     fs = _policy_family(env, 1)
-    assert fs.act_ns is not None, (
-        "the in-kernel policy needs a finite (discrete) action space; "
-        "continuous-action envs train through the XLA-collection "
-        "make_ppo_trainer")
-    return fs.act_ns
+    return 0 if fs.act_ns is not None else len(fs.act_names)
 
 
 def policy_obs_host(roll, prev_states, refs):
@@ -922,16 +926,22 @@ def policy_obs_host(roll, prev_states, refs):
 
 def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
                                        chunk=None, interpret=False):
-    """Fused POLICY-in-the-loop trajectory recorder for ANY finite-action
-    catalog env — the generalization of the PMSM-specific
-    ``make_fused_policy_record_rollout`` to all five motor families.
+    """Fused POLICY-in-the-loop trajectory recorder for ANY catalog env
+    (all 54 ids) — the generalization of the PMSM-specific
+    ``make_fused_policy_record_rollout`` to all five motor families and
+    both action types.
 
     Per step, a 2-layer tanh MLP (weights as SMEM scalars) reads the
     family's observation (``_policy_obs_spec``: normalized speed/current/
-    flux planes, cos/sin of the rotor angle where one exists, plus the
-    current reference values), samples each converter sub-action from its
-    own softmax head by inverse CDF, and the family's physics/references/
-    reward/auto-reset run exactly as in the universal trajectory recorder
+    flux planes, cos/sin of the rotor angle where one exists, the
+    normalized controlled quantities, plus the current reference values)
+    and picks the converter action: finite envs sample each sub-action
+    from its own softmax head by inverse CDF; continuous envs sample one
+    squashed-Gaussian duty per channel (raw = mu + exp(ls) * z recorded
+    pre-squash, the converter sees mid + half * tanh(raw); ``rollout``
+    then takes the extra flat ``ls`` log-std vector after ``b2``).  The
+    family's physics/references/reward/auto-reset run exactly as in the
+    universal trajectory recorder
     (``ops.pallas_record.make_fused_record_rollout`` — the same
     ``pre_step``/``step``/``violated``/``quantities`` closures, so the
     policy kernel cannot diverge from the validated env semantics).  The
@@ -956,21 +966,26 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _policy_family(env, R, "random")
-    assert fs.act_ns is not None, (
-        "the in-kernel policy needs a finite (discrete) action space; "
-        "continuous-action envs train through the XLA-collection "
-        "make_ppo_trainer")
+    cont = fs.act_ns is None
     act_ns, obs_spec, aux_cs = fs.act_ns, fs.obs_spec, fs.aux_cs
     n_state, n_ref = fs.n_state, fs.n_ref
     n_rows = getattr(fs, "n_rows", n_ref)
     n_act = len(fs.act_names)
-    assert n_act == len(act_ns)
+    if not cont:
+        assert n_act == len(act_ns)
     shape, shape_r = fs.shape, fs.shape_r
     ref_cfg, bias, violation_reward = fs.ref_cfg, fs.bias, fs.violation_reward
 
     F = len(obs_spec) + 2 * n_ref
     H = hidden
-    A = int(sum(act_ns))
+    # finite: one softmax head per converter sub-action (A = sum of
+    # cardinalities).  cont: one squashed-Gaussian MEAN per duty channel
+    # (A = n_act); per-channel log-stds ride a separate SMEM parameter
+    # vector so the policy stays exactly recomputable host-side.
+    A = n_act if cont else int(sum(act_ns))
+    if cont:
+        a_mid = 0.5 * (fs.act_range[0] + fs.act_range[1])
+        a_half = 0.5 * (fs.act_range[1] - fs.act_range[0])
 
     from .pallas_common import _pick_chunk
     names = (tuple(fs.state_names)
@@ -985,6 +1000,8 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     bds = getattr(fs, "bridge_dtypes", (jnp.int32,) * n_prev)
 
     def kernel(seed_ref, w1_ref, b1_ref, w2_ref, b2_ref, *refs):
+        if cont:
+            ls_ref, refs = refs[0], refs[1:]
         state0 = refs[:n_state]
         outs = refs[n_state: n_state + n_sig]
         out_state = outs[:n_state]
@@ -1079,27 +1096,52 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
                     logit = logit + w2_ref[jh * A + a] * hs[jh]
                 logits.append(logit)
 
-            # ---- one inverse-CDF categorical sample per head
-            acts = []
-            off = 0
-            for n in act_ns:
-                ls = logits[off:off + n]
-                off += n
-                m = ls[0]
-                for a in range(1, n):
-                    m = jnp.maximum(m, ls[a])
-                es = [jnp.exp(l - m) for l in ls]
-                total = es[0]
-                for a in range(1, n):
-                    total = total + es[a]
-                uu = _uniform_from_bits(bits(shape)) * total
-                cum = es[0]
-                action = jnp.zeros(shape, jnp.int32)
-                for a in range(1, n):
-                    action = jnp.where(uu >= cum, a, action)
-                    cum = cum + es[a]
-                acts.append(action)
-            acts = tuple(acts)
+            if cont:
+                # ---- squashed-Gaussian duty channels: raw = mu + std*z
+                # (Box-Muller pairs); the converter sees mid + half *
+                # tanh(raw).  The RAW samples are what gets recorded —
+                # the Gaussian log-prob is then exactly recomputable
+                # host-side with no atanh saturation, and the squash
+                # correction cancels in the PPO ratio (it depends only
+                # on raw, not on the parameters).
+                zs = []
+                for c in range(0, n_act, 2):
+                    u1 = _uniform_from_bits(bits(shape))
+                    u2 = _uniform_from_bits(bits(shape))
+                    rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                    th = np.float32(TWO_PI) * u2
+                    zs.append(rad * jnp.cos(th))
+                    if c + 1 < n_act:
+                        zs.append(rad * jnp.sin(th))
+                raws, acts = [], []
+                for c in range(n_act):
+                    raw = logits[c] + jnp.exp(ls_ref[c]) * zs[c]
+                    raws.append(raw)
+                    acts.append(np.float32(a_mid[c])
+                                + np.float32(a_half[c]) * jnp.tanh(raw))
+                acts = tuple(acts)
+            else:
+                # ---- one inverse-CDF categorical sample per head
+                acts = []
+                off = 0
+                for n in act_ns:
+                    ls = logits[off:off + n]
+                    off += n
+                    m = ls[0]
+                    for a in range(1, n):
+                        m = jnp.maximum(m, ls[a])
+                    es = [jnp.exp(l - m) for l in ls]
+                    total = es[0]
+                    for a in range(1, n):
+                        total = total + es[a]
+                    uu = _uniform_from_bits(bits(shape)) * total
+                    cum = es[0]
+                    action = jnp.zeros(shape, jnp.int32)
+                    for a in range(1, n):
+                        action = jnp.where(uu >= cum, a, action)
+                        cum = cum + es[a]
+                    acts.append(action)
+                acts = tuple(acts)
 
             # ---- physics / reward / reset: identical to the universal
             #      recorder (ops/pallas_record.py)
@@ -1123,7 +1165,7 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
                     pa[:] = jnp.where(violated, 0, b)
             for jr in range(n_ref):
                 out_ref[jr][k] = refs_now[jr * R:(jr + 1) * R]
-            for jr, a in enumerate(acts):
+            for jr, a in enumerate(raws if cont else acts):
                 out_act[jr][k] = a
             out_reward[k] = reward
             out_done[k] = violated.astype(jnp.float32)
@@ -1141,7 +1183,8 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tblk = pl.BlockSpec((chunk, R, LANE), lambda i: (i, 0, 0))
     traj_f = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.float32)
-    traj_a = jax.ShapeDtypeStruct((n_steps, R, LANE), jnp.int32)
+    traj_a = jax.ShapeDtypeStruct(
+        (n_steps, R, LANE), jnp.float32 if cont else jnp.int32)
     out_shapes = ((traj_f,) * (n_state + n_ref) + (traj_a,) * n_act
                   + (traj_f, traj_f))
     scratch_shapes = (
@@ -1157,20 +1200,28 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
         + [pltpu.VMEM(shape, dt) for dt in bds]
     )
 
+    n_smem = 6 if cont else 5
+
     @jax.jit
-    def rollout(seed, w1, b1, w2, b2, *state0):
+    def rollout(seed, w1, b1, w2, b2, *rest):
+        if cont:
+            ls, state0 = rest[0], rest[1:]
+            extra = (jnp.asarray(ls, jnp.float32),)
+        else:
+            state0 = rest
+            extra = ()
         out = pl.pallas_call(
             kernel,
             grid=(n_chunks,),
             out_shape=out_shapes,
-            in_specs=[smem] * 5 + [const] * n_state,
+            in_specs=[smem] * n_smem + [const] * n_state,
             out_specs=(tblk,) * n_sig,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32),
           jnp.asarray(w1, jnp.float32), jnp.asarray(b1, jnp.float32),
           jnp.asarray(w2, jnp.float32), jnp.asarray(b2, jnp.float32),
-          *state0)
+          *extra, *state0)
         return dict(zip(names, out))
 
     rollout.signals = names
@@ -1179,6 +1230,8 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     rollout.act_names = tuple(fs.act_names)
     rollout.obs_spec = obs_spec
     rollout.act_ns = act_ns
+    rollout.cont = cont
+    rollout.act_range = fs.act_range
     rollout.obs_dim = F
     rollout.n_state = n_state
     rollout.fs_pre_step = fs.pre_step

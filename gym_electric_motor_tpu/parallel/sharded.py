@@ -237,9 +237,15 @@ def make_reinforce_trainer(env, mesh, lr=1e-3):
 
 
 def init_actor_critic_params(key, obs_dim, n_actions, hidden=32,
-                             dtype=jnp.float32):
+                             dtype=jnp.float32, n_cont=0,
+                             log_std_init=-0.5):
+    """Actor-critic parameter pytree.  ``n_actions`` is the number of
+    actor outputs (total softmax logits for finite policies, Gaussian
+    MEANS for continuous ones); ``n_cont > 0`` additionally creates the
+    per-channel ``ls`` log-std vector of the squashed-Gaussian policy
+    (state-independent, learned — the standard PPO parameterization)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    return {
+    params = {
         "w1": jax.random.normal(k1, (obs_dim, hidden), dtype) * 0.1,
         "b1": jnp.zeros((hidden,), dtype),
         "wp": jax.random.normal(k2, (hidden, n_actions), dtype) * 0.1,
@@ -247,6 +253,9 @@ def init_actor_critic_params(key, obs_dim, n_actions, hidden=32,
         "wv": jax.random.normal(k3, (hidden, 1), dtype) * 0.1,
         "bv": jnp.zeros((1,), dtype),
     }
+    if n_cont:
+        params["ls"] = jnp.full((n_cont,), log_std_init, dtype)
+    return params
 
 
 def actor_critic(params, obs):
@@ -510,30 +519,46 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
             env, horizon, local_envs, hidden=hidden, interpret=interpret)
     state_names, ref_names = roll.state_names, roll.ref_names
     act_names, act_ns = roll.act_names, roll.act_ns
-    n_state, n_heads = roll.n_state, len(roll.act_ns)
+    cont = bool(getattr(roll, "cont", False))
+    n_state = roll.n_state
     tx = optax.adam(lr)
+    LOG_2PI = float(np.log(2.0 * np.pi))
 
-    def _heads_logp_ent(logits, acts):
-        """Factorized-categorical log-prob of the taken sub-actions and
-        total entropy: sums over the independent converter heads (one
-        softmax slice per head; single-head envs reduce to the plain
-        categorical)."""
+    def _heads_logp_ent(params, logits, acts):
+        """Log-prob of the taken actions + policy entropy.
+
+        Finite: factorized categorical — sums over the independent
+        converter heads (one softmax slice per head).  Continuous:
+        diagonal Gaussian over the RAW (pre-squash) recorded samples
+        with the learned per-channel log-std ``params['ls']`` — the
+        tanh-squash correction depends only on the recorded raw value,
+        so it cancels in the PPO ratio and is omitted; the entropy is
+        the Gaussian entropy (the standard squashed-PPO surrogate)."""
+        if cont:
+            ls = params["ls"]
+            std = jnp.exp(ls)
+            z = (acts - logits) / std
+            lp = jnp.sum(-0.5 * z * z - ls - 0.5 * LOG_2PI, axis=-1)
+            ent = jnp.sum(ls + 0.5 * (LOG_2PI + 1.0)) * jnp.ones(
+                lp.shape, lp.dtype)
+            return lp, ent
         lp = ent = 0.0
         off = 0
         for h, n in enumerate(act_ns):
-            ls = logits[..., off:off + n]
+            sl = logits[..., off:off + n]
             off += n
-            logp = jax.nn.log_softmax(ls)
+            logp = jax.nn.log_softmax(sl)
             lp = lp + jnp.take_along_axis(
                 logp, acts[..., h][..., None], axis=-1)[..., 0]
-            ent = ent - jnp.sum(jax.nn.softmax(ls) * logp, axis=-1)
+            ent = ent - jnp.sum(jax.nn.softmax(sl) * logp, axis=-1)
         return lp, ent
 
     def _local_iteration(params, opt_state, planes, seed, axis=None):
         if axis is not None:
             seed = seed * jnp.int32(n_dev) + jax.lax.axis_index(axis)
+        extra = (params["ls"],) if cont else ()
         out = roll(seed, params["w1"].reshape(-1), params["b1"],
-                   params["wp"].reshape(-1), params["bp"], *planes)
+                   params["wp"].reshape(-1), params["bp"], *extra, *planes)
 
         def tn(x):
             return x.reshape(horizon, local_envs)
@@ -548,7 +573,7 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
         rew_t, done_t = tn(out["reward"]), tn(out["done"])
 
         logits_t, val_t = actor_critic(params, obs_t)
-        logp_t, _ = _heads_logp_ent(logits_t, act)
+        logp_t, _ = _heads_logp_ent(params, logits_t, act)
         logp_t = jax.lax.stop_gradient(logp_t)
         val_t = jax.lax.stop_gradient(val_t)
         obs_last = policy_obs_host(
@@ -590,7 +615,7 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
 
             def loss_fn(params):
                 logits, value = actor_critic(params, obs)
-                logp, ent_all = _heads_logp_ent(logits, a)
+                logp, ent_all = _heads_logp_ent(params, logits, a)
                 ratio = jnp.exp(logp - logp_old)
                 pg = -jnp.mean(jnp.minimum(
                     ratio * adv,

@@ -17,7 +17,9 @@ Three layers of validation, all in interpret mode on CPU:
 
 Reference capability: SB3 trains on arbitrary GEM envs
 (/root/reference/examples/reinforcement_learning_controllers/); here the
-in-kernel policy covers every finite-action catalog id.
+in-kernel policy covers ALL 54 catalog ids — factorized-categorical heads
+for finite action spaces, squashed-Gaussian duty channels (raw pre-squash
+samples recorded, per-channel learned log-stds) for continuous ones.
 """
 
 import jax
@@ -156,7 +158,99 @@ def test_auto_dispatch_picks_universal_for_non_pmsm():
     assert train is not None
 
 
-def test_continuous_envs_rejected_loudly():
-    env = gemx.make_functional("Cont-CC-PMSM-v0")
-    with pytest.raises(AssertionError, match="finite"):
-        make_fused_policy_record_universal(env, 32, 128, interpret=True)
+CONT_ENVS = ("Cont-CC-PermExDc-v0", "Cont-CC-PMSM-v0", "Cont-TC-SCIM-v0",
+             "Cont-CC-EESM-v0", "Cont-CC-DFIM-v0")
+
+
+def _collect_cont(eid, T=64, N=128, H=8, seed=3):
+    env = gemx.make_functional(eid)
+    roll = make_fused_policy_record_universal(env, T, N, hidden=H,
+                                              interpret=True)
+    assert roll.cont and roll.act_ns is None
+    F, A = roll.obs_dim, len(roll.act_names)
+    rng = np.random.default_rng(0)
+    w1 = rng.normal(0, 0.3, (F * H,)).astype(np.float32)
+    b1 = np.zeros(H, np.float32)
+    w2 = rng.normal(0, 0.3, (H * A,)).astype(np.float32)
+    b2 = np.zeros(A, np.float32)
+    ls = np.full(A, -0.5, np.float32)
+    planes = fused_policy_init_planes(env, N)
+    out = roll(seed, w1, b1, w2, b2, ls, *planes)
+    return env, roll, (w1, b1, w2, b2, ls), planes, out
+
+
+@pytest.mark.parametrize("eid", CONT_ENVS)
+def test_cont_alignment_invariant(eid):
+    """Squashed-Gaussian policies (round 4: fused PPO on ALL 54 ids, not
+    just finite): the Gaussian log-prob of the recorded RAW samples under
+    the reconstructed means must average to minus the Gaussian entropy."""
+    T, N, H = 64, 128, 8
+    env, roll, (w1, b1, w2, b2, ls), planes, out = _collect_cont(eid, T, N, H)
+    F, A = roll.obs_dim, len(roll.act_names)
+    prev = {}
+    for i, nm in enumerate(roll.state_names):
+        post = out[nm].reshape(T, N)
+        prev[nm] = jnp.concatenate([planes[i].reshape(1, N), post[:-1]])
+    refs = {nm: out[nm].reshape(T, N) for nm in roll.ref_names}
+    obs = policy_obs_host(roll, prev, refs)
+    h = jnp.tanh(obs @ w1.reshape(F, H) + b1)
+    mu = h @ w2.reshape(H, A) + b2
+    raw = jnp.stack([out[an].reshape(T, N) for an in roll.act_names], -1)
+    z = (raw - mu) / np.exp(ls)
+    lp = jnp.sum(-0.5 * z * z - ls - 0.5 * np.log(2 * np.pi), -1)
+    ent = float(np.sum(ls + 0.5 * (np.log(2 * np.pi) + 1.0)))
+    assert abs(float(lp.mean()) + ent) < 0.08, (float(lp.mean()), -ent)
+
+
+@pytest.mark.parametrize("eid", ("Cont-CC-PermExDc-v0", "Cont-CC-DFIM-v0"))
+def test_cont_policy_physics_matches_buffer_replay(eid):
+    """Squashing the recorded raw samples reproduces the applied duties:
+    buffer replay matches on every step strictly before the column's
+    first violation (buffer mode has no auto-reset)."""
+    from gym_electric_motor_tpu.ops.pallas_record import (
+        make_fused_record_rollout)
+
+    T, N = 32, 128
+    env, roll, _params, planes, out = _collect_cont(eid, T, N)
+    A = len(roll.act_names)
+    raw = np.stack([np.asarray(out[an]).reshape(T, N)
+                    for an in roll.act_names], -1)
+    lo, hi = roll.act_range
+    acts_env = 0.5 * (lo + hi) + 0.5 * (hi - lo) * np.tanh(raw)
+    buf = make_fused_record_rollout(env, T, N, action_mode="buffer",
+                                    interpret=True)
+    if A == 1:
+        abuf = jnp.asarray(acts_env[..., 0].reshape(T, 1, 128))
+    else:
+        abuf = jnp.asarray(acts_env.transpose(0, 2, 1).reshape(T, A, 1, 128))
+    rep = buf(*planes, abuf)
+    done = np.asarray(out["done"]).reshape(T, N)
+    valid = ((np.cumsum(done, axis=0) - done) == 0) & (done == 0)
+    assert valid.mean() > 0.05, valid.mean()
+    for nm in roll.state_names:
+        a = np.asarray(out[nm]).reshape(T, N)
+        b = np.asarray(rep[nm]).reshape(T, N)
+        d = np.abs(a - b)[valid]
+        scale = 1.0 + np.abs(b[valid]).max()
+        assert d.max() / scale < 1e-4, (eid, nm, d.max())
+
+
+def test_cont_ppo_trainer_runs():
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params, make_fused_ppo_trainer)
+    from gym_electric_motor_tpu.ops.pallas_policy import policy_n_cont
+
+    env = gemx.make_functional("Cont-CC-PermExDc-v0")
+    NE, T, H = 128, 32, 8
+    F, nc = policy_obs_dim(env), policy_n_cont(env)
+    assert nc == 1
+    init_opt, train = make_fused_ppo_trainer(
+        env, hidden=H, horizon=T, n_envs=NE, n_minibatches=2, n_epochs=1,
+        interpret=True, kernel="universal")
+    params = init_actor_critic_params(jax.random.PRNGKey(0), F, nc, H,
+                                      n_cont=nc)
+    opt = init_opt(params)
+    planes = fused_policy_init_planes(env, NE)
+    params2, _opt, _planes, rs = train(params, opt, planes, 0, 2)
+    assert np.isfinite(np.asarray(rs)).all()
+    assert float(jnp.abs(params2["ls"] - params["ls"]).max()) > 0.0
