@@ -320,13 +320,15 @@ def main():
         n_iters = int(os.environ.get("BENCH_PPO_ITERS", 60))
         ne, horizon = 2048, 256
 
-        def _run_ppo(env, kernel, obs_dim, n_actions):
+        def _run_ppo(env, kernel, obs_dim, n_actions, n_cont=0):
             init_opt, train = make_fused_ppo_trainer(
                 env, hidden=32, horizon=horizon, n_envs=ne,
                 n_minibatches=8, n_epochs=2, lr=1e-3, gamma=0.9,
-                vf_coef=0.1, ent_coef=0.01, kernel=kernel)
+                vf_coef=0.1, ent_coef=0.0 if n_cont else 0.01,
+                kernel=kernel)
             params = init_actor_critic_params(jax.random.PRNGKey(1),
-                                              obs_dim, n_actions, 32)
+                                              obs_dim, n_actions, 32,
+                                              n_cont=n_cont)
             opt_state = init_opt(params)
             planes = fused_policy_init_planes(env, ne)
             params, opt_state, planes, _ = _retry(
@@ -360,13 +362,19 @@ def main():
         _persist()
 
         # one universal-kernel row per motor family (the round-4
-        # generalization: in-kernel policies on every finite-action id)
+        # generalization: in-kernel policies on every catalog id —
+        # categorical heads for finite, squashed-Gaussian for cont)
+        from gym_electric_motor_tpu.ops.pallas_policy import policy_n_cont
+
         for eid in ("Finite-CC-PermExDc-v0", "Finite-CC-SCIM-v0",
                     "Finite-CC-EESM-v0", "Finite-CC-DFIM-v0",
-                    "Finite-CC-PMSM-v0"):
+                    "Finite-CC-PMSM-v0", "Cont-CC-PMSM-v0",
+                    "Cont-CC-PermExDc-v0"):
             fenv = gemx.make_functional(eid)
-            vu = _run_ppo(fenv, "universal", policy_obs_dim(fenv),
-                          int(sum(policy_act_ns(fenv))))
+            nc = policy_n_cont(fenv)
+            n_out = nc if nc else int(sum(policy_act_ns(fenv)))
+            vu = _run_ppo(fenv, "universal", policy_obs_dim(fenv), n_out,
+                          n_cont=nc)
             RESULTS[f"{eid}/fused-ppo-universal"] = vu
             _log(f"  universal PPO {eid}: {vu / 1e6:.1f}M env-steps/s")
             _persist()

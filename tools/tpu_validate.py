@@ -284,6 +284,39 @@ def universal_ppo_improves():
     assert last > first + 0.1, (first, last)
 
 
+def cont_ppo_improves():
+    """The CONTINUOUS (squashed-Gaussian) universal policy learns:
+    Cont-CC-PermExDc tracking improves from ~-0.6 to better than -0.01
+    within 300 iterations (the Gaussian collapses onto the optimal duty;
+    measured -0.001 at 600 iters)."""
+    from gym_electric_motor_tpu.ops.pallas_policy import (
+        fused_policy_init_planes, policy_n_cont, policy_obs_dim)
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params, make_fused_ppo_trainer)
+
+    env = gemx.make_functional("Cont-CC-PermExDc-v0")
+    NE, T, H = 2048, 256, 32
+    F, nc = policy_obs_dim(env), policy_n_cont(env)
+    init_opt, train = make_fused_ppo_trainer(
+        env, hidden=H, horizon=T, n_envs=NE, n_minibatches=8, n_epochs=2,
+        lr=1e-3, gamma=0.9, vf_coef=0.1, ent_coef=0.0, kernel="universal")
+    params = init_actor_critic_params(jax.random.PRNGKey(1), F, nc, H,
+                                      n_cont=nc)
+    opt_state = init_opt(params)
+    planes = fused_policy_init_planes(env, NE)
+    seed, first, last = 3, None, None
+    for _seg in range(6):
+        params, opt_state, planes, rs = train(params, opt_state, planes,
+                                              seed, 50)
+        seed += 50
+        rs = np.asarray(rs)
+        if first is None:
+            first = rs[:5].mean()
+        last = rs[-10:].mean()
+    assert last > -0.01, (first, last)
+    assert last > first + 0.2, (first, last)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -299,6 +332,7 @@ def main():
     check("refs:switched-consts", switched_consts_exact)
     check("rl:fused-ppo-improves", fused_ppo_improves)
     check("rl:universal-ppo-improves", universal_ppo_improves)
+    check("rl:cont-ppo-improves", cont_ppo_improves)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         return 1
