@@ -149,11 +149,15 @@ def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
     Returns the family rollout (see the family builders for signatures);
     the number of state planes is ``fused_state_arity(env)``.  Every
     scalar reference kind runs in-kernel (wiener / laplace / const /
-    sinusoidal / step / triangle / sawtooth).  Raises ``KeyError`` for
-    motor kinds without a fused family (the SRM stubs — NotImplementedError
-    upstream too) and ``AssertionError`` for non-fused configurations
-    (interlocking dead time, reward_power != 1, >3 referenced states,
-    switched reference generators): those run on the general XLA path.
+    sinusoidal / step / triangle / sawtooth — AND switched compositions),
+    as do interlocking dead time, AC1/RC supplies, the OU and
+    ExternalSpeedLoad speed loads and the DeadTimeProcessor action delay.
+    Raises ``KeyError`` for motor kinds without a fused family (the SRM
+    stubs — NotImplementedError upstream too) and
+    ``NotImplementedError``/``AssertionError`` for the remaining
+    non-fused configurations (AC3 supplies, StateNoise/dq wrappers,
+    reward_power != 1, >3 referenced states, ExternalSpeedLoad combined
+    with interlocking): those run on the general XLA path.
     """
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     build = {

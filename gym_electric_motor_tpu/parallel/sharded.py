@@ -548,8 +548,12 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
             sl = logits[..., off:off + n]
             off += n
             logp = jax.nn.log_softmax(sl)
-            lp = lp + jnp.take_along_axis(
-                logp, acts[..., h][..., None], axis=-1)[..., 0]
+            # one-hot multiply-sum instead of take_along_axis: the
+            # per-element gather was the update-loop bottleneck on TPU
+            # (measured 6x between otherwise-matched finite and cont
+            # configs); the one-hot contraction stays on the VPU
+            oh = jax.nn.one_hot(acts[..., h], n, dtype=logp.dtype)
+            lp = lp + jnp.sum(logp * oh, axis=-1)
             ent = ent - jnp.sum(jax.nn.softmax(sl) * logp, axis=-1)
         return lp, ent
 

@@ -254,3 +254,45 @@ def test_cont_ppo_trainer_runs():
     params2, _opt, _planes, rs = train(params, opt, planes, 0, 2)
     assert np.isfinite(np.asarray(rs)).all()
     assert float(jnp.abs(params2["ls"] - params["ls"]).max()) > 0.0
+
+
+def test_policy_kernel_composes_with_dead_time_and_external_speed():
+    """The in-kernel policy rides the same family machinery as the
+    recorders, so the round-4 carried-plane wrappers compose for free:
+    DeadTimeProcessor delay planes and the ExternalSpeedLoad time plane
+    both run under the policy kernel."""
+    from gym_electric_motor_tpu.models.loads import external_speed_load
+    from gym_electric_motor_tpu.wrappers import DeadTimeProcessor
+
+    rng = np.random.default_rng(0)
+
+    env = gemx.make_functional(
+        "Finite-CC-PermExDc-v0",
+        physical_system_wrappers=(DeadTimeProcessor(steps=1),))
+    roll = make_fused_policy_record_universal(env, 32, 128, hidden=8,
+                                              interpret=True)
+    F, A = roll.obs_dim, int(sum(roll.act_ns))
+    out = roll(3, rng.normal(0, .3, (F * 8,)).astype(np.float32),
+               np.zeros(8, np.float32),
+               rng.normal(0, .3, (8 * A,)).astype(np.float32),
+               np.zeros(A, np.float32),
+               *fused_policy_init_planes(env, 128))
+    assert all(np.isfinite(np.asarray(v)).all() for v in out.values())
+
+    def prof(t):
+        return 40.0 + 20.0 * jnp.sin(2 * jnp.pi * 5.0 * t)
+
+    env = gemx.make_functional(
+        "Cont-SC-PermExDc-v0", load=external_speed_load(prof, tau=1e-4))
+    roll = make_fused_policy_record_universal(env, 32, 128, hidden=8,
+                                              interpret=True)
+    F, A = roll.obs_dim, len(roll.act_names)
+    out = roll(3, rng.normal(0, .3, (F * 8,)).astype(np.float32),
+               np.zeros(8, np.float32),
+               rng.normal(0, .3, (8 * A,)).astype(np.float32),
+               np.zeros(A, np.float32), np.full(A, -0.5, np.float32),
+               *fused_policy_init_planes(env, 128))
+    assert all(np.isfinite(np.asarray(v)).all() for v in out.values())
+    # omega is pinned to the external profile regardless of the policy
+    w = np.asarray(out["omega"])
+    assert 20.0 < w.mean() < 60.0
