@@ -179,7 +179,14 @@ class ElectricMotorEnvironment:
     # ---------------- device functions ----------------
 
     def _observe(self, system_state, ref_obs):
-        return system_state[jnp.asarray(self._state_filter)], ref_obs
+        filt = self._state_filter
+        # contiguous filters (incl. the all-states default) are a static
+        # slice; an index-array gather per step is a slow DynamicGather
+        # on TPU (the same finding that won 2x on the finite converters)
+        if len(filt) and np.array_equal(filt, np.arange(filt[0],
+                                                        filt[0] + len(filt))):
+            return system_state[int(filt[0]):int(filt[0]) + len(filt)], ref_obs
+        return system_state[jnp.asarray(filt)], ref_obs
 
     def reset(self, key):
         """core.py:300-319."""

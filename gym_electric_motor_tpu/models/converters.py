@@ -221,7 +221,12 @@ _4QC_SUB1 = np.array([1, 2, 1, 2], dtype=np.int32)
 
 def finite_four_quadrant_converter(tau=1e-5, interlocking_time=0.0) -> ConverterSpec:
     def bridge_actions(action):
-        return jnp.stack([jnp.asarray(_4QC_SUB0)[action], jnp.asarray(_4QC_SUB1)[action]])
+        # arithmetic form of the _4QC_SUB tables (sub0 = 1 + (a >= 2),
+        # sub1 = 1 + (a & 1)): a per-step 16k-wide table gather is a slow
+        # DynamicGather on TPU, the bit arithmetic stays on the VPU
+        a = jnp.asarray(action, jnp.int32)
+        return jnp.stack([1 + (a >= 2).astype(jnp.int32),
+                          1 + (a & 1)])
 
     def u_frac(bridge_states, action, i_out):
         # converters.py:350-352 — sub1 sees the negated current
@@ -266,7 +271,11 @@ _B6_SUBACTIONS = np.array(
 
 def finite_b6_bridge_converter(tau=1e-5, interlocking_time=0.0) -> ConverterSpec:
     def bridge_actions(action):
-        return jnp.asarray(_B6_SUBACTIONS)[action]
+        # arithmetic form of _B6_SUBACTIONS (phase k upper iff bit (2-k)
+        # is set; 1 = high, 2 = low): avoids a per-step table gather
+        a = jnp.asarray(action, jnp.int32)
+        return jnp.stack([2 - ((a >> 2) & 1), 2 - ((a >> 1) & 1),
+                          2 - (a & 1)])
 
     def u_frac(bridge_states, action, i_out):
         # converters.py:816-823 — each phase offset by -0.5

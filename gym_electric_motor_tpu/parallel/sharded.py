@@ -186,7 +186,9 @@ def _build_reinforce_step(env, mesh, lr):
         def loss_fn(params):
             logits = policy_logits(params, obs)
             actions = jax.random.categorical(key, logits)
-            logp = jax.nn.log_softmax(logits)[jnp.arange(obs.shape[0]), actions]
+            lsm = jax.nn.log_softmax(logits)
+            logp = jnp.sum(lsm * jax.nn.one_hot(actions, lsm.shape[-1],
+                                                dtype=lsm.dtype), -1)
             new_state, _o, reward, _t = vstep(state, actions)
             loss = -jnp.mean(jax.lax.stop_gradient(reward) * logp)
             return loss, (new_state, jnp.mean(reward))
@@ -316,7 +318,9 @@ def make_ppo_trainer(env, mesh, lr=3e-4, horizon=64, n_epochs=2,
             obs = obs_of(state)
             logits, value = actor_critic(params, obs)
             actions = jax.random.categorical(k, logits)
-            logp = jax.nn.log_softmax(logits)[jnp.arange(obs.shape[0]), actions]
+            lsm = jax.nn.log_softmax(logits)
+            logp = jnp.sum(lsm * jax.nn.one_hot(actions, lsm.shape[-1],
+                                                dtype=lsm.dtype), -1)
             state, _o, reward, term = vstep(state, actions)
             return state, (obs, actions, logp, value, reward,
                            term.astype(jnp.float32))
@@ -355,7 +359,9 @@ def make_ppo_trainer(env, mesh, lr=3e-4, horizon=64, n_epochs=2,
 
             def loss_fn(params):
                 logits, value = actor_critic(params, obs)
-                logp = jax.nn.log_softmax(logits)[jnp.arange(obs.shape[0]), act]
+                lsm = jax.nn.log_softmax(logits)
+                logp = jnp.sum(lsm * jax.nn.one_hot(act, lsm.shape[-1],
+                                                    dtype=lsm.dtype), -1)
                 ratio = jnp.exp(logp - logp_old)
                 pg = -jnp.mean(jnp.minimum(
                     ratio * adv,
@@ -425,7 +431,9 @@ def train_step_reinforce(env, mesh, params, state, key, lr=1e-3):
         def loss_fn(params):
             logits = policy_logits(params, obs)
             actions = jax.random.categorical(key, logits)
-            logp = jax.nn.log_softmax(logits)[jnp.arange(obs.shape[0]), actions]
+            lsm = jax.nn.log_softmax(logits)
+            logp = jnp.sum(lsm * jax.nn.one_hot(actions, lsm.shape[-1],
+                                                dtype=lsm.dtype), -1)
             new_state, _o, reward, _t = vstep(state, actions)
             # REINFORCE surrogate; stop_gradient on the reward signal
             loss = -jnp.mean(jax.lax.stop_gradient(reward) * logp)
