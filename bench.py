@@ -379,6 +379,34 @@ def main():
             _log(f"  universal PPO {eid}: {vu / 1e6:.1f}M env-steps/s")
             _persist()
 
+        # off-policy counterpart: fused Boltzmann collection + replay
+        # ring + double-DQN TD updates (same 2048x256 config)
+        from gym_electric_motor_tpu.parallel.sharded import (
+            make_fused_dqn_trainer,
+        )
+
+        denv = gemx.make_functional("Finite-CC-PermExDc-v0")
+        init_state, dtrain = make_fused_dqn_trainer(
+            denv, hidden=32, horizon=horizon, n_envs=ne, replay_slots=4,
+            n_updates=16, mb_envs=64, lr=1e-3, gamma=0.9)
+        carry = init_state(jax.random.PRNGKey(1))
+        carry, _, _ = _retry(lambda: dtrain(carry, 3, 20),
+                             "fused-DQN warmup")
+        carry, rs0, _ = dtrain(carry, 23, 20)   # tunnel data-path warmup
+        float(jnp.sum(rs0))
+        t0 = time.perf_counter()
+        seed, left = 43, n_iters
+        while left > 0:
+            n = min(20, left)
+            carry, rs, _ = dtrain(carry, seed, n)
+            float(jnp.sum(rs))
+            seed += n
+            left -= n
+        vd = n_iters * ne * horizon / (time.perf_counter() - t0)
+        RESULTS["Finite-CC-PermExDc-v0/fused-dqn-loop"] = vd
+        _log(f"fused-collection DQN loop: {vd / 1e6:.1f}M env-steps/s")
+        _persist()
+
         print(json.dumps({
             "metric": "ppo_env_steps_per_s",
             "value": round(v, 1),

@@ -317,6 +317,32 @@ def cont_ppo_improves():
     assert last > first + 0.2, (first, last)
 
 
+def fused_dqn_improves():
+    """Off-policy learning on-chip: fused Boltzmann collection + replay
+    ring + double-DQN TD updates take Finite-CC-PermExDc tracking from
+    ~-0.5 (hot-temperature exploration) to better than -0.09 within 600
+    iterations / 315M env steps (measured -0.065)."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        make_fused_dqn_trainer)
+
+    env = gemx.make_functional("Finite-CC-PermExDc-v0")
+    init_state, train = make_fused_dqn_trainer(
+        env, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
+        n_updates=16, mb_envs=64, lr=1e-3, gamma=0.9, temp0=1.0,
+        temp_min=0.05, temp_half_life=150.0, polyak=0.02)
+    carry = init_state(jax.random.PRNGKey(1))
+    seed, first, last = 3, None, None
+    for _seg in range(12):
+        carry, rs, _ls = train(carry, seed, 50)
+        seed += 50
+        rs = np.asarray(rs)
+        if first is None:
+            first = rs[:5].mean()
+        last = rs[-10:].mean()
+    assert last > -0.09, (first, last)
+    assert last > first + 0.25, (first, last)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -333,6 +359,7 @@ def main():
     check("rl:fused-ppo-improves", fused_ppo_improves)
     check("rl:universal-ppo-improves", universal_ppo_improves)
     check("rl:cont-ppo-improves", cont_ppo_improves)
+    check("rl:fused-dqn-improves", fused_dqn_improves)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         return 1
