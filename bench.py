@@ -379,6 +379,38 @@ def main():
             _log(f"  universal PPO {eid}: {vu / 1e6:.1f}M env-steps/s")
             _persist()
 
+        # batch-size sweet spot: 8192 envs amortizes the per-iteration
+        # overhead (update launches + GAE) ~1.7x over 2048 (probed 349M
+        # vs 210M; 16384 is slightly worse at 340M — update working set
+        # leaves L2)
+        ne8 = 8192
+        env8 = gemx.make_functional("Finite-CC-PermExDc-v0")
+        init_opt8, train8 = make_fused_ppo_trainer(
+            env8, hidden=32, horizon=horizon, n_envs=ne8, n_minibatches=8,
+            n_epochs=2, lr=1e-3, gamma=0.9, vf_coef=0.1, ent_coef=0.01,
+            kernel="universal")
+        p8 = init_actor_critic_params(
+            jax.random.PRNGKey(1), policy_obs_dim(env8),
+            int(sum(policy_act_ns(env8))), 32)
+        o8, pl8 = init_opt8(p8), fused_policy_init_planes(env8, ne8)
+        p8, o8, pl8, _ = _retry(lambda: train8(p8, o8, pl8, 3, 20),
+                                "fused-PPO-8k warmup")
+        p8, o8, pl8, rs8 = train8(p8, o8, pl8, 23, 20)
+        float(jnp.sum(rs8))
+        t0 = time.perf_counter()
+        seed, left = 43, n_iters
+        while left > 0:
+            n = min(20, left)
+            p8, o8, pl8, rs8 = train8(p8, o8, pl8, seed, n)
+            float(jnp.sum(rs8))
+            seed += n
+            left -= n
+        v8 = n_iters * ne8 * horizon / (time.perf_counter() - t0)
+        RESULTS["Finite-CC-PermExDc-v0/fused-ppo-universal-8k"] = v8
+        _log(f"  universal PPO 8192-env sweet spot: {v8 / 1e6:.1f}M "
+             "env-steps/s")
+        _persist()
+
         # off-policy counterpart: fused Boltzmann collection + replay
         # ring + double-DQN TD updates (same 2048x256 config)
         from gym_electric_motor_tpu.parallel.sharded import (

@@ -698,8 +698,57 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
 
 
 # ---------------------------------------------------------------------------
-# DQN (fused Boltzmann collection + device-resident replay)
+# Off-policy trainers (fused collection + device-resident replay):
+# DQN (finite) and TD3 (continuous)
 # ---------------------------------------------------------------------------
+
+
+def _offpolicy_recon(roll, out, planes, horizon, local_envs, act_dtype):
+    """Shared post-collection reconstruction for the off-policy trainers:
+    observation stream (recorded post-step states shifted one step,
+    paired with the reference the policy tracked), next-observation
+    stream (one-step shift + one-step-stale reference bootstrap at the
+    horizon), env-major transition batch, and the carried end-of-rollout
+    state planes.  Returns ``(batch, rew_t, new_planes)`` with ``batch =
+    (obs, obs_next, act, rew, done)`` env-major ``(N, T, ...)``."""
+    from ..ops.pallas_policy import policy_obs_host
+
+    state_names, ref_names = roll.state_names, roll.ref_names
+
+    def tn(x):
+        return x.reshape(horizon, local_envs)
+
+    prev = {nm: jnp.concatenate([planes[i].reshape(1, -1),
+                                 tn(out[nm])[:-1]])
+            for i, nm in enumerate(state_names)}
+    refs = {nm: tn(out[nm]) for nm in ref_names}
+    obs_t = policy_obs_host(roll, prev, refs)            # (T, N, F)
+    obs_last = policy_obs_host(
+        roll, {nm: tn(out[nm])[-1] for nm in state_names},
+        {nm: refs[nm][-1] for nm in ref_names})
+    obs_next = jnp.concatenate([obs_t[1:], obs_last[None]], axis=0)
+    act = jnp.stack([tn(out[an]) for an in roll.act_names], axis=-1)
+    rew_t, done_t = tn(out["reward"]), tn(out["done"])
+
+    def em(x):                                           # env-major
+        return jnp.swapaxes(x, 0, 1)
+
+    batch = (em(obs_t), em(obs_next), em(act).astype(act_dtype),
+             em(rew_t), em(done_t).astype(jnp.bool_))
+    new_planes = tuple(out[nm][-1] for nm in state_names)
+    return batch, rew_t, new_planes
+
+
+def _ring_write(ring, batch, it, replay_slots, local_envs):
+    """Write one collected batch into its ring slot; returns the updated
+    ring and the number of valid env-rows."""
+    slot = jnp.mod(it, replay_slots)
+    ring = tuple(
+        jax.lax.dynamic_update_slice_in_dim(r, b, slot * local_envs,
+                                            axis=0)
+        for r, b in zip(ring, batch))
+    filled = jnp.minimum(it + 1, replay_slots) * local_envs
+    return ring, filled
 
 
 def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
@@ -819,33 +868,10 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
         out = roll(rseed, params["w1"].reshape(-1), params["b1"],
                    (params["w2"] / temp).reshape(-1), params["b2"] / temp,
                    *planes)
-
-        def tn(x):
-            return x.reshape(horizon, local_envs)
-
-        prev = {nm: jnp.concatenate([planes[i].reshape(1, -1),
-                                     tn(out[nm])[:-1]])
-                for i, nm in enumerate(state_names)}
-        refs = {nm: tn(out[nm]) for nm in ref_names}
-        obs_t = policy_obs_host(roll, prev, refs)            # (T, N, F)
-        obs_last = policy_obs_host(
-            roll, {nm: tn(out[nm])[-1] for nm in state_names},
-            {nm: refs[nm][-1] for nm in ref_names})
-        obs_next = jnp.concatenate([obs_t[1:], obs_last[None]], axis=0)
-        act = jnp.stack([tn(out[an]) for an in act_names], axis=-1)
-        rew_t, done_t = tn(out["reward"]), tn(out["done"])
-
-        def em(x):                                           # env-major
-            return jnp.swapaxes(x, 0, 1)
-
-        batch = (em(obs_t), em(obs_next), em(act).astype(jnp.int8),
-                 em(rew_t), em(done_t).astype(jnp.bool_))
-        slot = jnp.mod(it, replay_slots)
-        ring = tuple(
-            jax.lax.dynamic_update_slice_in_dim(
-                r, b, slot * local_envs, axis=0)
-            for r, b in zip(ring, batch))
-        filled = jnp.minimum(it + 1, replay_slots) * local_envs
+        batch, rew_t, new_planes = _offpolicy_recon(
+            roll, out, planes, horizon, local_envs, jnp.int8)
+        ring, filled = _ring_write(ring, batch, it, replay_slots,
+                                   local_envs)
 
         def update(carry2, key):
             params, tparams, opt_state = carry2
@@ -876,11 +902,10 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
         (params, tparams, opt_state), losses = jax.lax.scan(
             update, (params, tparams, opt_state), keys)
 
-        planes = tuple(out[nm][-1] for nm in state_names)
         mean_r = jnp.mean(rew_t)
         if axis is not None:
             mean_r = jax.lax.pmean(mean_r, axis)
-        return ((params, tparams, opt_state, planes, ring, seed + 1,
+        return ((params, tparams, opt_state, new_planes, ring, seed + 1,
                  it + 1), mean_r, jnp.mean(losses))
 
     if mesh is None:
