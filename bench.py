@@ -439,6 +439,34 @@ def main():
         _log(f"fused-collection DQN loop: {vd / 1e6:.1f}M env-steps/s")
         _persist()
 
+        # continuous off-policy: fused annealed-Gaussian collection +
+        # twin-critic TD3 updates
+        from gym_electric_motor_tpu.parallel.sharded import (
+            make_fused_td3_trainer,
+        )
+
+        tenv = gemx.make_functional("Cont-CC-PermExDc-v0")
+        init_t, ttrain = make_fused_td3_trainer(
+            tenv, hidden=32, horizon=horizon, n_envs=ne, replay_slots=4,
+            n_updates=16, mb_envs=64)
+        tcarry = init_t(jax.random.PRNGKey(1))
+        tcarry, _, _ = _retry(lambda: ttrain(tcarry, 3, 20),
+                              "fused-TD3 warmup")
+        tcarry, rs0, _ = ttrain(tcarry, 23, 20)
+        float(jnp.sum(rs0))
+        t0 = time.perf_counter()
+        seed, left = 43, n_iters
+        while left > 0:
+            n = min(20, left)
+            tcarry, rs, _ = ttrain(tcarry, seed, n)
+            float(jnp.sum(rs))
+            seed += n
+            left -= n
+        vt = n_iters * ne * horizon / (time.perf_counter() - t0)
+        RESULTS["Cont-CC-PermExDc-v0/fused-td3-loop"] = vt
+        _log(f"fused-collection TD3 loop: {vt / 1e6:.1f}M env-steps/s")
+        _persist()
+
         print(json.dumps({
             "metric": "ppo_env_steps_per_s",
             "value": round(v, 1),

@@ -343,6 +343,32 @@ def fused_dqn_improves():
     assert last > first + 0.25, (first, last)
 
 
+def fused_td3_improves():
+    """Continuous off-policy learning on-chip: fused annealed-Gaussian
+    collection + replay ring + twin-critic TD3 updates take
+    Cont-CC-PermExDc from ~-3 (hot exploration + reset transient) to
+    better than -0.08 at best and -0.15 at the end of 600 iterations
+    (measured best -0.049, end -0.054; the run wobbles — assert windows,
+    not monotonicity)."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        make_fused_td3_trainer)
+
+    env = gemx.make_functional("Cont-CC-PermExDc-v0")
+    init_state, train = make_fused_td3_trainer(
+        env, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
+        n_updates=16, mb_envs=64)
+    carry = init_state(jax.random.PRNGKey(1))
+    seed, best, last = 3, -np.inf, None
+    for _seg in range(12):
+        carry, rs, _ls = train(carry, seed, 50)
+        seed += 50
+        rs = np.asarray(rs)
+        best = max(best, max(rs[i:i + 5].mean() for i in range(0, 46, 5)))
+        last = rs[-10:].mean()
+    assert best > -0.08, (best, last)
+    assert last > -0.15, (best, last)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -360,6 +386,7 @@ def main():
     check("rl:universal-ppo-improves", universal_ppo_improves)
     check("rl:cont-ppo-improves", cont_ppo_improves)
     check("rl:fused-dqn-improves", fused_dqn_improves)
+    check("rl:fused-td3-improves", fused_td3_improves)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         return 1
