@@ -811,7 +811,6 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
         policy_act_ns,
         policy_n_cont,
         policy_obs_dim,
-        policy_obs_host,
     )
 
     if policy_n_cont(env):
@@ -825,11 +824,9 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
     assert mb_envs <= replay_slots * local_envs
     roll = make_fused_policy_record_universal(
         env, horizon, local_envs, hidden=hidden, interpret=interpret)
-    state_names, ref_names = roll.state_names, roll.ref_names
-    act_names = roll.act_names
     act_ns = tuple(policy_act_ns(env))
     n_heads = len(act_ns)
-    n_state = len(state_names)
+    n_state = len(roll.state_names)
     F = policy_obs_dim(env)
     tx = optax.adam(lr)
 
@@ -1025,8 +1022,7 @@ def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
     assert mb_envs <= replay_slots * local_envs
     roll = make_fused_policy_record_universal(
         env, horizon, local_envs, hidden=hidden, interpret=interpret)
-    state_names = roll.state_names
-    n_state = len(state_names)
+    n_state = len(roll.state_names)
     F = policy_obs_dim(env)
     ones_c = jnp.ones((n_cont,), jnp.float32)
     tx_a = optax.adam(actor_lr)
