@@ -578,11 +578,21 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def _dc_family(env, R, action_mode):
+def _dc_family(env, R, action_mode, randomize=None):
     """Shared DC-family physics/reward/action closures — consumed by BOTH
     the reducing rollout (``make_fused_dc_rollout``) and the generic
     trajectory recorder (``ops.pallas_record``) so the two kernels cannot
     diverge (same pattern as ``_PmsmCtx``/``_PermExCtx``).
+
+    ``randomize``: optional ``{param_name: (lo, hi)}`` dict of electrical
+    motor parameters to DOMAIN-RANDOMIZE per env — each named parameter
+    becomes an extra per-env state plane (appended after the supply
+    planes, visible as a recorded signal), read by the motor ODE every
+    step and redrawn uniform in ``[lo, hi]`` on every in-kernel violation
+    reset (a reset is a new motor instance).  The fused counterpart of
+    the XLA path's ``make_functional(..., dynamic_params=True)`` (see
+    tests/test_randomization.py); the policy observation spec does NOT
+    include the parameter planes, so trained policies are robust-blind.
 
     Covers the full DC env-arg space, not just the catalog defaults:
 
@@ -733,49 +743,86 @@ def _dc_family(env, R, action_mode):
             out.extend(cmd)
         return tuple(out)
 
-    # --- electrical model (constants baked from the motor spec) ---
+    # --- electrical model ---
+    # Parameters are baked python-float constants by default; names listed
+    # in ``randomize`` become per-env ``(R, LANE)`` PLANES appended after
+    # the supply planes (domain randomization: init values come from the
+    # caller, in-kernel violation resets redraw uniform in [lo, hi]).  The
+    # ``resolve`` step turns the param tuple into the coefficient tuple the
+    # rhs closures consume — for the default (no-plane) path it returns
+    # the SAME python-float expressions as before, keeping the buffer
+    # golden traces bit-exact.
+    _RAND_OK = {"PermExDc": ("r_a", "l_a", "psi_e"),
+                "SeriesDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime"),
+                "ShuntDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime"),
+                "ExtExDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime")}
+    randomize = dict(randomize or {})
+    for nm in randomize:
+        if nm not in _RAND_OK[kind]:
+            raise NotImplementedError(
+                f"randomize supports the electrical motor parameters "
+                f"{_RAND_OK[kind]} for {kind}; got {nm!r}")
+    param_names = tuple(sorted(randomize))
+    n_param = len(param_names)
+    p_idx = {nm: j for j, nm in enumerate(param_names)}
+    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
+                         for nm in param_names)
+
+    def getp(nm, pp):
+        return pp[p_idx[nm]] if nm in p_idx else float(mp[nm])
+
     if kind == "PermExDc":
-        r_a, l_a, psi_e = float(mp["r_a"]), float(mp["l_a"]), float(mp["psi_e"])
         el_names = ("i",)
 
-        def el_rhs(w, el, u):
-            (i,) = el
-            return ((-psi_e * w - r_a * i + u[0]) * (1.0 / l_a),)
+        def resolve(pp):
+            return (getp("r_a", pp), 1.0 / getp("l_a", pp),
+                    getp("psi_e", pp))
 
-        def torque(el):
-            return psi_e * el[0]
+        def el_rhs(w, el, u, pc):
+            r_a, inv_l, psi_e = pc
+            (i,) = el
+            return ((-psi_e * w - r_a * i + u[0]) * inv_l,)
+
+        def torque(el, pc):
+            return pc[2] * el[0]
 
         def i_in_fn(el):
             return (el[0],)
     elif kind == "SeriesDc":
-        r_t = float(mp["r_a"]) + float(mp["r_e"])
-        l_t = float(mp["l_a"]) + float(mp["l_e"])
-        l_p = float(mp["l_e_prime"])
         el_names = ("i",)
 
-        def el_rhs(w, el, u):
-            (i,) = el
-            return ((-r_t * i - l_p * w * i + u[0]) * (1.0 / l_t),)
+        def resolve(pp):
+            r_t = getp("r_a", pp) + getp("r_e", pp)
+            l_t = getp("l_a", pp) + getp("l_e", pp)
+            return (r_t, 1.0 / l_t, getp("l_e_prime", pp))
 
-        def torque(el):
-            return l_p * el[0] * el[0]
+        def el_rhs(w, el, u, pc):
+            r_t, inv_l, l_p = pc
+            (i,) = el
+            return ((-r_t * i - l_p * w * i + u[0]) * inv_l,)
+
+        def torque(el, pc):
+            return pc[2] * el[0] * el[0]
 
         def i_in_fn(el):
             return (el[0],)
     else:  # ShuntDc / ExtExDc share the 2-current ODE (dc_motor.py:96-127)
-        r_a, r_e = float(mp["r_a"]), float(mp["r_e"])
-        l_a, l_e = float(mp["l_a"]), float(mp["l_e"])
-        l_p = float(mp["l_e_prime"])
         el_names = ("i_a", "i_e")
 
-        def el_rhs(w, el, u):
+        def resolve(pp):
+            return (getp("r_a", pp), getp("r_e", pp),
+                    1.0 / getp("l_a", pp), 1.0 / getp("l_e", pp),
+                    getp("l_e_prime", pp))
+
+        def el_rhs(w, el, u, pc):
+            r_a, r_e, inv_la, inv_le, l_p = pc
             i_a, i_e = el
             u_a, u_e = (u[0], u[0]) if kind == "ShuntDc" else (u[0], u[1])
-            return ((-r_a * i_a - l_p * w * i_e + u_a) * (1.0 / l_a),
-                    (-r_e * i_e + u_e) * (1.0 / l_e))
+            return ((-r_a * i_a - l_p * w * i_e + u_a) * inv_la,
+                    (-r_e * i_e + u_e) * inv_le)
 
-        def torque(el):
-            return l_p * el[0] * el[1]
+        def torque(el, pc):
+            return pc[4] * el[0] * el[1]
 
         if kind == "ShuntDc":
             def i_in_fn(el):
@@ -794,13 +841,13 @@ def _dc_family(env, R, action_mode):
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
 
-    def core_rhs(core, u, z, ts=None):
+    def core_rhs(core, u, z, ts, pc):
         if not mech:
-            return el_rhs(omega_fixed, core, u)
+            return el_rhs(omega_fixed, core, u, pc)
         w, el = core[0], core[1:]
-        dw = (mload.mech_rhs_t(w, torque(el), z, ts) if mload.needs_time
-              else mload.mech_rhs(w, torque(el), z))
-        return (dw,) + el_rhs(w, el, u)
+        dw = (mload.mech_rhs_t(w, torque(el, pc), z, ts) if mload.needs_time
+              else mload.mech_rhs(w, torque(el, pc), z))
+        return (dw,) + el_rhs(w, el, u, pc)
 
     # --- supply model (shared helper) ---
     sup = _make_fused_supply(ps, shape, tau)
@@ -808,29 +855,31 @@ def _dc_family(env, R, action_mode):
     supply_u = sup.supply_u
 
     n_core = n_el + (1 if mech else 0)
-    n_state = n_core + n_sup
+    n_state = n_core + n_sup + n_param
 
     def split(state):
-        return state[:n_core], state[n_core:]
+        return (state[:n_core], state[n_core:n_core + n_sup],
+                state[n_core + n_sup:])
 
-    def rk4(core, u, z, dt, t0=None):
+    def rk4(core, u, z, dt, pc, t0=None):
         def axpy(s, k, c):
             return tuple(si + c * ki for si, ki in zip(s, k))
 
         tm = te = None
         if t0 is not None:
             tm, te = t0 + 0.5 * dt, t0 + dt
-        k1 = core_rhs(core, u, z, t0)
-        k2 = core_rhs(axpy(core, k1, 0.5 * dt), u, z, tm)
-        k3 = core_rhs(axpy(core, k2, 0.5 * dt), u, z, tm)
-        k4 = core_rhs(axpy(core, k3, dt), u, z, te)
+        k1 = core_rhs(core, u, z, t0, pc)
+        k2 = core_rhs(axpy(core, k1, 0.5 * dt), u, z, tm, pc)
+        k3 = core_rhs(axpy(core, k2, 0.5 * dt), u, z, tm, pc)
+        k4 = core_rhs(axpy(core, k3, dt), u, z, te, pc)
         return tuple(
             s + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for s, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
     def step_physics(state, acts, z=None, bs=None, t0=None):
-        core, sup_planes = split(state)
+        core, sup_planes, pp = split(state)
+        pc = resolve(pp)
         el_pre = core[1:] if mech else core
         i_in = i_in_fn(el_pre)
         bs_ch = split_bs(bs)
@@ -883,7 +932,7 @@ def _dc_family(env, R, action_mode):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, u0, z, dt0)
+            core_mid = rk4(core, u0, z, dt0, pc)
             el_mid = core_mid[1:] if mech else core_mid
             i_mid = i_in_fn(el_mid)
             u1 = tuple(
@@ -891,18 +940,24 @@ def _dc_family(env, R, action_mode):
                           conv_u(conv_kinds[j], acts[j], i_mid[j],
                                  inter[j] or None) * u_sup_val, u0[j])
                 for j in range(n_ch))
-            return rk4(core_mid, u1, z, dt1) + sup_new
+            return rk4(core_mid, u1, z, dt1, pc) + sup_new + pp
 
         u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
                   for j in range(n_ch))
-        return rk4(core, u, z, tau, t0) + sup_new
+        return rk4(core, u, z, tau, pc, t0) + sup_new + pp
 
     def reset_state(bits):
         """Per-plane in-kernel reset values (drawn fresh every step,
-        selected only on violation)."""
+        selected only on violation).  Randomized motor parameters redraw
+        uniform in their [lo, hi] range — a violation reset is a NEW
+        motor instance (per-episode domain randomization)."""
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * n_el
-        return core + sup_reset(bits)
+        pdraws = tuple(
+            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
+                bits(shape))
+            for lo, hi in param_ranges)
+        return core + sup_reset(bits) + pdraws
 
     # --- references / reward / constraints from the env spec ---
     rw = env.reward_function
@@ -923,7 +978,8 @@ def _dc_family(env, R, action_mode):
             return state[0] * np.float32(1.0 / w_lim)
         if nm == "torque":
             t_lim = float(lim[names.index("torque")])
-            return torque(el) * np.float32(1.0 / t_lim)
+            pc = resolve(split(state)[2])
+            return torque(el, pc) * np.float32(1.0 / t_lim)
         return el[el_names.index(nm)] * ref_cfg[j]["inv_lim"]
 
     def violated_fn(state):
@@ -976,7 +1032,8 @@ def _dc_family(env, R, action_mode):
                         has_cs=False, base_dtypes=bridge_dtypes)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
-    state_names = (("omega",) if mech else ()) + el_names + sup.names
+    state_names = ((("omega",) if mech else ()) + el_names + sup.names
+                   + param_names)
     act_names = ("action",) if n_ch == 1 else ("action_a", "action_e")
     act_dtype = jnp.int32 if finite else jnp.float32
 
@@ -1014,11 +1071,12 @@ def _dc_family(env, R, action_mode):
         mech_mode=mech_mode, sup_mode=sup_mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
         n_bridge=n_bridge, bridge_dtypes=bridge_dtypes, advance_bridges=advance_bridges,
+        param_names=param_names, param_ranges=param_ranges, n_param=n_param,
     )
 
 
 def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
-                          interpret=False):
+                          interpret=False, randomize=None):
     """Universal fused rollout for the DC family — ALL 24 catalog configs
     ({Finite,Cont} x {CC,TC,SC} x {PermExDc,SeriesDc,ShuntDc,ExtExDc}).
 
@@ -1047,7 +1105,7 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
-    fs = _dc_family(env, R, action_mode)
+    fs = _dc_family(env, R, action_mode, randomize)
     n_state, n_ch, shape, shape_r = fs.n_state, fs.n_ch, fs.shape, fs.shape_r
     n_bs = fs.n_bridge
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

@@ -840,9 +840,11 @@ def make_fused_reinforce_trainer(env, n_steps, n_envs, hidden=16, gamma=0.99,
 _POLICY_FAMILY_NAMESPACES = None
 
 
-def _policy_family(env, R, action_mode="random"):
+def _policy_family(env, R, action_mode="random", randomize=None):
     """Resolve the family namespace for the universal policy kernels
-    (lazy import: the family modules are siblings, no facade cycle)."""
+    (lazy import: the family modules are siblings, no facade cycle).
+    ``randomize`` (domain-randomized motor parameters as per-env state
+    planes) is currently a DC-family capability."""
     global _POLICY_FAMILY_NAMESPACES
     if _POLICY_FAMILY_NAMESPACES is None:
         from .pallas_dc import _dc_family
@@ -857,8 +859,16 @@ def _policy_family(env, R, action_mode="random"):
             "SCIM": _induction_family,
             "EESM": _eesm_family, "DFIM": _dfim_family,
         }
-    return _POLICY_FAMILY_NAMESPACES[env.physical_system.motor.kind](
-        env, R, action_mode)
+    kind = env.physical_system.motor.kind
+    if randomize:
+        if kind not in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc"):
+            raise NotImplementedError(
+                f"randomize (fused domain randomization) currently covers "
+                f"the DC family; got motor kind {kind!r} — use the XLA "
+                f"path's dynamic_params=True instead")
+        return _POLICY_FAMILY_NAMESPACES[kind](env, R, action_mode,
+                                               randomize=randomize)
+    return _POLICY_FAMILY_NAMESPACES[kind](env, R, action_mode)
 
 
 def policy_obs_dim(env):
@@ -925,7 +935,8 @@ def policy_obs_host(roll, prev_states, refs):
 
 
 def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
-                                       chunk=None, interpret=False):
+                                       chunk=None, interpret=False,
+                                       randomize=None):
     """Fused POLICY-in-the-loop trajectory recorder for ANY catalog env
     (all 54 ids) — the generalization of the PMSM-specific
     ``make_fused_policy_record_rollout`` to all five motor families and
@@ -965,7 +976,7 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
-    fs = _policy_family(env, R, "random")
+    fs = _policy_family(env, R, "random", randomize)
     cont = fs.act_ns is None
     act_ns, obs_spec, aux_cs = fs.act_ns, fs.obs_spec, fs.aux_cs
     n_state, n_ref = fs.n_state, fs.n_ref
@@ -1239,16 +1250,27 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     return rollout
 
 
-def fused_policy_init_planes(env, n_envs):
+def fused_policy_init_planes(env, n_envs, randomize=None, seed=0):
     """Initial ``(R, LANE)`` state planes for the universal policy
     recorder / PPO trainer: zeros for the drive state (the in-kernel
-    reset value for every core plane) and the supply planes\' proper
+    reset value for every core plane), the supply planes\' proper
     reset values (AC1: (phi, t) = (0, 0); RC: (u_0, 0) — zeros would
-    mis-start the RC element at 0 V, voltage_supplies.py:75-123)."""
-    fs = _policy_family(env, n_envs // LANE, "random")
+    mis-start the RC element at 0 V, voltage_supplies.py:75-123) and,
+    with ``randomize``, per-env motor-parameter draws uniform in each
+    configured [lo, hi] range (``seed`` feeds the host-side generator)."""
+    fs = _policy_family(env, n_envs // LANE, "random", randomize)
     R = n_envs // LANE
     planes = [np.zeros((R, LANE), np.float32) for _ in range(fs.n_state)]
+    n_param = getattr(fs, "n_param", 0)
     if fs.sup_mode == "rc":
         u0 = float(env.physical_system.supply.parameter["u_0"])
-        planes[fs.n_state - fs.n_sup] += np.float32(u0)
+        planes[fs.n_state - fs.n_sup - n_param] += np.float32(u0)
+    if n_param:
+        # draw the initial motor instances host-side — zero parameter
+        # planes would be degenerate motors (1/l = inf) until the first
+        # violation reset redraws them in-kernel
+        rng = np.random.default_rng(seed)
+        for j, (lo, hi) in enumerate(fs.param_ranges):
+            planes[fs.n_state - n_param + j] = rng.uniform(
+                lo, hi, (R, LANE)).astype(np.float32)
     return tuple(jnp.asarray(x) for x in planes)

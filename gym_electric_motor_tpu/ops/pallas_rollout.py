@@ -126,22 +126,23 @@ FUSED_FAMILY_BUILDERS = {
 }
 
 
-def fused_state_arity(env):
+def fused_state_arity(env, randomize=None):
     """Number of ``(R, LANE)`` state planes the universal fused rollout for
     ``env`` takes/returns: omega for dynamic-speed (poly/OU load) configs,
     plus two supply planes for AC1/RC supply modes ((phi, t) / (u_sup, t)
-    — see ``_make_fused_supply``)."""
+    — see ``_make_fused_supply``), plus one plane per domain-randomized
+    motor parameter (``randomize`` — DC family, see ``_dc_family``)."""
     ps = env.physical_system
     kind = ps.motor.kind
     mech = 1 if ps.load.omega_fixed is None else 0
     base = {"PermExDc": 1, "SeriesDc": 1, "ShuntDc": 2, "ExtExDc": 2,
             "PMSM": 3, "SynRM": 3, "SCIM": 4, "EESM": 4, "DFIM": 5}[kind]
     sup = 2 if ps.supply.kind in ("AC1PhaseSupply", "RCVoltageSupply") else 0
-    return base + mech + sup
+    return base + mech + sup + len(randomize or ())
 
 
 def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
-                       interpret=False):
+                       interpret=False, randomize=None):
     """Universal fused-rollout dispatch: every one of the 54 catalog env
     ids (9 motors x {Finite,Cont} x {CC,TC,SC}) gets its family's
     VMEM-resident Pallas kernel, with all semantics read from the env spec.
@@ -167,6 +168,13 @@ def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
         "eesm": make_fused_eesm_family_rollout,
         "dfim": make_fused_dfim_family_rollout,
     }[family]
+    if randomize:
+        if family != "dc":
+            raise NotImplementedError(
+                "randomize (fused domain randomization) currently covers "
+                "the DC family — use the XLA path's dynamic_params=True")
+        return build(env, n_steps, n_envs, action_mode=action_mode,
+                     interpret=interpret, randomize=randomize)
     return build(env, n_steps, n_envs, action_mode=action_mode,
                  interpret=interpret)
 

@@ -452,7 +452,8 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
                            n_envs=8192, n_epochs=2, n_minibatches=8,
                            clip_eps=0.2, gamma=0.99, lam=0.95,
                            vf_coef=0.5, ent_coef=0.0, mesh=None,
-                           interpret=False, kernel="auto"):
+                           interpret=False, kernel="auto",
+                           randomize=None):
     """PPO with FUSED on-policy collection for ANY finite-action catalog
     env — the rollout runs inside a policy-in-the-loop recording kernel
     (billions of env-steps/s) instead of the XLA step loop, while GAE +
@@ -509,6 +510,11 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
     n_dev = 1 if mesh is None else mesh.size
     assert n_envs % (n_dev * 128) == 0
     local_envs = n_envs // n_dev
+    if randomize:
+        # parameter planes are a universal-kernel (family-surface) feature
+        assert kernel in ("auto", "universal"), (
+            "randomize= needs the universal kernel")
+        kernel = "universal"
     if kernel == "auto":
         try:
             roll = make_fused_policy_record_rollout(
@@ -524,7 +530,8 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
     else:
         assert kernel == "universal", kernel
         roll = make_fused_policy_record_universal(
-            env, horizon, local_envs, hidden=hidden, interpret=interpret)
+            env, horizon, local_envs, hidden=hidden, interpret=interpret,
+            randomize=randomize)
     state_names, ref_names = roll.state_names, roll.ref_names
     act_names, act_ns = roll.act_names, roll.act_ns
     cont = bool(getattr(roll, "cont", False))
@@ -755,7 +762,7 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
                            replay_slots=4, n_updates=16, mb_envs=64,
                            lr=1e-3, gamma=0.9, temp0=1.0, temp_min=0.05,
                            temp_half_life=150.0, polyak=0.02, mesh=None,
-                           interpret=False):
+                           interpret=False, randomize=None):
     """Double-DQN with FUSED off-policy collection and a device-resident
     replay ring, for any finite-action catalog env.
 
@@ -823,7 +830,8 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
     local_envs = n_envs // n_dev
     assert mb_envs <= replay_slots * local_envs
     roll = make_fused_policy_record_universal(
-        env, horizon, local_envs, hidden=hidden, interpret=interpret)
+        env, horizon, local_envs, hidden=hidden, interpret=interpret,
+        randomize=randomize)
     act_ns = tuple(policy_act_ns(env))
     n_heads = len(act_ns)
     n_state = len(roll.state_names)
@@ -933,7 +941,8 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
                 jnp.zeros((rows, horizon, n_heads), jnp.int8),
                 jnp.zeros((rows, horizon), jnp.float32),
                 jnp.zeros((rows, horizon), jnp.bool_))
-        planes = fused_policy_init_planes(env, n_envs)
+        planes = fused_policy_init_planes(env, n_envs,
+                                          randomize=randomize)
         if mesh is not None:
             sh = NamedSharding(mesh, P(mesh.axis_names[0]))
             ring = tuple(jax.device_put(r, sh) for r in ring)
@@ -959,7 +968,7 @@ def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
                            expl_sigma=0.2, expl_sigma_min=0.08,
                            expl_half_life=150.0, target_sigma=0.2,
                            noise_clip=0.5, policy_delay=2, polyak=0.005,
-                           mesh=None, interpret=False):
+                           mesh=None, interpret=False, randomize=None):
     """TD3 with FUSED off-policy collection — the continuous-action
     counterpart of :func:`make_fused_dqn_trainer`.
 
@@ -1021,7 +1030,8 @@ def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
     local_envs = n_envs // n_dev
     assert mb_envs <= replay_slots * local_envs
     roll = make_fused_policy_record_universal(
-        env, horizon, local_envs, hidden=hidden, interpret=interpret)
+        env, horizon, local_envs, hidden=hidden, interpret=interpret,
+        randomize=randomize)
     n_state = len(roll.state_names)
     F = policy_obs_dim(env)
     ones_c = jnp.ones((n_cont,), jnp.float32)
@@ -1153,7 +1163,8 @@ def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
                 jnp.zeros((rows, horizon, n_cont), jnp.float32),
                 jnp.zeros((rows, horizon), jnp.float32),
                 jnp.zeros((rows, horizon), jnp.bool_))
-        planes = fused_policy_init_planes(env, n_envs)
+        planes = fused_policy_init_planes(env, n_envs,
+                                          randomize=randomize)
         if mesh is not None:
             sh = NamedSharding(mesh, P(mesh.axis_names[0]))
             ring = tuple(jax.device_put(r, sh) for r in ring)

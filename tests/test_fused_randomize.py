@@ -1,0 +1,154 @@
+"""Fused domain randomization (DC family): motor parameters as per-env
+state planes.
+
+``randomize={name: (lo, hi)}`` turns electrical motor parameters into
+extra ``(R, LANE)`` planes appended after the supply planes — read by the
+in-kernel ODE every step, redrawn uniform on every violation reset (a
+reset is a new motor instance).  The fused counterpart of the XLA path's
+``dynamic_params=True`` (tests/test_randomization.py), validated here
+bit-level against exactly that path.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gym_electric_motor_tpu as gemx
+from gym_electric_motor_tpu import references as rg
+from gym_electric_motor_tpu.ops.pallas_rollout import (
+    fused_state_arity,
+    make_fused_dc_rollout,
+)
+
+N, T = 128, 60
+
+
+def _with_params(state, **overrides):
+    """Per-env motor parameters into the dynamic-params state pytree."""
+    mp = dict(state.phys.mp)
+    mp.update({k: jnp.asarray(v, jnp.float32) for k, v in overrides.items()})
+    phys = dataclasses.replace(state.phys, mp=mp)
+    return dataclasses.replace(state, phys=phys)
+
+
+def test_fused_randomize_buffer_parity():
+    """Buffer-mode fused rollout with per-env (r_a, l_a) planes matches
+    the XLA env with the same per-env dynamic params step-for-step."""
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        reference_generator=rg.ConstReference("i", 0.0))
+    envd = gemx.make_functional(
+        "Cont-CC-PermExDc-v0", dynamic_params=True,
+        reference_generator=rg.ConstReference("i", 0.0))
+    mp = env.physical_system.motor.parameter
+    rng = np.random.default_rng(7)
+    r_a = (mp["r_a"] * rng.uniform(0.7, 1.3, N)).astype(np.float32)
+    l_a = (mp["l_a"] * rng.uniform(0.7, 1.3, N)).astype(np.float32)
+    actions = rng.uniform(-0.6, 0.6, size=(T, 1, 128)).astype(np.float32)
+
+    roll = make_fused_dc_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"r_a": (float(r_a.min()), float(r_a.max())),
+                   "l_a": (float(l_a.min()), float(l_a.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    # state planes: (i, l_a, r_a) — param planes appended alphabetically
+    out = roll(zero, jnp.asarray(l_a.reshape(1, 128)),
+               jnp.asarray(r_a.reshape(1, 128)), jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(envd.reset))(keys)
+    state = _with_params(state, r_a=r_a, l_a=l_a)
+    step = jax.jit(jax.vmap(envd.step))
+    for t in range(T):
+        state, _o, _r, _term = step(state,
+                                    jnp.asarray(actions[t].reshape(N, 1)))
+    ode = np.asarray(state.phys.ode_state)
+    np.testing.assert_allclose(np.asarray(out[0]).reshape(N), ode[:, 1],
+                               rtol=1e-4, atol=1e-3)
+    # the param planes ride through the rollout unchanged
+    np.testing.assert_array_equal(np.asarray(out[1]).reshape(N), l_a)
+    np.testing.assert_array_equal(np.asarray(out[2]).reshape(N), r_a)
+
+
+def test_fused_randomize_reset_redraws_params():
+    """Random-action mode: envs that hit a violation reset leave with
+    REDRAWN parameters (new motor instance); violation-free envs keep
+    their initial draw."""
+    env = gemx.make_functional("Finite-CC-PermExDc-v0")
+    mp = env.physical_system.motor.parameter
+    lo, hi = 0.7 * mp["r_a"], 1.3 * mp["r_a"]
+    roll = make_fused_dc_rollout(env, 400, N, interpret=True,
+                                 randomize={"r_a": (lo, hi)})
+    rng = np.random.default_rng(3)
+    r0 = rng.uniform(lo, hi, (1, 128)).astype(np.float32)
+    zero = jnp.zeros((1, 128), jnp.float32)
+    out = roll(5, zero, jnp.asarray(r0))
+    # outputs: (i, r_a, reward_sum, term_count, rv, rk, rl, rs)
+    r_end = np.asarray(out[1]).reshape(N)
+    terms = np.asarray(out[3]).reshape(N)
+    assert terms.sum() > 0  # random finite actions violate somewhere
+    changed = r_end != r0.reshape(N)
+    assert np.all(changed[terms > 0])
+    assert not np.any(changed[terms == 0])
+    assert np.all((r_end >= lo) & (r_end <= hi))
+
+
+def test_fused_randomize_ppo_trainer():
+    """make_fused_ppo_trainer(randomize=...): the policy kernel carries
+    the parameter planes; training runs and the planes stay in range."""
+    from gym_electric_motor_tpu.ops.pallas_policy import (
+        fused_policy_init_planes, policy_act_ns, policy_obs_dim)
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params, make_fused_ppo_trainer)
+
+    env = gemx.make_functional("Finite-CC-PermExDc-v0")
+    mp = env.physical_system.motor.parameter
+    rnd = {"r_a": (0.7 * mp["r_a"], 1.3 * mp["r_a"]),
+           "psi_e": (0.8 * mp["psi_e"], 1.2 * mp["psi_e"])}
+    init_opt, train = make_fused_ppo_trainer(
+        env, hidden=16, horizon=32, n_envs=256, n_minibatches=4, lr=1e-3,
+        interpret=True, randomize=rnd)
+    params = init_actor_critic_params(
+        jax.random.PRNGKey(1), policy_obs_dim(env),
+        int(sum(policy_act_ns(env))), 16)
+    planes = fused_policy_init_planes(env, 256, randomize=rnd)
+    assert len(planes) == fused_state_arity(env, randomize=rnd) == 3
+    params, _opt, planes, rs = train(params, init_opt(params), planes, 3, 2)
+    rs = np.asarray(rs)
+    assert np.isfinite(rs).all() and -1.0 < rs.mean() < 0.0
+    # param planes stay inside their configured ranges ('psi_e' < 'r_a')
+    psi = np.asarray(planes[1])
+    assert np.all((psi >= rnd["psi_e"][0]) & (psi <= rnd["psi_e"][1]))
+    # observation dim is unchanged: policies are robust-blind
+    assert policy_obs_dim(env) == 4
+
+
+def test_fused_randomize_dqn_trainer():
+    from gym_electric_motor_tpu.parallel.sharded import (
+        make_fused_dqn_trainer)
+
+    env = gemx.make_functional("Finite-CC-PermExDc-v0")
+    mp = env.physical_system.motor.parameter
+    rnd = {"l_a": (0.7 * mp["l_a"], 1.3 * mp["l_a"])}
+    init_state, train = make_fused_dqn_trainer(
+        env, hidden=16, horizon=32, n_envs=256, replay_slots=2,
+        n_updates=2, mb_envs=8, interpret=True, randomize=rnd)
+    carry = init_state(jax.random.PRNGKey(1))
+    carry, rs, _ls = train(carry, 3, 2)
+    assert np.isfinite(np.asarray(rs)).all()
+    la = np.asarray(carry[3][1])  # planes = (i, l_a)
+    assert np.all((la >= rnd["l_a"][0]) & (la <= rnd["l_a"][1]))
+
+
+def test_fused_randomize_rejections():
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+
+    env = gemx.make_functional("Finite-CC-PMSM-v0")
+    with pytest.raises(NotImplementedError, match="DC family"):
+        make_fused_rollout(env, 8, N, randomize={"r_s": (0.1, 0.2)})
+    envd = gemx.make_functional("Finite-CC-PermExDc-v0")
+    with pytest.raises(NotImplementedError, match="electrical"):
+        make_fused_dc_rollout(envd, 8, N, randomize={"j_rotor": (0.1, 0.2)})

@@ -369,6 +369,47 @@ def fused_td3_improves():
     assert last > -0.15, (best, last)
 
 
+def randomized_ppo_improves():
+    """Domain-randomized fused PPO learns across a motor POPULATION
+    on-chip: +-30% r_a/l_a and +-20% psi_e as per-env parameter planes,
+    Finite-TC-PermExDc tracking trains to better than -0.05 within 300
+    iterations (measured -0.022 at 600)."""
+    from gym_electric_motor_tpu.ops.pallas_policy import (
+        fused_policy_init_planes, policy_act_ns, policy_obs_dim)
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params, make_fused_ppo_trainer)
+
+    env = gemx.make_functional("Finite-TC-PermExDc-v0")
+    mp = env.physical_system.motor.parameter
+    rnd = {"r_a": (0.7 * mp["r_a"], 1.3 * mp["r_a"]),
+           "l_a": (0.7 * mp["l_a"], 1.3 * mp["l_a"]),
+           "psi_e": (0.8 * mp["psi_e"], 1.2 * mp["psi_e"])}
+    NE, T, H = 2048, 256, 32
+    init_opt, train = make_fused_ppo_trainer(
+        env, hidden=H, horizon=T, n_envs=NE, n_minibatches=8, n_epochs=2,
+        lr=1e-3, gamma=0.9, vf_coef=0.1, ent_coef=0.01,
+        kernel="universal", randomize=rnd)
+    params = init_actor_critic_params(
+        jax.random.PRNGKey(1), policy_obs_dim(env),
+        int(sum(policy_act_ns(env))), H)
+    opt_state = init_opt(params)
+    planes = fused_policy_init_planes(env, NE, randomize=rnd)
+    seed, first, last = 3, None, None
+    for _seg in range(6):
+        params, opt_state, planes, rs = train(params, opt_state, planes,
+                                              seed, 50)
+        seed += 50
+        rs = np.asarray(rs)
+        if first is None:
+            first = rs[:5].mean()
+        last = rs[-10:].mean()
+    assert last > -0.05, (first, last)
+    assert last > first + 0.1, (first, last)
+    # the parameter planes stayed inside their configured ranges
+    psi = np.asarray(planes[2])  # ('i', 'l_a', 'psi_e', 'r_a')
+    assert (psi >= rnd["psi_e"][0]).all() and (psi <= rnd["psi_e"][1]).all()
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -387,6 +428,7 @@ def main():
     check("rl:cont-ppo-improves", cont_ppo_improves)
     check("rl:fused-dqn-improves", fused_dqn_improves)
     check("rl:fused-td3-improves", fused_td3_improves)
+    check("rl:randomized-ppo-improves", randomized_ppo_improves)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         return 1
