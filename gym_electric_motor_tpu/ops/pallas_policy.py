@@ -861,11 +861,13 @@ def _policy_family(env, R, action_mode="random", randomize=None):
         }
     kind = env.physical_system.motor.kind
     if randomize:
-        if kind not in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc"):
+        if kind not in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc",
+                        "PMSM", "SynRM"):
             raise NotImplementedError(
                 f"randomize (fused domain randomization) currently covers "
-                f"the DC family; got motor kind {kind!r} — use the XLA "
-                f"path's dynamic_params=True instead")
+                f"the DC and synchronous families; got motor kind "
+                f"{kind!r} — use the XLA path's dynamic_params=True "
+                f"instead")
         return _POLICY_FAMILY_NAMESPACES[kind](env, R, action_mode,
                                                randomize=randomize)
     return _POLICY_FAMILY_NAMESPACES[kind](env, R, action_mode)

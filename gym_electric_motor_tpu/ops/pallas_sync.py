@@ -504,10 +504,18 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
     return rollout
 
 
-def _sync_family(env, R, action_mode):
+def _sync_family(env, R, action_mode, randomize=None):
     """Shared synchronous-family (PMSM/SynRM) closures — consumed by the
     reducing rollout (``make_fused_sync_rollout``) and the generic
-    trajectory recorder (``ops.pallas_record``)."""
+    trajectory recorder (``ops.pallas_record``).
+
+    ``randomize``: optional ``{param: (lo, hi)}`` — electrical motor
+    parameters as per-env state planes (domain randomization; the same
+    design as ``_dc_family``: appended after the supply planes, read by
+    the dq ODE each step, redrawn uniform on every violation reset).
+    PMSM supports r_s/l_d/l_q/psi_p (flux and inductance drift with
+    temperature/saturation — the classic robustness axis); SynRM
+    r_s/l_d/l_q."""
     ps = env.physical_system
     _fused_check_system(ps, allow_dead_time=True)
     mp = ps.motor.parameter
@@ -518,8 +526,31 @@ def _sync_family(env, R, action_mode):
     k_int = _fused_interlock(conv, float(ps.tau), finite)
     t_int = k_int * float(ps.tau)
 
-    r_s, l_d, l_q = float(mp["r_s"]), float(mp["l_d"]), float(mp["l_q"])
-    psi_p, p = float(mp.get("psi_p", 0.0)), float(mp["p"])
+    p = float(mp["p"])
+    _rand_ok = (("r_s", "l_d", "l_q", "psi_p") if "psi_p" in mp
+                else ("r_s", "l_d", "l_q"))
+    randomize = dict(randomize or {})
+    for nm in randomize:
+        if nm not in _rand_ok:
+            raise NotImplementedError(
+                f"randomize supports the electrical motor parameters "
+                f"{_rand_ok} for {ps.motor.kind}; got {nm!r}")
+    param_names = tuple(sorted(randomize))
+    n_param = len(param_names)
+    p_idx = {nm: j for j, nm in enumerate(param_names)}
+    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
+                         for nm in param_names)
+
+    def getp(nm, pp):
+        if nm in p_idx:
+            return pp[p_idx[nm]]
+        return float(mp.get(nm, 0.0)) if nm == "psi_p" else float(mp[nm])
+
+    def resolve(pp):
+        l_d, l_q = getp("l_d", pp), getp("l_q", pp)
+        return (getp("r_s", pp), l_d, l_q, 1.0 / l_d, 1.0 / l_q,
+                getp("psi_p", pp))
+
     tau = float(ps.tau)
     i_lim = float(lim[names.index("i_sd")])
     t_lim = float(lim[names.index("torque")])
@@ -541,31 +572,33 @@ def _sync_family(env, R, action_mode):
         COS_DI = np.float32(np.cos(t_int * p * omega_fixed))
         SIN_DI = np.float32(np.sin(t_int * p * omega_fixed))
 
-    def torque(i_sd, i_sq):
+    def torque(i_sd, i_sq, pc):
+        _r_s, l_d, l_q, _ild, _ilq, psi_p = pc
         return 1.5 * p * (psi_p + (l_d - l_q) * i_sd) * i_sq
 
-    def el_rhs(w, i_sd, i_sq, u_d, u_q):
+    def el_rhs(w, i_sd, i_sq, u_d, u_q, pc):
+        r_s, l_d, l_q, inv_ld, inv_lq, psi_p = pc
         pw = p * w
-        di_sd = (-r_s * i_sd + l_q * pw * i_sq + u_d) * (1.0 / l_d)
-        di_sq = (-psi_p * pw - r_s * i_sq - l_d * pw * i_sd + u_q) * (1.0 / l_q)
+        di_sd = (-r_s * i_sd + l_q * pw * i_sq + u_d) * inv_ld
+        di_sq = (-psi_p * pw - r_s * i_sq - l_d * pw * i_sd + u_q) * inv_lq
         return di_sd, di_sq
 
     if mech:
-        def rhs(core, u_d, u_q, z, ts=None):
+        def rhs(core, u_d, u_q, z, ts, pc):
             w, i_sd, i_sq, eps = core
-            dw = (mload.mech_rhs_t(w, torque(i_sd, i_sq), z, ts)
+            dw = (mload.mech_rhs_t(w, torque(i_sd, i_sq, pc), z, ts)
                   if mload.needs_time
-                  else mload.mech_rhs(w, torque(i_sd, i_sq), z))
-            di_sd, di_sq = el_rhs(w, i_sd, i_sq, u_d, u_q)
+                  else mload.mech_rhs(w, torque(i_sd, i_sq, pc), z))
+            di_sd, di_sq = el_rhs(w, i_sd, i_sq, u_d, u_q, pc)
             return dw, di_sd, di_sq, p * w
     else:
-        def rhs(core, u_d, u_q, z, ts=None):
+        def rhs(core, u_d, u_q, z, ts, pc):
             i_sd, i_sq, eps = core
-            di_sd, di_sq = el_rhs(omega_fixed, i_sd, i_sq, u_d, u_q)
+            di_sd, di_sq = el_rhs(omega_fixed, i_sd, i_sq, u_d, u_q, pc)
             return di_sd, di_sq, np.float32(p * omega_fixed) + 0.0 * eps
 
     n_core = 4 if mech else 3
-    n_state = n_core + n_sup
+    n_state = n_core + n_sup + n_param
     i_eps = n_core - 1
 
     n_bridge = (3 if (finite and (k_int > 0.0
@@ -593,7 +626,7 @@ def _sync_family(env, R, action_mode):
         u_beta = np.float32(1.0 / np.sqrt(3.0)) * (u_abc[1] - u_abc[2])
         return c * u_alpha + s * u_beta, -s * u_alpha + c * u_beta
 
-    def rk4(core, u_d, u_q, z, dt, t0=None):
+    def rk4(core, u_d, u_q, z, dt, pc, t0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
@@ -602,10 +635,10 @@ def _sync_family(env, R, action_mode):
         tm = te = None
         if t0 is not None:
             tm, te = t0 + 0.5 * dt, t0 + dt
-        k1 = rhs(core, u_d, u_q, z, t0)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, z, tm)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, z, tm)
-        k4 = rhs(axpy(core, k3, dt), u_d, u_q, z, te)
+        k1 = rhs(core, u_d, u_q, z, t0, pc)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, z, tm, pc)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, z, tm, pc)
+        k4 = rhs(axpy(core, k3, dt), u_d, u_q, z, te, pc)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
@@ -615,7 +648,10 @@ def _sync_family(env, R, action_mode):
         return (core[1], core[2]) if mech else (core[0], core[1])
 
     def physics_step(state, action, c, s, z=None, bs=None, t0=None):
-        core, sup_planes = state[:n_core], state[n_core:]
+        core = state[:n_core]
+        sup_planes = state[n_core:n_core + n_sup]
+        pp = state[n_core + n_sup:]
+        pc = resolve(pp)
         finite_il = finite and k_int > 0.0
         i_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -652,7 +688,7 @@ def _sync_family(env, R, action_mode):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, u_d0, u_q0, z, dt0)
+            core_mid = rk4(core, u_d0, u_q0, z, dt0, pc)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
@@ -667,17 +703,21 @@ def _sync_family(env, R, action_mode):
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
             u_d1, u_q1 = _park(u_abc1, c1, s1)
-            return rk4(core_mid, u_d1, u_q1, z, dt1) + sup_new
+            return rk4(core_mid, u_d1, u_q1, z, dt1, pc) + sup_new + pp
 
         fa, fb, fc = abc_frac(action, i_abc)
         u_d, u_q = _park((fa * u_sup_val, fb * u_sup_val, fc * u_sup_val),
                          c, s)
-        return rk4(core, u_d, u_q, z, tau, t0) + sup_new
+        return rk4(core, u_d, u_q, z, tau, pc, t0) + sup_new + pp
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 3
-        return core + sup.sup_reset(bits)
+        pdraws = tuple(
+            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
+                bits(shape))
+            for lo, hi in param_ranges)
+        return core + sup.sup_reset(bits) + pdraws
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -694,7 +734,8 @@ def _sync_family(env, R, action_mode):
         if nm == "omega":
             return state[0] * np.float32(1.0 / w_lim)
         if nm == "torque":
-            return torque(i_sd, i_sq) * np.float32(1.0 / t_lim)
+            pc = resolve(state[n_core + n_sup:])
+            return torque(i_sd, i_sq, pc) * np.float32(1.0 / t_lim)
         q = i_sd if nm == "i_sd" else i_sq
         return q * ref_cfg[j]["inv_lim"]
 
@@ -717,7 +758,7 @@ def _sync_family(env, R, action_mode):
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ()) + ("i_sd", "i_sq", "eps")
-                   + sup.names)
+                   + sup.names + param_names)
     act_names = (("action",) if finite
                  else ("action_a", "action_b", "action_c"))
     act_dtype = jnp.int32 if finite else jnp.float32
@@ -781,6 +822,8 @@ def _sync_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
+        param_names=param_names, param_ranges=param_ranges,
+        n_param=n_param,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         # single-head finite callers pass (action,) — unwrap to the plane
         # form advance_bridges expects; cont multi-channel tuples (which
@@ -792,7 +835,7 @@ def _sync_family(env, R, action_mode):
 
 
 def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
-                            interpret=False):
+                            interpret=False, randomize=None):
     """Universal fused rollout for the synchronous family — all 12
     {Finite,Cont} x {CC,TC,SC} x {PMSM,SynRM} catalog configs.
 
@@ -818,7 +861,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
-    fs = _sync_family(env, R, action_mode)
+    fs = _sync_family(env, R, action_mode, randomize)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

@@ -144,11 +144,88 @@ def test_fused_randomize_dqn_trainer():
 
 
 def test_fused_randomize_rejections():
-    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_rollout, make_fused_sync_rollout)
 
-    env = gemx.make_functional("Finite-CC-PMSM-v0")
-    with pytest.raises(NotImplementedError, match="DC family"):
+    env = gemx.make_functional("Cont-CC-SCIM-v0")
+    with pytest.raises(NotImplementedError, match="families"):
         make_fused_rollout(env, 8, N, randomize={"r_s": (0.1, 0.2)})
     envd = gemx.make_functional("Finite-CC-PermExDc-v0")
     with pytest.raises(NotImplementedError, match="electrical"):
         make_fused_dc_rollout(envd, 8, N, randomize={"j_rotor": (0.1, 0.2)})
+    envs = gemx.make_functional("Finite-CC-SynRM-v0")
+    with pytest.raises(NotImplementedError, match="electrical"):
+        # SynRM has no psi_p to randomize
+        make_fused_sync_rollout(envs, 8, N, randomize={"psi_p": (0.1, 0.2)})
+
+
+def test_fused_randomize_sync_buffer_parity():
+    """Synchronous family: buffer-mode fused PMSM rollout with per-env
+    (r_s, psi_p) planes matches the XLA dynamic-params env."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_sync_rollout)
+
+    env = gemx.make_functional(
+        "Cont-CC-PMSM-v0",
+        reference_generator=rg.ConstReference("i_sd", 0.0))
+    envd = gemx.make_functional(
+        "Cont-CC-PMSM-v0", dynamic_params=True,
+        reference_generator=rg.ConstReference("i_sd", 0.0))
+    mp = env.physical_system.motor.parameter
+    rng = np.random.default_rng(11)
+    r_s = (mp["r_s"] * rng.uniform(0.7, 1.3, N)).astype(np.float32)
+    psi_p = (mp["psi_p"] * rng.uniform(0.8, 1.2, N)).astype(np.float32)
+    actions = rng.uniform(-0.4, 0.4, size=(T, 3, 1, 128)).astype(np.float32)
+
+    roll = make_fused_sync_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"r_s": (float(r_s.min()), float(r_s.max())),
+                   "psi_p": (float(psi_p.min()), float(psi_p.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    # state planes: (i_sd, i_sq, eps, psi_p, r_s)
+    out = roll(zero, zero, zero, jnp.asarray(psi_p.reshape(1, 128)),
+               jnp.asarray(r_s.reshape(1, 128)), jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(envd.reset))(keys)
+    state = _with_params(state, r_s=r_s, psi_p=psi_p)
+    step = jax.jit(jax.vmap(envd.step))
+    for t in range(T):
+        state, _o, _r, _term = step(
+            state, jnp.asarray(actions[t].reshape(3, N).T))
+    ode = np.asarray(state.phys.ode_state)
+    i_names = list(envd.physical_system.state_names)
+    # ode_state rows: [omega?, i_sd, i_sq, eps] per the sync system layout
+    np.testing.assert_allclose(np.asarray(out[0]).reshape(N), ode[:, 1],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out[1]).reshape(N), ode[:, 2],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out[3]).reshape(N), psi_p)
+    np.testing.assert_array_equal(np.asarray(out[4]).reshape(N), r_s)
+
+
+def test_fused_randomize_sync_ppo_trainer():
+    """Randomized PMSM PPO: the flagship env trains across a psi_p/l_q
+    population in the universal policy kernel."""
+    from gym_electric_motor_tpu.ops.pallas_policy import (
+        fused_policy_init_planes, policy_act_ns, policy_obs_dim)
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params, make_fused_ppo_trainer)
+
+    env = gemx.make_functional("Finite-CC-PMSM-v0")
+    mp = env.physical_system.motor.parameter
+    rnd = {"psi_p": (0.8 * mp["psi_p"], 1.2 * mp["psi_p"]),
+           "l_q": (0.8 * mp["l_q"], 1.2 * mp["l_q"])}
+    init_opt, train = make_fused_ppo_trainer(
+        env, hidden=16, horizon=32, n_envs=256, n_minibatches=4, lr=1e-3,
+        interpret=True, randomize=rnd)
+    params = init_actor_critic_params(
+        jax.random.PRNGKey(1), policy_obs_dim(env),
+        int(sum(policy_act_ns(env))), 16)
+    planes = fused_policy_init_planes(env, 256, randomize=rnd)
+    assert len(planes) == 5  # (i_sd, i_sq, eps, l_q, psi_p)
+    params, _opt, planes, rs = train(params, init_opt(params), planes, 3, 2)
+    rs = np.asarray(rs)
+    assert np.isfinite(rs).all() and -1.0 < rs.mean() < 0.0
+    lq = np.asarray(planes[3])
+    assert np.all((lq >= rnd["l_q"][0]) & (lq <= rnd["l_q"][1]))
