@@ -235,10 +235,18 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def _induction_family(env, R, action_mode):
+def _induction_family(env, R, action_mode, randomize=None):
     """Shared squirrel-cage-induction-family closures — consumed by the
     reducing rollout (``make_fused_induction_rollout``) and the generic
-    trajectory recorder (``ops.pallas_record``)."""
+    trajectory recorder (``ops.pallas_record``).
+
+    ``randomize``: optional ``{param: (lo, hi)}`` — ``r_s``/``r_r`` as
+    per-env state planes (domain randomization, same design as
+    ``_dc_family``).  The resistances are the canonical induction-machine
+    drift axis (rotor resistance rises ~40% from cold to hot and breaks
+    slip-frequency-based field orientation); the inductances stay baked —
+    they set observation normalization constants (psi_lim = l_m * i_lim)
+    that must be static."""
     ps = env.physical_system
     _fused_check_system(ps, allow_dead_time=True)
     mp = ps.motor.parameter
@@ -254,12 +262,36 @@ def _induction_family(env, R, action_mode):
     l_r = float(mp["l_m"] + mp["l_sigr"])
     r_s, r_r, p = float(mp["r_s"]), float(mp["r_r"]), float(mp["p"])
     sigma = (l_s * l_r - l_m**2) / (l_s * l_r)
-    tau_r = l_r / r_r
-    tau_sig = sigma * l_s / (r_s + r_r * l_m**2 / l_r**2)
-    c_psi = l_m * r_r / (sigma * l_s * l_r**2)
     c_w = l_m * p / (sigma * l_r * l_s)
     c_u = 1.0 / (sigma * l_s)
     k_t = 1.5 * p * l_m / l_r
+
+    randomize = dict(randomize or {})
+    for nm in randomize:
+        if nm not in ("r_s", "r_r"):
+            raise NotImplementedError(
+                f"randomize supports the electrical resistances "
+                f"('r_s', 'r_r') for SCIM; got {nm!r}")
+    param_names = tuple(sorted(randomize))
+    n_param = len(param_names)
+    p_idx = {nm: j for j, nm in enumerate(param_names)}
+    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
+                         for nm in param_names)
+    _sigma_ls = sigma * l_s
+    _lm2_lr2 = l_m**2 / l_r**2
+    _c_psi_den = sigma * l_s * l_r**2
+
+    def getp(nm, pp):
+        return pp[p_idx[nm]] if nm in p_idx else float(mp[nm])
+
+    def resolve(pp):
+        """(tau_r, tau_sig, c_psi) — the r-dependent ODE coefficients,
+        in the exact float expression order of the baked path."""
+        r_s_v, r_r_v = getp("r_s", pp), getp("r_r", pp)
+        tau_r = l_r / r_r_v
+        tau_sig = _sigma_ls / (r_s_v + r_r_v * _lm2_lr2)
+        c_psi = l_m * r_r_v / _c_psi_den
+        return tau_r, tau_sig, c_psi
 
     tau = float(ps.tau)
     i_lim = float(lim[names.index("i_sd")])
@@ -274,7 +306,8 @@ def _induction_family(env, R, action_mode):
     sup = _make_fused_supply(ps, shape, tau)
     n_sup = sup.n_sup
 
-    def el_rhs(w, el, u_al, u_be):
+    def el_rhs(w, el, u_al, u_be, pc):
+        tau_r, tau_sig, c_psi = pc
         i_sa, i_sb, ps_a, ps_b = el
         pw = p * w
         di_sa = -i_sa / tau_sig + c_psi * ps_a + c_w * w * ps_b + c_u * u_al
@@ -287,17 +320,17 @@ def _induction_family(env, R, action_mode):
         return k_t * (el[2] * el[1] - el[3] * el[0])
 
     if mech:
-        def rhs(core, u_al, u_be, z, ts=None):
+        def rhs(core, u_al, u_be, z, ts, pc):
             w, el = core[0], core[1:]
             dw = (mload.mech_rhs_t(w, torque(el), z, ts)
                   if mload.needs_time else mload.mech_rhs(w, torque(el), z))
-            return (dw,) + el_rhs(w, el, u_al, u_be)
+            return (dw,) + el_rhs(w, el, u_al, u_be, pc)
     else:
-        def rhs(core, u_al, u_be, z, ts=None):
-            return el_rhs(omega_fixed, core, u_al, u_be)
+        def rhs(core, u_al, u_be, z, ts, pc):
+            return el_rhs(omega_fixed, core, u_al, u_be, pc)
 
     n_core = 4 + (1 if mech else 0)
-    n_state = n_core + n_sup
+    n_state = n_core + n_sup + n_param
 
     n_bridge = (3 if (finite and (k_int > 0.0
                                   or ps.supply.kind == "RCVoltageSupply"))
@@ -326,24 +359,27 @@ def _induction_family(env, R, action_mode):
         return ((2.0 / 3.0) * (u_abc[0] - 0.5 * (u_abc[1] + u_abc[2])),
                 np.float32(1.0 / np.sqrt(3.0)) * (u_abc[1] - u_abc[2]))
 
-    def rk4(core, u_al, u_be, z, dt, t0=None):
+    def rk4(core, u_al, u_be, z, dt, pc, t0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
         tm = te = None
         if t0 is not None:
             tm, te = t0 + 0.5 * dt, t0 + dt
-        k1 = rhs(core, u_al, u_be, z, t0)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), u_al, u_be, z, tm)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), u_al, u_be, z, tm)
-        k4 = rhs(axpy(core, k3, dt), u_al, u_be, z, te)
+        k1 = rhs(core, u_al, u_be, z, t0, pc)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_al, u_be, z, tm, pc)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_al, u_be, z, tm, pc)
+        k4 = rhs(axpy(core, k3, dt), u_al, u_be, z, te, pc)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
     def step_physics(state, action, z=None, bs=None, t0=None):
-        core, sup_planes = state[:n_core], state[n_core:]
+        core = state[:n_core]
+        sup_planes = state[n_core:n_core + n_sup]
+        pp = state[n_core + n_sup:]
+        pc = resolve(pp)
         finite_il = finite and k_int > 0.0
         i_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -370,22 +406,26 @@ def _induction_family(env, R, action_mode):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, *_uab(u_abc0), z, dt0)
+            core_mid = rk4(core, *_uab(u_abc0), z, dt0, pc)
             el_mid = core_mid[1:] if mech else core_mid
             i_abc_m = _clarke_inv(el_mid[0], el_mid[1])
             u_abc1 = tuple(
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
-            return rk4(core_mid, *_uab(u_abc1), z, dt1) + sup_new
+            return rk4(core_mid, *_uab(u_abc1), z, dt1, pc) + sup_new + pp
 
         u_al, u_be = _uab(tuple(f * u_sup_val
                                 for f in abc_frac(action, i_abc)))
-        return rk4(core, u_al, u_be, z, tau, t0) + sup_new
+        return rk4(core, u_al, u_be, z, tau, pc, t0) + sup_new + pp
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 4
-        return core + sup.sup_reset(bits)
+        pdraws = tuple(
+            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
+                bits(shape))
+            for lo, hi in param_ranges)
+        return core + sup.sup_reset(bits) + pdraws
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -456,7 +496,7 @@ def _induction_family(env, R, action_mode):
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta")
-                   + sup.names)
+                   + sup.names + param_names)
     act_names = (("action",) if finite
                  else ("action_a", "action_b", "action_c"))
     act_dtype = jnp.int32 if finite else jnp.float32
@@ -511,12 +551,14 @@ def _induction_family(env, R, action_mode):
         quantities=quantities,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
+        param_names=param_names, param_ranges=param_ranges,
+        n_param=n_param,
         n_bridge=n_bridge, bridge_dtypes=bridge_dtypes, advance_bridges=advance_bridges,
     )
 
 
 def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
-                                 interpret=False):
+                                 interpret=False, randomize=None):
     """Universal fused rollout for the squirrel-cage induction family — all
     6 {Finite,Cont} x {CC,TC,SC} SCIM catalog configs from one builder.
 
@@ -540,7 +582,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
-    fs = _induction_family(env, R, action_mode)
+    fs = _induction_family(env, R, action_mode, randomize)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

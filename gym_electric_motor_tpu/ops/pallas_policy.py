@@ -862,11 +862,11 @@ def _policy_family(env, R, action_mode="random", randomize=None):
     kind = env.physical_system.motor.kind
     if randomize:
         if kind not in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc",
-                        "PMSM", "SynRM"):
+                        "PMSM", "SynRM", "SCIM"):
             raise NotImplementedError(
                 f"randomize (fused domain randomization) currently covers "
-                f"the DC and synchronous families; got motor kind "
-                f"{kind!r} — use the XLA path's dynamic_params=True "
+                f"the DC, synchronous and induction families; got motor "
+                f"kind {kind!r} — use the XLA path's dynamic_params=True "
                 f"instead")
         return _POLICY_FAMILY_NAMESPACES[kind](env, R, action_mode,
                                                randomize=randomize)

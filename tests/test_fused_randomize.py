@@ -1,5 +1,5 @@
-"""Fused domain randomization (DC family): motor parameters as per-env
-state planes.
+"""Fused domain randomization (DC / synchronous / induction families):
+motor parameters as per-env state planes.
 
 ``randomize={name: (lo, hi)}`` turns electrical motor parameters into
 extra ``(R, LANE)`` planes appended after the supply planes — read by the
@@ -147,7 +147,7 @@ def test_fused_randomize_rejections():
     from gym_electric_motor_tpu.ops.pallas_rollout import (
         make_fused_rollout, make_fused_sync_rollout)
 
-    env = gemx.make_functional("Cont-CC-SCIM-v0")
+    env = gemx.make_functional("Cont-CC-EESM-v0")
     with pytest.raises(NotImplementedError, match="families"):
         make_fused_rollout(env, 8, N, randomize={"r_s": (0.1, 0.2)})
     envd = gemx.make_functional("Finite-CC-PermExDc-v0")
@@ -157,6 +157,13 @@ def test_fused_randomize_rejections():
     with pytest.raises(NotImplementedError, match="electrical"):
         # SynRM has no psi_p to randomize
         make_fused_sync_rollout(envs, 8, N, randomize={"psi_p": (0.1, 0.2)})
+    envi = gemx.make_functional("Cont-CC-SCIM-v0")
+    with pytest.raises(NotImplementedError, match="resistances"):
+        # SCIM inductances set static obs normalization constants
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            make_fused_induction_rollout)
+        make_fused_induction_rollout(envi, 8, N,
+                                     randomize={"l_m": (0.1, 0.2)})
 
 
 def test_fused_randomize_sync_buffer_parity():
@@ -229,3 +236,48 @@ def test_fused_randomize_sync_ppo_trainer():
     assert np.isfinite(rs).all() and -1.0 < rs.mean() < 0.0
     lq = np.asarray(planes[3])
     assert np.all((lq >= rnd["l_q"][0]) & (lq <= rnd["l_q"][1]))
+
+
+def test_fused_randomize_scim_buffer_parity():
+    """Induction family: buffer-mode fused SCIM rollout with per-env
+    (r_s, r_r) planes — the canonical rotor-resistance temperature-drift
+    axis — matches the XLA dynamic-params env."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_induction_rollout)
+
+    env = gemx.make_functional(
+        "Cont-CC-SCIM-v0",
+        reference_generator=rg.ConstReference("i_sd", 0.0))
+    envd = gemx.make_functional(
+        "Cont-CC-SCIM-v0", dynamic_params=True,
+        reference_generator=rg.ConstReference("i_sd", 0.0))
+    mp = env.physical_system.motor.parameter
+    rng = np.random.default_rng(13)
+    r_s = (mp["r_s"] * rng.uniform(0.8, 1.2, N)).astype(np.float32)
+    r_r = (mp["r_r"] * rng.uniform(0.7, 1.4, N)).astype(np.float32)
+    actions = rng.uniform(-0.3, 0.3, size=(T, 3, 1, 128)).astype(np.float32)
+
+    roll = make_fused_induction_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"r_s": (float(r_s.min()), float(r_s.max())),
+                   "r_r": (float(r_r.min()), float(r_r.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    # state planes: (i_salpha, i_sbeta, psi_ralpha, psi_rbeta, r_r, r_s)
+    out = roll(zero, zero, zero, zero, jnp.asarray(r_r.reshape(1, 128)),
+               jnp.asarray(r_s.reshape(1, 128)), jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(envd.reset))(keys)
+    state = _with_params(state, r_s=r_s, r_r=r_r)
+    step = jax.jit(jax.vmap(envd.step))
+    for t in range(T):
+        state, _o, _r, _term = step(
+            state, jnp.asarray(actions[t].reshape(3, N).T))
+    ode = np.asarray(state.phys.ode_state)
+    # ode rows: [omega?, i_salpha, i_sbeta, psi_ralpha, psi_rbeta, eps]
+    np.testing.assert_allclose(np.asarray(out[0]).reshape(N), ode[:, 1],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out[2]).reshape(N), ode[:, 3],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out[4]).reshape(N), r_r)
+    np.testing.assert_array_equal(np.asarray(out[5]).reshape(N), r_s)
