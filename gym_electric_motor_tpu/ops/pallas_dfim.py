@@ -288,10 +288,14 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def _dfim_family(env, R, action_mode):
+def _dfim_family(env, R, action_mode, randomize=None):
     """Shared DFIM-family closures — consumed by the reducing rollout
     (``make_fused_dfim_family_rollout``) and the generic trajectory
-    recorder (``ops.pallas_record``)."""
+    recorder (``ops.pallas_record``).
+
+    ``randomize``: optional ``{param: (lo, hi)}`` — ``r_s``/``r_r`` as
+    per-env state planes (winding-resistance temperature drift); same
+    design as ``_dc_family`` / ``_induction_family``."""
     ps = env.physical_system
     _fused_check_system(ps, allow_dead_time=True)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
@@ -307,13 +311,35 @@ def _dfim_family(env, R, action_mode):
     l_r = l_m + mp["l_sigr"]
     r_s, r_r, p = mp["r_s"], mp["r_r"], mp["p"]
     sg = (l_s * l_r - l_m**2) / (l_s * l_r)
-    tau_r = l_r / r_r
-    tau_sig = sg * l_s / (r_s + r_r * l_m**2 / l_r**2)
-    c_psi = l_m * r_r / (sg * l_s * l_r**2)
     c_w = l_m * p / (sg * l_r * l_s)
     c_u = 1.0 / (sg * l_s)
     c_ur = l_m / (sg * l_r * l_s)
     k_t = 1.5 * p * l_m / l_r
+
+    randomize = dict(randomize or {})
+    for nm in randomize:
+        if nm not in ("r_s", "r_r"):
+            raise NotImplementedError(
+                f"randomize supports the electrical resistances "
+                f"('r_s', 'r_r') for DFIM; got {nm!r}")
+    param_names = tuple(sorted(randomize))
+    n_param = len(param_names)
+    p_idx = {nm: j for j, nm in enumerate(param_names)}
+    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
+                         for nm in param_names)
+    _sg_ls = sg * l_s
+    _lm2_lr2 = l_m**2 / l_r**2
+    _c_psi_den = sg * l_s * l_r**2
+
+    def resolve(pp):
+        """(tau_r, tau_sig, c_psi) in the exact float expression order of
+        the baked path (see _induction_family)."""
+        r_s_v = pp[p_idx["r_s"]] if "r_s" in p_idx else r_s
+        r_r_v = pp[p_idx["r_r"]] if "r_r" in p_idx else r_r
+        tau_r = l_r / r_r_v
+        tau_sig = _sg_ls / (r_s_v + r_r_v * _lm2_lr2)
+        c_psi = l_m * r_r_v / _c_psi_den
+        return tau_r, tau_sig, c_psi
 
     tau = float(ps.tau)
     i_lim = float(lim[names.index("i_sd")])
@@ -337,7 +363,8 @@ def _dfim_family(env, R, action_mode):
     def torque(el):
         return k_t * (el[2] * el[1] - el[3] * el[0])
 
-    def el_rhs(w, el, u_sal, u_sbe, u_ral, u_rbe):
+    def el_rhs(w, el, u_sal, u_sbe, u_ral, u_rbe, pc):
+        tau_r, tau_sig, c_psi = pc
         i_sa, i_sb, ps_a, ps_b = el
         pw = p * w
         di_sa = (-i_sa / tau_sig + c_psi * ps_a + c_w * w * ps_b
@@ -349,19 +376,19 @@ def _dfim_family(env, R, action_mode):
         return di_sa, di_sb, dps_a, dps_b
 
     if mech:
-        def rhs(core, us, z, ts=None):
+        def rhs(core, us, z, ts, pc):
             w, el, eps = core[0], core[1:5], core[5]
             dw = (mload.mech_rhs_t(w, torque(el), z, ts)
                   if mload.needs_time else mload.mech_rhs(w, torque(el), z))
-            return (dw,) + el_rhs(w, el, *us) + (p * w,)
+            return (dw,) + el_rhs(w, el, *us, pc) + (p * w,)
     else:
-        def rhs(core, us, z, ts=None):
+        def rhs(core, us, z, ts, pc):
             el, eps = core[0:4], core[4]
-            return (el_rhs(omega_fixed, el, *us)
+            return (el_rhs(omega_fixed, el, *us, pc)
                     + (np.float32(p * omega_fixed) + 0.0 * eps,))
 
     n_core = 6 if mech else 5
-    n_state = n_core + n_sup
+    n_state = n_core + n_sup + n_param
     i_eps = n_core - 1
 
     n_bridge = (6 if (finite and (k_int > 0.0
@@ -433,24 +460,27 @@ def _dfim_family(env, R, action_mode):
         return (u_sal, u_sbe,
                 c * u_ral0 - s * u_rbe0, s * u_ral0 + c * u_rbe0)
 
-    def rk4(core, us, z, dt, t0=None):
+    def rk4(core, us, z, dt, pc, t0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
         tm = te = None
         if t0 is not None:
             tm, te = t0 + 0.5 * dt, t0 + dt
-        k1 = rhs(core, us, z, t0)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), us, z, tm)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), us, z, tm)
-        k4 = rhs(axpy(core, k3, dt), us, z, te)
+        k1 = rhs(core, us, z, t0, pc)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), us, z, tm, pc)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), us, z, tm, pc)
+        k4 = rhs(axpy(core, k3, dt), us, z, te, pc)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
     def physics_step(state, action, c, s, z=None, bs=None, t0=None):
-        core, sup_planes = state[:n_core], state[n_core:]
+        core = state[:n_core]
+        sup_planes = state[n_core:n_core + n_sup]
+        pp = state[n_core + n_sup:]
+        pc = resolve(pp)
         finite_il = finite and k_int > 0.0
         i_s_abc = i_r_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -478,7 +508,8 @@ def _dfim_family(env, R, action_mode):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, _us_of(f0, u_sup_val, c, s), z, dt0)
+            core_mid = rk4(core, _us_of(f0, u_sup_val, c, s), z,
+                           dt0, pc)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
@@ -492,16 +523,20 @@ def _dfim_family(env, R, action_mode):
                 tuple(jnp.where(flag, b, a) for a, b in zip(fa, fb))
                 for fa, fb in zip(f0, f1))
             return rk4(core_mid, _us_of(fr, u_sup_val, c1, s1), z,
-                       dt1) + sup_new
+                       dt1, pc) + sup_new + pp
 
         us = _us_of(voltage_fracs(action, i_s_abc, i_r_abc), u_sup_val,
                     c, s)
-        return rk4(core, us, z, tau, t0) + sup_new
+        return rk4(core, us, z, tau, pc, t0) + sup_new + pp
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 5
-        return core + sup.sup_reset(bits)
+        pdraws = tuple(
+            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
+                bits(shape))
+            for lo, hi in param_ranges)
+        return core + sup.sup_reset(bits) + pdraws
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -563,7 +598,7 @@ def _dfim_family(env, R, action_mode):
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta",
-                      "eps") + sup.names)
+                      "eps") + sup.names + param_names)
     act_names = (("action_stator", "action_rotor") if finite
                  else ("action_sa", "action_sb", "action_sc",
                        "action_ra", "action_rb", "action_rc"))
@@ -633,13 +668,15 @@ def _dfim_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
+        param_names=param_names, param_ranges=param_ranges,
+        n_param=n_param,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         advance_bridges=advance_bridges,
     )
 
 
 def make_fused_dfim_family_rollout(env, n_steps, n_envs,
-                                   action_mode="random", interpret=False):
+                                   action_mode="random", interpret=False, randomize=None):
     """Universal fused rollout for the doubly-fed induction family — all 6
     {Finite,Cont} x {CC,TC,SC} DFIM catalog configs.
 
@@ -660,7 +697,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
-    fs = _dfim_family(env, R, action_mode)
+    fs = _dfim_family(env, R, action_mode, randomize)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

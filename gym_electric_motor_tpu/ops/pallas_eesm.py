@@ -280,10 +280,14 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
     return rollout
 
 
-def _eesm_family(env, R, action_mode):
+def _eesm_family(env, R, action_mode, randomize=None):
     """Shared EESM-family closures — consumed by the reducing rollout
     (``make_fused_eesm_family_rollout``) and the generic trajectory
-    recorder (``ops.pallas_record``)."""
+    recorder (``ops.pallas_record``).
+
+    ``randomize``: optional ``{param: (lo, hi)}`` — ``r_s``/``r_e`` (the
+    stator and excitation winding resistances, the temperature-drift
+    axis) as per-env state planes; same design as ``_dc_family``."""
     ps = env.physical_system
     _fused_check_system(ps, allow_dead_time=True)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
@@ -301,6 +305,25 @@ def _eesm_family(env, R, action_mode):
     i_k_rs = 2.0 / 3.0 / mp["k"]
     sig = 1.0 - l_M**2 / (mp["l_d"] * l_E)
     r_s, l_d, l_q, p, k_e = mp["r_s"], mp["l_d"], mp["l_q"], mp["p"], mp["k"]
+
+    randomize = dict(randomize or {})
+    for nm in randomize:
+        if nm not in ("r_s", "r_e"):
+            raise NotImplementedError(
+                f"randomize supports the electrical resistances "
+                f"('r_s', 'r_e') for EESM; got {nm!r}")
+    param_names = tuple(sorted(randomize))
+    n_param = len(param_names)
+    p_idx = {nm: j for j, nm in enumerate(param_names)}
+    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
+                         for nm in param_names)
+
+    def resolve(pp):
+        """(r_s, r_E): the excitation resistance transforms stator-side
+        by the same k^2 * 1.5 factor as the baked path."""
+        r_s_v = pp[p_idx["r_s"]] if "r_s" in p_idx else r_s
+        r_e_v = pp[p_idx["r_e"]] if "r_e" in p_idx else mp["r_e"]
+        return r_s_v, k_e ** 2 * 1.5 * r_e_v
 
     tau = float(ps.tau)
     i_lim = float(lim[names.index("i_sd")])
@@ -325,7 +348,8 @@ def _eesm_family(env, R, action_mode):
     def torque3(i_sd, i_sq, i_e):
         return 1.5 * p * (l_M * i_e * i_k_rs + (l_d - l_q) * i_sd) * i_sq
 
-    def el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e):
+    def el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e, pc):
+        r_s, r_E = pc
         pw = p * w
         di_sd = (-r_s / sig * i_sd + l_M * r_E / (sig * l_E) * i_k_rs * i_e
                  + u_d / sig - l_M * k_e / (sig * l_E) * u_e
@@ -338,20 +362,21 @@ def _eesm_family(env, R, action_mode):
         return di_sd, di_sq, di_e
 
     if mech:
-        def rhs(core, u_d, u_q, u_e, z, ts=None):
+        def rhs(core, u_d, u_q, u_e, z, ts, pc):
             w, i_sd, i_sq, i_e, eps = core
             dw = (mload.mech_rhs_t(w, torque3(i_sd, i_sq, i_e), z, ts)
                   if mload.needs_time
                   else mload.mech_rhs(w, torque3(i_sd, i_sq, i_e), z))
-            return (dw,) + el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e) + (p * w,)
+            return ((dw,) + el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e, pc)
+                    + (p * w,))
     else:
-        def rhs(core, u_d, u_q, u_e, z, ts=None):
+        def rhs(core, u_d, u_q, u_e, z, ts, pc):
             i_sd, i_sq, i_e, eps = core
-            return (el_rhs(omega_fixed, i_sd, i_sq, i_e, u_d, u_q, u_e)
+            return (el_rhs(omega_fixed, i_sd, i_sq, i_e, u_d, u_q, u_e, pc)
                     + (np.float32(p * omega_fixed) + 0.0 * eps,))
 
     n_core = 5 if mech else 4
-    n_state = n_core + n_sup
+    n_state = n_core + n_sup + n_param
     i_eps = n_core - 1
 
     n_bridge = (5 if (finite and (k_int > 0.0
@@ -429,24 +454,27 @@ def _eesm_family(env, R, action_mode):
         u_be = np.float32(1.0 / np.sqrt(3.0)) * (ub - uc)
         return (c * u_al + s * u_be, -s * u_al + c * u_be, fe * u_sup_val)
 
-    def rk4(core, u_d, u_q, u_e, z, dt, t0=None):
+    def rk4(core, u_d, u_q, u_e, z, dt, pc, t0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
         tm = te = None
         if t0 is not None:
             tm, te = t0 + 0.5 * dt, t0 + dt
-        k1 = rhs(core, u_d, u_q, u_e, z, t0)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, u_e, z, tm)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, u_e, z, tm)
-        k4 = rhs(axpy(core, k3, dt), u_d, u_q, u_e, z, te)
+        k1 = rhs(core, u_d, u_q, u_e, z, t0, pc)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u_d, u_q, u_e, z, tm, pc)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u_d, u_q, u_e, z, tm, pc)
+        k4 = rhs(axpy(core, k3, dt), u_d, u_q, u_e, z, te, pc)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
     def physics_step(state, action, c, s, z=None, bs=None, t0=None):
-        core, sup_planes = state[:n_core], state[n_core:]
+        core = state[:n_core]
+        sup_planes = state[n_core:n_core + n_sup]
+        pp = state[n_core + n_sup:]
+        pc = resolve(pp)
         finite_il = finite and k_int > 0.0
         i_abc = i_e = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -475,7 +503,7 @@ def _eesm_family(env, R, action_mode):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, *u0, z, dt0)
+            core_mid = rk4(core, *u0, z, dt0, pc)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
@@ -489,15 +517,19 @@ def _eesm_family(env, R, action_mode):
             # no-interlock envs, then transform with the refreshed angle
             fr = tuple(jnp.where(flag, b, a) for a, b in zip(f0, f1))
             u1 = _udqe(fr, u_sup_val, c1, s1)
-            return rk4(core_mid, *u1, z, dt1) + sup_new
+            return rk4(core_mid, *u1, z, dt1, pc) + sup_new + pp
 
         u = _udqe(voltage_fracs(action, i_abc, i_e), u_sup_val, c, s)
-        return rk4(core, *u, z, tau, t0) + sup_new
+        return rk4(core, *u, z, tau, pc, t0) + sup_new + pp
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 4
-        return core + sup.sup_reset(bits)
+        pdraws = tuple(
+            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
+                bits(shape))
+            for lo, hi in param_ranges)
+        return core + sup.sup_reset(bits) + pdraws
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -538,7 +570,8 @@ def _eesm_family(env, R, action_mode):
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
-                   + ("i_sd", "i_sq", "i_e", "eps") + sup.names)
+                   + ("i_sd", "i_sq", "i_e", "eps") + sup.names
+                   + param_names)
     act_names = (("action_b6", "action_e") if finite
                  else ("action_a", "action_b", "action_c", "action_e"))
     act_dtype = jnp.int32 if finite else jnp.float32
@@ -599,13 +632,15 @@ def _eesm_family(env, R, action_mode):
         rot_init=rot_init, rot_advance=rot_advance,
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
+        param_names=param_names, param_ranges=param_ranges,
+        n_param=n_param,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         advance_bridges=advance_bridges,
     )
 
 
 def make_fused_eesm_family_rollout(env, n_steps, n_envs,
-                                   action_mode="random", interpret=False):
+                                   action_mode="random", interpret=False, randomize=None):
     """Universal fused rollout for the externally-excited synchronous
     family — all 6 {Finite,Cont} x {CC,TC,SC} EESM catalog configs.
 
@@ -627,7 +662,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE
-    fs = _eesm_family(env, R, action_mode)
+    fs = _eesm_family(env, R, action_mode, randomize)
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg

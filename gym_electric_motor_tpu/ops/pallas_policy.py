@@ -843,8 +843,9 @@ _POLICY_FAMILY_NAMESPACES = None
 def _policy_family(env, R, action_mode="random", randomize=None):
     """Resolve the family namespace for the universal policy kernels
     (lazy import: the family modules are siblings, no facade cycle).
-    ``randomize`` (domain-randomized motor parameters as per-env state
-    planes) is currently a DC-family capability."""
+    ``randomize``: domain-randomized motor parameters as per-env state
+    planes — every family supports its electrical drift axes (see the
+    family docstrings)."""
     global _POLICY_FAMILY_NAMESPACES
     if _POLICY_FAMILY_NAMESPACES is None:
         from .pallas_dc import _dc_family
@@ -861,13 +862,6 @@ def _policy_family(env, R, action_mode="random", randomize=None):
         }
     kind = env.physical_system.motor.kind
     if randomize:
-        if kind not in ("PermExDc", "SeriesDc", "ShuntDc", "ExtExDc",
-                        "PMSM", "SynRM", "SCIM"):
-            raise NotImplementedError(
-                f"randomize (fused domain randomization) currently covers "
-                f"the DC, synchronous and induction families; got motor "
-                f"kind {kind!r} — use the XLA path's dynamic_params=True "
-                f"instead")
         return _POLICY_FAMILY_NAMESPACES[kind](env, R, action_mode,
                                                randomize=randomize)
     return _POLICY_FAMILY_NAMESPACES[kind](env, R, action_mode)

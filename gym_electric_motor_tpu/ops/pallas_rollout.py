@@ -169,11 +169,6 @@ def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
         "dfim": make_fused_dfim_family_rollout,
     }[family]
     if randomize:
-        if family not in ("dc", "sync", "induction"):
-            raise NotImplementedError(
-                "randomize (fused domain randomization) currently covers "
-                "the DC, synchronous and induction families — use the XLA "
-                "path's dynamic_params=True")
         return build(env, n_steps, n_envs, action_mode=action_mode,
                      interpret=interpret, randomize=randomize)
     return build(env, n_steps, n_envs, action_mode=action_mode,

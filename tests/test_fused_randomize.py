@@ -1,5 +1,5 @@
-"""Fused domain randomization (DC / synchronous / induction families):
-motor parameters as per-env state planes.
+"""Fused domain randomization (every motor family): motor parameters
+as per-env state planes.
 
 ``randomize={name: (lo, hi)}`` turns electrical motor parameters into
 extra ``(R, LANE)`` planes appended after the supply planes — read by the
@@ -148,8 +148,9 @@ def test_fused_randomize_rejections():
         make_fused_rollout, make_fused_sync_rollout)
 
     env = gemx.make_functional("Cont-CC-EESM-v0")
-    with pytest.raises(NotImplementedError, match="families"):
-        make_fused_rollout(env, 8, N, randomize={"r_s": (0.1, 0.2)})
+    with pytest.raises(NotImplementedError, match="resistances"):
+        # EESM inductances set obs/OPS normalization constants
+        make_fused_rollout(env, 8, N, randomize={"l_d": (0.1, 0.2)})
     envd = gemx.make_functional("Finite-CC-PermExDc-v0")
     with pytest.raises(NotImplementedError, match="electrical"):
         make_fused_dc_rollout(envd, 8, N, randomize={"j_rotor": (0.1, 0.2)})
@@ -281,3 +282,82 @@ def test_fused_randomize_scim_buffer_parity():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(out[4]).reshape(N), r_r)
     np.testing.assert_array_equal(np.asarray(out[5]).reshape(N), r_s)
+
+
+def test_fused_randomize_eesm_buffer_parity():
+    """EESM: per-env (r_s, r_e) winding-resistance planes match the XLA
+    dynamic-params env (the excitation resistance transforms stator-side
+    by k^2 * 1.5 inside the resolver)."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_eesm_family_rollout)
+
+    kw = dict(reference_generator=rg.ConstReference("i_sd", 0.0))
+    env = gemx.make_functional("Cont-CC-EESM-v0", **kw)
+    envd = gemx.make_functional("Cont-CC-EESM-v0", dynamic_params=True, **kw)
+    mp = env.physical_system.motor.parameter
+    rng = np.random.default_rng(17)
+    r_s = (mp["r_s"] * rng.uniform(0.8, 1.2, N)).astype(np.float32)
+    r_e = (mp["r_e"] * rng.uniform(0.7, 1.4, N)).astype(np.float32)
+    actions = rng.uniform(-0.3, 0.3, size=(T, 4, 1, 128)).astype(np.float32)
+
+    roll = make_fused_eesm_family_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"r_s": (float(r_s.min()), float(r_s.max())),
+                   "r_e": (float(r_e.min()), float(r_e.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    # state planes: (i_sd, i_sq, i_e, eps, r_e, r_s)
+    out = roll(zero, zero, zero, zero, jnp.asarray(r_e.reshape(1, 128)),
+               jnp.asarray(r_s.reshape(1, 128)), jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(envd.reset))(keys)
+    state = _with_params(state, r_s=r_s, r_e=r_e)
+    step = jax.jit(jax.vmap(envd.step))
+    for t in range(T):
+        state, _o, _r, _term = step(
+            state, jnp.asarray(actions[t].reshape(4, N).T))
+    ode = np.asarray(state.phys.ode_state)
+    for k, c in ((0, 1), (1, 2), (2, 3)):     # i_sd, i_sq, i_e
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, c], rtol=1e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(out[4]).reshape(N), r_e)
+    np.testing.assert_array_equal(np.asarray(out[5]).reshape(N), r_s)
+
+
+def test_fused_randomize_dfim_buffer_parity():
+    """DFIM: per-env (r_s, r_r) planes match the XLA dynamic-params env."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_dfim_family_rollout)
+
+    kw = dict(reference_generator=rg.ConstReference("i_sd", 0.0))
+    env = gemx.make_functional("Cont-CC-DFIM-v0", **kw)
+    envd = gemx.make_functional("Cont-CC-DFIM-v0", dynamic_params=True, **kw)
+    mp = env.physical_system.motor.parameter
+    rng = np.random.default_rng(19)
+    r_s = (mp["r_s"] * rng.uniform(0.8, 1.2, N)).astype(np.float32)
+    r_r = (mp["r_r"] * rng.uniform(0.7, 1.4, N)).astype(np.float32)
+    actions = rng.uniform(-0.3, 0.3, size=(T, 6, 1, 128)).astype(np.float32)
+
+    roll = make_fused_dfim_family_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"r_s": (float(r_s.min()), float(r_s.max())),
+                   "r_r": (float(r_r.min()), float(r_r.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    # state planes: (i_sa, i_sb, psi_ra, psi_rb, eps, r_r, r_s)
+    out = roll(zero, zero, zero, zero, zero,
+               jnp.asarray(r_r.reshape(1, 128)),
+               jnp.asarray(r_s.reshape(1, 128)), jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(envd.reset))(keys)
+    state = _with_params(state, r_s=r_s, r_r=r_r)
+    step = jax.jit(jax.vmap(envd.step))
+    for t in range(T):
+        state, _o, _r, _term = step(
+            state, jnp.asarray(actions[t].reshape(6, N).T))
+    ode = np.asarray(state.phys.ode_state)
+    for k, c in ((0, 1), (1, 2), (2, 3), (3, 4)):
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, c], rtol=1e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(out[5]).reshape(N), r_r)
+    np.testing.assert_array_equal(np.asarray(out[6]).reshape(N), r_s)
