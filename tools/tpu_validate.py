@@ -410,6 +410,43 @@ def randomized_ppo_improves():
     assert (psi >= rnd["psi_e"][0]).all() and (psi <= rnd["psi_e"][1]).all()
 
 
+def randomized_all_families_compile():
+    """Every family's randomized kernel Mosaic-compiles and runs on the
+    chip: per-env parameter planes ride the generic state machinery, come
+    back inside their configured [lo, hi] ranges (init draw or in-kernel
+    violation redraw), and rewards stay at the random-policy scale."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        fused_state_arity, make_fused_rollout)
+
+    cases = [("Finite-CC-PermExDc-v0", {"r_a": 0.3, "l_a": 0.3}),
+             ("Finite-CC-PMSM-v0", {"psi_p": 0.2, "l_q": 0.2}),
+             ("Cont-CC-SCIM-v0", {"r_r": 0.4}),
+             ("Finite-CC-EESM-v0", {"r_e": 0.4}),
+             ("Finite-CC-DFIM-v0", {"r_r": 0.4})]
+    rng = np.random.default_rng(1)
+    for eid, spread in cases:
+        env = gemx.make_functional(eid)
+        mp = env.physical_system.motor.parameter
+        rnd = {k: ((1 - sp) * float(mp[k]), (1 + sp) * float(mp[k]))
+               for k, sp in spread.items()}
+        n0 = fused_state_arity(env)
+        roll = make_fused_rollout(env, 4096, 2048, randomize=rnd)
+        planes = [jnp.zeros((16, 128), jnp.float32) for _ in range(n0)]
+        for k in sorted(rnd):
+            lo, hi = rnd[k]
+            planes.append(jnp.asarray(rng.uniform(lo, hi, (16, 128)),
+                                      jnp.float32))
+        out = [np.asarray(o) for o in roll(7, *planes)]
+        assert all(np.isfinite(v).all() for v in out), eid
+        for j, k in enumerate(sorted(rnd)):
+            lo, hi = rnd[k]
+            pv = out[n0 + j]
+            assert (pv >= lo - 1e-6).all() and (pv <= hi + 1e-6).all(), \
+                (eid, k)
+        mean_r = out[n0 + len(rnd)].mean() / 4096
+        assert -1.0 < mean_r < 0.0, (eid, mean_r)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -429,6 +466,7 @@ def main():
     check("rl:fused-dqn-improves", fused_dqn_improves)
     check("rl:fused-td3-improves", fused_td3_improves)
     check("rl:randomized-ppo-improves", randomized_ppo_improves)
+    check("randomize:all-families-compile", randomized_all_families_compile)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         return 1
