@@ -131,10 +131,11 @@ def _wrap_mech_time(mload, tau, physics, advance, n_bridge, has_cs, k_int):
     base = (jnp.int32,) * n_bridge
     if not getattr(mload, "needs_time", False):
         return physics, advance, n_bridge, base
-    if k_int > 0.0:
-        raise NotImplementedError(
-            "ExternalSpeedLoad with interlocking dead time is not fused "
-            "(sub-interval stage times) — use the general XLA path")
+    # interlocking composes too: the family interlock branches integrate
+    # their two sub-intervals at stage times (t0, t0 + dt0), so the
+    # profile is evaluated at the same absolute times as the XLA path's
+    # per-sub-interval integration (k_int kept in the signature for the
+    # callers' sake)
 
     if has_cs:
         def physics2(state, a, c, s, z=None, bs=None):

@@ -932,7 +932,8 @@ def _dc_family(env, R, action_mode, randomize=None):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, u0, z, dt0, pc)
+            tm = None if t0 is None else t0 + dt0
+            core_mid = rk4(core, u0, z, dt0, pc, t0)
             el_mid = core_mid[1:] if mech else core_mid
             i_mid = i_in_fn(el_mid)
             u1 = tuple(
@@ -940,7 +941,7 @@ def _dc_family(env, R, action_mode, randomize=None):
                           conv_u(conv_kinds[j], acts[j], i_mid[j],
                                  inter[j] or None) * u_sup_val, u0[j])
                 for j in range(n_ch))
-            return rk4(core_mid, u1, z, dt1, pc) + sup_new + pp
+            return rk4(core_mid, u1, z, dt1, pc, tm) + sup_new + pp
 
         u = tuple(conv_u(conv_kinds[j], acts[j], i_in[j]) * u_sup_val
                   for j in range(n_ch))

@@ -508,8 +508,9 @@ def _dfim_family(env, R, action_mode, randomize=None):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
+            tm = None if t0 is None else t0 + dt0
             core_mid = rk4(core, _us_of(f0, u_sup_val, c, s), z,
-                           dt0, pc)
+                           dt0, pc, t0)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
@@ -523,7 +524,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
                 tuple(jnp.where(flag, b, a) for a, b in zip(fa, fb))
                 for fa, fb in zip(f0, f1))
             return rk4(core_mid, _us_of(fr, u_sup_val, c1, s1), z,
-                       dt1, pc) + sup_new + pp
+                       dt1, pc, tm) + sup_new + pp
 
         us = _us_of(voltage_fracs(action, i_s_abc, i_r_abc), u_sup_val,
                     c, s)

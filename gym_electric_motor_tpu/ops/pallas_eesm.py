@@ -503,7 +503,8 @@ def _eesm_family(env, R, action_mode, randomize=None):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, *u0, z, dt0, pc)
+            tm = None if t0 is None else t0 + dt0
+            core_mid = rk4(core, *u0, z, dt0, pc, t0)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
@@ -517,7 +518,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
             # no-interlock envs, then transform with the refreshed angle
             fr = tuple(jnp.where(flag, b, a) for a, b in zip(f0, f1))
             u1 = _udqe(fr, u_sup_val, c1, s1)
-            return rk4(core_mid, *u1, z, dt1, pc) + sup_new + pp
+            return rk4(core_mid, *u1, z, dt1, pc, tm) + sup_new + pp
 
         u = _udqe(voltage_fracs(action, i_abc, i_e), u_sup_val, c, s)
         return rk4(core, *u, z, tau, pc, t0) + sup_new + pp

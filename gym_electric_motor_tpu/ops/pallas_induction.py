@@ -406,13 +406,14 @@ def _induction_family(env, R, action_mode, randomize=None):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, *_uab(u_abc0), z, dt0, pc)
+            tm = None if t0 is None else t0 + dt0
+            core_mid = rk4(core, *_uab(u_abc0), z, dt0, pc, t0)
             el_mid = core_mid[1:] if mech else core_mid
             i_abc_m = _clarke_inv(el_mid[0], el_mid[1])
             u_abc1 = tuple(
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
-            return rk4(core_mid, *_uab(u_abc1), z, dt1, pc) + sup_new + pp
+            return rk4(core_mid, *_uab(u_abc1), z, dt1, pc, tm) + sup_new + pp
 
         u_al, u_be = _uab(tuple(f * u_sup_val
                                 for f in abc_frac(action, i_abc)))

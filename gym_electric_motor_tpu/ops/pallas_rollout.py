@@ -157,8 +157,8 @@ def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
     stubs — NotImplementedError upstream too) and
     ``NotImplementedError``/``AssertionError`` for the remaining
     non-fused configurations (AC3 supplies, StateNoise/dq wrappers,
-    reward_power != 1, >3 referenced states, ExternalSpeedLoad combined
-    with interlocking): those run on the general XLA path.
+    reward_power != 1, >3 referenced states): those run on the general
+    XLA path.
     """
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     build = {

@@ -688,7 +688,8 @@ def _sync_family(env, R, action_mode, randomize=None):
             dt0 = jnp.where(flag, np.float32(t_int), 0.0)
             dt1 = jnp.where(flag, np.float32(tau - t_int),
                             np.float32(tau))
-            core_mid = rk4(core, u_d0, u_q0, z, dt0, pc)
+            tm = None if t0 is None else t0 + dt0
+            core_mid = rk4(core, u_d0, u_q0, z, dt0, pc, t0)
             if mech:
                 eps_mid = core_mid[i_eps]
                 c1, s1 = jnp.cos(eps_mid), jnp.sin(eps_mid)
@@ -703,7 +704,7 @@ def _sync_family(env, R, action_mode, randomize=None):
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
             u_d1, u_q1 = _park(u_abc1, c1, s1)
-            return rk4(core_mid, u_d1, u_q1, z, dt1, pc) + sup_new + pp
+            return rk4(core_mid, u_d1, u_q1, z, dt1, pc, tm) + sup_new + pp
 
         fa, fb, fc = abc_frac(action, i_abc)
         u_d, u_q = _park((fa * u_sup_val, fb * u_sup_val, fc * u_sup_val),

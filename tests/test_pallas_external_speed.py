@@ -136,14 +136,86 @@ def test_external_speed_plus_dead_time_composes():
                                    ode[:, :, c], rtol=1e-4, atol=1e-3)
 
 
-def test_external_speed_with_interlock_rejected():
+def test_external_speed_with_cont_interlock_buffer_parity():
+    """Cont-converter interlocking (static duty discount) composes with
+    the profile-driven load too."""
     from gym_electric_motor_tpu.models.converters import (
         cont_four_quadrant_converter)
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_dc_rollout)
 
     load = external_speed_load(_profile, tau=1e-4)
     env = gemx.make_functional(
         "Cont-SC-PermExDc-v0", load=load,
-        converter=cont_four_quadrant_converter(interlocking_time=1e-6),
+        converter=cont_four_quadrant_converter(1e-4,
+                                               interlocking_time=1e-5),
         reference_generator=rg.ConstReference("omega", 0.1))
-    with pytest.raises(NotImplementedError, match="interlocking"):
-        make_fused_rollout(env, 32, N, interpret=True)
+    rng = np.random.default_rng(31)
+    acts = rng.uniform(-1.0, 1.0, size=(T, 1, 128)).astype(np.float32)
+    roll = make_fused_dc_rollout(env, T, N, action_mode="buffer",
+                                 interpret=True)
+    w0 = jnp.full((1, 128), float(_profile(0.0)), jnp.float32)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(w0, z, jnp.asarray(acts))
+    ode = _xla_states(env, acts.reshape(T, N, 1))
+    for k, c in ((0, 0), (1, 1)):
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[-1, :, c], rtol=1e-4, atol=1e-3)
+
+
+def test_external_speed_with_interlock_dc_buffer_parity():
+    """Round-4 completion: ExternalSpeedLoad COMPOSES with interlocking
+    dead time in the fused kernels — the interlock branch integrates its
+    two sub-intervals at stage times (t0, t0 + dt0), so the speed profile
+    is evaluated at the same absolute times as the XLA path."""
+    from gym_electric_motor_tpu.models import converters as cv
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_dc_rollout)
+
+    load = external_speed_load(_profile, tau=1e-4)
+    env = gemx.make_functional(
+        "Finite-SC-PermExDc-v0", load=load,
+        converter=cv.finite_four_quadrant_converter(
+            1e-4, interlocking_time=1e-5),
+        reference_generator=rg.ConstReference("omega", 0.1))
+    rng = np.random.default_rng(23)
+    acts = rng.integers(0, 4, size=(T, 1, 128)).astype(np.int32)
+
+    roll = make_fused_dc_rollout(env, T, N, action_mode="buffer",
+                                 interpret=True)
+    w0 = jnp.full((1, 128), float(_profile(0.0)), jnp.float32)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(w0, z, jnp.asarray(acts))
+
+    ode = _xla_states(env, acts.reshape(T, N))
+    for k, c in ((0, 0), (1, 1)):     # omega, i
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[-1, :, c], rtol=1e-4, atol=1e-3)
+
+
+def test_external_speed_with_interlock_b6_buffer_parity():
+    """Same composition for the three-phase B6 bridge (PMSM): carried
+    half-bridge states + carried time plane + sub-interval stage times."""
+    from gym_electric_motor_tpu.models import converters as cv
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_sync_rollout)
+
+    load = external_speed_load(_profile, tau=1e-4)
+    env = gemx.make_functional(
+        "Finite-SC-PMSM-v0", load=load,
+        converter=cv.finite_b6_bridge_converter(
+            1e-4, interlocking_time=1e-5),
+        reference_generator=rg.ConstReference("omega", 0.1))
+    rng = np.random.default_rng(29)
+    acts = rng.integers(0, 8, size=(T, 1, 128)).astype(np.int32)
+
+    roll = make_fused_sync_rollout(env, T, N, action_mode="buffer",
+                                   interpret=True)
+    w0 = jnp.full((1, 128), float(_profile(0.0)), jnp.float32)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(w0, z, z, z, jnp.asarray(acts))
+
+    ode = _xla_states(env, acts.reshape(T, N))
+    for k, c in ((0, 0), (1, 1), (2, 2)):   # omega, i_sd, i_sq
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[-1, :, c], rtol=1e-4, atol=2e-3)
