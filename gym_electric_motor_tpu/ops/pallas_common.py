@@ -71,7 +71,7 @@ _FUSED_OK_WRAPPERS = ("CurrentSumProcessor", "CosSinProcessor",
                       "FluxObserver")
 
 
-def _fused_check_system(ps, allow_dead_time=False):
+def _fused_check_system(ps, allow_dead_time=False, allow_dq=False):
     """Reject silently-ignorable-but-wrong env configurations LOUDLY.
 
     Observation-only wrappers (CurrentSum/CosSin/FluxObserver,
@@ -81,11 +81,14 @@ def _fused_check_system(ps, allow_dead_time=False):
     the universal FAMILY builders (``allow_dead_time=True`` — carried
     action planes, see ``_wrap_dead_time``) but not by the specialized
     kernels.  Wrappers that change the physics or the action contract
-    otherwise (StateNoiseProcessor's reward-relevant state noise,
-    DqToAbcActionProcessor) and ``control_space='dq'`` systems (2/3-dim
-    dq actions vs the kernels' abc sampling) must run on the general XLA
-    path — without this check the kernels would simulate different
-    physics than the env contract.
+    otherwise (StateNoiseProcessor's reward-relevant state noise, the
+    advance-angle DqToAbcActionProcessor wrapper) must run on the
+    general XLA path — without this check the kernels would simulate
+    different physics than the env contract.  The base systems'
+    ``control_space='dq'`` IS fused by the family builders
+    (``allow_dq=True`` — the dq action rotates to abc inside
+    ``physics_step`` at the same angle the XLA path uses); the
+    specialized kernels keep rejecting it.
     """
     ok = _FUSED_OK_WRAPPERS + (("DeadTimeProcessor",) if allow_dead_time
                                else ())
@@ -100,11 +103,19 @@ def _fused_check_system(ps, allow_dead_time=False):
             f"fused kernels support observation-only wrappers "
             f"{_FUSED_OK_WRAPPERS}; got {bad} — use the general XLA path "
             f"(VectorEnv.rollout)")
-    if getattr(cur, "control_space", "abc") != "abc":
+    if getattr(cur, "control_space", "abc") != "abc" and not allow_dq:
         raise NotImplementedError(
             "fused kernels sample abc converter actions; "
             "control_space='dq' runs on the general XLA path "
             "(VectorEnv.rollout)")
+
+
+def _fused_control_space(ps):
+    """'abc' or 'dq' of the base system under the wrapper chain."""
+    cur = ps
+    while hasattr(cur, "inner"):
+        cur = cur.inner
+    return getattr(cur, "control_space", "abc")
 
 
 def _fused_dead_time_steps(ps):

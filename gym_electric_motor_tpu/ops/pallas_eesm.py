@@ -19,6 +19,7 @@ from .pallas_common import (
     _c2i,
     _c2u,
     _fused_check_system,
+    _fused_control_space,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -289,7 +290,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
     stator and excitation winding resistances, the temperature-drift
     axis) as per-env state planes; same design as ``_dc_family``."""
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True)
+    _fused_check_system(ps, allow_dead_time=True, allow_dq=True)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -317,6 +318,13 @@ def _eesm_family(env, R, action_mode, randomize=None):
     p_idx = {nm: j for j, nm in enumerate(param_names)}
     param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
                          for nm in param_names)
+    # control_space='dq': (u_d, u_q, u_e) — the stator pair is rotated to
+    # abc at the cycle-start angle, the excitation duty passes through
+    # (physical_systems.py EESMSystem.simulate)
+    cs_dq = _fused_control_space(ps) == "dq"
+    finite0 = ps.converter.action_type == "finite"
+    assert not (cs_dq and finite0)
+    n_ach = 3 if cs_dq else 4
 
     def resolve(pp):
         """(r_s, r_E): the excitation resistance transforms stator-side
@@ -475,6 +483,8 @@ def _eesm_family(env, R, action_mode, randomize=None):
         sup_planes = state[n_core:n_core + n_sup]
         pp = state[n_core + n_sup:]
         pc = resolve(pp)
+        if cs_dq:
+            action = dq_to_abc(action[0], action[1], c, s) + (action[2],)
         finite_il = finite and k_int > 0.0
         i_abc = i_e = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -557,7 +567,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
             return ((b & jnp.uint32(7)).astype(jnp.int32),
                     ((b >> jnp.uint32(3)) & jnp.uint32(3)).astype(jnp.int32))
         return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
-                     for _ in range(4))
+                     for _ in range(n_ach))
 
     # --- DeadTimeProcessor fused as carried action planes (see
     #     pallas_common._wrap_dead_time) ---
@@ -565,7 +575,9 @@ def _eesm_family(env, R, action_mode, randomize=None):
         _wrap_mech_time(mload, tau, physics_step, advance_bridges,
                         n_bridge, has_cs=True, k_int=k_int)
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
-        _wrap_dead_time(ps, (jnp.int32,) * 2 if finite else (jnp.float32,) * 4,
+        _wrap_dead_time(ps,
+                        (jnp.int32,) * 2 if finite
+                        else (jnp.float32,) * n_ach,
                         physics_step, advance_bridges, n_bridge,
                         has_cs=True, base_dtypes=bridge_dtypes)
 
@@ -574,7 +586,9 @@ def _eesm_family(env, R, action_mode, randomize=None):
                    + ("i_sd", "i_sq", "i_e", "eps") + sup.names
                    + param_names)
     act_names = (("action_b6", "action_e") if finite
-                 else ("action_a", "action_b", "action_c", "action_e"))
+                 else (("action_d", "action_q", "action_e") if cs_dq
+                       else ("action_a", "action_b", "action_c",
+                             "action_e")))
     act_dtype = jnp.int32 if finite else jnp.float32
     n_act = len(act_names)
     inv_ilim = np.float32(1.0 / i_lim)
@@ -619,7 +633,9 @@ def _eesm_family(env, R, action_mode, randomize=None):
 
     return SimpleNamespace(
         obs_spec=obs_spec, act_ns=((8, 4) if finite else None),
-        act_range=(None if finite else (np.full((4,), -1.0, np.float32), np.ones((4,), np.float32))),
+        act_range=(None if finite else
+                   (np.full((n_ach,), -1.0, np.float32),
+                    np.ones((n_ach,), np.float32))),
         aux_cs=lambda aux: aux,
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
@@ -777,7 +793,8 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             if finite:
                 action = (actions_ref[t, 0], actions_ref[t, 1])
             else:
-                action = tuple(actions_ref[t, k] for k in range(4))
+                action = tuple(actions_ref[t, k]
+                               for k in range(len(fs.act_names)))
             cur = tuple(o[:] for o in out_state)
             c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
             state = physics_step(cur, action, c, s, None,

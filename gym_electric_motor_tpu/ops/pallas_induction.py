@@ -17,6 +17,7 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _fused_control_space,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -248,7 +249,7 @@ def _induction_family(env, R, action_mode, randomize=None):
     they set observation normalization constants (psi_lim = l_m * i_lim)
     that must be static."""
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True)
+    _fused_check_system(ps, allow_dead_time=True, allow_dq=True)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -280,6 +281,14 @@ def _induction_family(env, R, action_mode, randomize=None):
     _sigma_ls = sigma * l_s
     _lm2_lr2 = l_m**2 / l_r**2
     _c_psi_den = sigma * l_s * l_r**2
+
+    # control_space='dq': the (u_d, u_q) action is rotated to abc at the
+    # rotor-FLUX field angle (cos/sin = psi / |psi|, exactly the XLA
+    # path's atan2-based eps_fs — SCIMSystem.simulate)
+    cs_dq = _fused_control_space(ps) == "dq"
+    finite0 = conv.action_type == "finite"
+    assert not (cs_dq and finite0)
+    n_ach = 2 if cs_dq else 3
 
     def getp(nm, pp):
         return pp[p_idx[nm]] if nm in p_idx else float(mp[nm])
@@ -375,11 +384,28 @@ def _induction_family(env, R, action_mode, randomize=None):
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
+    def flux_dir(el):
+        """cos/sin of the rotor-flux field angle, computed as psi/|psi|
+        instead of an atan2+sincos round trip (atan2(0,0) = 0 -> (1, 0) at
+        zero flux)"""
+        ps_a, ps_b = el[2], el[3]
+        mag2 = ps_a * ps_a + ps_b * ps_b
+        tiny = mag2 < 1e-24
+        inv = jax.lax.rsqrt(jnp.where(tiny, 1.0, mag2))
+        return (jnp.where(tiny, 1.0, ps_a * inv),
+                jnp.where(tiny, 0.0, ps_b * inv))
+
     def step_physics(state, action, z=None, bs=None, t0=None):
         core = state[:n_core]
         sup_planes = state[n_core:n_core + n_sup]
         pp = state[n_core + n_sup:]
         pc = resolve(pp)
+        if cs_dq:
+            el0 = core[1:] if mech else core
+            fc, fsn = flux_dir(el0)
+            al = fc * action[0] - fsn * action[1]
+            be = fsn * action[0] + fc * action[1]
+            action = _clarke_inv(al, be)
         finite_il = finite and k_int > 0.0
         i_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -438,17 +464,6 @@ def _induction_family(env, R, action_mode, randomize=None):
     violation_reward = np.float32(rw._violation_value)
     needs_dq = any(c["name"] in ("i_sd", "i_sq") for c in ref_cfg)
 
-    def flux_dir(el):
-        """cos/sin of the rotor-flux field angle, computed as psi/|psi|
-        instead of an atan2+sincos round trip (atan2(0,0) = 0 -> (1, 0) at
-        zero flux)"""
-        ps_a, ps_b = el[2], el[3]
-        mag2 = ps_a * ps_a + ps_b * ps_b
-        tiny = mag2 < 1e-24
-        inv = jax.lax.rsqrt(jnp.where(tiny, 1.0, mag2))
-        return (jnp.where(tiny, 1.0, ps_a * inv),
-                jnp.where(tiny, 0.0, ps_b * inv))
-
     def core_el(state):
         return state[1:n_core] if mech else state[:n_core]
 
@@ -480,9 +495,8 @@ def _induction_family(env, R, action_mode, randomize=None):
     def _sample_actions(bits):
         if finite:
             return (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
-        return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
-                2.0 * _uniform_from_bits(bits(shape)) - 1.0,
-                2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+        return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
+                     for _ in range(n_ach))
 
     # --- DeadTimeProcessor fused as carried action planes (see
     #     pallas_common._wrap_dead_time) ---
@@ -490,7 +504,9 @@ def _induction_family(env, R, action_mode, randomize=None):
         _wrap_mech_time(mload, tau, step_physics, advance_bridges,
                         n_bridge, has_cs=False, k_int=k_int)
     step_physics, advance_bridges, n_bridge, bridge_dtypes = \
-        _wrap_dead_time(ps, (jnp.int32,) if finite else (jnp.float32,) * 3,
+        _wrap_dead_time(ps,
+                        (jnp.int32,) if finite
+                        else (jnp.float32,) * n_ach,
                         step_physics, advance_bridges, n_bridge,
                         has_cs=False, base_dtypes=bridge_dtypes)
 
@@ -499,7 +515,8 @@ def _induction_family(env, R, action_mode, randomize=None):
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta")
                    + sup.names + param_names)
     act_names = (("action",) if finite
-                 else ("action_a", "action_b", "action_c"))
+                 else (("action_d", "action_q") if cs_dq
+                       else ("action_a", "action_b", "action_c")))
     act_dtype = jnp.int32 if finite else jnp.float32
     inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
 
@@ -510,7 +527,7 @@ def _induction_family(env, R, action_mode, randomize=None):
     def read_actions(ref, t):
         if finite:
             return (ref[t],)
-        return tuple(ref[t, j] for j in range(3))
+        return tuple(ref[t, j] for j in range(n_ach))
 
     def pre_step(cur):
         if not needs_dq:
@@ -540,7 +557,9 @@ def _induction_family(env, R, action_mode, randomize=None):
 
     return SimpleNamespace(
         obs_spec=obs_spec, act_ns=((8,) if finite else None), aux_cs=None,
-        act_range=(None if finite else (np.full((3,), -1.0, np.float32), np.ones((3,), np.float32))),
+        act_range=(None if finite else
+                   (np.full((n_ach,), -1.0, np.float32),
+                    np.ones((n_ach,), np.float32))),
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
         violation_reward=violation_reward, i_lim=i_lim, needs_dq=needs_dq,
@@ -666,8 +685,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             if finite:
                 action = actions_ref[t]
             else:
-                action = (actions_ref[t, 0], actions_ref[t, 1],
-                          actions_ref[t, 2])
+                action = fs.read_actions(actions_ref, t)
             state = _step_physics(tuple(o[:] for o in out_state), action,
                                   None, bs if n_bs else None)
             for o, s in zip(out_state, state):

@@ -19,6 +19,7 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _fused_control_space,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -517,7 +518,7 @@ def _sync_family(env, R, action_mode, randomize=None):
     temperature/saturation — the classic robustness axis); SynRM
     r_s/l_d/l_q."""
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True)
+    _fused_check_system(ps, allow_dead_time=True, allow_dq=True)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -525,6 +526,12 @@ def _sync_family(env, R, action_mode, randomize=None):
     finite = conv.action_type == "finite"
     k_int = _fused_interlock(conv, float(ps.tau), finite)
     t_int = k_int * float(ps.tau)
+    # control_space='dq': the (u_d, u_q) action is rotated to abc at the
+    # cycle-start angle (the same stale eps the physics uses) — exactly
+    # physical_systems.py SynchronousMotorSystem.simulate
+    cs_dq = _fused_control_space(ps) == "dq"
+    assert not (cs_dq and finite)  # env construction enforces cont
+    n_ach = 2 if cs_dq else 3
 
     p = float(mp["p"])
     _rand_ok = (("r_s", "l_d", "l_q", "psi_p") if "psi_p" in mp
@@ -652,6 +659,8 @@ def _sync_family(env, R, action_mode, randomize=None):
         sup_planes = state[n_core:n_core + n_sup]
         pp = state[n_core + n_sup:]
         pc = resolve(pp)
+        if cs_dq:
+            action = dq_to_abc(action[0], action[1], c, s)
         finite_il = finite and k_int > 0.0
         i_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -743,9 +752,8 @@ def _sync_family(env, R, action_mode, randomize=None):
     def _sample_actions(bits):
         if finite:
             return (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
-        return (2.0 * _uniform_from_bits(bits(shape)) - 1.0,
-                2.0 * _uniform_from_bits(bits(shape)) - 1.0,
-                2.0 * _uniform_from_bits(bits(shape)) - 1.0)
+        return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
+                     for _ in range(n_ach))
 
     # --- ExternalSpeedLoad time plane + DeadTimeProcessor action
     #     planes, fused as carried state (see pallas_common) ---
@@ -753,7 +761,8 @@ def _sync_family(env, R, action_mode, randomize=None):
         _wrap_mech_time(mload, tau, physics_step, advance_bridges,
                         n_bridge, has_cs=True, k_int=k_int)
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
-        _wrap_dead_time(ps, (jnp.int32,) if finite else (jnp.float32,) * 3,
+        _wrap_dead_time(ps,
+                        (jnp.int32,) if finite else (jnp.float32,) * n_ach,
                         physics_step, advance_bridges, n_bridge,
                         has_cs=True, base_dtypes=bridge_dtypes)
 
@@ -761,7 +770,8 @@ def _sync_family(env, R, action_mode, randomize=None):
     state_names = ((("omega",) if mech else ()) + ("i_sd", "i_sq", "eps")
                    + sup.names + param_names)
     act_names = (("action",) if finite
-                 else ("action_a", "action_b", "action_c"))
+                 else (("action_d", "action_q") if cs_dq
+                       else ("action_a", "action_b", "action_c")))
     act_dtype = jnp.int32 if finite else jnp.float32
 
     def sample_actions_t(bits):
@@ -771,7 +781,7 @@ def _sync_family(env, R, action_mode, randomize=None):
     def read_actions(ref, t):
         if finite:
             return (ref[t],)
-        return tuple(ref[t, j] for j in range(3))
+        return tuple(ref[t, j] for j in range(n_ach))
 
     def pre_step(cur):
         return (jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps]))
@@ -809,7 +819,9 @@ def _sync_family(env, R, action_mode, randomize=None):
 
     return SimpleNamespace(
         obs_spec=obs_spec, act_ns=((8,) if finite else None),
-        act_range=(None if finite else (np.full((3,), -1.0, np.float32), np.ones((3,), np.float32))),
+        act_range=(None if finite else
+                   (np.full((n_ach,), -1.0, np.float32),
+                    np.ones((n_ach,), np.float32))),
         aux_cs=lambda aux: aux,
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
@@ -972,8 +984,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             if finite:
                 action = actions_ref[t]
             else:
-                action = (actions_ref[t, 0], actions_ref[t, 1],
-                          actions_ref[t, 2])
+                action = fs.read_actions(actions_ref, t)
             cur = tuple(o[:] for o in out_state)
             c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
             state = physics_step(cur, action, c, s, None,

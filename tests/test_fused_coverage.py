@@ -136,9 +136,10 @@ def test_fused_rejects_physics_wrappers_and_dq_control_space():
     with pytest.raises(NotImplementedError, match="StateNoiseProcessor"):
         make_fused_rollout(env, 16, 128, interpret=True)
 
+    # control_space='dq' is FUSED since round 4 (dq->abc at the XLA-path
+    # angle inside physics_step, tests/test_pallas_dq_space.py)
     env = make_functional("Cont-CC-PMSM-v0", control_space="dq")
-    with pytest.raises(NotImplementedError, match="dq"):
-        make_fused_rollout(env, 16, 128, interpret=True)
+    make_fused_rollout(env, 16, 128, interpret=True)
 
     # observation-only wrappers stay fused (ShuntDc ships CurrentSum)
     env = make_functional("Cont-SC-ShuntDc-v0")

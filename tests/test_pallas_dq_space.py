@@ -1,0 +1,90 @@
+"""Fused ``control_space='dq'``: the dq action interface runs in-kernel.
+
+The base systems' dq mode (physical_systems.py: ``action =
+dq_to_abc(action, eps)`` for PMSM/SynRM/EESM at the cycle-start rotor
+angle; at the rotor-FLUX field angle for the SCIM) is applied at the top
+of each family's ``physics_step`` using the same cos/sin planes the
+physics already carries, so dq envs get the full fused tier — reducing
+kernels, recorder, and in-kernel policies (2/3 squashed-Gaussian dq-duty
+channels).  DFIM rejects dq at env construction (upstream has no working
+dq interface either).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gym_electric_motor_tpu as gemx
+from gym_electric_motor_tpu import references as rg
+from gym_electric_motor_tpu.ops.pallas_rollout import (
+    make_fused_eesm_family_rollout,
+    make_fused_induction_rollout,
+    make_fused_sync_rollout,
+)
+
+T, N = 40, 128
+
+
+def _xla_final(env, acts, n_ch):
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(acts.shape[0]):
+        state, _o, _r, _te = step(state,
+                                  jnp.asarray(acts[t].reshape(n_ch, N).T))
+    return np.asarray(state.phys.ode_state)
+
+
+@pytest.mark.parametrize("eid,builder,n_state,n_ch,cols", [
+    ("Cont-CC-PMSM-v0", make_fused_sync_rollout, 3, 2, ((0, 1), (1, 2))),
+    ("Cont-TC-SynRM-v0", make_fused_sync_rollout, 3, 2, ((0, 1), (1, 2))),
+    ("Cont-CC-SCIM-v0", make_fused_induction_rollout, 4, 2,
+     ((0, 1), (1, 2), (2, 3), (3, 4))),
+    ("Cont-CC-EESM-v0", make_fused_eesm_family_rollout, 4, 3,
+     ((0, 1), (1, 2), (2, 3))),
+], ids=["PMSM", "SynRM", "SCIM", "EESM"])
+def test_dq_space_buffer_parity(eid, builder, n_state, n_ch, cols):
+    """Buffer-mode fused rollout with dq actions matches the XLA dq env
+    step-for-step (stale-angle / field-angle rotation included)."""
+    ref = ("torque" if "TC" in eid else "i_sd")
+    env = gemx.make_functional(eid, control_space="dq",
+                               reference_generator=rg.ConstReference(ref,
+                                                                     0.0))
+    rng = np.random.default_rng(5)
+    acts = rng.uniform(-0.4, 0.4, size=(T, n_ch, 1, 128)).astype(np.float32)
+    roll = builder(env, T, N, action_mode="buffer", interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(*([z] * n_state), jnp.asarray(acts))
+    ode = _xla_final(env, acts, n_ch)
+    for k, c in cols:
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, c], rtol=1e-4, atol=2e-3,
+                                   err_msg=f"{eid} state {k}")
+
+
+def test_dq_space_random_mode_and_policy():
+    """Random mode samples n_ach dq duties; the universal policy kernel
+    exposes 2 squashed-Gaussian dq channels and the PPO trainer runs."""
+    from gym_electric_motor_tpu.ops.pallas_policy import (
+        fused_policy_init_planes, policy_n_cont, policy_obs_dim)
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params, make_fused_ppo_trainer)
+
+    env = gemx.make_functional("Cont-CC-PMSM-v0", control_space="dq")
+    roll = make_fused_sync_rollout(env, 32, 256, interpret=True)
+    z = jnp.zeros((2, 128), jnp.float32)
+    out = roll(5, z, z, z)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+    nc = policy_n_cont(env)
+    assert nc == 2
+    init_opt, train = make_fused_ppo_trainer(
+        env, hidden=16, horizon=32, n_envs=256, n_minibatches=4, lr=1e-3,
+        kernel="universal", ent_coef=0.0, interpret=True)
+    params = init_actor_critic_params(
+        jax.random.PRNGKey(1), policy_obs_dim(env), nc, 16, n_cont=nc)
+    planes = fused_policy_init_planes(env, 256)
+    params, _opt, planes, rs = train(params, init_opt(params), planes, 3, 2)
+    rs = np.asarray(rs)
+    assert np.isfinite(rs).all() and -1.5 < rs.mean() < 0.0
