@@ -71,7 +71,8 @@ _FUSED_OK_WRAPPERS = ("CurrentSumProcessor", "CosSinProcessor",
                       "FluxObserver")
 
 
-def _fused_check_system(ps, allow_dead_time=False, allow_dq=False):
+def _fused_check_system(ps, allow_dead_time=False, allow_dq=False,
+                        allow_state_noise=False):
     """Reject silently-ignorable-but-wrong env configurations LOUDLY.
 
     Observation-only wrappers (CurrentSum/CosSin/FluxObserver,
@@ -90,8 +91,9 @@ def _fused_check_system(ps, allow_dead_time=False, allow_dq=False):
     ``physics_step`` at the same angle the XLA path uses); the
     specialized kernels keep rejecting it.
     """
-    ok = _FUSED_OK_WRAPPERS + (("DeadTimeProcessor",) if allow_dead_time
-                               else ())
+    ok = (_FUSED_OK_WRAPPERS
+          + (("DeadTimeProcessor",) if allow_dead_time else ())
+          + (("StateNoiseProcessor",) if allow_state_noise else ()))
     chain = []
     cur = ps
     while hasattr(cur, "inner"):  # PhysicalSystemWrapper chain
@@ -116,6 +118,95 @@ def _fused_control_space(ps):
     while hasattr(cur, "inner"):
         cur = cur.inner
     return getattr(cur, "control_space", "abc")
+
+
+def _fused_state_noise(ps, state_names, limits_of, allowed=None):
+    """Parse a StateNoiseProcessor from the wrapper chain into an
+    in-kernel OBSERVATION-noise closure (state_noise_processor.py:4-98:
+    noise is added to the reported state — reward, constraint checks and
+    recorded signals see it — while the true ODE state evolves clean).
+
+    ``limits_of(name) -> float`` gives the denormalization limit of a
+    family state plane (the wrapper adds noise in NORMALIZED units).
+    Returns ``observe(state, bits) -> state'`` perturbing the named
+    planes with fresh per-step draws, or ``None`` when no processor is
+    present.  Supported distributions: normal (Box-Muller, pairs shared
+    across planes), uniform, laplace (inverse CDF).  Unsupported
+    configurations (unknown dist, noise on non-plane states like torque,
+    multiple processors) reject loudly — the XLA path covers them.
+    """
+    procs, cur = [], ps
+    while hasattr(cur, "inner"):
+        if type(cur).__name__ == "StateNoiseProcessor":
+            procs.append(cur)
+        cur = cur.inner
+    if not procs:
+        return None
+    if len(procs) > 1:
+        raise NotImplementedError(
+            "fused kernels support one StateNoiseProcessor — use the "
+            "general XLA path for stacked noise wrappers")
+    w = procs[0]
+    names = w._states
+    if names == "all":
+        raise NotImplementedError(
+            "StateNoiseProcessor(states='all') noises derived states "
+            "(torque, u) that are not kernel planes — use the general "
+            "XLA path or name the drive states explicitly")
+    names = tuple(names)
+    ok = tuple(state_names) if allowed is None else tuple(allowed)
+    for nm in names:
+        if nm not in ok:
+            raise NotImplementedError(
+                f"fused StateNoiseProcessor supports noise on {ok} for "
+                f"this family/task (derived quantities — torque, "
+                f"flux-frame dq currents — are computed from the TRUE "
+                f"state in the reference, so noising their inputs is not "
+                f"representable as plane noise); got {nm!r} — use the "
+                f"general XLA path")
+    dist = w._random_dist
+    kw = dict(w._random_kwargs)
+    loc = float(kw.get("loc", 0.0))
+    scale = float(kw.get("scale", 1.0))
+    low, high = float(kw.get("low", 0.0)), float(kw.get("high", 1.0))
+    idx = tuple(state_names.index(nm) for nm in names)
+    lims = tuple(float(limits_of(nm)) for nm in names)
+
+    def observe(state, bits):
+        shape = state[0].shape
+        draws = []
+        if dist == "normal":
+            # one Box-Muller pair per two planes
+            for j in range(0, len(names), 2):
+                u1 = _uniform_from_bits(bits(shape))
+                u2 = _uniform_from_bits(bits(shape))
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                th = np.float32(TWO_PI) * u2
+                draws.append(loc + scale * rad * jnp.cos(th))
+                if j + 1 < len(names):
+                    draws.append(loc + scale * rad * jnp.sin(th))
+        elif dist == "uniform":
+            for _ in names:
+                u = _uniform_from_bits(bits(shape))
+                draws.append(np.float32(low)
+                             + np.float32(high - low) * u)
+        elif dist == "laplace":
+            for _ in names:
+                u = _uniform_from_bits(bits(shape))
+                c = u - 0.5
+                mag = -jnp.log(jnp.maximum(1.0 - 2.0 * jnp.abs(c),
+                                           1e-12))
+                draws.append(loc + scale * jnp.sign(c) * mag)
+        else:
+            raise NotImplementedError(
+                f"fused StateNoiseProcessor supports normal/uniform/"
+                f"laplace; got {dist!r} — use the general XLA path")
+        out = list(state)
+        for k, i, lm in zip(range(len(names)), idx, lims):
+            out[i] = out[i] + draws[k] * np.float32(lm)
+        return tuple(out)
+
+    return observe
 
 
 def _fused_dead_time_steps(ps):

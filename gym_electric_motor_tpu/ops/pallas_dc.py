@@ -20,6 +20,7 @@ from .pallas_common import (
     _c2i,
     _c2u,
     _fused_check_system,
+    _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -610,7 +611,8 @@ def _dc_family(env, R, action_mode, randomize=None):
     ``fused_state_arity`` accounts for them.
     """
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True)
+    _fused_check_system(ps, allow_dead_time=True,
+                        allow_state_noise=True)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -1035,6 +1037,11 @@ def _dc_family(env, R, action_mode, randomize=None):
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ()) + el_names + sup.names
                    + param_names)
+    _t_ref = any(c["name"] == "torque" for c in ref_cfg)
+    observe = _fused_state_noise(
+        ps, state_names, lambda nm: float(lim[names.index(nm)]),
+        allowed=((() if _t_ref else el_names)
+                 + (("omega",) if mech else ())))
     act_names = ("action",) if n_ch == 1 else ("action_a", "action_e")
     act_dtype = jnp.int32 if finite else jnp.float32
 
@@ -1072,7 +1079,7 @@ def _dc_family(env, R, action_mode, randomize=None):
         mech_mode=mech_mode, sup_mode=sup_mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
         n_bridge=n_bridge, bridge_dtypes=bridge_dtypes, advance_bridges=advance_bridges,
-        param_names=param_names, param_ranges=param_ranges, n_param=n_param,
+        param_names=param_names, param_ranges=param_ranges, n_param=n_param, observe=observe,
     )
 
 
@@ -1144,12 +1151,15 @@ def make_fused_dc_rollout(env, n_steps, n_envs, action_mode="random",
             state = _step_physics(tuple(o[:] for o in out_state), acts, z,
                                   bs if n_bs else None)
 
-            violated = violated_fn(state)
+            # StateNoiseProcessor: reward/violation see the NOISY state,
+            # the carried ODE state stays clean (see _fused_state_noise)
+            sobs = fs.observe(state, bits) if fs.observe else state
+            violated = violated_fn(sobs)
             refs_now = rv_ref[:]
-            wse = bias - _wse_err(ref_cfg[0], ref_quantity(state, 0),
+            wse = bias - _wse_err(ref_cfg[0], ref_quantity(sobs, 0),
                                   refs_now[:R])
             if n_ref == 2:
-                wse = wse - _wse_err(ref_cfg[1], ref_quantity(state, 1),
+                wse = wse - _wse_err(ref_cfg[1], ref_quantity(sobs, 1),
                                      refs_now[R:])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
@@ -1278,6 +1288,10 @@ def make_fused_dc_cascade_rollout(env, ctrl, n_steps, n_envs,
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _dc_family(env, R, "random")
+    assert fs.observe is None, (
+        "the in-kernel speed cascade rejects StateNoiseProcessor (the "
+        "controller would need the noisy measurement path) — use the "
+        "XLA control_environment")
     assert fs.mech and fs.n_ch == 1 and not fs.finite and fs.n_ref == 1
     assert fs.mech_mode == "poly" and fs.sup_mode == "ideal", (
         "the DC cascade kernel implements the default SC configuration "

@@ -17,6 +17,7 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -297,7 +298,8 @@ def _dfim_family(env, R, action_mode, randomize=None):
     per-env state planes (winding-resistance temperature drift); same
     design as ``_dc_family`` / ``_induction_family``."""
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True)
+    _fused_check_system(ps, allow_dead_time=True,
+                        allow_state_noise=True)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -600,6 +602,9 @@ def _dfim_family(env, R, action_mode, randomize=None):
     state_names = ((("omega",) if mech else ())
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta",
                       "eps") + sup.names + param_names)
+    observe = _fused_state_noise(
+        ps, state_names, lambda nm: float(lim[names.index(nm)]),
+        allowed=(("omega",) if mech else ()))
     act_names = (("action_stator", "action_rotor") if finite
                  else ("action_sa", "action_sb", "action_sc",
                        "action_ra", "action_rb", "action_rc"))
@@ -670,7 +675,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
         param_names=param_names, param_ranges=param_ranges,
-        n_param=n_param,
+        n_param=n_param, observe=observe,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         advance_bridges=advance_bridges,
     )
@@ -760,10 +765,11 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
-            el = state[1:5] if mech else state[0:4]
+            sobs = fs.observe(state, bits) if fs.observe else state
+            el = sobs[1:5] if mech else sobs[0:4]
             # |i_dq| == |i_alphabeta| (rotation-invariant)
             violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
-            qs = ref_quantities(state, cs)
+            qs = ref_quantities(sobs, cs)
             refs_now = rv_ref[:]
             wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
             if n_ref == 2:

@@ -20,6 +20,7 @@ from .pallas_common import (
     _c2u,
     _fused_check_system,
     _fused_control_space,
+    _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -290,7 +291,8 @@ def _eesm_family(env, R, action_mode, randomize=None):
     stator and excitation winding resistances, the temperature-drift
     axis) as per-env state planes; same design as ``_dc_family``."""
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True, allow_dq=True)
+    _fused_check_system(ps, allow_dead_time=True, allow_dq=True,
+                        allow_state_noise=True)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -585,6 +587,11 @@ def _eesm_family(env, R, action_mode, randomize=None):
     state_names = ((("omega",) if mech else ())
                    + ("i_sd", "i_sq", "i_e", "eps") + sup.names
                    + param_names)
+    _t_ref = any(c["name"] == "torque" for c in ref_cfg)
+    observe = _fused_state_noise(
+        ps, state_names, lambda nm: float(lim[names.index(nm)]),
+        allowed=((() if _t_ref else ("i_sd", "i_sq", "i_e"))
+                 + (("omega",) if mech else ())))
     act_names = (("action_b6", "action_e") if finite
                  else (("action_d", "action_q", "action_e") if cs_dq
                        else ("action_a", "action_b", "action_c",
@@ -650,7 +657,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
         param_names=param_names, param_ranges=param_ranges,
-        n_param=n_param,
+        n_param=n_param, observe=observe,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         advance_bridges=advance_bridges,
     )
@@ -740,17 +747,18 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
-            i_sd, i_sq, i_e = (state[1:4] if mech else state[0:3])
+            sobs = fs.observe(state, bits) if fs.observe else state
+            i_sd, i_sq, i_e = (sobs[1:4] if mech else sobs[0:3])
             isd_n, isq_n = i_sd * inv_ilim, i_sq * inv_ilim
             ie_n = i_e * inv_ielim
             violated = (((isd_n * isd_n + isq_n * isq_n) > 1.0)
                         | (jnp.abs(ie_n) > 1.0))
 
             refs_now = rv_ref[:]
-            wse = bias - _wse_err(ref_cfg[0], ref_quantity(state, 0),
+            wse = bias - _wse_err(ref_cfg[0], ref_quantity(sobs, 0),
                                   refs_now[:R])
             for jj in range(1, n_ref):
-                wse = wse - _wse_err(ref_cfg[jj], ref_quantity(state, jj),
+                wse = wse - _wse_err(ref_cfg[jj], ref_quantity(sobs, jj),
                                      refs_now[jj * R:(jj + 1) * R])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward

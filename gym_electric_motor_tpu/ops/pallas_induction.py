@@ -18,6 +18,7 @@ from .pallas_common import (
     TWO_PI,
     _fused_check_system,
     _fused_control_space,
+    _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -249,7 +250,8 @@ def _induction_family(env, R, action_mode, randomize=None):
     they set observation normalization constants (psi_lim = l_m * i_lim)
     that must be static."""
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True, allow_dq=True)
+    _fused_check_system(ps, allow_dead_time=True, allow_dq=True,
+                        allow_state_noise=True)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -514,6 +516,9 @@ def _induction_family(env, R, action_mode, randomize=None):
     state_names = ((("omega",) if mech else ())
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta")
                    + sup.names + param_names)
+    observe = _fused_state_noise(
+        ps, state_names, lambda nm: float(lim[names.index(nm)]),
+        allowed=(("omega",) if mech else ()))
     act_names = (("action",) if finite
                  else (("action_d", "action_q") if cs_dq
                        else ("action_a", "action_b", "action_c")))
@@ -572,7 +577,7 @@ def _induction_family(env, R, action_mode, randomize=None):
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
         param_names=param_names, param_ranges=param_ranges,
-        n_param=n_param,
+        n_param=n_param, observe=observe,
         n_bridge=n_bridge, bridge_dtypes=bridge_dtypes, advance_bridges=advance_bridges,
     )
 
@@ -646,10 +651,11 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             state = _step_physics(cur, action, z,
                                   bs if n_bs else None)
 
-            el = core_el(state)
+            sobs = fs.observe(state, bits) if fs.observe else state
+            el = core_el(sobs)
             # |i_dq| == |i_alphabeta| (rotation-invariant)
             violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
-            qs = ref_quantities(state, cs)
+            qs = ref_quantities(sobs, cs)
             refs_now = rv_ref[:]
             wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
             if n_ref == 2:

@@ -973,6 +973,12 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _policy_family(env, R, "random", randomize)
+    if getattr(fs, "observe", None) is not None:
+        raise NotImplementedError(
+            "StateNoiseProcessor is fused for the reducing/recording "
+            "kernels; the policy-in-the-loop kernels reject it (exact "
+            "host-side observation reconstruction would need the noise "
+            "draws recorded) — use the XLA trainers")
     cont = fs.act_ns is None
     act_ns, obs_spec, aux_cs = fs.act_ns, fs.obs_spec, fs.aux_cs
     n_state, n_ref = fs.n_state, fs.n_ref

@@ -236,8 +236,13 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
             else:
                 aux = fs.pre_step(cur)
             state = fs.step(cur, acts, aux, z, bs)
-            violated = fs.violated(state)
-            qs = fs.quantities(state, aux)
+            # StateNoiseProcessor: violation/reward and the RECORDED
+            # signals see the noisy state; the carried ODE state stays
+            # clean (violation steps record the clean reset draw)
+            noisy = getattr(fs, "observe", None)
+            sobs = noisy(state, bits) if noisy else state
+            violated = fs.violated(sobs)
+            qs = fs.quantities(sobs, aux)
             refs_now = rv_ref[:]
             wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
             for j in range(1, n_ref):
@@ -248,7 +253,8 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
             for i, (ss, s2, r0) in enumerate(zip(state_s, state,
                                                  fs.reset_state(bits))):
                 ss[:] = jnp.where(violated, r0, s2)
-                out_state[i][k] = ss[:]
+                out_state[i][k] = (ss[:] if not noisy
+                                   else jnp.where(violated, r0, sobs[i]))
             if n_prev:
                 # converter.reset() on violation: all-off switching states
                 a_in = acts[0] if len(acts) == 1 else acts

@@ -20,6 +20,7 @@ from .pallas_common import (
     TWO_PI,
     _fused_check_system,
     _fused_control_space,
+    _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -518,7 +519,8 @@ def _sync_family(env, R, action_mode, randomize=None):
     temperature/saturation — the classic robustness axis); SynRM
     r_s/l_d/l_q."""
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True, allow_dq=True)
+    _fused_check_system(ps, allow_dead_time=True, allow_dq=True,
+                        allow_state_noise=True)
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -769,6 +771,11 @@ def _sync_family(env, R, action_mode, randomize=None):
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ()) + ("i_sd", "i_sq", "eps")
                    + sup.names + param_names)
+    _t_ref = any(c["name"] == "torque" for c in ref_cfg)
+    observe = _fused_state_noise(
+        ps, state_names, lambda nm: float(lim[names.index(nm)]),
+        allowed=((() if _t_ref else ("i_sd", "i_sq"))
+                 + (("omega",) if mech else ())))
     act_names = (("action",) if finite
                  else (("action_d", "action_q") if cs_dq
                        else ("action_a", "action_b", "action_c")))
@@ -836,7 +843,7 @@ def _sync_family(env, R, action_mode, randomize=None):
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
         param_names=param_names, param_ranges=param_ranges,
-        n_param=n_param,
+        n_param=n_param, observe=observe,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         # single-head finite callers pass (action,) — unwrap to the plane
         # form advance_bridges expects; cont multi-channel tuples (which
@@ -932,16 +939,17 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             eps = eps - np.float32(TWO_PI) * jnp.floor(eps * inv_2pi)
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
-            i_sd, i_sq = (state[1], state[2]) if mech else (state[0], state[1])
+            sobs = fs.observe(state, bits) if fs.observe else state
+            i_sd, i_sq = (sobs[1], sobs[2]) if mech else (sobs[0], sobs[1])
             i_sd_n = i_sd * np.float32(1.0 / i_lim)
             i_sq_n = i_sq * np.float32(1.0 / i_lim)
             violated = (i_sd_n * i_sd_n + i_sq_n * i_sq_n) > 1.0
 
             refs_now = rv_ref[:]
-            wse = bias - _wse_err(ref_cfg[0], ref_quantity(state, 0),
+            wse = bias - _wse_err(ref_cfg[0], ref_quantity(sobs, 0),
                                   refs_now[:R])
             if n_ref == 2:
-                wse = wse - _wse_err(ref_cfg[1], ref_quantity(state, 1),
+                wse = wse - _wse_err(ref_cfg[1], ref_quantity(sobs, 1),
                                      refs_now[R:])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward

@@ -129,11 +129,18 @@ def test_fused_rejects_physics_wrappers_and_dq_control_space():
                           physical_system_wrappers=(wr.DeadTimeProcessor(),))
     make_fused_rollout(env, 16, 128, interpret=True)  # fused since round 4
 
+    # plane-state sensor noise is FUSED since round 4
+    # (tests/test_pallas_state_noise.py); derived couplings still reject
     env = make_functional(
         "Cont-CC-PermExDc-v0",
         physical_system_wrappers=(
             wr.StateNoiseProcessor(("i",), random_kwargs={"scale": 0.1}),))
-    with pytest.raises(NotImplementedError, match="StateNoiseProcessor"):
+    make_fused_rollout(env, 16, 128, interpret=True)
+    env = make_functional(
+        "Cont-TC-PermExDc-v0",
+        physical_system_wrappers=(
+            wr.StateNoiseProcessor(("i",), random_kwargs={"scale": 0.1}),))
+    with pytest.raises(NotImplementedError, match="derived"):
         make_fused_rollout(env, 16, 128, interpret=True)
 
     # control_space='dq' is FUSED since round 4 (dq->abc at the XLA-path

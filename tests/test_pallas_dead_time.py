@@ -136,11 +136,13 @@ def test_dead_time_reducing_kernel_runs():
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
 
-def test_state_noise_still_rejected():
+def test_state_noise_now_fused():
+    """Round-4 update: plane-state sensor noise runs IN the fused
+    kernels (tests/test_pallas_state_noise.py); only derived-quantity
+    couplings still reject."""
     from gym_electric_motor_tpu.wrappers import StateNoiseProcessor
 
     env = gemx.make_functional(
         "Finite-CC-PermExDc-v0",
         physical_system_wrappers=(StateNoiseProcessor(states=("i",)),))
-    with pytest.raises(NotImplementedError, match="XLA path"):
-        make_fused_rollout(env, 32, N, interpret=True)
+    make_fused_rollout(env, 32, N, interpret=True)
