@@ -447,6 +447,42 @@ def randomized_all_families_compile():
         assert -1.0 < mean_r < 0.0, (eid, mean_r)
 
 
+def round4_corners_compile():
+    """The round-4 env-arg corners Mosaic-compile and run on the chip:
+    control_space='dq' (PMSM), plane-state sensor noise (PermExDc), and
+    the ExternalSpeedLoad + interlocking composition (stage-time
+    sub-intervals)."""
+    from gym_electric_motor_tpu import wrappers as wr
+    from gym_electric_motor_tpu.models import converters as cv
+    from gym_electric_motor_tpu.models.loads import external_speed_load
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+
+    z16 = jnp.zeros((16, 128), jnp.float32)
+
+    env = gemx.make_functional("Cont-CC-PMSM-v0", control_space="dq")
+    out = make_fused_rollout(env, 16384, 2048)(7, z16, z16, z16)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+    noise = wr.StateNoiseProcessor(("i",), random_kwargs={"scale": 0.08})
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               physical_system_wrappers=(noise,))
+    out = make_fused_rollout(env, 16384, 2048)(7, z16)
+    vals = [np.asarray(o) for o in out]
+    assert all(np.isfinite(v).all() for v in vals)
+    assert -1.0 < vals[1].mean() / 16384 < 0.0
+
+    def prof(t):
+        return 60.0 * jnp.sin(2.0 * jnp.pi * 8.0 * t) + 20.0
+
+    env = gemx.make_functional(
+        "Finite-SC-PermExDc-v0", load=external_speed_load(prof, tau=1e-4),
+        converter=cv.finite_four_quadrant_converter(1e-4,
+                                                    interlocking_time=1e-5))
+    w0 = jnp.full((16, 128), 20.0, jnp.float32)
+    out = make_fused_rollout(env, 16384, 2048)(7, w0, z16)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -467,6 +503,7 @@ def main():
     check("rl:fused-td3-improves", fused_td3_improves)
     check("rl:randomized-ppo-improves", randomized_ppo_improves)
     check("randomize:all-families-compile", randomized_all_families_compile)
+    check("corners:dq-noise-esl-interlock", round4_corners_compile)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         return 1
