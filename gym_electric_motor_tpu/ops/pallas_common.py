@@ -72,7 +72,8 @@ _FUSED_OK_WRAPPERS = ("CurrentSumProcessor", "CosSinProcessor",
 
 
 def _fused_check_system(ps, allow_dead_time=False, allow_dq=False,
-                        allow_state_noise=False):
+                        allow_state_noise=False,
+                        allow_dq_wrapper=()):
     """Reject silently-ignorable-but-wrong env configurations LOUDLY.
 
     Observation-only wrappers (CurrentSum/CosSin/FluxObserver,
@@ -93,7 +94,8 @@ def _fused_check_system(ps, allow_dead_time=False, allow_dq=False,
     """
     ok = (_FUSED_OK_WRAPPERS
           + (("DeadTimeProcessor",) if allow_dead_time else ())
-          + (("StateNoiseProcessor",) if allow_state_noise else ()))
+          + (("StateNoiseProcessor",) if allow_state_noise else ())
+          + tuple(allow_dq_wrapper))
     chain = []
     cur = ps
     while hasattr(cur, "inner"):  # PhysicalSystemWrapper chain
@@ -118,6 +120,22 @@ def _fused_control_space(ps):
     while hasattr(cur, "inner"):
         cur = cur.inner
     return getattr(cur, "control_space", "abc")
+
+
+def _fused_dq_wrapper(ps, type_names):
+    """The ADVANCE-ANGLE DqToAbcActionProcessor wrapper instance in the
+    chain (dq_to_abc_action_processor.py:8-170), or None.  The caller
+    validates the variant: only rotor-angle ('epsilon') forms are fused —
+    the SCIM/DFIM psi_angle variants need the FluxObserver state and stay
+    on the XLA path, and composition with DeadTimeProcessor is rejected
+    (the reference delays the CONVERTED abc action, so the delayed duty
+    was rotated at an older angle than the kernel would use)."""
+    cur, found = ps, None
+    while hasattr(cur, "inner"):
+        if type(cur).__name__ in type_names:
+            found = cur
+        cur = cur.inner
+    return found
 
 
 def _fused_state_noise(ps, state_names, limits_of, allowed=None):

@@ -19,7 +19,9 @@ from .pallas_common import (
     _c2i,
     _c2u,
     _fused_check_system,
+    _fused_dead_time_steps,
     _fused_control_space,
+    _fused_dq_wrapper,
     _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
@@ -292,7 +294,8 @@ def _eesm_family(env, R, action_mode, randomize=None):
     axis) as per-env state planes; same design as ``_dc_family``."""
     ps = env.physical_system
     _fused_check_system(ps, allow_dead_time=True, allow_dq=True,
-                        allow_state_noise=True)
+                        allow_state_noise=True,
+                        allow_dq_wrapper=("_EESMDqToAbcActionProcessor",))
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -324,9 +327,20 @@ def _eesm_family(env, R, action_mode, randomize=None):
     # abc at the cycle-start angle, the excitation duty passes through
     # (physical_systems.py EESMSystem.simulate)
     cs_dq = _fused_control_space(ps) == "dq"
+    dqw = _fused_dq_wrapper(ps, ("_EESMDqToAbcActionProcessor",))
     finite0 = ps.converter.action_type == "finite"
     assert not (cs_dq and finite0)
-    n_ach = 3 if cs_dq else 4
+    if dqw is not None:
+        if cs_dq or finite0:
+            raise NotImplementedError(
+                "EESM DqToAbc wrapper over a dq/finite base is not fused "
+                "— use the general XLA path")
+        if _fused_dead_time_steps(ps):
+            raise NotImplementedError(
+                "DqToAbc wrapper + DeadTimeProcessor is not fused — use "
+                "the general XLA path")
+    dq_mode = cs_dq or dqw is not None
+    n_ach = 3 if dq_mode else 4
 
     def resolve(pp):
         """(r_s, r_E): the excitation resistance transforms stator-side
@@ -487,6 +501,13 @@ def _eesm_family(env, R, action_mode, randomize=None):
         pc = resolve(pp)
         if cs_dq:
             action = dq_to_abc(action[0], action[1], c, s) + (action[2],)
+        elif dqw is not None:
+            w_now = core[0] if mech else omega_fixed
+            delta = np.float32(float(dqw._angle_advance) * tau * p) * w_now
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            c_a, s_a = c * cd - s * sd, s * cd + c * sd
+            action = (dq_to_abc(action[0], action[1], c_a, s_a)
+                      + (action[2],))
         finite_il = finite and k_int > 0.0
         i_abc = i_e = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -593,7 +614,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
         allowed=((() if _t_ref else ("i_sd", "i_sq", "i_e"))
                  + (("omega",) if mech else ())))
     act_names = (("action_b6", "action_e") if finite
-                 else (("action_d", "action_q", "action_e") if cs_dq
+                 else (("action_d", "action_q", "action_e") if dq_mode
                        else ("action_a", "action_b", "action_c",
                              "action_e")))
     act_dtype = jnp.int32 if finite else jnp.float32

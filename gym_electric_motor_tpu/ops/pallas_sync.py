@@ -19,7 +19,9 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _fused_dead_time_steps,
     _fused_control_space,
+    _fused_dq_wrapper,
     _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
@@ -520,7 +522,8 @@ def _sync_family(env, R, action_mode, randomize=None):
     r_s/l_d/l_q."""
     ps = env.physical_system
     _fused_check_system(ps, allow_dead_time=True, allow_dq=True,
-                        allow_state_noise=True)
+                        allow_state_noise=True,
+                        allow_dq_wrapper=("DqToAbcActionProcessor",))
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -530,10 +533,31 @@ def _sync_family(env, R, action_mode, randomize=None):
     t_int = k_int * float(ps.tau)
     # control_space='dq': the (u_d, u_q) action is rotated to abc at the
     # cycle-start angle (the same stale eps the physics uses) — exactly
-    # physical_systems.py SynchronousMotorSystem.simulate
+    # physical_systems.py SynchronousMotorSystem.simulate.  The
+    # advance-angle DqToAbcActionProcessor WRAPPER additionally advances
+    # the rotation by _angle_advance * tau * omega * p evaluated on the
+    # pre-step state (the wrapper's carried previous state IS the
+    # kernel's cur) — dq_to_abc_action_processor.py:8-114.
     cs_dq = _fused_control_space(ps) == "dq"
-    assert not (cs_dq and finite)  # env construction enforces cont
-    n_ach = 2 if cs_dq else 3
+    dqw = _fused_dq_wrapper(ps, ("DqToAbcActionProcessor",))
+    if dqw is not None:
+        if cs_dq or finite:
+            raise NotImplementedError(
+                "DqToAbcActionProcessor over a dq/finite base system is "
+                "not fused — use the general XLA path")
+        if getattr(dqw, "_angle_name", "epsilon") != "epsilon":
+            raise NotImplementedError(
+                "only the rotor-angle ('epsilon') DqToAbc wrapper is "
+                "fused; the psi_angle variant needs the FluxObserver "
+                "state — use the general XLA path")
+        if _fused_dead_time_steps(ps):
+            raise NotImplementedError(
+                "DqToAbc wrapper + DeadTimeProcessor is not fused (the "
+                "reference delays the CONVERTED abc duty, rotated at an "
+                "older angle) — use the general XLA path")
+    dq_mode = cs_dq or dqw is not None
+    adv_k = float(dqw._angle_advance) if dqw is not None else 0.0
+    n_ach = 2 if dq_mode else 3
 
     p = float(mp["p"])
     _rand_ok = (("r_s", "l_d", "l_q", "psi_p") if "psi_p" in mp
@@ -663,6 +687,12 @@ def _sync_family(env, R, action_mode, randomize=None):
         pc = resolve(pp)
         if cs_dq:
             action = dq_to_abc(action[0], action[1], c, s)
+        elif dqw is not None:
+            w_now = core[0] if mech else omega_fixed
+            delta = np.float32(adv_k * tau * p) * w_now
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            c_a, s_a = c * cd - s * sd, s * cd + c * sd
+            action = dq_to_abc(action[0], action[1], c_a, s_a)
         finite_il = finite and k_int > 0.0
         i_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -777,7 +807,7 @@ def _sync_family(env, R, action_mode, randomize=None):
         allowed=((() if _t_ref else ("i_sd", "i_sq"))
                  + (("omega",) if mech else ())))
     act_names = (("action",) if finite
-                 else (("action_d", "action_q") if cs_dq
+                 else (("action_d", "action_q") if dq_mode
                        else ("action_a", "action_b", "action_c")))
     act_dtype = jnp.int32 if finite else jnp.float32
 

@@ -88,3 +88,88 @@ def test_dq_space_random_mode_and_policy():
     params, _opt, planes, rs = train(params, init_opt(params), planes, 3, 2)
     rs = np.asarray(rs)
     assert np.isfinite(rs).all() and -1.5 < rs.mean() < 0.0
+
+
+def _ode_of(state):
+    ph = state.phys
+    while not hasattr(ph, "ode_state"):
+        ph = ph.inner
+    return np.asarray(ph.ode_state)
+
+
+@pytest.mark.parametrize("eid,n_state,cols", [
+    ("Cont-CC-PMSM-v0", 3, ((0, 1), (1, 2))),
+    ("Cont-SC-PMSM-v0", 4, ((0, 0), (1, 1), (2, 2))),
+], ids=["CC-const-advance", "SC-per-step-advance"])
+def test_dq_wrapper_advance_angle_parity(eid, n_state, cols):
+    """The ADVANCE-ANGLE DqToAbcActionProcessor wrapper runs in-kernel:
+    the dq duty rotates at eps + _angle_advance * tau * omega * p
+    evaluated on the pre-step state (constant rotation for fixed-speed
+    envs, per-step sincos for SC) — step-for-step vs the XLA wrapper."""
+    from gym_electric_motor_tpu import wrappers as wr
+
+    ref = ("omega" if "SC" in eid else "i_sd")
+    env = gemx.make_functional(
+        eid, physical_system_wrappers=(wr.DqToAbcActionProcessor.make(
+            "PMSM"),),
+        reference_generator=rg.ConstReference(ref, 0.2))
+    rng = np.random.default_rng(5)
+    acts = rng.uniform(-0.3, 0.3, size=(T, 2, 1, 128)).astype(np.float32)
+    roll = make_fused_sync_rollout(env, T, N, action_mode="buffer",
+                                   interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(*([z] * n_state), jnp.asarray(acts))
+    ode = _ode_of_final(env, acts)
+    for k, c in cols:
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, c], rtol=1e-4, atol=2e-3)
+
+
+def _ode_of_final(env, acts):
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    n_ch = acts.shape[1]
+    for t in range(acts.shape[0]):
+        state, _o, _r, _te = step(state,
+                                  jnp.asarray(acts[t].reshape(n_ch, N).T))
+    return _ode_of(state)
+
+
+def test_dq_wrapper_eesm_parity():
+    from gym_electric_motor_tpu import wrappers as wr
+
+    env = gemx.make_functional(
+        "Cont-CC-EESM-v0",
+        physical_system_wrappers=(wr.DqToAbcActionProcessor.make("EESM"),),
+        reference_generator=rg.ConstReference("i_sd", 0.0))
+    rng = np.random.default_rng(7)
+    acts = rng.uniform(-0.3, 0.3, size=(T, 3, 1, 128)).astype(np.float32)
+    roll = make_fused_eesm_family_rollout(env, T, N, action_mode="buffer",
+                                          interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(z, z, z, z, jnp.asarray(acts))
+    ode = _ode_of_final(env, acts)
+    for k, c in ((0, 1), (1, 2), (2, 3)):
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, c], rtol=1e-4, atol=2e-3)
+
+
+def test_dq_wrapper_rejections():
+    from gym_electric_motor_tpu import wrappers as wr
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+
+    # SCIM variant rotates at the FluxObserver psi_angle
+    env = gemx.make_functional(
+        "Cont-CC-SCIM-v0",
+        physical_system_wrappers=(wr.FluxObserver(),
+                                  wr.DqToAbcActionProcessor.make("SCIM")))
+    with pytest.raises(NotImplementedError):
+        make_fused_rollout(env, 8, N, interpret=True)
+    # wrapper + DeadTime: the reference delays the CONVERTED abc duty
+    env = gemx.make_functional(
+        "Cont-CC-PMSM-v0",
+        physical_system_wrappers=(wr.DeadTimeProcessor(),
+                                  wr.DqToAbcActionProcessor.make("PMSM")))
+    with pytest.raises(NotImplementedError, match="DeadTime"):
+        make_fused_rollout(env, 8, N, interpret=True)
