@@ -17,6 +17,8 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _fused_dead_time_steps,
+    _fused_dq_wrapper,
     _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
@@ -298,8 +300,9 @@ def _dfim_family(env, R, action_mode, randomize=None):
     per-env state planes (winding-resistance temperature drift); same
     design as ``_dc_family`` / ``_induction_family``."""
     ps = env.physical_system
-    _fused_check_system(ps, allow_dead_time=True,
-                        allow_state_noise=True)
+    _fused_check_system(
+        ps, allow_dead_time=True, allow_state_noise=True,
+        allow_dq_wrapper=("_DFIMDqToAbcActionProcessor",))
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -329,6 +332,25 @@ def _dfim_family(env, R, action_mode, randomize=None):
     p_idx = {nm: j for j, nm in enumerate(param_names)}
     param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
                          for nm in param_names)
+    # DFIM DqToAbcActionProcessor wrapper (dq_to_abc_action_processor
+    # .py:115-149): (d_s, q_s, d_r, q_r) — stator pair rotated at the
+    # advanced rotor angle, rotor pair at (FluxObserver psi_angle -
+    # advance); the observer rides as two extra state planes (see
+    # _induction_family).
+    dqw = _fused_dq_wrapper(ps, ("_DFIMDqToAbcActionProcessor",))
+    if dqw is not None:
+        if finite:
+            raise NotImplementedError(
+                "the DFIM DqToAbc wrapper needs continuous converters")
+        if _fused_dead_time_steps(ps):
+            raise NotImplementedError(
+                "DqToAbc wrapper + DeadTimeProcessor is not fused — use "
+                "the general XLA path")
+    n_obspsi = 2 if dqw is not None else 0
+    adv_k = float(dqw._angle_advance) if dqw is not None else 0.0
+    _obs_c = r_r * l_m / l_r
+    _obs_a = r_r / l_r
+    n_ach = 4 if dqw is not None else 6
     _sg_ls = sg * l_s
     _lm2_lr2 = l_m**2 / l_r**2
     _c_psi_den = sg * l_s * l_r**2
@@ -390,7 +412,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
                     + (np.float32(p * omega_fixed) + 0.0 * eps,))
 
     n_core = 6 if mech else 5
-    n_state = n_core + n_sup + n_param
+    n_state = n_core + n_sup + n_param + n_obspsi
     i_eps = n_core - 1
 
     n_bridge = (6 if (finite and (k_int > 0.0
@@ -478,11 +500,41 @@ def _dfim_family(env, R, action_mode, randomize=None):
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
         )
 
+    def _obs_advance(new_core, psi_obs):
+        if not n_obspsi:
+            return ()
+        el_n = new_core[1:5] if mech else new_core[0:4]
+        w_el = np.float32(p) * (new_core[0] if mech
+                                else np.float32(omega_fixed))
+        pre, pim = psi_obs
+        d_re = el_n[0] * np.float32(_obs_c) - (pre * np.float32(_obs_a)
+                                               + pim * w_el)
+        d_im = el_n[1] * np.float32(_obs_c) - (pim * np.float32(_obs_a)
+                                               - pre * w_el)
+        return (pre + d_re * np.float32(tau), pim + d_im * np.float32(tau))
+
     def physics_step(state, action, c, s, z=None, bs=None, t0=None):
         core = state[:n_core]
         sup_planes = state[n_core:n_core + n_sup]
-        pp = state[n_core + n_sup:]
+        pp = state[n_core + n_sup:n_core + n_sup + n_param]
+        psi_obs = state[n_core + n_sup + n_param:]
         pc = resolve(pp)
+        if dqw is not None:
+            # stator pair at the ADVANCED rotor angle
+            w_now = core[0] if mech else omega_fixed
+            delta = np.float32(adv_k * tau * p) * w_now
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            ca, sa = c * cd - s * sd, s * cd + c * sd
+            s_al = ca * action[0] - sa * action[1]
+            s_be = sa * action[0] + ca * action[1]
+            # rotor pair at (observer psi_angle - advanced angle)
+            fc, fsn = flux_dir((None, None, psi_obs[0], psi_obs[1]))
+            cr = fc * ca + fsn * sa
+            sr = fsn * ca - fc * sa
+            r_al = cr * action[2] - sr * action[3]
+            r_be = sr * action[2] + cr * action[3]
+            action = (alphabeta_to_abc(s_al, s_be)
+                      + alphabeta_to_abc(r_al, r_be))
         finite_il = finite and k_int > 0.0
         i_s_abc = i_r_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -525,12 +577,16 @@ def _dfim_family(env, R, action_mode, randomize=None):
             fr = tuple(
                 tuple(jnp.where(flag, b, a) for a, b in zip(fa, fb))
                 for fa, fb in zip(f0, f1))
-            return rk4(core_mid, _us_of(fr, u_sup_val, c1, s1), z,
-                       dt1, pc, tm) + sup_new + pp
+            new_core = rk4(core_mid, _us_of(fr, u_sup_val, c1, s1),
+                           z, dt1, pc, tm)
+            return (new_core + sup_new + pp
+                    + _obs_advance(new_core, psi_obs))
 
         us = _us_of(voltage_fracs(action, i_s_abc, i_r_abc), u_sup_val,
                     c, s)
-        return rk4(core, us, z, tau, pc, t0) + sup_new + pp
+        new_core = rk4(core, us, z, tau, pc, t0)
+        return (new_core + sup_new + pp
+                + _obs_advance(new_core, psi_obs))
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -539,7 +595,8 @@ def _dfim_family(env, R, action_mode, randomize=None):
             np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
                 bits(shape))
             for lo, hi in param_ranges)
-        return core + sup.sup_reset(bits) + pdraws
+        return (core + sup.sup_reset(bits) + pdraws
+                + (zero,) * n_obspsi)
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -586,7 +643,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
             return ((b & jnp.uint32(7)).astype(jnp.int32),
                     ((b >> jnp.uint32(3)) & jnp.uint32(7)).astype(jnp.int32))
         return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
-                     for _ in range(6))
+                     for _ in range(n_ach))
 
     # --- DeadTimeProcessor fused as carried action planes (see
     #     pallas_common._wrap_dead_time) ---
@@ -594,20 +651,26 @@ def _dfim_family(env, R, action_mode, randomize=None):
         _wrap_mech_time(mload, tau, physics_step, advance_bridges,
                         n_bridge, has_cs=True, k_int=k_int)
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
-        _wrap_dead_time(ps, (jnp.int32,) * 2 if finite else (jnp.float32,) * 6,
+        _wrap_dead_time(ps,
+                        (jnp.int32,) * 2 if finite
+                        else (jnp.float32,) * n_ach,
                         physics_step, advance_bridges, n_bridge,
                         has_cs=True, base_dtypes=bridge_dtypes)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta",
-                      "eps") + sup.names + param_names)
+                      "eps") + sup.names + param_names
+                   + (("psi_obs_alpha", "psi_obs_beta") if n_obspsi
+                      else ()))
     observe = _fused_state_noise(
         ps, state_names, lambda nm: float(lim[names.index(nm)]),
         allowed=(("omega",) if mech else ()))
     act_names = (("action_stator", "action_rotor") if finite
-                 else ("action_sa", "action_sb", "action_sc",
-                       "action_ra", "action_rb", "action_rc"))
+                 else (("action_sd", "action_sq", "action_rd",
+                        "action_rq") if dqw is not None
+                       else ("action_sa", "action_sb", "action_sc",
+                             "action_ra", "action_rb", "action_rc")))
     act_dtype = jnp.int32 if finite else jnp.float32
     n_act = len(act_names)
     inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
@@ -659,7 +722,9 @@ def _dfim_family(env, R, action_mode, randomize=None):
 
     return SimpleNamespace(
         obs_spec=obs_spec, act_ns=((8, 8) if finite else None),
-        act_range=(None if finite else (np.full((6,), -1.0, np.float32), np.ones((6,), np.float32))),
+        act_range=(None if finite else
+                   (np.full((n_ach,), -1.0, np.float32),
+                    np.ones((n_ach,), np.float32))),
         aux_cs=lambda aux: (aux[1], aux[2]),
         n_state=n_state, finite=finite, mech=mech, shape=shape,
         shape_r=shape_r, n_ref=n_ref, n_rows=n_rows, ref_cfg=ref_cfg, bias=bias,
@@ -815,7 +880,8 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             if finite:
                 action = (actions_ref[t, 0], actions_ref[t, 1])
             else:
-                action = tuple(actions_ref[t, k] for k in range(6))
+                action = tuple(actions_ref[t, k]
+                               for k in range(len(fs.act_names)))
             cur = tuple(o[:] for o in out_state)
             c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
             state = physics_step(cur, action, c, s, None,

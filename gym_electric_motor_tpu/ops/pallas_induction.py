@@ -17,7 +17,9 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _fused_dead_time_steps,
     _fused_control_space,
+    _fused_dq_wrapper,
     _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
@@ -251,7 +253,8 @@ def _induction_family(env, R, action_mode, randomize=None):
     that must be static."""
     ps = env.physical_system
     _fused_check_system(ps, allow_dead_time=True, allow_dq=True,
-                        allow_state_noise=True)
+                        allow_state_noise=True,
+                        allow_dq_wrapper=("DqToAbcActionProcessor",))
     mp = ps.motor.parameter
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
@@ -288,9 +291,34 @@ def _induction_family(env, R, action_mode, randomize=None):
     # rotor-FLUX field angle (cos/sin = psi / |psi|, exactly the XLA
     # path's atan2-based eps_fs — SCIMSystem.simulate)
     cs_dq = _fused_control_space(ps) == "dq"
+    # The SCIM DqToAbcActionProcessor WRAPPER rotates at the FLUX
+    # OBSERVER's psi_angle (+ the advance term) — the observer (a
+    # 2-state forward-Euler flux integrator over the post-step currents,
+    # flux_observer.py:9-110, using the NOMINAL motor parameters even
+    # under randomize — realistic observer detuning) rides as two extra
+    # state planes.
+    dqw = _fused_dq_wrapper(ps, ("DqToAbcActionProcessor",))
     finite0 = conv.action_type == "finite"
     assert not (cs_dq and finite0)
-    n_ach = 2 if cs_dq else 3
+    if dqw is not None:
+        if cs_dq or finite0:
+            raise NotImplementedError(
+                "DqToAbc wrapper over a dq/finite base is not fused — "
+                "use the general XLA path")
+        if getattr(dqw, "_angle_name", "psi_angle") != "psi_angle":
+            raise NotImplementedError(
+                "the SCIM DqToAbc wrapper variant rotates at psi_angle")
+        if _fused_dead_time_steps(ps):
+            raise NotImplementedError(
+                "DqToAbc wrapper + DeadTimeProcessor is not fused (the "
+                "reference delays the CONVERTED abc duty) — use the "
+                "general XLA path")
+    dq_mode = cs_dq or dqw is not None
+    n_obspsi = 2 if dqw is not None else 0
+    adv_k = float(dqw._angle_advance) if dqw is not None else 0.0
+    _obs_c = r_r * l_m / l_r          # flux_observer.py:93-99
+    _obs_a = r_r / l_r
+    n_ach = 2 if dq_mode else 3
 
     def getp(nm, pp):
         return pp[p_idx[nm]] if nm in p_idx else float(mp[nm])
@@ -341,7 +369,7 @@ def _induction_family(env, R, action_mode, randomize=None):
             return el_rhs(omega_fixed, core, u_al, u_be, pc)
 
     n_core = 4 + (1 if mech else 0)
-    n_state = n_core + n_sup + n_param
+    n_state = n_core + n_sup + n_param + n_obspsi
 
     n_bridge = (3 if (finite and (k_int > 0.0
                                   or ps.supply.kind == "RCVoltageSupply"))
@@ -397,16 +425,43 @@ def _induction_family(env, R, action_mode, randomize=None):
         return (jnp.where(tiny, 1.0, ps_a * inv),
                 jnp.where(tiny, 0.0, ps_b * inv))
 
+    def _obs_advance(new_core, psi_obs):
+        """Forward-Euler flux-observer update from the POST-step currents
+        and speed (flux_observer.py:93-99) — only carried when the SCIM
+        dq wrapper is fused."""
+        if not n_obspsi:
+            return ()
+        el_n = new_core[1:] if mech else new_core
+        w_el = np.float32(p) * (new_core[0] if mech
+                                else np.float32(omega_fixed))
+        pre, pim = psi_obs
+        d_re = el_n[0] * np.float32(_obs_c) - (pre * np.float32(_obs_a)
+                                               + pim * w_el)
+        d_im = el_n[1] * np.float32(_obs_c) - (pim * np.float32(_obs_a)
+                                               - pre * w_el)
+        return (pre + d_re * np.float32(tau), pim + d_im * np.float32(tau))
+
     def step_physics(state, action, z=None, bs=None, t0=None):
         core = state[:n_core]
         sup_planes = state[n_core:n_core + n_sup]
-        pp = state[n_core + n_sup:]
+        pp = state[n_core + n_sup:n_core + n_sup + n_param]
+        psi_obs = state[n_core + n_sup + n_param:]
         pc = resolve(pp)
         if cs_dq:
             el0 = core[1:] if mech else core
             fc, fsn = flux_dir(el0)
             al = fc * action[0] - fsn * action[1]
             be = fsn * action[0] + fc * action[1]
+            action = _clarke_inv(al, be)
+        elif dqw is not None:
+            # observer psi_angle (pre-step planes) + advance rotation
+            fc, fsn = flux_dir((None, None, psi_obs[0], psi_obs[1]))
+            w_now = core[0] if mech else omega_fixed
+            delta = np.float32(adv_k * tau * p) * w_now
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            ca, sa = fc * cd - fsn * sd, fsn * cd + fc * sd
+            al = ca * action[0] - sa * action[1]
+            be = sa * action[0] + ca * action[1]
             action = _clarke_inv(al, be)
         finite_il = finite and k_int > 0.0
         i_abc = None
@@ -441,11 +496,15 @@ def _induction_family(env, R, action_mode, randomize=None):
             u_abc1 = tuple(
                 jnp.where(flag, f * u_sup_val, u0)
                 for f, u0 in zip(abc_frac(action, i_abc_m, inter), u_abc0))
-            return rk4(core_mid, *_uab(u_abc1), z, dt1, pc, tm) + sup_new + pp
+            new_core = rk4(core_mid, *_uab(u_abc1), z, dt1, pc, tm)
+            return (new_core + sup_new + pp
+                    + _obs_advance(new_core, psi_obs))
 
         u_al, u_be = _uab(tuple(f * u_sup_val
                                 for f in abc_frac(action, i_abc)))
-        return rk4(core, u_al, u_be, z, tau, pc, t0) + sup_new + pp
+        new_core = rk4(core, u_al, u_be, z, tau, pc, t0)
+        return (new_core + sup_new + pp
+                + _obs_advance(new_core, psi_obs))
 
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
@@ -454,7 +513,8 @@ def _induction_family(env, R, action_mode, randomize=None):
             np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
                 bits(shape))
             for lo, hi in param_ranges)
-        return core + sup.sup_reset(bits) + pdraws
+        return (core + sup.sup_reset(bits) + pdraws
+                + (zero,) * n_obspsi)
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")
@@ -515,12 +575,14 @@ def _induction_family(env, R, action_mode, randomize=None):
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
                    + ("i_salpha", "i_sbeta", "psi_ralpha", "psi_rbeta")
-                   + sup.names + param_names)
+                   + sup.names + param_names
+                   + (("psi_obs_alpha", "psi_obs_beta") if n_obspsi
+                      else ()))
     observe = _fused_state_noise(
         ps, state_names, lambda nm: float(lim[names.index(nm)]),
         allowed=(("omega",) if mech else ()))
     act_names = (("action",) if finite
-                 else (("action_d", "action_q") if cs_dq
+                 else (("action_d", "action_q") if dq_mode
                        else ("action_a", "action_b", "action_c")))
     act_dtype = jnp.int32 if finite else jnp.float32
     inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))

@@ -159,13 +159,6 @@ def test_dq_wrapper_rejections():
     from gym_electric_motor_tpu import wrappers as wr
     from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
 
-    # SCIM variant rotates at the FluxObserver psi_angle
-    env = gemx.make_functional(
-        "Cont-CC-SCIM-v0",
-        physical_system_wrappers=(wr.FluxObserver(),
-                                  wr.DqToAbcActionProcessor.make("SCIM")))
-    with pytest.raises(NotImplementedError):
-        make_fused_rollout(env, 8, N, interpret=True)
     # wrapper + DeadTime: the reference delays the CONVERTED abc duty
     env = gemx.make_functional(
         "Cont-CC-PMSM-v0",
@@ -173,3 +166,58 @@ def test_dq_wrapper_rejections():
                                   wr.DqToAbcActionProcessor.make("PMSM")))
     with pytest.raises(NotImplementedError, match="DeadTime"):
         make_fused_rollout(env, 8, N, interpret=True)
+
+
+def _obs_psi_of(state):
+    ph = state.phys
+    while not (type(ph).__name__ == "WrappedState"
+               and np.asarray(ph.extra).shape[-1] == 2):
+        ph = ph.inner
+    return np.asarray(ph.extra)
+
+
+@pytest.mark.parametrize("eid,builder,n_state,n_ch,cols", [
+    ("Cont-SC-SCIM-v0", make_fused_induction_rollout, 7, 2,
+     ((0, 0), (1, 1), (2, 2), (3, 3), (4, 4))),
+    ("Cont-SC-DFIM-v0", None, 8, 4,
+     ((0, 0), (1, 1), (2, 2), (3, 3), (4, 4))),
+], ids=["SCIM", "DFIM"])
+def test_dq_wrapper_psi_angle_parity(eid, builder, n_state, n_ch, cols):
+    """The FLUX-OBSERVER dq-wrapper variants run in-kernel: the observer
+    (a 2-state forward-Euler flux integrator over the post-step
+    currents) rides as two extra state planes, and the dq duty rotates
+    at its psi_angle (+/- the advance term).  States AND the observer
+    planes match the XLA wrapper env step-for-step."""
+    from gym_electric_motor_tpu import wrappers as wr
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_dfim_family_rollout)
+
+    if builder is None:
+        builder = make_fused_dfim_family_rollout
+    kind = "SCIM" if "SCIM" in eid else "DFIM"
+    env = gemx.make_functional(
+        eid,
+        physical_system_wrappers=(wr.FluxObserver(),
+                                  wr.DqToAbcActionProcessor.make(kind)),
+        reference_generator=rg.ConstReference("omega", 0.2))
+    rng = np.random.default_rng(5)
+    acts = rng.uniform(-0.3, 0.3,
+                       size=(T, n_ch, 1, 128)).astype(np.float32)
+    roll = builder(env, T, N, action_mode="buffer", interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(*([z] * n_state), jnp.asarray(acts))
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    step = jax.jit(jax.vmap(env.step))
+    for t in range(T):
+        state, _o, _r, _te = step(
+            state, jnp.asarray(acts[t].reshape(n_ch, N).T))
+    ode = _ode_of(state)
+    for k, c in cols:
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, c], rtol=1e-4, atol=2e-3)
+    psi = _obs_psi_of(state)
+    for j in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(out[n_state - 2 + j]).reshape(N), psi[:, j],
+            rtol=1e-4, atol=1e-3)
