@@ -482,6 +482,14 @@ def round4_corners_compile():
     out = make_fused_rollout(env, 16384, 2048)(7, w0, z16)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
+    # the psi_angle dq wrapper: flux observer planes in-kernel
+    env = gemx.make_functional(
+        "Cont-SC-SCIM-v0",
+        physical_system_wrappers=(wr.FluxObserver(),
+                                  wr.DqToAbcActionProcessor.make("SCIM")))
+    out = make_fused_rollout(env, 16384, 2048)(7, *([z16] * 7))
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
 
 def main():
     dev = jax.devices()[0]
