@@ -466,11 +466,13 @@ def _make_fused_mech(ps, j_rotor, shape):
     omega_fixed = None
     needs_step_noise = False
 
+    mech_rhs_j = None
     if load.kind == "PolynomialStaticLoad":
         mode = "poly"
         lp = load.parameter
         a_c, b_c, c_c = float(lp["a"]), float(lp["b"]), float(lp["c"])
-        j_total = float(load.j_load) + float(j_rotor)
+        j_load = float(load.j_load)
+        j_total = j_load + float(j_rotor)
         tau_decay = 1e-3
         omega_lin = a_c / j_total * tau_decay
 
@@ -480,6 +482,16 @@ def _make_fused_mech(ps, j_rotor, shape):
                                j_total / tau_decay * w)
             t_load = sign * c_c * w * w + b_c * w + a_term
             return (t_e - t_load) * (1.0 / j_total)
+
+        def mech_rhs_j(w, t_e, z, jt):
+            """The mech_rhs with a PER-ENV total inertia plane (j_rotor
+            domain randomization); same expressions with j_total -> jt."""
+            sign = jnp.sign(w)
+            olin = a_c / jt * np.float32(tau_decay)
+            a_term = jnp.where(jnp.abs(w) > olin, sign * a_c,
+                               jt * np.float32(1.0 / tau_decay) * w)
+            t_load = sign * c_c * w * w + b_c * w + a_term
+            return (t_e - t_load) / jt
 
         def omega_reset(bits):
             return jnp.zeros(shape, jnp.float32)
@@ -533,6 +545,8 @@ def _make_fused_mech(ps, j_rotor, shape):
         omega_fixed = float(load.omega_fixed)
 
     return SimpleNamespace(mode=mode, mech=mode != "const",
+                           mech_rhs_j=mech_rhs_j,
+                           j_load=float(getattr(load, 'j_load', 0.0) or 0.0),
                            omega_fixed=omega_fixed, mech_rhs=mech_rhs,
                            mech_rhs_t=mech_rhs_t,
                            needs_time=mode == "external",

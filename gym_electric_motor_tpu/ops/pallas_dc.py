@@ -754,10 +754,13 @@ def _dc_family(env, R, action_mode, randomize=None):
     # rhs closures consume — for the default (no-plane) path it returns
     # the SAME python-float expressions as before, keeping the buffer
     # golden traces bit-exact.
-    _RAND_OK = {"PermExDc": ("r_a", "l_a", "psi_e"),
-                "SeriesDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime"),
-                "ShuntDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime"),
-                "ExtExDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime")}
+    _RAND_OK = {"PermExDc": ("r_a", "l_a", "psi_e", "j_rotor"),
+                "SeriesDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime",
+                             "j_rotor"),
+                "ShuntDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime",
+                            "j_rotor"),
+                "ExtExDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime",
+                            "j_rotor")}
     randomize = dict(randomize or {})
     for nm in randomize:
         if nm not in _RAND_OK[kind]:
@@ -781,7 +784,7 @@ def _dc_family(env, R, action_mode, randomize=None):
                     getp("psi_e", pp))
 
         def el_rhs(w, el, u, pc):
-            r_a, inv_l, psi_e = pc
+            r_a, inv_l, psi_e = pc[:3]
             (i,) = el
             return ((-psi_e * w - r_a * i + u[0]) * inv_l,)
 
@@ -799,7 +802,7 @@ def _dc_family(env, R, action_mode, randomize=None):
             return (r_t, 1.0 / l_t, getp("l_e_prime", pp))
 
         def el_rhs(w, el, u, pc):
-            r_t, inv_l, l_p = pc
+            r_t, inv_l, l_p = pc[:3]
             (i,) = el
             return ((-r_t * i - l_p * w * i + u[0]) * inv_l,)
 
@@ -817,7 +820,7 @@ def _dc_family(env, R, action_mode, randomize=None):
                     getp("l_e_prime", pp))
 
         def el_rhs(w, el, u, pc):
-            r_a, r_e, inv_la, inv_le, l_p = pc
+            r_a, r_e, inv_la, inv_le, l_p = pc[:5]
             i_a, i_e = el
             u_a, u_e = (u[0], u[0]) if kind == "ShuntDc" else (u[0], u[1])
             return ((-r_a * i_a - l_p * w * i_e + u_a) * inv_la,
@@ -839,6 +842,21 @@ def _dc_family(env, R, action_mode, randomize=None):
     # --- mechanical model (shared helper) ---
     w_lim = float(lim[names.index("omega")])
     mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    j_rand = "j_rotor" in p_idx
+    if j_rand and mload.mode != "poly":
+        raise NotImplementedError(
+            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
+            "tasks) — fixed/OU/profile speed loads never read the "
+            "inertia")
+    if j_rand:
+        _el_resolve = resolve
+        _j_load = mload.j_load
+        _j_idx = p_idx["j_rotor"]
+
+        def resolve(pp):
+            # per-env TOTAL inertia rides at the END of pc (el unpacks
+            # slice their fixed prefix)
+            return _el_resolve(pp) + (np.float32(_j_load) + pp[_j_idx],)
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
@@ -847,8 +865,12 @@ def _dc_family(env, R, action_mode, randomize=None):
         if not mech:
             return el_rhs(omega_fixed, core, u, pc)
         w, el = core[0], core[1:]
-        dw = (mload.mech_rhs_t(w, torque(el, pc), z, ts) if mload.needs_time
-              else mload.mech_rhs(w, torque(el, pc), z))
+        if j_rand:
+            dw = mload.mech_rhs_j(w, torque(el, pc), z, pc[-1])
+        elif mload.needs_time:
+            dw = mload.mech_rhs_t(w, torque(el, pc), z, ts)
+        else:
+            dw = mload.mech_rhs(w, torque(el, pc), z)
         return (dw,) + el_rhs(w, el, u, pc)
 
     # --- supply model (shared helper) ---

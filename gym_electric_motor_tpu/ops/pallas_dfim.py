@@ -323,10 +323,10 @@ def _dfim_family(env, R, action_mode, randomize=None):
 
     randomize = dict(randomize or {})
     for nm in randomize:
-        if nm not in ("r_s", "r_r"):
+        if nm not in ("r_s", "r_r", "j_rotor"):
             raise NotImplementedError(
                 f"randomize supports the electrical resistances "
-                f"('r_s', 'r_r') for DFIM; got {nm!r}")
+                f"('r_s', 'r_r') and 'j_rotor' for DFIM; got {nm!r}")
     param_names = tuple(sorted(randomize))
     n_param = len(param_names)
     p_idx = {nm: j for j, nm in enumerate(param_names)}
@@ -372,6 +372,19 @@ def _dfim_family(env, R, action_mode, randomize=None):
     shape = (R, LANE)
 
     mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    j_rand = "j_rotor" in p_idx
+    if j_rand and mload.mode != "poly":
+        raise NotImplementedError(
+            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
+            "tasks) — fixed/OU/profile speed loads never read the "
+            "inertia")
+    if j_rand:
+        _el_resolve = resolve
+        _j_load = mload.j_load
+        _j_idx = p_idx["j_rotor"]
+
+        def resolve(pp):
+            return _el_resolve(pp) + (np.float32(_j_load) + pp[_j_idx],)
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
@@ -388,7 +401,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
         return k_t * (el[2] * el[1] - el[3] * el[0])
 
     def el_rhs(w, el, u_sal, u_sbe, u_ral, u_rbe, pc):
-        tau_r, tau_sig, c_psi = pc
+        tau_r, tau_sig, c_psi = pc[:3]
         i_sa, i_sb, ps_a, ps_b = el
         pw = p * w
         di_sa = (-i_sa / tau_sig + c_psi * ps_a + c_w * w * ps_b
@@ -402,8 +415,12 @@ def _dfim_family(env, R, action_mode, randomize=None):
     if mech:
         def rhs(core, us, z, ts, pc):
             w, el, eps = core[0], core[1:5], core[5]
-            dw = (mload.mech_rhs_t(w, torque(el), z, ts)
-                  if mload.needs_time else mload.mech_rhs(w, torque(el), z))
+            if j_rand:
+                dw = mload.mech_rhs_j(w, torque(el), z, pc[-1])
+            elif mload.needs_time:
+                dw = mload.mech_rhs_t(w, torque(el), z, ts)
+            else:
+                dw = mload.mech_rhs(w, torque(el), z)
             return (dw,) + el_rhs(w, el, *us, pc) + (p * w,)
     else:
         def rhs(core, us, z, ts, pc):

@@ -314,10 +314,10 @@ def _eesm_family(env, R, action_mode, randomize=None):
 
     randomize = dict(randomize or {})
     for nm in randomize:
-        if nm not in ("r_s", "r_e"):
+        if nm not in ("r_s", "r_e", "j_rotor"):
             raise NotImplementedError(
                 f"randomize supports the electrical resistances "
-                f"('r_s', 'r_e') for EESM; got {nm!r}")
+                f"('r_s', 'r_e') and 'j_rotor' for EESM; got {nm!r}")
     param_names = tuple(sorted(randomize))
     n_param = len(param_names)
     p_idx = {nm: j for j, nm in enumerate(param_names)}
@@ -357,6 +357,19 @@ def _eesm_family(env, R, action_mode, randomize=None):
     shape = (R, LANE)
 
     mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    j_rand = "j_rotor" in p_idx
+    if j_rand and mload.mode != "poly":
+        raise NotImplementedError(
+            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
+            "tasks) — fixed/OU/profile speed loads never read the "
+            "inertia")
+    if j_rand:
+        _el_resolve = resolve
+        _j_load = mload.j_load
+        _j_idx = p_idx["j_rotor"]
+
+        def resolve(pp):
+            return _el_resolve(pp) + (np.float32(_j_load) + pp[_j_idx],)
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
@@ -373,7 +386,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
         return 1.5 * p * (l_M * i_e * i_k_rs + (l_d - l_q) * i_sd) * i_sq
 
     def el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e, pc):
-        r_s, r_E = pc
+        r_s, r_E = pc[:2]
         pw = p * w
         di_sd = (-r_s / sig * i_sd + l_M * r_E / (sig * l_E) * i_k_rs * i_e
                  + u_d / sig - l_M * k_e / (sig * l_E) * u_e
@@ -388,9 +401,13 @@ def _eesm_family(env, R, action_mode, randomize=None):
     if mech:
         def rhs(core, u_d, u_q, u_e, z, ts, pc):
             w, i_sd, i_sq, i_e, eps = core
-            dw = (mload.mech_rhs_t(w, torque3(i_sd, i_sq, i_e), z, ts)
-                  if mload.needs_time
-                  else mload.mech_rhs(w, torque3(i_sd, i_sq, i_e), z))
+            tq = torque3(i_sd, i_sq, i_e)
+            if j_rand:
+                dw = mload.mech_rhs_j(w, tq, z, pc[-1])
+            elif mload.needs_time:
+                dw = mload.mech_rhs_t(w, tq, z, ts)
+            else:
+                dw = mload.mech_rhs(w, tq, z)
             return ((dw,) + el_rhs(w, i_sd, i_sq, i_e, u_d, u_q, u_e, pc)
                     + (p * w,))
     else:

@@ -560,8 +560,9 @@ def _sync_family(env, R, action_mode, randomize=None):
     n_ach = 2 if dq_mode else 3
 
     p = float(mp["p"])
-    _rand_ok = (("r_s", "l_d", "l_q", "psi_p") if "psi_p" in mp
-                else ("r_s", "l_d", "l_q"))
+    _rand_ok = (("r_s", "l_d", "l_q", "psi_p", "j_rotor")
+                if "psi_p" in mp
+                else ("r_s", "l_d", "l_q", "j_rotor"))
     randomize = dict(randomize or {})
     for nm in randomize:
         if nm not in _rand_ok:
@@ -591,6 +592,19 @@ def _sync_family(env, R, action_mode, randomize=None):
     shape = (R, LANE)
 
     mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
+    j_rand = "j_rotor" in p_idx
+    if j_rand and mload.mode != "poly":
+        raise NotImplementedError(
+            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
+            "tasks) — fixed/OU/profile speed loads never read the "
+            "inertia")
+    if j_rand:
+        _el_resolve = resolve
+        _j_load = mload.j_load
+        _j_idx = p_idx["j_rotor"]
+
+        def resolve(pp):
+            return _el_resolve(pp) + (np.float32(_j_load) + pp[_j_idx],)
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     sup = _make_fused_supply(ps, shape, tau)
@@ -606,11 +620,11 @@ def _sync_family(env, R, action_mode, randomize=None):
         SIN_DI = np.float32(np.sin(t_int * p * omega_fixed))
 
     def torque(i_sd, i_sq, pc):
-        _r_s, l_d, l_q, _ild, _ilq, psi_p = pc
+        _r_s, l_d, l_q, _ild, _ilq, psi_p = pc[:6]
         return 1.5 * p * (psi_p + (l_d - l_q) * i_sd) * i_sq
 
     def el_rhs(w, i_sd, i_sq, u_d, u_q, pc):
-        r_s, l_d, l_q, inv_ld, inv_lq, psi_p = pc
+        r_s, l_d, l_q, inv_ld, inv_lq, psi_p = pc[:6]
         pw = p * w
         di_sd = (-r_s * i_sd + l_q * pw * i_sq + u_d) * inv_ld
         di_sq = (-psi_p * pw - r_s * i_sq - l_d * pw * i_sd + u_q) * inv_lq
@@ -619,9 +633,13 @@ def _sync_family(env, R, action_mode, randomize=None):
     if mech:
         def rhs(core, u_d, u_q, z, ts, pc):
             w, i_sd, i_sq, eps = core
-            dw = (mload.mech_rhs_t(w, torque(i_sd, i_sq, pc), z, ts)
-                  if mload.needs_time
-                  else mload.mech_rhs(w, torque(i_sd, i_sq, pc), z))
+            tq = torque(i_sd, i_sq, pc)
+            if j_rand:
+                dw = mload.mech_rhs_j(w, tq, z, pc[-1])
+            elif mload.needs_time:
+                dw = mload.mech_rhs_t(w, tq, z, ts)
+            else:
+                dw = mload.mech_rhs(w, tq, z)
             di_sd, di_sq = el_rhs(w, i_sd, i_sq, u_d, u_q, pc)
             return dw, di_sd, di_sq, p * w
     else:

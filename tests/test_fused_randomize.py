@@ -153,7 +153,7 @@ def test_fused_randomize_rejections():
         make_fused_rollout(env, 8, N, randomize={"l_d": (0.1, 0.2)})
     envd = gemx.make_functional("Finite-CC-PermExDc-v0")
     with pytest.raises(NotImplementedError, match="electrical"):
-        make_fused_dc_rollout(envd, 8, N, randomize={"j_rotor": (0.1, 0.2)})
+        make_fused_dc_rollout(envd, 8, N, randomize={"u_sup": (0.1, 0.2)})
     envs = gemx.make_functional("Finite-CC-SynRM-v0")
     with pytest.raises(NotImplementedError, match="electrical"):
         # SynRM has no psi_p to randomize
@@ -361,3 +361,57 @@ def test_fused_randomize_dfim_buffer_parity():
                                    ode[:, c], rtol=1e-4, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(out[5]).reshape(N), r_r)
     np.testing.assert_array_equal(np.asarray(out[6]).reshape(N), r_s)
+
+
+def test_fused_randomize_j_rotor_buffer_parity():
+    """Mechanical-inertia randomization (SC tasks): per-env j_rotor
+    planes match per-value REBUILT XLA envs (the XLA path bakes j_total
+    at build time — physical_systems.py:141 — so the oracle is one env
+    build per inertia value, not dynamic_params)."""
+    from gym_electric_motor_tpu.models import motors as mt
+
+    env = gemx.make_functional(
+        "Cont-SC-PermExDc-v0",
+        reference_generator=rg.ConstReference("omega", 0.0))
+    mp = env.physical_system.motor.parameter
+    j_vals = [0.6 * mp["j_rotor"], 0.9 * mp["j_rotor"],
+              1.4 * mp["j_rotor"], 2.0 * mp["j_rotor"]]
+    j_r = np.repeat(np.asarray(j_vals, np.float32), 32)     # 128 envs
+    rng = np.random.default_rng(21)
+    actions = rng.uniform(-0.5, 0.5, size=(T, 1, 128)).astype(np.float32)
+
+    roll = make_fused_dc_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"j_rotor": (float(j_r.min()), float(j_r.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    out = roll(zero, zero, jnp.asarray(j_r.reshape(1, 128)),
+               jnp.asarray(actions))
+    w_k = np.asarray(out[0]).reshape(N)
+    i_k = np.asarray(out[1]).reshape(N)
+
+    for g, j in enumerate(j_vals):
+        envj = gemx.make_functional(
+            "Cont-SC-PermExDc-v0",
+            motor=mt.permex_dc(motor_parameter={"j_rotor": float(j)}),
+            reference_generator=rg.ConstReference("omega", 0.0))
+        sl = slice(g * 32, (g + 1) * 32)
+        keys = jax.random.split(jax.random.PRNGKey(0), 32)
+        state, _ = jax.jit(jax.vmap(envj.reset))(keys)
+        step = jax.jit(jax.vmap(envj.step))
+        for t in range(T):
+            state, _o, _r, _te = step(
+                state, jnp.asarray(actions[t, 0, sl].reshape(32, 1)))
+        ode = np.asarray(state.phys.ode_state)
+        np.testing.assert_allclose(w_k[sl], ode[:, 0], rtol=1e-4,
+                                   atol=2e-3, err_msg=f"j group {g}")
+        np.testing.assert_allclose(i_k[sl], ode[:, 1], rtol=1e-4,
+                                   atol=1e-3, err_msg=f"j group {g}")
+    # inertia actually matters: groups diverge
+    assert abs(w_k[:32].mean() - w_k[96:].mean()) > 0.05
+
+
+def test_fused_randomize_j_rotor_needs_poly_load():
+    env = gemx.make_functional("Finite-CC-PermExDc-v0")  # const speed
+    with pytest.raises(NotImplementedError, match="PolynomialStaticLoad"):
+        make_fused_dc_rollout(env, 8, N,
+                              randomize={"j_rotor": (1e-4, 2e-4)})
