@@ -43,11 +43,14 @@ def main(env_id="Cont-CC-PermExDc-v0", n_iters=600):
 
     seed, t0 = 3, time.time()
     # <=50-iteration segments (axon worker stability, as for PPO/DQN)
-    for seg in range(max(1, n_iters // 50)):
-        carry, rs, ls = train(carry, seed, min(50, n_iters))
-        seed += 50
+    done_iters = 0
+    while done_iters < n_iters:
+        n = min(50, n_iters - done_iters)
+        carry, rs, ls = train(carry, seed, n)
+        seed += n
+        done_iters += n
         rs, ls = np.asarray(rs), np.asarray(ls)
-        print(f"  iters {seg * 50:4d}+: reward {rs[:5].mean():+.4f} -> "
+        print(f"  iters {done_iters - n:4d}+: reward {rs[:5].mean():+.4f} -> "
               f"{rs[-5:].mean():+.4f}   critic-loss {ls[-5:].mean():.5f}")
     dt = time.time() - t0
     total = n_iters * 2048 * 256

@@ -138,6 +138,55 @@ def _fused_dq_wrapper(ps, type_names):
     return found
 
 
+def _parse_randomize(randomize, allowed, kind, desc):
+    """Shared ``randomize={param: (lo, hi)}`` parsing for the family
+    builders: validates the names against the family's ``allowed`` set
+    (``desc`` words the rejection) and returns ``(param_names, n_param,
+    p_idx, param_ranges)`` in the canonical sorted-name order the state
+    planes use."""
+    randomize = dict(randomize or {})
+    for nm in randomize:
+        if nm not in allowed:
+            raise NotImplementedError(
+                f"randomize supports {desc} {allowed} for {kind}; got "
+                f"{nm!r} — use the XLA path's dynamic_params=True")
+    param_names = tuple(sorted(randomize))
+    p_idx = {nm: j for j, nm in enumerate(param_names)}
+    param_ranges = tuple(
+        (float(randomize[nm][0]), float(randomize[nm][1]))
+        for nm in param_names)
+    return param_names, len(param_names), p_idx, param_ranges
+
+
+def _wrap_j_resolve(resolve, mload, p_idx):
+    """Append the per-env TOTAL inertia to the family's resolved
+    coefficient tuple when 'j_rotor' is randomized (el unpacks slice
+    their fixed prefix; the mech branch reads ``pc[-1]``).  Returns
+    ``(resolve', j_rand)``."""
+    if "j_rotor" not in p_idx:
+        return resolve, False
+    if mload.mode != "poly":
+        raise NotImplementedError(
+            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
+            "tasks) — fixed/OU/profile speed loads never read the "
+            "inertia")
+    j_load, j_idx = mload.j_load, p_idx["j_rotor"]
+
+    def resolve2(pp):
+        return resolve(pp) + (np.float32(j_load) + pp[j_idx],)
+
+    return resolve2, True
+
+
+def _param_reset_draws(bits, shape, param_ranges):
+    """Per-violation uniform redraws of the randomized parameter planes
+    (a reset is a new motor instance)."""
+    return tuple(
+        np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
+            bits(shape))
+        for lo, hi in param_ranges)
+
+
 def _fused_state_noise(ps, state_names, limits_of, allowed=None):
     """Parse a StateNoiseProcessor from the wrapper chain into an
     in-kernel OBSERVATION-noise closure (state_noise_processor.py:4-98:

@@ -20,6 +20,9 @@ from .pallas_common import (
     _c2i,
     _c2u,
     _fused_check_system,
+    _param_reset_draws,
+    _parse_randomize,
+    _wrap_j_resolve,
     _fused_state_noise,
     _wrap_dead_time,
     _wrap_mech_time,
@@ -761,17 +764,9 @@ def _dc_family(env, R, action_mode, randomize=None):
                             "j_rotor"),
                 "ExtExDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime",
                             "j_rotor")}
-    randomize = dict(randomize or {})
-    for nm in randomize:
-        if nm not in _RAND_OK[kind]:
-            raise NotImplementedError(
-                f"randomize supports the electrical motor parameters "
-                f"{_RAND_OK[kind]} for {kind}; got {nm!r}")
-    param_names = tuple(sorted(randomize))
-    n_param = len(param_names)
-    p_idx = {nm: j for j, nm in enumerate(param_names)}
-    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
-                         for nm in param_names)
+    param_names, n_param, p_idx, param_ranges = _parse_randomize(
+        randomize, _RAND_OK[kind], kind,
+        "the electrical motor parameters (+ j_rotor)")
 
     def getp(nm, pp):
         return pp[p_idx[nm]] if nm in p_idx else float(mp[nm])
@@ -842,21 +837,7 @@ def _dc_family(env, R, action_mode, randomize=None):
     # --- mechanical model (shared helper) ---
     w_lim = float(lim[names.index("omega")])
     mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
-    j_rand = "j_rotor" in p_idx
-    if j_rand and mload.mode != "poly":
-        raise NotImplementedError(
-            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
-            "tasks) — fixed/OU/profile speed loads never read the "
-            "inertia")
-    if j_rand:
-        _el_resolve = resolve
-        _j_load = mload.j_load
-        _j_idx = p_idx["j_rotor"]
-
-        def resolve(pp):
-            # per-env TOTAL inertia rides at the END of pc (el unpacks
-            # slice their fixed prefix)
-            return _el_resolve(pp) + (np.float32(_j_load) + pp[_j_idx],)
+    resolve, j_rand = _wrap_j_resolve(resolve, mload, p_idx)
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
@@ -978,10 +959,7 @@ def _dc_family(env, R, action_mode, randomize=None):
         motor instance (per-episode domain randomization)."""
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * n_el
-        pdraws = tuple(
-            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
-                bits(shape))
-            for lo, hi in param_ranges)
+        pdraws = _param_reset_draws(bits, shape, param_ranges)
         return core + sup_reset(bits) + pdraws
 
     # --- references / reward / constraints from the env spec ---

@@ -17,6 +17,9 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _param_reset_draws,
+    _parse_randomize,
+    _wrap_j_resolve,
     _fused_dead_time_steps,
     _fused_dq_wrapper,
     _fused_state_noise,
@@ -321,17 +324,9 @@ def _dfim_family(env, R, action_mode, randomize=None):
     c_ur = l_m / (sg * l_r * l_s)
     k_t = 1.5 * p * l_m / l_r
 
-    randomize = dict(randomize or {})
-    for nm in randomize:
-        if nm not in ("r_s", "r_r", "j_rotor"):
-            raise NotImplementedError(
-                f"randomize supports the electrical resistances "
-                f"('r_s', 'r_r') and 'j_rotor' for DFIM; got {nm!r}")
-    param_names = tuple(sorted(randomize))
-    n_param = len(param_names)
-    p_idx = {nm: j for j, nm in enumerate(param_names)}
-    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
-                         for nm in param_names)
+    param_names, n_param, p_idx, param_ranges = _parse_randomize(
+        randomize, ("r_s", "r_r", "j_rotor"), "DFIM",
+        "the electrical resistances + inertia")
     # DFIM DqToAbcActionProcessor wrapper (dq_to_abc_action_processor
     # .py:115-149): (d_s, q_s, d_r, q_r) — stator pair rotated at the
     # advanced rotor angle, rotor pair at (FluxObserver psi_angle -
@@ -372,19 +367,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
     shape = (R, LANE)
 
     mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
-    j_rand = "j_rotor" in p_idx
-    if j_rand and mload.mode != "poly":
-        raise NotImplementedError(
-            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
-            "tasks) — fixed/OU/profile speed loads never read the "
-            "inertia")
-    if j_rand:
-        _el_resolve = resolve
-        _j_load = mload.j_load
-        _j_idx = p_idx["j_rotor"]
-
-        def resolve(pp):
-            return _el_resolve(pp) + (np.float32(_j_load) + pp[_j_idx],)
+    resolve, j_rand = _wrap_j_resolve(resolve, mload, p_idx)
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
@@ -608,10 +591,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 5
-        pdraws = tuple(
-            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
-                bits(shape))
-            for lo, hi in param_ranges)
+        pdraws = _param_reset_draws(bits, shape, param_ranges)
         return (core + sup.sup_reset(bits) + pdraws
                 + (zero,) * n_obspsi)
 
@@ -757,7 +737,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
         mech_mode=mech_mode, sup_mode=sup.mode, n_sup=n_sup, n_core=n_core,
         i_eps=i_eps, needs_step_noise=needs_step_noise,
         param_names=param_names, param_ranges=param_ranges,
-        n_param=n_param, observe=observe,
+        n_param=n_param, n_obspsi=n_obspsi, observe=observe,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         advance_bridges=advance_bridges,
     )

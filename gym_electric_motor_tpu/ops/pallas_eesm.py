@@ -19,6 +19,9 @@ from .pallas_common import (
     _c2i,
     _c2u,
     _fused_check_system,
+    _param_reset_draws,
+    _parse_randomize,
+    _wrap_j_resolve,
     _fused_dead_time_steps,
     _fused_control_space,
     _fused_dq_wrapper,
@@ -312,17 +315,9 @@ def _eesm_family(env, R, action_mode, randomize=None):
     sig = 1.0 - l_M**2 / (mp["l_d"] * l_E)
     r_s, l_d, l_q, p, k_e = mp["r_s"], mp["l_d"], mp["l_q"], mp["p"], mp["k"]
 
-    randomize = dict(randomize or {})
-    for nm in randomize:
-        if nm not in ("r_s", "r_e", "j_rotor"):
-            raise NotImplementedError(
-                f"randomize supports the electrical resistances "
-                f"('r_s', 'r_e') and 'j_rotor' for EESM; got {nm!r}")
-    param_names = tuple(sorted(randomize))
-    n_param = len(param_names)
-    p_idx = {nm: j for j, nm in enumerate(param_names)}
-    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
-                         for nm in param_names)
+    param_names, n_param, p_idx, param_ranges = _parse_randomize(
+        randomize, ("r_s", "r_e", "j_rotor"), "EESM",
+        "the electrical resistances + inertia")
     # control_space='dq': (u_d, u_q, u_e) — the stator pair is rotated to
     # abc at the cycle-start angle, the excitation duty passes through
     # (physical_systems.py EESMSystem.simulate)
@@ -357,19 +352,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
     shape = (R, LANE)
 
     mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
-    j_rand = "j_rotor" in p_idx
-    if j_rand and mload.mode != "poly":
-        raise NotImplementedError(
-            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
-            "tasks) — fixed/OU/profile speed loads never read the "
-            "inertia")
-    if j_rand:
-        _el_resolve = resolve
-        _j_load = mload.j_load
-        _j_idx = p_idx["j_rotor"]
-
-        def resolve(pp):
-            return _el_resolve(pp) + (np.float32(_j_load) + pp[_j_idx],)
+    resolve, j_rand = _wrap_j_resolve(resolve, mload, p_idx)
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
@@ -576,10 +559,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 4
-        pdraws = tuple(
-            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
-                bits(shape))
-            for lo, hi in param_ranges)
+        pdraws = _param_reset_draws(bits, shape, param_ranges)
         return core + sup.sup_reset(bits) + pdraws
 
     ref_cfg = _ref_configs(env, R,

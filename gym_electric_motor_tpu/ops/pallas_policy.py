@@ -1264,15 +1264,18 @@ def fused_policy_init_planes(env, n_envs, randomize=None, seed=0):
     R = n_envs // LANE
     planes = [np.zeros((R, LANE), np.float32) for _ in range(fs.n_state)]
     n_param = getattr(fs, "n_param", 0)
+    # plane layout: core + supply + params + (flux-observer planes for
+    # the psi_angle dq-wrapper families)
+    n_obspsi = getattr(fs, "n_obspsi", 0)
     if fs.sup_mode == "rc":
         u0 = float(env.physical_system.supply.parameter["u_0"])
-        planes[fs.n_state - fs.n_sup - n_param] += np.float32(u0)
+        planes[fs.n_state - fs.n_sup - n_param - n_obspsi] += np.float32(u0)
     if n_param:
         # draw the initial motor instances host-side — zero parameter
         # planes would be degenerate motors (1/l = inf) until the first
         # violation reset redraws them in-kernel
         rng = np.random.default_rng(seed)
         for j, (lo, hi) in enumerate(fs.param_ranges):
-            planes[fs.n_state - n_param + j] = rng.uniform(
+            planes[fs.n_state - n_obspsi - n_param + j] = rng.uniform(
                 lo, hi, (R, LANE)).astype(np.float32)
     return tuple(jnp.asarray(x) for x in planes)

@@ -138,7 +138,16 @@ def fused_state_arity(env, randomize=None):
     base = {"PermExDc": 1, "SeriesDc": 1, "ShuntDc": 2, "ExtExDc": 2,
             "PMSM": 3, "SynRM": 3, "SCIM": 4, "EESM": 4, "DFIM": 5}[kind]
     sup = 2 if ps.supply.kind in ("AC1PhaseSupply", "RCVoltageSupply") else 0
-    return base + mech + sup + len(randomize or ())
+    # SCIM/DFIM psi_angle dq wrappers carry the flux observer as 2 planes
+    obspsi, cur = 0, ps
+    while hasattr(cur, "inner"):
+        nm = type(cur).__name__
+        if ((nm == "DqToAbcActionProcessor"
+             and getattr(cur, "_angle_name", "") == "psi_angle")
+                or nm == "_DFIMDqToAbcActionProcessor"):
+            obspsi = 2
+        cur = cur.inner
+    return base + mech + sup + len(randomize or ()) + obspsi
 
 
 def make_fused_rollout(env, n_steps, n_envs, action_mode="random",

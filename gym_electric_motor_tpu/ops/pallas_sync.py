@@ -19,6 +19,9 @@ from .pallas_common import (
     LANE,
     TWO_PI,
     _fused_check_system,
+    _param_reset_draws,
+    _parse_randomize,
+    _wrap_j_resolve,
     _fused_dead_time_steps,
     _fused_control_space,
     _fused_dq_wrapper,
@@ -563,17 +566,9 @@ def _sync_family(env, R, action_mode, randomize=None):
     _rand_ok = (("r_s", "l_d", "l_q", "psi_p", "j_rotor")
                 if "psi_p" in mp
                 else ("r_s", "l_d", "l_q", "j_rotor"))
-    randomize = dict(randomize or {})
-    for nm in randomize:
-        if nm not in _rand_ok:
-            raise NotImplementedError(
-                f"randomize supports the electrical motor parameters "
-                f"{_rand_ok} for {ps.motor.kind}; got {nm!r}")
-    param_names = tuple(sorted(randomize))
-    n_param = len(param_names)
-    p_idx = {nm: j for j, nm in enumerate(param_names)}
-    param_ranges = tuple((float(randomize[nm][0]), float(randomize[nm][1]))
-                         for nm in param_names)
+    param_names, n_param, p_idx, param_ranges = _parse_randomize(
+        randomize, _rand_ok, ps.motor.kind,
+        "the electrical motor parameters (+ j_rotor)")
 
     def getp(nm, pp):
         if nm in p_idx:
@@ -592,19 +587,7 @@ def _sync_family(env, R, action_mode, randomize=None):
     shape = (R, LANE)
 
     mload = _make_fused_mech(ps, float(mp["j_rotor"]), shape)
-    j_rand = "j_rotor" in p_idx
-    if j_rand and mload.mode != "poly":
-        raise NotImplementedError(
-            "randomize('j_rotor') needs a PolynomialStaticLoad (SC "
-            "tasks) — fixed/OU/profile speed loads never read the "
-            "inertia")
-    if j_rand:
-        _el_resolve = resolve
-        _j_load = mload.j_load
-        _j_idx = p_idx["j_rotor"]
-
-        def resolve(pp):
-            return _el_resolve(pp) + (np.float32(_j_load) + pp[_j_idx],)
+    resolve, j_rand = _wrap_j_resolve(resolve, mload, p_idx)
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     sup = _make_fused_supply(ps, shape, tau)
@@ -773,10 +756,7 @@ def _sync_family(env, R, action_mode, randomize=None):
     def reset_state(bits):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 3
-        pdraws = tuple(
-            np.float32(lo) + np.float32(hi - lo) * _uniform_from_bits(
-                bits(shape))
-            for lo, hi in param_ranges)
+        pdraws = _param_reset_draws(bits, shape, param_ranges)
         return core + sup.sup_reset(bits) + pdraws
 
     ref_cfg = _ref_configs(env, R,

@@ -1098,17 +1098,24 @@ def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
                 return -jnp.mean(critic(cparams["q1"], obs, a_pi))
 
             agrads = jax.grad(a_loss)(aparams)
-            # delayed actor: mask the gradient on off-cycle updates
             amask = (jnp.mod(k_idx, policy_delay) == 0).astype(jnp.float32)
-            agrads = jax.tree.map(lambda g: g * amask, agrads)
             if axis is not None:
                 cgrads = jax.lax.pmean(cgrads, axis)
                 agrads = jax.lax.pmean(agrads, axis)
                 loss = jax.lax.pmean(loss, axis)
             cupd, opt_c = tx_c.update(cgrads, opt_c, cparams)
             cparams = optax.apply_updates(cparams, cupd)
-            aupd, opt_a = tx_a.update(agrads, opt_a, aparams)
-            aparams = optax.apply_updates(aparams, aupd)
+            # delayed actor: select the APPLIED update and the optimizer-
+            # state advance (a zeroed gradient fed to Adam still moves
+            # the params through decayed momentum and pollutes the
+            # moment estimates)
+            aupd, opt_a_new = tx_a.update(agrads, opt_a, aparams)
+            aparams = optax.apply_updates(
+                aparams, jax.tree.map(lambda u: u * amask, aupd))
+            apply_a = jnp.mod(k_idx, policy_delay) == 0
+            opt_a = jax.tree.map(
+                lambda new, old: jnp.where(apply_a, new, old),
+                opt_a_new, opt_a)
             pk = polyak
             atarg = jax.tree.map(
                 lambda t, p_: t * (1.0 - pk * amask) + p_ * pk * amask,

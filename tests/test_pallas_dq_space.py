@@ -221,3 +221,38 @@ def test_dq_wrapper_psi_angle_parity(eid, builder, n_state, n_ch, cols):
         np.testing.assert_allclose(
             np.asarray(out[n_state - 2 + j]).reshape(N), psi[:, j],
             rtol=1e-4, atol=1e-3)
+
+
+def test_psi_wrapper_arity_planes_and_trainer():
+    """Regression (round-4 review): fused_state_arity and
+    fused_policy_init_planes must account for the flux-observer planes —
+    the TD3 trainer on a psi_angle-dq SCIM env with randomize= used to
+    write the parameter draws into the observer planes (leaving the real
+    r_r plane at zero -> 1/0 physics)."""
+    from gym_electric_motor_tpu import wrappers as wr
+    from gym_electric_motor_tpu.ops.pallas_policy import (
+        fused_policy_init_planes)
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        fused_state_arity, make_fused_induction_rollout)
+
+    env = gemx.make_functional(
+        "Cont-SC-SCIM-v0",
+        physical_system_wrappers=(wr.FluxObserver(),
+                                  wr.DqToAbcActionProcessor.make("SCIM")))
+    mp = env.physical_system.motor.parameter
+    rnd = {"r_r": (0.7 * mp["r_r"], 1.4 * mp["r_r"])}
+    assert fused_state_arity(env) == 7
+    assert fused_state_arity(env, randomize=rnd) == 8
+    planes = fused_policy_init_planes(env, 256, randomize=rnd)
+    assert len(planes) == 8
+    # layout: (omega, i_sa, i_sb, psi_ra, psi_rb, r_r, psi_obs_a/b):
+    # the parameter draw must land on the r_r plane, observer planes 0
+    rr = np.asarray(planes[5])
+    assert np.all((rr >= rnd["r_r"][0]) & (rr <= rnd["r_r"][1]))
+    assert np.abs(np.asarray(planes[6])).max() == 0.0
+    assert np.abs(np.asarray(planes[7])).max() == 0.0
+    # and the rollout built with those planes stays finite
+    roll = make_fused_induction_rollout(env, 32, 256, interpret=True,
+                                        randomize=rnd)
+    out = roll(5, *planes)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)

@@ -487,7 +487,9 @@ def round4_corners_compile():
         "Cont-SC-SCIM-v0",
         physical_system_wrappers=(wr.FluxObserver(),
                                   wr.DqToAbcActionProcessor.make("SCIM")))
-    out = make_fused_rollout(env, 16384, 2048)(7, *([z16] * 7))
+    n_pl = fused_state_arity(env)
+    assert n_pl == 7  # incl. the 2 flux-observer planes
+    out = make_fused_rollout(env, 16384, 2048)(7, *([z16] * n_pl))
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
 
