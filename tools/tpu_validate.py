@@ -493,6 +493,31 @@ def round4_corners_compile():
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
 
+def fused_sac_improves():
+    """Entropy-regularized off-policy learning on-chip: SAC takes
+    Cont-CC-PermExDc from ~-2.2 to better than -0.08 within 1000
+    iterations (measured -0.03 at 800; the auto-tuned temperature
+    equilibrates the policy sigma at ~0.1)."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        make_fused_sac_trainer)
+
+    env = gemx.make_functional("Cont-CC-PermExDc-v0")
+    init_state, train = make_fused_sac_trainer(
+        env, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
+        n_updates=16, mb_envs=64)
+    carry = init_state(jax.random.PRNGKey(1))
+    seed, first, last = 3, None, None
+    for _seg in range(20):
+        carry, rs, _ls = train(carry, seed, 50)
+        seed += 50
+        rs = np.asarray(rs)
+        if first is None:
+            first = rs[:5].mean()
+        last = rs[-10:].mean()
+    assert last > -0.08, (first, last)
+    assert last > first + 1.0, (first, last)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})")
@@ -511,6 +536,7 @@ def main():
     check("rl:cont-ppo-improves", cont_ppo_improves)
     check("rl:fused-dqn-improves", fused_dqn_improves)
     check("rl:fused-td3-improves", fused_td3_improves)
+    check("rl:fused-sac-improves", fused_sac_improves)
     check("rl:randomized-ppo-improves", randomized_ppo_improves)
     check("randomize:all-families-compile", randomized_all_families_compile)
     check("corners:dq-noise-esl-interlock", round4_corners_compile)
