@@ -178,6 +178,20 @@ def _wrap_j_resolve(resolve, mload, p_idx):
     return resolve2, True
 
 
+def _u_sup_plane_idx(p_idx, sup):
+    """Index of the randomized DC-link voltage plane ('u_sup' in
+    ``randomize`` — battery/DC-link sag robustness), or None.  Only the
+    ideal supply is randomizable: AC1/RC supplies have their own carried
+    dynamics planes."""
+    if "u_sup" not in p_idx:
+        return None
+    if sup.mode != "ideal":
+        raise NotImplementedError(
+            "randomize('u_sup') needs the IdealVoltageSupply — AC1/RC "
+            "supplies carry their own dynamics planes")
+    return p_idx["u_sup"]
+
+
 def _param_reset_draws(bits, shape, param_ranges):
     """Per-violation uniform redraws of the randomized parameter planes
     (a reset is a new motor instance)."""

@@ -22,6 +22,7 @@ from .pallas_common import (
     _fused_check_system,
     _param_reset_draws,
     _parse_randomize,
+    _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_state_noise,
     _wrap_dead_time,
@@ -765,8 +766,8 @@ def _dc_family(env, R, action_mode, randomize=None):
                 "ExtExDc": ("r_a", "r_e", "l_a", "l_e", "l_e_prime",
                             "j_rotor")}
     param_names, n_param, p_idx, param_ranges = _parse_randomize(
-        randomize, _RAND_OK[kind], kind,
-        "the electrical motor parameters (+ j_rotor)")
+        randomize, _RAND_OK[kind] + ("u_sup",), kind,
+        "the electrical motor parameters (+ j_rotor, u_sup)")
 
     def getp(nm, pp):
         return pp[p_idx[nm]] if nm in p_idx else float(mp[nm])
@@ -856,6 +857,7 @@ def _dc_family(env, R, action_mode, randomize=None):
 
     # --- supply model (shared helper) ---
     sup = _make_fused_supply(ps, shape, tau)
+    _u_idx = _u_sup_plane_idx(p_idx, sup)
     sup_mode, n_sup, sup_reset = sup.mode, sup.n_sup, sup.sup_reset
     supply_u = sup.supply_u
 
@@ -908,6 +910,8 @@ def _dc_family(env, R, action_mode, randomize=None):
         # (physical_systems.py:171-203 passes self._t), so the AC sine
         # repeats and the RC element integrates dt=0 on the second call
         u_sup_val, sup_new = supply_u(sup_planes, i_sup_val)
+        if _u_idx is not None:
+            u_sup_val = pp[_u_idx]
 
         if finite and k_int > 0.0:
             # 2-sub-interval interlock schedule (converters.py:99-111):

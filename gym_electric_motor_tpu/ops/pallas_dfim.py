@@ -19,6 +19,7 @@ from .pallas_common import (
     _fused_check_system,
     _param_reset_draws,
     _parse_randomize,
+    _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_dead_time_steps,
     _fused_dq_wrapper,
@@ -325,8 +326,8 @@ def _dfim_family(env, R, action_mode, randomize=None):
     k_t = 1.5 * p * l_m / l_r
 
     param_names, n_param, p_idx, param_ranges = _parse_randomize(
-        randomize, ("r_s", "r_r", "j_rotor"), "DFIM",
-        "the electrical resistances + inertia")
+        randomize, ("r_s", "r_r", "j_rotor", "u_sup"), "DFIM",
+        "the electrical resistances + inertia + u_sup")
     # DFIM DqToAbcActionProcessor wrapper (dq_to_abc_action_processor
     # .py:115-149): (d_s, q_s, d_r, q_r) — stator pair rotated at the
     # advanced rotor angle, rotor pair at (FluxObserver psi_angle -
@@ -372,6 +373,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
     sup = _make_fused_supply(ps, shape, tau)
+    _u_idx = _u_sup_plane_idx(p_idx, sup)
     n_sup = sup.n_sup
     COS_D = SIN_D = COS_DI = SIN_DI = None
     if not mech:
@@ -548,6 +550,8 @@ def _dfim_family(env, R, action_mode, randomize=None):
         else:
             i_sup_val = None
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+        if _u_idx is not None:
+            u_sup_val = pp[_u_idx]
 
         if finite_il:
             # 2-sub-interval interlock schedule, mid-cycle angle/current

@@ -21,6 +21,7 @@ from .pallas_common import (
     _fused_check_system,
     _param_reset_draws,
     _parse_randomize,
+    _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_dead_time_steps,
     _fused_control_space,
@@ -316,8 +317,8 @@ def _eesm_family(env, R, action_mode, randomize=None):
     r_s, l_d, l_q, p, k_e = mp["r_s"], mp["l_d"], mp["l_q"], mp["p"], mp["k"]
 
     param_names, n_param, p_idx, param_ranges = _parse_randomize(
-        randomize, ("r_s", "r_e", "j_rotor"), "EESM",
-        "the electrical resistances + inertia")
+        randomize, ("r_s", "r_e", "j_rotor", "u_sup"), "EESM",
+        "the electrical resistances + inertia + u_sup")
     # control_space='dq': (u_d, u_q, u_e) — the stator pair is rotated to
     # abc at the cycle-start angle, the excitation duty passes through
     # (physical_systems.py EESMSystem.simulate)
@@ -357,6 +358,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
     sup = _make_fused_supply(ps, shape, tau)
+    _u_idx = _u_sup_plane_idx(p_idx, sup)
     n_sup = sup.n_sup
     COS_D = SIN_D = COS_DI = SIN_DI = None
     if not mech:
@@ -521,6 +523,8 @@ def _eesm_family(env, R, action_mode, randomize=None):
         else:
             i_sup_val = None
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+        if _u_idx is not None:
+            u_sup_val = pp[_u_idx]
 
         if finite_il:
             # 2-sub-interval interlock schedule with mid-cycle angle and

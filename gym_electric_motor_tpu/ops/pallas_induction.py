@@ -19,6 +19,7 @@ from .pallas_common import (
     _fused_check_system,
     _param_reset_draws,
     _parse_randomize,
+    _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_dead_time_steps,
     _fused_control_space,
@@ -276,8 +277,8 @@ def _induction_family(env, R, action_mode, randomize=None):
     k_t = 1.5 * p * l_m / l_r
 
     param_names, n_param, p_idx, param_ranges = _parse_randomize(
-        randomize, ("r_s", "r_r", "j_rotor"), "SCIM",
-        "the electrical resistances + inertia")
+        randomize, ("r_s", "r_r", "j_rotor", "u_sup"), "SCIM",
+        "the electrical resistances + inertia + u_sup")
     _sigma_ls = sigma * l_s
     _lm2_lr2 = l_m**2 / l_r**2
     _c_psi_den = sigma * l_s * l_r**2
@@ -339,6 +340,7 @@ def _induction_family(env, R, action_mode, randomize=None):
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
     sup = _make_fused_supply(ps, shape, tau)
+    _u_idx = _u_sup_plane_idx(p_idx, sup)
     n_sup = sup.n_sup
 
     def el_rhs(w, el, u_al, u_be, pc):
@@ -475,6 +477,8 @@ def _induction_family(env, R, action_mode, randomize=None):
         else:
             i_sup_val = None
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+        if _u_idx is not None:
+            u_sup_val = pp[_u_idx]
 
         if finite_il:
             # 2-sub-interval interlock schedule (see _sync_family): the

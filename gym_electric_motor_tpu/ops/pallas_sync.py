@@ -21,6 +21,7 @@ from .pallas_common import (
     _fused_check_system,
     _param_reset_draws,
     _parse_randomize,
+    _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_dead_time_steps,
     _fused_control_space,
@@ -567,8 +568,8 @@ def _sync_family(env, R, action_mode, randomize=None):
                 if "psi_p" in mp
                 else ("r_s", "l_d", "l_q", "j_rotor"))
     param_names, n_param, p_idx, param_ranges = _parse_randomize(
-        randomize, _rand_ok, ps.motor.kind,
-        "the electrical motor parameters (+ j_rotor)")
+        randomize, _rand_ok + ("u_sup",), ps.motor.kind,
+        "the electrical motor parameters (+ j_rotor, u_sup)")
 
     def getp(nm, pp):
         if nm in p_idx:
@@ -591,6 +592,7 @@ def _sync_family(env, R, action_mode, randomize=None):
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     sup = _make_fused_supply(ps, shape, tau)
+    _u_idx = _u_sup_plane_idx(p_idx, sup)
     n_sup = sup.n_sup
 
     COS_D = SIN_D = COS_DI = SIN_DI = None
@@ -709,6 +711,8 @@ def _sync_family(env, R, action_mode, randomize=None):
         # one supply query per cycle (both reference sub-intervals query at
         # the same timestamp — see _dc_family.step_physics)
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
+        if _u_idx is not None:
+            u_sup_val = pp[_u_idx]
 
         if finite_il:
             # 2-sub-interval interlock schedule: interlock pattern for the

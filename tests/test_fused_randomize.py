@@ -153,7 +153,7 @@ def test_fused_randomize_rejections():
         make_fused_rollout(env, 8, N, randomize={"l_d": (0.1, 0.2)})
     envd = gemx.make_functional("Finite-CC-PermExDc-v0")
     with pytest.raises(NotImplementedError, match="electrical"):
-        make_fused_dc_rollout(envd, 8, N, randomize={"u_sup": (0.1, 0.2)})
+        make_fused_dc_rollout(envd, 8, N, randomize={"tau": (0.1, 0.2)})
     envs = gemx.make_functional("Finite-CC-SynRM-v0")
     with pytest.raises(NotImplementedError, match="electrical"):
         # SynRM has no psi_p to randomize
@@ -415,3 +415,54 @@ def test_fused_randomize_j_rotor_needs_poly_load():
     with pytest.raises(NotImplementedError, match="PolynomialStaticLoad"):
         make_fused_dc_rollout(env, 8, N,
                               randomize={"j_rotor": (1e-4, 2e-4)})
+
+
+def test_fused_randomize_u_sup_buffer_parity():
+    """DC-link voltage randomization (battery/grid sag): per-env u_sup
+    planes match per-value REBUILT XLA envs (the supply voltage is an
+    env-build constant on the XLA path)."""
+    from gym_electric_motor_tpu.models.supplies import ideal_voltage_supply
+
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0",
+        reference_generator=rg.ConstReference("i", 0.0))
+    u_nom = float(env.physical_system.supply.u_nominal)
+    u_vals = [0.8 * u_nom, 0.95 * u_nom, 1.05 * u_nom, 1.15 * u_nom]
+    u_r = np.repeat(np.asarray(u_vals, np.float32), 32)
+    rng = np.random.default_rng(31)
+    actions = rng.uniform(-0.5, 0.5, size=(T, 1, 128)).astype(np.float32)
+
+    roll = make_fused_dc_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"u_sup": (float(u_r.min()), float(u_r.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    out = roll(zero, jnp.asarray(u_r.reshape(1, 128)),
+               jnp.asarray(actions))
+    i_k = np.asarray(out[0]).reshape(N)
+
+    for g, u in enumerate(u_vals):
+        envu = gemx.make_functional(
+            "Cont-CC-PermExDc-v0",
+            supply=ideal_voltage_supply(u_nominal=float(u)),
+            reference_generator=rg.ConstReference("i", 0.0))
+        sl = slice(g * 32, (g + 1) * 32)
+        keys = jax.random.split(jax.random.PRNGKey(0), 32)
+        state, _ = jax.jit(jax.vmap(envu.reset))(keys)
+        step = jax.jit(jax.vmap(envu.step))
+        for t in range(T):
+            state, _o, _r, _te = step(
+                state, jnp.asarray(actions[t, 0, sl].reshape(32, 1)))
+        ode = np.asarray(state.phys.ode_state)
+        np.testing.assert_allclose(i_k[sl], ode[:, 1], rtol=1e-4,
+                                   atol=1e-3, err_msg=f"u group {g}")
+    assert abs(i_k[:32].mean() - i_k[96:].mean()) > 0.5  # sag matters
+
+
+def test_fused_randomize_u_sup_needs_ideal_supply():
+    from gym_electric_motor_tpu.models.supplies import rc_voltage_supply
+
+    env = gemx.make_functional("Cont-CC-PermExDc-v0",
+                               supply=rc_voltage_supply())
+    with pytest.raises(NotImplementedError, match="Ideal"):
+        make_fused_dc_rollout(env, 8, N,
+                              randomize={"u_sup": (500.0, 600.0)})
