@@ -467,6 +467,56 @@ def main():
         _log(f"fused-collection TD3 loop: {vt / 1e6:.1f}M env-steps/s")
         _persist()
 
+        # entropy-regularized off-policy: SAC on the same scaffolding
+        from gym_electric_motor_tpu.parallel.sharded import (
+            make_fused_sac_trainer,
+        )
+
+        init_s, strain = make_fused_sac_trainer(
+            tenv, hidden=32, horizon=horizon, n_envs=ne, replay_slots=4,
+            n_updates=16, mb_envs=64)
+        scarry = init_s(jax.random.PRNGKey(1))
+        scarry, _, _ = _retry(lambda: strain(scarry, 3, 20),
+                              "fused-SAC warmup")
+        scarry, rs0, _ = strain(scarry, 23, 20)
+        float(jnp.sum(rs0))
+        t0 = time.perf_counter()
+        seed, left = 43, n_iters
+        while left > 0:
+            n = min(20, left)
+            scarry, rs, _ = strain(scarry, seed, n)
+            float(jnp.sum(rs))
+            seed += n
+            left -= n
+        vs = n_iters * ne * horizon / (time.perf_counter() - t0)
+        RESULTS["Cont-CC-PermExDc-v0/fused-sac-loop"] = vs
+        _log(f"fused-collection SAC loop: {vs / 1e6:.1f}M env-steps/s")
+        _persist()
+
+        # 8192-env sweet spot for the off-policy loops too
+        denv8 = gemx.make_functional("Finite-CC-PermExDc-v0")
+        init_d8, dtrain8 = make_fused_dqn_trainer(
+            denv8, hidden=32, horizon=horizon, n_envs=8192,
+            replay_slots=4, n_updates=16, mb_envs=64, lr=1e-3, gamma=0.9)
+        dcarry8 = init_d8(jax.random.PRNGKey(1))
+        dcarry8, _, _ = _retry(lambda: dtrain8(dcarry8, 3, 20),
+                               "fused-DQN-8k warmup")
+        dcarry8, rs0, _ = dtrain8(dcarry8, 23, 20)
+        float(jnp.sum(rs0))
+        t0 = time.perf_counter()
+        seed, left = 43, n_iters
+        while left > 0:
+            n = min(20, left)
+            dcarry8, rs, _ = dtrain8(dcarry8, seed, n)
+            float(jnp.sum(rs))
+            seed += n
+            left -= n
+        vd8 = n_iters * 8192 * horizon / (time.perf_counter() - t0)
+        RESULTS["Finite-CC-PermExDc-v0/fused-dqn-loop-8k"] = vd8
+        _log(f"fused-collection DQN 8192-env loop: {vd8 / 1e6:.1f}M "
+             "env-steps/s")
+        _persist()
+
         print(json.dumps({
             "metric": "ppo_env_steps_per_s",
             "value": round(v, 1),
