@@ -47,10 +47,27 @@ if _MESH_N:
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-if _MESH_N and len(jax.devices()) < _MESH_N:
-    # not enough real chips: fall back to the virtual CPU mesh (the CI path;
-    # the axon sitecustomize ignores JAX_PLATFORMS so set it via the config)
-    jax.config.update("jax_platforms", "cpu")
+if _MESH_N:
+    # Not enough real chips -> fall back to the virtual CPU mesh (the CI
+    # path).  The real-device count MUST be probed in a subprocess: backend
+    # initialization is one-way, so calling jax.devices() here and THEN
+    # updating jax_platforms would be silently ignored and the whole "mesh"
+    # bench would run on the single real chip (observed: fake 8-dev rows
+    # that were really one TPU with 8x the batch).
+    import subprocess
+
+    try:
+        _probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=180)
+        _n_real = int(_probe.stdout.strip().splitlines()[-1])
+    except Exception:
+        _n_real = 1
+    if _n_real < _MESH_N:
+        # the axon sitecustomize ignores JAX_PLATFORMS; the config update
+        # works because no device query has happened yet in THIS process
+        jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -188,21 +205,55 @@ def measure_fused():
 
 
 def measure_mesh(n_devices):
-    """Weak-scaling bench: N_ENVS-per-device over a 1-D env mesh."""
+    """Weak-scaling bench over a 1-D env mesh: BOTH execution tiers (the
+    XLA ``ShardedVectorEnv`` and the fused Pallas sharded dispatch
+    ``make_sharded_fused_rollout``), each with an UNSHARDED same-total-batch
+    control on one device.
+
+    Two efficiency numbers are recorded per tier:
+
+    - ``*_efficiency``      — the naive weak-scaling ratio
+      throughput(N dev) / (N * throughput(1 dev)).  On a virtual CPU mesh
+      this number conflates mesh overhead with HOST-CORE SATURATION: the
+      N virtual devices share the host's physical cores, and the 1-device
+      baseline is inflated by XLA-CPU's intra-op thread pool spanning those
+      same cores.  It is a lower bound, not a clean mesh metric.
+    - ``*_vs_unsharded``    — throughput(N dev, batch B) /
+      throughput(1 dev, batch B): the SAME total work with and without the
+      mesh partition on the same host.  This isolates the cost of
+      shard_map + collectives from host saturation; >= 0.90 means the mesh
+      machinery eats <= 10% (measured values on the 4-core CI host are
+      > 1.0 for both tiers — the mesh is FASTER than unsharded; see
+      docs/performance.md "Weak-scaling on the virtual CPU mesh").
+
+    ``mesh/host_cores`` is recorded so the naive numbers stay
+    interpretable across driver hosts (round 3's 0.88 vs round 4's 0.767
+    at identical code was a host-size difference).
+    """
     from gym_electric_motor_tpu.parallel.sharded import ShardedVectorEnv, make_env_mesh
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_sharded_fused_rollout,
+    )
 
     env = gemx.make_functional("Finite-CC-PMSM-v0")
     space_n = env.action_space.n
     per_dev = int(os.environ.get("BENCH_MESH_ENVS_PER_DEV", 2048))
     n_steps = int(os.environ.get("BENCH_MESH_STEPS", 200))
+    # the fused tier interprets the Pallas kernel on CPU meshes (Mosaic has
+    # no CPU target) — real-kernel numbers come from real multi-chip runs
+    fused_interpret = jax.default_backend() == "cpu"
+    fused_per_dev = int(os.environ.get("BENCH_MESH_FUSED_ENVS_PER_DEV",
+                                       1024 if fused_interpret else per_dev))
+    fused_steps = int(os.environ.get("BENCH_MESH_FUSED_STEPS",
+                                     512 if fused_interpret else 16384))
 
     def policy(obs, key):
         return jax.random.randint(key, (obs[0].shape[0],), 0, space_n)
 
-    def run(n_dev):
+    def run_xla(n_dev, pd):
         mesh = make_env_mesh(n_dev)
-        venv = ShardedVectorEnv(env, per_dev * n_dev, mesh)
-        n_total = per_dev * n_dev
+        venv = ShardedVectorEnv(env, pd * n_dev, mesh)
+        n_total = pd * n_dev
         state, _ = _retry(lambda: venv.reset(jax.random.PRNGKey(0)),
                           f"mesh reset({n_dev}dev)")
 
@@ -220,15 +271,60 @@ def measure_mesh(n_devices):
             best = max(best, n_total * n_steps / (time.perf_counter() - t0))
         return best
 
-    single = run(1)
-    full = run(n_devices)
-    eff = full / (n_devices * single)
-    RESULTS["mesh/1dev"] = single
-    RESULTS[f"mesh/{n_devices}dev"] = full
-    RESULTS[f"mesh/{n_devices}dev_efficiency"] = eff
-    _log(f"mesh scaling: 1 dev {single / 1e6:.1f}M -> {n_devices} dev "
-         f"{full / 1e6:.1f}M env-steps/s ({full / n_devices / 1e6:.1f}M/dev, "
-         f"{eff * 100:.1f}% linear)")
+    def run_fused(n_dev, pd):
+        mesh = make_env_mesh(n_dev)
+        n_total = pd * n_dev
+        roll = make_sharded_fused_rollout(env, fused_steps, n_total, mesh,
+                                          kernel="pmsm",
+                                          interpret=fused_interpret)
+        z = jnp.zeros((n_total // 128, 128), jnp.float32)
+        _retry(lambda: float(roll(1, z, z, z)[3].sum()),
+               f"fused mesh warmup({n_dev}dev)")
+        best = 0.0
+        for rep in range(N_REPS):
+            t0 = time.perf_counter()
+            float(roll(2 + rep, z, z, z)[3].sum())
+            best = max(best, n_total * fused_steps
+                       / (time.perf_counter() - t0))
+        return best
+
+    RESULTS["mesh/host_cores"] = float(os.cpu_count() or 0)
+
+    # ---- XLA ShardedVectorEnv tier -------------------------------------
+    dev_counts = sorted({d for d in (1, 2, 4, n_devices) if d <= n_devices})
+    xla = {d: run_xla(d, per_dev) for d in dev_counts}
+    for d, v in xla.items():
+        RESULTS[f"mesh/{d}dev" if d > 1 else "mesh/1dev"] = v
+        if d > 1:
+            RESULTS[f"mesh/{d}dev_efficiency"] = v / (d * xla[1])
+    control = run_xla(1, per_dev * n_devices)
+    RESULTS["mesh/unsharded_control"] = control
+    RESULTS[f"mesh/{n_devices}dev_vs_unsharded"] = xla[n_devices] / control
+    full = xla[n_devices]
+    eff = full / (n_devices * xla[1])
+    _log(f"mesh scaling (XLA): 1 dev {xla[1] / 1e6:.2f}M -> {n_devices} dev "
+         f"{full / 1e6:.2f}M env-steps/s ({eff * 100:.1f}% naive linear; "
+         f"{full / control:.2f}x the same batch unsharded)")
+
+    # ---- fused Pallas sharded-dispatch tier ----------------------------
+    try:
+        fused = {d: run_fused(d, fused_per_dev) for d in dev_counts}
+        fcontrol = run_fused(1, fused_per_dev * n_devices)
+        tag = "fused-interp" if fused_interpret else "fused"
+        for d, v in fused.items():
+            RESULTS[f"mesh/{tag}_{d}dev"] = v
+            if d > 1:
+                RESULTS[f"mesh/{tag}_{d}dev_efficiency"] = v / (d * fused[1])
+        RESULTS[f"mesh/{tag}_unsharded_control"] = fcontrol
+        RESULTS[f"mesh/{tag}_{n_devices}dev_vs_unsharded"] = (
+            fused[n_devices] / fcontrol)
+        _log(f"mesh scaling ({tag}): 1 dev {fused[1] / 1e6:.2f}M -> "
+             f"{n_devices} dev {fused[n_devices] / 1e6:.2f}M env-steps/s "
+             f"({fused[n_devices] / (n_devices * fused[1]) * 100:.1f}% naive "
+             f"linear; {fused[n_devices] / fcontrol:.2f}x the same batch "
+             "unsharded)")
+    except Exception as e:  # pragma: no cover - backend-specific
+        _log(f"fused mesh tier unavailable ({e!r})")
     return full, eff
 
 
