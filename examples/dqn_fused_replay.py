@@ -47,7 +47,8 @@ def main(env_id="Finite-CC-PermExDc-v0", n_iters=600):
     carry = init_state(jax.random.PRNGKey(1))
 
     seed, t0 = 3, time.time()
-    # <=50-iteration segments (axon worker stability, as for PPO)
+    # chunked host loop only for progress prints (train() itself
+    # auto-segments the compiled scan for axon worker stability)
     done_iters = 0
     while done_iters < n_iters:
         n = min(50, n_iters - done_iters)

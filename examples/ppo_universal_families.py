@@ -68,8 +68,8 @@ def main(env_id="Finite-CC-PermExDc-v0", n_iters=600):
     planes = fused_policy_init_planes(env, n_envs)
 
     seed, t0 = 3, time.time()
-    # <=50-iteration segments: one giant scan of large-batch kernel
-    # launches has crashed the axon TPU worker before
+    # chunked host loop only for progress prints (train() itself
+    # auto-segments the compiled scan for axon worker stability)
     for seg in range(max(1, n_iters // 50)):
         params, opt_state, planes, rs = train(params, opt_state, planes,
                                               seed, min(50, n_iters))

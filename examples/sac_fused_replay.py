@@ -38,7 +38,7 @@ def main(env_id="Cont-CC-PermExDc-v0", n_iters=1000):
 
     seed, t0 = 3, time.time()
     done_iters = 0
-    while done_iters < n_iters:      # <=50-iteration segments
+    while done_iters < n_iters:  # chunked only for progress prints
         n = min(50, n_iters - done_iters)
         carry, rs, _ls = train(carry, seed, n)
         seed += n

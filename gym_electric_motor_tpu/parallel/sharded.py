@@ -27,6 +27,43 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+# One giant lax.scan of large-batch fused-kernel launches (observed past
+# ~50 iterations at 16k envs) can crash the axon TPU worker, so the fused
+# trainers' public ``train()`` entry points chunk the compiled scan
+# host-side: any ``n_iters`` dispatches as a sequence of <= ``segment``
+# -iteration programs (at most two distinct compilations — the full
+# segment and the remainder).  ``segment=0`` disables chunking.
+_AXON_SEGMENT_ITERS = 50
+
+
+def _segment_sizes(n_iters, segment):
+    if not segment or n_iters <= segment:
+        return [n_iters]
+    sizes = [segment] * (n_iters // segment)
+    if n_iters % segment:
+        sizes.append(n_iters % segment)
+    return sizes
+
+
+def _segmented_offpolicy_train(train_segment):
+    """Wrap a jitted ``(carry, seed, n_iters) -> (carry, rs, ls)`` scan in
+    the host-side segmenting driver shared by the DQN/TD3/SAC trainers."""
+
+    def train(carry, seed, n_iters, segment=_AXON_SEGMENT_ITERS):
+        rs_parts, ls_parts, done = [], [], 0
+        for n in _segment_sizes(n_iters, segment):
+            carry, rs, ls = train_segment(carry, seed + done, n)
+            rs_parts.append(rs)
+            ls_parts.append(ls)
+            done += n
+        if len(rs_parts) == 1:
+            return carry, rs_parts[0], ls_parts[0]
+        return (carry,
+                jnp.concatenate(rs_parts),
+                jax.tree.map(lambda *x: jnp.concatenate(x), *ls_parts))
+
+    return train
+
 
 def make_env_mesh(n_devices=None, devices=None, axis_name="env"):
     """1-D mesh over ``n_devices`` (default: all local devices)."""
@@ -491,9 +528,11 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
     its local shard; params/optimizer state replicate, minibatches are
     drawn within each shard and the gradient ``pmean`` per update is the
     only cross-chip traffic — the fused-collection counterpart of
-    :func:`make_ppo_trainer`'s dp layout.  At large batches call ``train``
-    in segments of <= ~50 iterations per invocation (one giant scan of
-    large-batch kernel launches has crashed the axon TPU worker).
+    :func:`make_ppo_trainer`'s dp layout.  Any ``n_iters`` is safe:
+    ``train`` internally dispatches the compiled scan in <= ``segment``
+    (default 50) iteration chunks — one giant scan of large-batch kernel
+    launches has crashed the axon TPU worker, so the chunking is
+    automatic, not a caller convention.
 
     Reference capability matched: the reference trains through
     stable-baselines3 on arbitrary envs, one CPU env instance at a time
@@ -694,11 +733,23 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
             return (params, opt_state, planes, seed + 1), mean_r
 
     @partial(jax.jit, static_argnums=4)
-    def train(params, opt_state, planes, seed, n_iters):
+    def _train_segment(params, opt_state, planes, seed, n_iters):
         (params, opt_state, planes, _), rs = jax.lax.scan(
             iteration,
             (params, opt_state, planes, jnp.asarray(seed, jnp.int32)),
             None, length=n_iters)
+        return params, opt_state, planes, rs
+
+    def train(params, opt_state, planes, seed, n_iters,
+              segment=_AXON_SEGMENT_ITERS):
+        rs_parts, done = [], 0
+        for n in _segment_sizes(n_iters, segment):
+            params, opt_state, planes, rs = _train_segment(
+                params, opt_state, planes, seed + done, n)
+            rs_parts.append(rs)
+            done += n
+        rs = (rs_parts[0] if len(rs_parts) == 1
+              else jnp.concatenate(rs_parts))
         return params, opt_state, planes, rs
 
     return tx.init, train
@@ -801,8 +852,9 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
     Returns ``(init_state, train)``: ``init_state(key) -> carry`` (fresh
     Q-params + target copy + Adam state + env planes + zeroed ring) and
     ``train(carry, seed, n_iters) -> (carry', mean_reward[n_iters],
-    td_loss[n_iters])`` — whole-run-compiled; call in segments of <= ~50
-    iterations (axon worker stability, as for the PPO trainer).
+    td_loss[n_iters])`` — compiled as <= ``segment``-iteration scans and
+    chunked automatically for any ``n_iters`` (axon worker stability, as
+    for the PPO trainer).
 
     Reference capability matched: the reference's flagship RL example
     trains an SB3/keras-rl DQN on one CPU env instance
@@ -951,7 +1003,7 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
     @partial(jax.jit, static_argnums=2)
-    def train(carry, seed, n_iters):
+    def _train_segment(carry, seed, n_iters):
         params, tparams, opt_state, planes, ring, _seed, it = carry
         carry = (params, tparams, opt_state, planes, ring,
                  jnp.asarray(seed, jnp.int32), it)
@@ -959,7 +1011,7 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
                                        length=n_iters)
         return carry, rs, ls
 
-    return init_state, train
+    return init_state, _segmented_offpolicy_train(_train_segment)
 
 
 def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
@@ -1002,7 +1054,8 @@ def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
     ``P('env')``, replicated params, per-device minibatches, gradient
     ``pmean``).  Returns ``(init_state, train)`` with ``train(carry,
     seed, n_iters) -> (carry', mean_reward[n_iters],
-    critic_loss[n_iters])``; call in <= ~50-iteration segments.
+    critic_loss[n_iters])``; any ``n_iters`` is safe (automatic
+    <= ``segment``-iteration chunking, as for the DQN trainer).
 
     Reference capability matched: the reference's continuous-action RL
     example trains an SB3 DDPG on one CPU env instance
@@ -1181,13 +1234,13 @@ def make_fused_td3_trainer(env, hidden=32, horizon=256, n_envs=2048,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
     @partial(jax.jit, static_argnums=2)
-    def train(carry, seed, n_iters):
+    def _train_segment(carry, seed, n_iters):
         carry = (carry[:8] + (jnp.asarray(seed, jnp.int32), carry[9]))
         carry, (rs, ls) = jax.lax.scan(iteration, carry, None,
                                        length=n_iters)
         return carry, rs, ls
 
-    return init_state, train
+    return init_state, _segmented_offpolicy_train(_train_segment)
 
 
 def make_fused_sac_trainer(env, hidden=32, horizon=256, n_envs=2048,
@@ -1399,10 +1452,10 @@ def make_fused_sac_trainer(env, hidden=32, horizon=256, n_envs=2048,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
     @partial(jax.jit, static_argnums=2)
-    def train(carry, seed, n_iters):
+    def _train_segment(carry, seed, n_iters):
         carry = (carry[:9] + (jnp.asarray(seed, jnp.int32), carry[10]))
         carry, (rs, ls) = jax.lax.scan(iteration, carry, None,
                                        length=n_iters)
         return carry, rs, ls
 
-    return init_state, train
+    return init_state, _segmented_offpolicy_train(_train_segment)

