@@ -507,111 +507,63 @@ def main():
              "env-steps/s")
         _persist()
 
-        # off-policy counterpart: fused Boltzmann collection + replay
-        # ring + double-DQN TD updates (same 2048x256 config)
+        # off-policy loops: fused collection + device-resident replay ring.
+        # One row per trainer-family pair (round-4 VERDICT asked for
+        # off-policy breadth beyond PermExDc).
         from gym_electric_motor_tpu.parallel.sharded import (
             make_fused_dqn_trainer,
-        )
-
-        denv = gemx.make_functional("Finite-CC-PermExDc-v0")
-        init_state, dtrain = make_fused_dqn_trainer(
-            denv, hidden=32, horizon=horizon, n_envs=ne, replay_slots=4,
-            n_updates=16, mb_envs=64, lr=1e-3, gamma=0.9)
-        carry = init_state(jax.random.PRNGKey(1))
-        carry, _, _ = _retry(lambda: dtrain(carry, 3, 20),
-                             "fused-DQN warmup")
-        carry, rs0, _ = dtrain(carry, 23, 20)   # tunnel data-path warmup
-        float(jnp.sum(rs0))
-        t0 = time.perf_counter()
-        seed, left = 43, n_iters
-        while left > 0:
-            n = min(20, left)
-            carry, rs, _ = dtrain(carry, seed, n)
-            float(jnp.sum(rs))
-            seed += n
-            left -= n
-        vd = n_iters * ne * horizon / (time.perf_counter() - t0)
-        RESULTS["Finite-CC-PermExDc-v0/fused-dqn-loop"] = vd
-        _log(f"fused-collection DQN loop: {vd / 1e6:.1f}M env-steps/s")
-        _persist()
-
-        # continuous off-policy: fused annealed-Gaussian collection +
-        # twin-critic TD3 updates
-        from gym_electric_motor_tpu.parallel.sharded import (
+            make_fused_sac_trainer,
             make_fused_td3_trainer,
         )
 
+        def _run_offpolicy(row, make, env_, n_envs_, **kw):
+            init_state, otrain = make(
+                env_, hidden=32, horizon=horizon, n_envs=n_envs_,
+                replay_slots=4, n_updates=16, mb_envs=64, **kw)
+            carry = init_state(jax.random.PRNGKey(1))
+            carry, _, _ = _retry(lambda: otrain(carry, 3, 20),
+                                 f"{row} warmup")
+            carry, rs0, _ = otrain(carry, 23, 20)  # tunnel data-path warmup
+            float(jnp.sum(rs0))
+            t0 = time.perf_counter()
+            seed, left = 43, n_iters
+            while left > 0:
+                n = min(20, left)
+                carry, rs, _ = otrain(carry, seed, n)
+                float(jnp.sum(rs))
+                seed += n
+                left -= n
+            v_ = n_iters * n_envs_ * horizon / (time.perf_counter() - t0)
+            RESULTS[row] = v_
+            _log(f"{row}: {v_ / 1e6:.1f}M env-steps/s full loop")
+            _persist()
+
+        _run_offpolicy("Finite-CC-PermExDc-v0/fused-dqn-loop",
+                       make_fused_dqn_trainer,
+                       gemx.make_functional("Finite-CC-PermExDc-v0"), ne,
+                       lr=1e-3, gamma=0.9)
+        _run_offpolicy("Finite-CC-PMSM-v0/fused-dqn-loop",
+                       make_fused_dqn_trainer,
+                       gemx.make_functional("Finite-CC-PMSM-v0"), ne,
+                       lr=1e-3, gamma=0.95, temp_min=0.02,
+                       temp_half_life=100.0)
         tenv = gemx.make_functional("Cont-CC-PermExDc-v0")
-        init_t, ttrain = make_fused_td3_trainer(
-            tenv, hidden=32, horizon=horizon, n_envs=ne, replay_slots=4,
-            n_updates=16, mb_envs=64)
-        tcarry = init_t(jax.random.PRNGKey(1))
-        tcarry, _, _ = _retry(lambda: ttrain(tcarry, 3, 20),
-                              "fused-TD3 warmup")
-        tcarry, rs0, _ = ttrain(tcarry, 23, 20)
-        float(jnp.sum(rs0))
-        t0 = time.perf_counter()
-        seed, left = 43, n_iters
-        while left > 0:
-            n = min(20, left)
-            tcarry, rs, _ = ttrain(tcarry, seed, n)
-            float(jnp.sum(rs))
-            seed += n
-            left -= n
-        vt = n_iters * ne * horizon / (time.perf_counter() - t0)
-        RESULTS["Cont-CC-PermExDc-v0/fused-td3-loop"] = vt
-        _log(f"fused-collection TD3 loop: {vt / 1e6:.1f}M env-steps/s")
-        _persist()
-
-        # entropy-regularized off-policy: SAC on the same scaffolding
-        from gym_electric_motor_tpu.parallel.sharded import (
-            make_fused_sac_trainer,
-        )
-
-        init_s, strain = make_fused_sac_trainer(
-            tenv, hidden=32, horizon=horizon, n_envs=ne, replay_slots=4,
-            n_updates=16, mb_envs=64)
-        scarry = init_s(jax.random.PRNGKey(1))
-        scarry, _, _ = _retry(lambda: strain(scarry, 3, 20),
-                              "fused-SAC warmup")
-        scarry, rs0, _ = strain(scarry, 23, 20)
-        float(jnp.sum(rs0))
-        t0 = time.perf_counter()
-        seed, left = 43, n_iters
-        while left > 0:
-            n = min(20, left)
-            scarry, rs, _ = strain(scarry, seed, n)
-            float(jnp.sum(rs))
-            seed += n
-            left -= n
-        vs = n_iters * ne * horizon / (time.perf_counter() - t0)
-        RESULTS["Cont-CC-PermExDc-v0/fused-sac-loop"] = vs
-        _log(f"fused-collection SAC loop: {vs / 1e6:.1f}M env-steps/s")
-        _persist()
-
-        # 8192-env sweet spot for the off-policy loops too
-        denv8 = gemx.make_functional("Finite-CC-PermExDc-v0")
-        init_d8, dtrain8 = make_fused_dqn_trainer(
-            denv8, hidden=32, horizon=horizon, n_envs=8192,
-            replay_slots=4, n_updates=16, mb_envs=64, lr=1e-3, gamma=0.9)
-        dcarry8 = init_d8(jax.random.PRNGKey(1))
-        dcarry8, _, _ = _retry(lambda: dtrain8(dcarry8, 3, 20),
-                               "fused-DQN-8k warmup")
-        dcarry8, rs0, _ = dtrain8(dcarry8, 23, 20)
-        float(jnp.sum(rs0))
-        t0 = time.perf_counter()
-        seed, left = 43, n_iters
-        while left > 0:
-            n = min(20, left)
-            dcarry8, rs, _ = dtrain8(dcarry8, seed, n)
-            float(jnp.sum(rs))
-            seed += n
-            left -= n
-        vd8 = n_iters * 8192 * horizon / (time.perf_counter() - t0)
-        RESULTS["Finite-CC-PermExDc-v0/fused-dqn-loop-8k"] = vd8
-        _log(f"fused-collection DQN 8192-env loop: {vd8 / 1e6:.1f}M "
-             "env-steps/s")
-        _persist()
+        _run_offpolicy("Cont-CC-PermExDc-v0/fused-td3-loop",
+                       make_fused_td3_trainer, tenv, ne)
+        _run_offpolicy("Cont-CC-EESM-v0/fused-td3-loop",
+                       make_fused_td3_trainer,
+                       gemx.make_functional("Cont-CC-EESM-v0"), ne)
+        _run_offpolicy("Cont-CC-PermExDc-v0/fused-sac-loop",
+                       make_fused_sac_trainer, tenv, ne)
+        _run_offpolicy("Cont-CC-PMSM-v0-dq/fused-sac-loop",
+                       make_fused_sac_trainer,
+                       gemx.make_functional("Cont-CC-PMSM-v0",
+                                            control_space="dq"), ne)
+        # 8192-env sweet spot for the off-policy loop
+        _run_offpolicy("Finite-CC-PermExDc-v0/fused-dqn-loop-8k",
+                       make_fused_dqn_trainer,
+                       gemx.make_functional("Finite-CC-PermExDc-v0"),
+                       8192, lr=1e-3, gamma=0.9)
 
         print(json.dumps({
             "metric": "ppo_env_steps_per_s",

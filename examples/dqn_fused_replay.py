@@ -16,6 +16,15 @@ Measured on one TPU v5e chip (2048 envs x 256 steps, 16 TD updates of
     Finite-CC-PermExDc-v0: reward -0.54 -> ~-0.06 over 600 iterations
     (315M env steps, ~10 s wall)
 
+The AC machines (B6 converter, 8 actions) need a slightly different
+recipe — gamma=0.95 and a faster, deeper temperature anneal
+(temp_min=0.02, temp_half_life=100) — plus ~2400 iterations; with it
+(pass ``--ac``) DQN beats the matched PPO result on all three families:
+
+    Finite-CC-PMSM-v0: -0.198 -> -0.080   (PPO reaches -0.11)
+    Finite-CC-SCIM-v0: -0.212 -> -0.102   (PPO: -0.13)
+    Finite-CC-EESM-v0: -0.267 -> -0.074   (PPO: -0.10)
+
 Interesting negative result for contrast: OFFLINE DQN on recorded random
 data fails on this task (the Q residual floor exceeds the tau=1e-5
 action gap — see ``offline_sysid_fcs_control.py``); online Boltzmann
@@ -38,12 +47,15 @@ import gym_electric_motor_tpu as gemx
 from gym_electric_motor_tpu.parallel.sharded import make_fused_dqn_trainer
 
 
-def main(env_id="Finite-CC-PermExDc-v0", n_iters=600):
+def main(env_id="Finite-CC-PermExDc-v0", n_iters=600, ac_recipe=False):
     env = gemx.make_functional(env_id)
+    recipe = (dict(gamma=0.95, temp_min=0.02, temp_half_life=100.0)
+              if ac_recipe
+              else dict(gamma=0.9, temp_min=0.05, temp_half_life=150.0))
     init_state, train = make_fused_dqn_trainer(
         env, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
-        n_updates=16, mb_envs=64, lr=1e-3, gamma=0.9,
-        temp0=1.0, temp_min=0.05, temp_half_life=150.0, polyak=0.02)
+        n_updates=16, mb_envs=64, lr=1e-3, temp0=1.0, polyak=0.02,
+        **recipe)
     carry = init_state(jax.random.PRNGKey(1))
 
     seed, t0 = 3, time.time()
@@ -65,5 +77,7 @@ def main(env_id="Finite-CC-PermExDc-v0", n_iters=600):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "Finite-CC-PermExDc-v0",
-         int(sys.argv[2]) if len(sys.argv) > 2 else 600)
+    args = [a for a in sys.argv[1:] if a != "--ac"]
+    main(args[0] if args else "Finite-CC-PermExDc-v0",
+         int(args[1]) if len(args) > 1 else 600,
+         ac_recipe="--ac" in sys.argv[1:])

@@ -518,6 +518,90 @@ def fused_sac_improves():
     assert last > first + 1.0, (first, last)
 
 
+def dqn_ac_families_improve():
+    """Off-policy breadth (round-4 VERDICT weak #2): DQN learns on the AC
+    machines, not just PermExDc.  The B6 Finite-CC-PMSM config is the
+    reference's SB3-DQN notebook counterpart.  Recipe note: the AC
+    machines need gamma=0.95 + a faster/deeper temperature anneal
+    (temp_min=0.02, half-life 100) and ~2400 iterations (1.26B steps,
+    ~10 s/env on chip) — the PermExDc 600-iteration recipe merely creeps
+    on them.  Measured: PMSM -0.198 -> -0.080, SCIM -0.212 -> -0.102,
+    EESM -0.267 -> -0.074 (PPO for comparison: -0.11 / -0.13 / -0.10)."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        make_fused_dqn_trainer)
+
+    for env_id, bar in (("Finite-CC-PMSM-v0", -0.11),
+                        ("Finite-CC-SCIM-v0", -0.14),
+                        ("Finite-CC-EESM-v0", -0.11)):
+        env = gemx.make_functional(env_id)
+        init_state, train = make_fused_dqn_trainer(
+            env, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
+            n_updates=16, mb_envs=64, lr=1e-3, gamma=0.95, temp0=1.0,
+            temp_min=0.02, temp_half_life=100.0, polyak=0.02)
+        carry = init_state(jax.random.PRNGKey(1))
+        carry, rs0, _ = train(carry, 3, 50)
+        first = float(np.asarray(rs0)[:5].mean())
+        carry, rs, _ = train(carry, 53, 2350)
+        last = float(np.asarray(rs)[-10:].mean())
+        assert last > bar, (env_id, first, last)
+        assert last > first + 0.08, (env_id, first, last)
+
+
+def sac_dq_pmsm_improves():
+    """SAC trains the reference's DDPG-notebook flagship config — the
+    dq-action PMSM current controller (the config TD3 already proves) —
+    with the default SAC recipe: measured -0.25 -> -0.038 over 800
+    iterations / 420M env steps, ~25 s on one chip."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        make_fused_sac_trainer)
+
+    env = gemx.make_functional("Cont-CC-PMSM-v0", control_space="dq")
+    init_state, train = make_fused_sac_trainer(
+        env, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
+        n_updates=16, mb_envs=64)
+    carry = init_state(jax.random.PRNGKey(1))
+    carry, rs0, _ = train(carry, 3, 50)
+    first = float(np.asarray(rs0)[:5].mean())
+    carry, rs, _ = train(carry, 53, 750)
+    last = float(np.asarray(rs)[-10:].mean())
+    assert last > -0.06, (first, last)
+    assert last > first + 0.1, (first, last)
+
+
+def offpolicy_eesm_cont_improves():
+    """TD3 and SAC learn the 4-action-channel Cont-CC-EESM (three tracked
+    currents incl. the excitation winding).  Both plateau ~-0.17 — and
+    PPO at matched budgets plateaus at -0.218 on this env, so the floor
+    is the env's (Wiener-reference tracking through 4 continuous
+    actions), not an off-policy weakness.  Measured: TD3 -0.36 -> -0.175
+    (1200 it), SAC -0.67 -> -0.175 (2400 it, init_log_std=-1.2)."""
+    from gym_electric_motor_tpu.parallel.sharded import (
+        make_fused_sac_trainer, make_fused_td3_trainer)
+
+    env = gemx.make_functional("Cont-CC-EESM-v0")
+    init_t, train_t = make_fused_td3_trainer(
+        env, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
+        n_updates=16, mb_envs=64)
+    carry = init_t(jax.random.PRNGKey(1))
+    carry, rs0, _ = train_t(carry, 3, 50)
+    first = float(np.asarray(rs0)[:5].mean())
+    carry, rs, _ = train_t(carry, 53, 1150)
+    last = float(np.asarray(rs)[-10:].mean())
+    assert last > -0.22, ("td3", first, last)
+    assert last > first + 0.1, ("td3", first, last)
+
+    init_s, train_s = make_fused_sac_trainer(
+        env, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
+        n_updates=16, mb_envs=64, init_log_std=-1.2)
+    carry = init_s(jax.random.PRNGKey(1))
+    carry, rs0, _ = train_s(carry, 3, 50)
+    first = float(np.asarray(rs0)[:5].mean())
+    carry, rs, _ = train_s(carry, 53, 2350)
+    last = float(np.asarray(rs)[-10:].mean())
+    assert last > -0.22, ("sac", first, last)
+    assert last > first + 0.2, ("sac", first, last)
+
+
 def auto_segmentation_600x16k():
     """A single ``train(carry, seed, 600)`` call at 16384 envs completes
     on hardware (2.5B env steps in one call): the trainers' automatic
@@ -561,6 +645,9 @@ def main():
     check("randomize:all-families-compile", randomized_all_families_compile)
     check("corners:dq-noise-esl-interlock", round4_corners_compile)
     check("trainers:auto-segmentation-600x16k", auto_segmentation_600x16k)
+    check("rl:dqn-ac-families-improve", dqn_ac_families_improve)
+    check("rl:sac-dq-pmsm-improves", sac_dq_pmsm_improves)
+    check("rl:offpolicy-eesm-cont-improves", offpolicy_eesm_cont_improves)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         return 1
