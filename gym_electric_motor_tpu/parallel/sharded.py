@@ -277,13 +277,15 @@ def make_reinforce_trainer(env, mesh, lr=1e-3):
 
 def init_actor_critic_params(key, obs_dim, n_actions, hidden=32,
                              dtype=jnp.float32, n_cont=0,
-                             log_std_init=-0.5):
+                             log_std_init=-0.5, separate_critic=False):
     """Actor-critic parameter pytree.  ``n_actions`` is the number of
     actor outputs (total softmax logits for finite policies, Gaussian
     MEANS for continuous ones); ``n_cont > 0`` additionally creates the
     per-channel ``ls`` log-std vector of the squashed-Gaussian policy
-    (state-independent, learned — the standard PPO parameterization)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    (state-independent, learned — the standard PPO parameterization);
+    ``separate_critic`` gives the value head its own hidden trunk
+    (required for torque tasks at gamma=0.99 — see inline note)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     params = {
         "w1": jax.random.normal(k1, (obs_dim, hidden), dtype) * 0.1,
         "b1": jnp.zeros((hidden,), dtype),
@@ -292,6 +294,20 @@ def init_actor_critic_params(key, obs_dim, n_actions, hidden=32,
         "wv": jax.random.normal(k3, (hidden, 1), dtype) * 0.1,
         "bv": jnp.zeros((1,), dtype),
     }
+    if separate_critic:
+        # Own hidden trunk for the critic (the SB3-default architecture).
+        # Load-bearing for torque tasks at gamma=0.99: with a SHARED
+        # trunk, the value-regression gradient (targets at
+        # O(violation_reward / (1-gamma))) overwrites the policy's
+        # features and the run collapses into the all-violation basin —
+        # at ANY value-loss scaling, because it is the direction, not
+        # the magnitude, that repurposes the trunk.  Routing contract:
+        # tests/test_fused_ppo.py::test_separate_critic_trunk_routes_and_
+        # trains; on-hardware proof + pinned shared-trunk collapse:
+        # rl:tc-textbook-ppo in tools/tpu_validate.py.
+        params["w1v"] = jax.random.normal(k4, (obs_dim, hidden),
+                                          dtype) * 0.1
+        params["b1v"] = jnp.zeros((hidden,), dtype)
     if n_cont:
         params["ls"] = jnp.full((n_cont,), log_std_init, dtype)
     return params
@@ -300,7 +316,9 @@ def init_actor_critic_params(key, obs_dim, n_actions, hidden=32,
 def actor_critic(params, obs):
     h = jnp.tanh(obs @ params["w1"] + params["b1"])
     logits = h @ params["wp"] + params["bp"]
-    value = (h @ params["wv"] + params["bv"])[..., 0]
+    hv = (jnp.tanh(obs @ params["w1v"] + params["b1v"])
+          if "w1v" in params else h)
+    value = (hv @ params["wv"] + params["bv"])[..., 0]
     return logits, value
 
 
@@ -652,7 +670,6 @@ def make_fused_ppo_trainer(env, hidden=16, lr=3e-4, horizon=256,
             (val_t, rew_t, done_t), reverse=True)
         ret_t = adv_t + val_t
         adv_t = (adv_t - jnp.mean(adv_t)) / (jnp.std(adv_t) + 1e-8)
-
         # env-major minibatching: transpose once to (env, time, ...) and
         # shuffle whole env rows (coarse ~7 KB gathers) instead of
         # permuting all horizon*n_envs transitions individually — the

@@ -130,3 +130,45 @@ def test_fused_ppo_trainer_sharded_mesh():
     w1 = np.asarray(params["w1"])
     assert np.isfinite(w1).all()
     assert "env" in str(planes[0].sharding.spec)
+
+
+def test_separate_critic_trunk_routes_and_trains():
+    """``init_actor_critic_params(separate_critic=True)`` gives the value
+    head its own hidden trunk — the architecture torque tasks need at
+    gamma=0.99 (with a SHARED trunk the value-regression gradient
+    repurposes the policy's features and the run collapses into the
+    all-violation basin at ANY value-loss scaling; root-caused round 5,
+    on-hardware proof ``rl:tc-textbook-ppo`` in tools/tpu_validate.py).
+
+    Pins the routing contract: perturbing the critic trunk changes values
+    only, perturbing the actor trunk changes logits only — and the fused
+    trainer runs end-to-end with the extra keys in the pytree (the
+    collection kernel reads just the actor layers)."""
+    from gym_electric_motor_tpu.parallel.sharded import actor_critic
+
+    params = init_actor_critic_params(jax.random.PRNGKey(1), 7, 8, 16,
+                                      separate_critic=True)
+    assert "w1v" in params and "b1v" in params
+    obs = jax.random.normal(jax.random.PRNGKey(2), (5, 7))
+    logits0, value0 = actor_critic(params, obs)
+
+    pv = dict(params, w1v=params["w1v"] + 1.0)
+    logits1, value1 = actor_critic(pv, obs)
+    np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits0))
+    assert not np.allclose(np.asarray(value1), np.asarray(value0))
+
+    pa = dict(params, w1=params["w1"] + 1.0)
+    logits2, value2 = actor_critic(pa, obs)
+    np.testing.assert_array_equal(np.asarray(value2), np.asarray(value0))
+    assert not np.allclose(np.asarray(logits2), np.asarray(logits0))
+
+    env = _env()
+    init_opt, train = make_fused_ppo_trainer(env, hidden=16, horizon=32,
+                                             n_envs=256, n_minibatches=4,
+                                             gamma=0.99, lr=3e-4,
+                                             vf_coef=0.5, interpret=True)
+    z = jnp.zeros((2, 128), jnp.float32)
+    p2, _opt, _planes, rs = train(params, init_opt(params), (z, z, z),
+                                  3, 2)
+    assert np.isfinite(np.asarray(rs)).all()
+    assert not np.allclose(np.asarray(p2["w1v"]), np.asarray(params["w1v"]))
