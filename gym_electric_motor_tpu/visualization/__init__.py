@@ -18,6 +18,8 @@ from .motor_dashboard_plots import (
     CumulativeConstraintViolationPlot,
     EpisodeLengthPlot,
     EpisodePlot,
+    ExternallyReferencedStatePlot,
+    ExternalPlot,
     MeanEpisodeRewardPlot,
     MotorDashboardPlot,
     RewardPlot,
@@ -30,5 +32,6 @@ __all__ = [
     "MotorDashboard", "MotorDashboardLegacy", "RenderMode", "ConsolePrinter",
     "MotorDashboardPlot", "TimePlot", "EpisodePlot", "StepPlot",
     "StatePlot", "ActionPlot", "RewardPlot",
+    "ExternalPlot", "ExternallyReferencedStatePlot",
     "EpisodeLengthPlot", "MeanEpisodeRewardPlot", "CumulativeConstraintViolationPlot",
 ]

@@ -250,3 +250,138 @@ class CumulativeConstraintViolationPlot(EpisodePlot):
 
     def _episode_value(self):
         return self._violations
+
+
+class ExternalPlot(TimePlot):
+    """User-injectable time series riding the dashboard's time axis.
+
+    Counterpart of the reference's ``ExternalPlot``
+    (examples/classic_controllers/external_plot.py:5-120): plots one
+    primary line that does not belong to the env state, optionally a
+    dashed reference for it, plus ``additional_lines`` extra lines.  The
+    user pushes one sample per control step via :meth:`add_data`; the
+    dashboard's step callback advances the shared time ring, so the
+    injected series stays aligned with the state plots.
+
+    >>> ext = ExternalPlot(referenced=True, additional_lines=2,
+    ...                    min=-1.0, max=1.0)
+    >>> ext.set_label({"y_label": "y", "state_label": "$x$",
+    ...                "ref_label": "$x^*$", "add_label": ["$a$", "$b$"]})
+    >>> env = gemx.make(..., visualization=MotorDashboard(
+    ...     state_plots=("i_sd",), additional_plots=(ext,)))
+    >>> ext.add_data([x, x_ref, a, b])     # once per step, BEFORE step()
+    """
+
+    def __init__(self, referenced=False, additional_lines=0,
+                 min=0.0, max=1.0):  # noqa: A002 - reference kwarg names
+        super().__init__()
+        self._referenced = bool(referenced)
+        self._n_add = int(additional_lines)
+        self._ymin, self._ymax = float(min), float(max)
+        self.y_label = ""
+        self.state_label = "state"
+        self.ref_label = "reference"
+        self.add_labels = [f"add_{i}" for i in range(self._n_add)]
+        self._pending = None
+        self._values = None
+        self._refs = None
+        self._adds = None
+
+    def set_env(self, env):
+        super().set_env(env)
+        self._values = np.full(self._x_width, np.nan)
+        self._refs = np.full(self._x_width, np.nan)
+        self._adds = np.full((self._n_add, self._x_width), np.nan)
+
+    def set_label(self, labels):
+        """Reference-compatible label dict: keys ``y_label``,
+        ``state_label``, ``ref_label``, ``add_label`` (list)."""
+        self.y_label = labels.get("y_label", self.y_label)
+        self.state_label = labels.get("state_label", self.state_label)
+        self.ref_label = labels.get("ref_label", self.ref_label)
+        if "add_label" in labels:
+            self.add_labels = list(labels["add_label"])
+
+    def add_data(self, data):
+        """Push one sample: ``[state]``, ``[state, ref]`` (referenced) or
+        ``[state, (ref,), add_1, ..., add_n]`` — the reference's calling
+        convention (external_plot.py:121-141)."""
+        data = list(np.atleast_1d(np.asarray(data, dtype=float)))
+        expected = 1 + int(self._referenced) + self._n_add
+        assert len(data) == expected, (
+            f"ExternalPlot.add_data expects {expected} values "
+            f"(state{' + ref' if self._referenced else ''} + "
+            f"{self._n_add} additional), got {len(data)}")
+        self._pending = data
+
+    def on_step_end(self, k, state, reference, reward, terminated):
+        if self._pending is not None:
+            i = self._k % self._x_width
+            vals = self._pending
+            self._values[i] = vals[0]
+            if self._referenced:
+                self._refs[i] = vals[1]
+            for j in range(self._n_add):
+                self._adds[j, i] = vals[1 + int(self._referenced) + j]
+            self._pending = None
+        super().on_step_end(k, state, reference, reward, terminated)
+
+    def render(self):
+        self._axis.clear()
+        self._axis.grid(True)
+        order = np.argsort(np.nan_to_num(self._x, nan=np.inf))
+        x = self._x[order]
+        self._axis.plot(x, self._values[order], label=self.state_label)
+        if self._referenced:
+            self._axis.plot(x, self._refs[order], linestyle="--",
+                            label=self.ref_label)
+        for j in range(self._n_add):
+            self._axis.plot(x, self._adds[j, order],
+                            label=self.add_labels[j])
+        self._axis.set_ylim(self._ymin, self._ymax)
+        self._axis.set_ylabel(self.y_label)
+        self._axis.legend(loc="upper right")
+
+
+class ExternallyReferencedStatePlot(StatePlot):
+    """StatePlot whose dashed reference is supplied by the USER instead of
+    the env's reference vector — e.g. an intermediate setpoint generated
+    inside a cascaded controller.
+
+    Counterpart of the reference's ``ExternallyReferencedStatePlot``
+    (examples/classic_controllers/externally_referenced_state_plot.py:
+    4-38).  Deviation: values are NORMALIZED here (this dashboard plots
+    normalized quantities throughout), so :meth:`external_reference`
+    takes the normalized reference directly instead of multiplying by
+    the state limit.
+
+    >>> plot = ExternallyReferencedStatePlot("i_sd")
+    >>> env = gemx.make(..., visualization=MotorDashboard(
+    ...     additional_plots=(plot,)))
+    >>> plot.external_reference(0.3)       # once per step
+    """
+
+    def set_env(self, env):
+        super().set_env(env)
+        self._ref_idx = None          # never read the env reference
+        self._external_ref = np.nan
+
+    def external_reference(self, value):
+        self._external_ref = float(value)
+
+    def on_step_end(self, k, state, reference, reward, terminated):
+        self._refs[self._k % self._x_width] = self._external_ref
+        super().on_step_end(k, state, reference, reward, terminated)
+
+    def render(self):
+        self._axis.clear()
+        self._axis.grid(True)
+        order = np.argsort(np.nan_to_num(self._x, nan=np.inf))
+        x = self._x[order]
+        self._axis.plot(x, self._values[order], label=self.state)
+        self._axis.plot(x, self._refs[order], linestyle="--",
+                        label=f"{self.state}* (external)")
+        self._axis.axhline(1.0, color="red", linewidth=0.8)
+        self._axis.axhline(-1.0, color="red", linewidth=0.8)
+        self._axis.set_ylabel(self.state)
+        self._axis.legend(loc="upper right")

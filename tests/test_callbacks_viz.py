@@ -157,3 +157,64 @@ def test_motor_dashboard_legacy_alias():
                                     scale_plots=True)
     assert any(issubclass(x.category, DeprecationWarning) for x in w)
     assert dash.update_interval == 1000
+
+
+def test_external_plot(tmp_path):
+    """ExternalPlot mirrors the reference's external_plot.py usage: a
+    referenced series plus two additional lines injected per step via
+    add_data ride the dashboard's time axis and render/save."""
+    from gym_electric_motor_tpu.visualization import ExternalPlot
+
+    ext = ExternalPlot(referenced=True, additional_lines=2,
+                       min=-1.0, max=1.0)
+    ext.set_label({"y_label": "y", "state_label": "$x$",
+                   "ref_label": "$x^*$", "add_label": ["$a$", "$b$"]})
+    dash = MotorDashboard(state_plots=("i",), additional_plots=(ext,),
+                          update_interval=100,
+                          render_mode=RenderMode.FigureOnce)
+    env = gemx.make("Finite-CC-PermExDc-v0", visualization=dash)
+    env.reset(seed=0)
+    for t in range(30):
+        ext.add_data([np.sin(t / 5), np.sin(t / 10),
+                      np.sin(t / 15), np.sin(t / 20)])
+        _obs, _r, term, *_ = env.step(1)
+        if term:
+            env.reset()
+    captured = ext._values[~np.isnan(ext._values)]
+    assert len(captured) == 30
+    np.testing.assert_allclose(captured[3], np.sin(3 / 5), rtol=1e-6)
+    np.testing.assert_allclose(
+        ext._adds[1, ~np.isnan(ext._adds[1])][7], np.sin(7 / 20), rtol=1e-6)
+    paths = dash.save_to_file(str(tmp_path / "extplot"))
+    assert paths and all(os.path.exists(p) for p in paths)
+    # wrong arity is a loud error
+    with pytest.raises(AssertionError):
+        ext.add_data([0.0, 1.0])
+
+
+def test_externally_referenced_state_plot(tmp_path):
+    """ExternallyReferencedStatePlot takes its dashed reference from the
+    user (e.g. a cascade's intermediate setpoint), not the env — the
+    reference's externally_referenced_state_plot.py behavior."""
+    from gym_electric_motor_tpu.visualization import (
+        ExternallyReferencedStatePlot)
+
+    plot = ExternallyReferencedStatePlot("i")
+    dash = MotorDashboard(additional_plots=(plot,), update_interval=100,
+                          render_mode=RenderMode.FigureOnce)
+    env = gemx.make("Cont-SC-PermExDc-v0", visualization=dash)
+    env.reset(seed=1)
+    for t in range(20):
+        plot.external_reference(0.1 * (t % 5))
+        _obs, _r, term, *_ = env.step(np.array([0.3]))
+        if term:
+            env.reset()
+    refs = plot._refs[~np.isnan(plot._refs)]
+    vals = plot._values[~np.isnan(plot._values)]
+    assert len(refs) == 20 and len(vals) == 20
+    np.testing.assert_allclose(refs[7], 0.1 * (7 % 5), rtol=1e-6)
+    # the env DOES publish an omega reference, but this plot ignores the
+    # env reference vector entirely (external source only)
+    assert plot._ref_idx is None
+    paths = dash.save_to_file(str(tmp_path / "extref"))
+    assert paths and all(os.path.exists(p) for p in paths)
