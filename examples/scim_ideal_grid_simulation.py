@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import gym_electric_motor_tpu as gemx
-from gym_electric_motor_tpu.models import loads as ld
+from gym_electric_motor_tpu.models import loads as ld  # noqa: F401
 
 
 def main():
@@ -94,6 +94,42 @@ def main():
     print(f"saved {args.save}; final omega = "
           f"{traj[-1, names.index('omega')] * lim[names.index('omega')]:.1f} rad/s "
           f"(sync: {omega_g / env.physical_system.motor.parameter['p']:.1f})")
+
+    # ---- The TRUE grid configuration: AC3PhaseSupply + NoConverter ----
+    # The reference DEFINES both components but crashes constructing this
+    # env (its state bookkeeping sizes U_SUP_IDX by voltage_len while
+    # naming one u_sup state — IndexError, physical_systems.py:715).
+    # Here the per-phase u_sup_a/b/c slots make it work, the env has an
+    # EMPTY action space (the grid drives the stator directly), and the
+    # whole start-up transient streams from the universal recorder kernel
+    # (Mosaic-compiled on TPU; interpret mode on CPU).
+    from gym_electric_motor_tpu.models.converters import no_converter
+    from gym_electric_motor_tpu.models.supplies import ac_3_phase_supply
+    from gym_electric_motor_tpu.ops.pallas_record import (
+        make_fused_record_rollout)
+
+    genv = gemx.make_functional(
+        "Cont-CC-SCIM-v0",
+        converter=no_converter(tau=tau),
+        supply=ac_3_phase_supply(
+            u_nominal=400.0,
+            supply_parameter=dict(frequency=args.frequency, phase=0.0)),
+        load=ld.polynomial_static_load(dict(a=0.0, b=0.0, c=0.0,
+                                            j_load=1e-6)),
+        constraints=(),
+        tau=tau,
+    )
+    print("AC3 env action space:", genv.action_space.shape,
+          "| u_sup states:", genv.physical_system.state_names[-3:])
+    interpret = jax.default_backend() not in ("tpu",)
+    rec = make_fused_record_rollout(genv, args.steps, 128, chunk=8,
+                                    interpret=interpret)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = rec(5, *([z] * 7))
+    i_sa = np.asarray(out["i_salpha"])[:, 0, 0]
+    om = np.asarray(out["omega"])[:, 0, 0]
+    print(f"fused AC3 grid start-up: |i_salpha| peak "
+          f"{np.abs(i_sa).max():.1f} A, final omega {om[-1]:.1f} rad/s")
 
 
 if __name__ == "__main__":

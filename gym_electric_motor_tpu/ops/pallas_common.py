@@ -114,6 +114,67 @@ def _fused_check_system(ps, allow_dead_time=False, allow_dq=False,
             "(VectorEnv.rollout)")
 
 
+def _fused_constraint_mode(env, default_desc, allow_none=True):
+    """Validate the env's constraint set against what the kernel
+    implements.
+
+    The fused kernels hard-code each family's CATALOG-DEFAULT violation
+    check (LimitConstraint on the DC currents, the squared dq current
+    circle for AC machines) as branch-free plane arithmetic — they never
+    interpret ``env.constraint_monitor`` at run time.  Without this
+    check, an env built with custom constraints (or ``constraints=()``,
+    the grid-simulation configuration) would be SILENTLY simulated with
+    the wrong termination semantics.
+
+    ``default_desc``: tuple of ``('limit', (names...))`` /
+    ``('squared', (states...))`` describing the family default.  Returns
+    ``'default'`` or ``'none'`` (empty constraint set — the family must
+    then emit constant-False violations); anything else raises."""
+    cons = env.constraint_monitor.constraints
+    if len(cons) == 0:
+        if allow_none:
+            return "none"
+        raise NotImplementedError(
+            "this specialized kernel implements the catalog-default "
+            "constraints; constraints=() runs on the universal family "
+            "kernels (make_fused_rollout) or the XLA path")
+    desc = []
+    for c in cons:
+        tn = type(c).__name__
+        if tn == "LimitConstraint":
+            desc.append(("limit", tuple(c.observed_state_names)))
+        elif tn == "SquaredConstraint":
+            desc.append(("squared", tuple(c.states)))
+        else:
+            desc.append((tn, None))
+    if tuple(desc) == tuple(default_desc):
+        return "default"
+    raise NotImplementedError(
+        f"fused kernels implement the catalog-default constraints "
+        f"{default_desc} (or constraints=()); got {tuple(desc)} — use "
+        f"the general XLA path (VectorEnv.rollout)")
+
+
+_DEFAULT_CONSTRAINT_DESC = {
+    "PermExDc": (("limit", ("i",)),),
+    "SeriesDc": (("limit", ("i",)),),
+    "ShuntDc": (("limit", ("i_a",)), ("limit", ("i_e",))),
+    "ExtExDc": (("limit", ("i_a",)), ("limit", ("i_e",))),
+    "EESM": (("squared", ("i_sq", "i_sd")), ("limit", ("i_e",))),
+}
+
+
+def _require_default_constraints(env):
+    """Specialized (non-family) kernels hard-code the catalog-default
+    violation check and have no constants-off mode — reject both custom
+    constraint sets AND ``constraints=()`` loudly (the universal family
+    kernels handle the latter)."""
+    kind = env.physical_system.motor.kind
+    desc = _DEFAULT_CONSTRAINT_DESC.get(
+        kind, (("squared", ("i_sq", "i_sd")),))
+    _fused_constraint_mode(env, desc, allow_none=False)
+
+
 def _fused_control_space(ps):
     """'abc' or 'dq' of the base system under the wrapper chain."""
     cur = ps
@@ -125,11 +186,12 @@ def _fused_control_space(ps):
 def _fused_dq_wrapper(ps, type_names):
     """The ADVANCE-ANGLE DqToAbcActionProcessor wrapper instance in the
     chain (dq_to_abc_action_processor.py:8-170), or None.  The caller
-    validates the variant: only rotor-angle ('epsilon') forms are fused —
-    the SCIM/DFIM psi_angle variants need the FluxObserver state and stay
-    on the XLA path, and composition with DeadTimeProcessor is rejected
-    (the reference delays the CONVERTED abc action, so the delayed duty
-    was rotated at an older angle than the kernel would use)."""
+    validates the variant.  All variants are fused: rotor-angle
+    ('epsilon') forms, the SCIM/DFIM psi_angle variants (the FluxObserver
+    rides as extra state planes), and composition with DeadTimeProcessor
+    (the reference delays the CONVERTED duty, rotated at the PUSH-time
+    angle — handled by _wrap_dead_time's ``convert`` hook, which stores
+    converted duties in the delay planes)."""
     cur, found = ps, None
     while hasattr(cur, "inner"):
         if type(cur).__name__ in type_names:
@@ -340,8 +402,21 @@ def _wrap_mech_time(mload, tau, physics, advance, n_bridge, has_cs, k_int):
     return physics2, advance2, n_bridge + 1, base + (jnp.float32,)
 
 
+def _norm_advance(advance):
+    """Normalize a family's advance closure to the kernels' 4-arg
+    protocol ``advance(bs, acts, cur=None, aux=None)`` — the pre-step
+    state/aux are only consumed by the dead-time ``convert`` path (the
+    DqToAbc + DeadTime composition pushes the CONVERTED duty, which
+    needs the push-time rotation); every other closure ignores them."""
+    import inspect
+
+    if len(inspect.signature(advance).parameters) >= 4:
+        return advance
+    return lambda bs, acts, cur=None, aux=None: advance(bs, acts)
+
+
 def _wrap_dead_time(ps, act_dtypes, inner_physics, inner_advance,
-                    n_bridge, has_cs, base_dtypes=None):
+                    n_bridge, has_cs, base_dtypes=None, convert=None):
     """Fuse the DeadTimeProcessor action delay into a family's physics/
     bridge closures (dead_time_processor.py:9-88: the converter applies
     the action from ``steps`` control cycles ago; the delay deque starts
@@ -351,9 +426,22 @@ def _wrap_dead_time(ps, act_dtypes, inner_physics, inner_advance,
     to the family's bridge planes (newest action first), riding the same
     fori-carry / scratch machinery — the kernels' violation reset to 0
     reproduces the wrapper's zero-action refill.  ``act_dtypes`` gives
-    one dtype per action plane (int32 finite / float32 cont);
+    one dtype per STORED plane (int32 finite / float32 cont);
     ``has_cs`` selects the three-phase closure signature
     ``(state, a, c, s, z, bs)`` vs the DC/induction ``(state, a, z, bs)``.
+
+    ``convert``: optional ``fn(acts, cur, aux) -> tuple`` mapping the
+    agent action to the STORED planes at PUSH time — the DqToAbc-wrapper
+    + DeadTime composition, where the reference delays the CONVERTED abc
+    duty (rotated at the push-time angle, dq_to_abc_action_processor.py
+    composed over dead_time_processor.py).  With ``convert`` the deque
+    holds the converted planes (``act_dtypes`` describes THEM, so its
+    arity may differ from the agent-action arity) and ``inner_physics``
+    receives the stored tuple as its action — the family must therefore
+    accept the converted form when it requests conversion-at-push.  The
+    returned ``advance`` takes ``(bs, acts, cur=None, aux=None)``; the
+    kernels pass the pre-step state and aux at every call site
+    (``_norm_advance`` upgrades conversion-free closures).
 
     Returns ``(physics', advance', n_bridge', bridge_dtypes')`` —
     identity pass-through when the env has no DeadTimeProcessor.
@@ -371,7 +459,9 @@ def _wrap_dead_time(ps, act_dtypes, inner_physics, inner_advance,
         d = bs[:n_d]
         inner = tuple(bs[n_d:]) or None
         old = tuple(d[(steps - 1) * n_pl: steps * n_pl])
-        return (old if isinstance(acts, tuple) else old[0]), inner
+        if convert is None and not isinstance(acts, tuple):
+            return old[0], inner
+        return old, inner
 
     if has_cs:
         def physics(state, action, c, s, z=None, bs=None):
@@ -382,37 +472,48 @@ def _wrap_dead_time(ps, act_dtypes, inner_physics, inner_advance,
             a_d, ibs = _delayed(bs, action)
             return inner_physics(state, a_d, z, ibs)
 
-    def advance(bs, acts):
+    def advance(bs, acts, cur=None, aux=None):
         a_d, ibs = _delayed(bs, acts)
         new_inner = inner_advance(ibs, a_d) if n_bridge else ()
-        new = acts if isinstance(acts, tuple) else (acts,)
+        if convert is not None:
+            new = tuple(convert(acts, cur, aux))
+        else:
+            new = acts if isinstance(acts, tuple) else (acts,)
         return tuple(new) + tuple(bs[:n_d - n_pl]) + tuple(new_inner)
 
     return physics, advance, n_bridge + n_d, act_dtypes * steps + base_dtypes
 
 
-def _make_fused_supply(ps, shape, tau):
+def _make_fused_supply(ps, shape, tau, allow_polyphase=False):
     """Supply model shared by every universal family builder — the
     in-kernel counterpart of voltage_supplies.py.
 
     Non-ideal supplies carry per-env dynamics as extra ``(R, LANE)`` state
     planes appended after the family's core state.  Returned namespace:
 
-    * ``mode``: ``'ideal' | 'ac1' | 'rc'``; ``n_sup``: number of supply
-      planes (0 or 2); ``names``: their record-signal names;
+    * ``mode``: ``'ideal' | 'ac1' | 'ac3' | 'rc'``; ``n_sup``: number of
+      supply planes (0 or 2); ``names``: their record-signal names;
     * ``needs_i_sup``: True iff ``supply_u`` consumes the converter supply
       current (the RC element, voltage_supplies.py:75-123);
     * ``supply_u(sup_planes, i_sup) -> (u_sup, new_planes)``: the DC-link
-      voltage for this control cycle plus advanced planes;
-    * ``sup_reset(bits)``: per-episode reset plane values (AC1 draws the
-      random phase, voltage_supplies.py:126-166).
+      voltage for this control cycle plus advanced planes — a 3-TUPLE of
+      per-phase planes in the polyphase 'ac3' mode;
+    * ``sup_reset(bits)``: per-episode reset plane values (AC1/AC3 draw
+      the random phase, voltage_supplies.py:126-213).
 
-    AC3PhaseSupply (``voltage_len == 3``) is rejected: polyphase supply
-    output only composes with NoConverter (grid simulation), which has no
-    fused kernel — the general XLA path covers it.
+    AC3PhaseSupply (``voltage_len == 3``) only composes with NoConverter
+    (grid simulation) — callers that implement that composition pass
+    ``allow_polyphase=True`` (the induction family); everyone else gets
+    the loud rejection and the general XLA path covers it.
     """
     sup_kind = ps.supply.kind
     sp_par = ps.supply.parameter
+    if sup_kind == "AC3PhaseSupply" and not allow_polyphase:
+        raise NotImplementedError(
+            "fused kernels support IdealVoltageSupply/AC1PhaseSupply/"
+            "RCVoltageSupply here (AC3 is polyphase and composes only "
+            "with NoConverter grid simulation) — use the general XLA "
+            "path (VectorEnv.rollout)")
 
     if sup_kind == "IdealVoltageSupply":
         mode, n_sup, names, needs_i_sup = "ideal", 0, (), False
@@ -423,7 +524,7 @@ def _make_fused_supply(ps, shape, tau):
 
         def sup_reset(bits):
             return ()
-    elif sup_kind == "AC1PhaseSupply":
+    elif sup_kind in ("AC1PhaseSupply", "AC3PhaseSupply"):
         # u_sup(t) = max_amp * sin(2 pi f t + phi), phi random per episode
         # (voltage_supplies.py:126-166); state planes (theta, theta_lo):
         # the FULL sine phase accumulated in DOUBLE-FLOAT32.  A plain
@@ -439,8 +540,11 @@ def _make_fused_supply(ps, shape, tau):
         # drift-free for any launch length (tests/test_ac1_phase_drift.py
         # runs the closure 2M steps against the float64 closed form).
         # theta(0) = phi, so buffer-mode callers feed (phi0, 0) exactly as
-        # they fed the old (phi, t=0) planes.
-        mode, n_sup, needs_i_sup = "ac1", 2, False
+        # they fed the old (phi, t=0) planes.  AC3PhaseSupply
+        # (voltage_supplies.py:169-213) shares the phase machinery and
+        # emits THREE phase planes u_i = max_amp * sin(theta + i*2pi/3).
+        ac3 = sup_kind == "AC3PhaseSupply"
+        mode, n_sup, needs_i_sup = ("ac3" if ac3 else "ac1"), 2, False
         names = ("sup_theta", "sup_theta_lo")
         f_ac, amp_ac = float(sp_par["f"]), float(sp_par["max_amp"])
         fixed_phase = float(sp_par.get("fixed_phase", 0.0)) > 0.0
@@ -461,9 +565,17 @@ def _make_fused_supply(ps, shape, tau):
             hi2 = s + lo2
             return hi2, lo2 - (hi2 - s)
 
+        OFF1 = np.float32(2.0 / 3.0 * np.pi)
+        OFF2 = np.float32(4.0 / 3.0 * np.pi)
+
         def supply_u(sup, i_sup_val):
             theta, lo = sup
-            u = amp_ac * jnp.sin(theta)
+            if ac3:
+                u = (amp_ac * jnp.sin(theta),
+                     amp_ac * jnp.sin(theta + OFF1),
+                     amp_ac * jnp.sin(theta + OFF2))
+            else:
+                u = amp_ac * jnp.sin(theta)
             theta, lo = _dfadd(theta, lo, DHI, DLO)
             wrap = theta >= np.float32(2.0 * np.pi)
             tw, lw = _dfadd(theta, lo, -P2HI, -P2LO)

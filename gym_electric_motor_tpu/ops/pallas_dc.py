@@ -25,6 +25,9 @@ from .pallas_common import (
     _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_state_noise,
+    _fused_constraint_mode,
+    _require_default_constraints,
+    _norm_advance,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -98,6 +101,7 @@ def make_fused_permex_rollout(env, n_steps, n_envs, action_mode="random",
     ``action_mode='buffer'``: ``rollout(i0, actions)`` with a
     ``(n_steps, n_envs//128, 128)`` int32 action buffer, deterministic
     physics only (no noise / reset) — the bit-level validation path."""
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ctx = _PermExCtx(env)
@@ -229,6 +233,7 @@ def make_fused_permex_record_rollout(env, n_steps, n_envs, chunk=None,
     ``action_mode='buffer'``: ``rollout(i0, actions) -> i`` per step,
     deterministic physics only (the step-for-step validation path).
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     R = n_envs // LANE
     if chunk is None:
@@ -372,6 +377,7 @@ def make_fused_dc_sc_rollout(env, n_steps, n_envs, action_mode="random",
     ``(n_steps, n_envs//128, 128)`` float32 action buffer, deterministic
     physics only — the bit-level validation path vs the XLA env.
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
@@ -989,7 +995,13 @@ def _dc_family(env, R, action_mode, randomize=None):
             return torque(el, pc) * np.float32(1.0 / t_lim)
         return el[el_names.index(nm)] * ref_cfg[j]["inv_lim"]
 
+    _dc_desc = ((("limit", ("i",)),) if n_el == 1
+                else (("limit", ("i_a",)), ("limit", ("i_e",))))
+    no_cons = _fused_constraint_mode(env, _dc_desc) == "none"
+
     def violated_fn(state):
+        if no_cons:  # constraints=(): the env never terminates
+            return jnp.zeros(shape, jnp.bool_)
         el = state[1:1 + n_el] if mech else state[:n_el]
         v = jnp.abs(el[0]) > el_lims[0]
         for j in range(1, n_el):
@@ -1082,7 +1094,8 @@ def _dc_family(env, R, action_mode, randomize=None):
         pre_step=pre_step, step=step, quantities=quantities,
         mech_mode=mech_mode, sup_mode=sup_mode, n_sup=n_sup, n_core=n_core,
         needs_step_noise=needs_step_noise, reset_state=reset_state,
-        n_bridge=n_bridge, bridge_dtypes=bridge_dtypes, advance_bridges=advance_bridges,
+        n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
+        advance_bridges=_norm_advance(advance_bridges),
         param_names=param_names, param_ranges=param_ranges, n_param=n_param, observe=observe,
     )
 
@@ -1283,6 +1296,7 @@ def make_fused_dc_cascade_rollout(env, ctrl, n_steps, n_envs,
     rl, rs, sc_int, cc_int)``; states = (omega, i...) like the family
     kernel.
     """
+    _require_default_constraints(env)
     assert ctrl.control_task == "SC" and ctrl.output_kind == "cont"
     kind = env.physical_system.motor.kind
     assert kind in ("PermExDc", "SeriesDc", "ShuntDc"), (

@@ -24,6 +24,9 @@ from .pallas_common import (
     _fused_dead_time_steps,
     _fused_dq_wrapper,
     _fused_state_noise,
+    _fused_constraint_mode,
+    _require_default_constraints,
+    _norm_advance,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -61,6 +64,7 @@ def make_fused_dfim_rollout(env, n_steps, n_envs, action_mode="random",
     ``action_mode='buffer'``: ``rollout(isa0, isb0, psa0, psb0, eps0,
     actions)`` with ``(n_steps, 6, n_envs//128, 128)`` float32 duties.
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
@@ -338,10 +342,11 @@ def _dfim_family(env, R, action_mode, randomize=None):
         if finite:
             raise NotImplementedError(
                 "the DFIM DqToAbc wrapper needs continuous converters")
-        if _fused_dead_time_steps(ps):
-            raise NotImplementedError(
-                "DqToAbc wrapper + DeadTimeProcessor is not fused — use "
-                "the general XLA path")
+    # DqToAbc wrapper + DeadTimeProcessor: fused via _wrap_dead_time's
+    # convert hook — the stored planes are the six CONVERTED
+    # (stator abc + rotor def) duties, both pairs rotated at the
+    # push-time angles (see _sync_family)
+    dq_dead = dqw is not None and _fused_dead_time_steps(ps) > 0
     n_obspsi = 2 if dqw is not None else 0
     adv_k = float(dqw._angle_advance) if dqw is not None else 0.0
     _obs_c = r_r * l_m / l_r
@@ -521,7 +526,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
         pp = state[n_core + n_sup:n_core + n_sup + n_param]
         psi_obs = state[n_core + n_sup + n_param:]
         pc = resolve(pp)
-        if dqw is not None:
+        if dqw is not None and not dq_dead:
             # stator pair at the ADVANCED rotor angle
             w_now = core[0] if mech else omega_fixed
             delta = np.float32(adv_k * tau * p) * w_now
@@ -537,6 +542,8 @@ def _dfim_family(env, R, action_mode, randomize=None):
             r_be = sr * action[2] + cr * action[3]
             action = (alphabeta_to_abc(s_al, s_be)
                       + alphabeta_to_abc(r_al, r_be))
+        # dq_dead: action arrives PRE-CONVERTED (6 abc/def duties) from
+        # the dead-time deque (converted at push time by dt_convert)
         finite_il = finite and k_int > 0.0
         i_s_abc = i_r_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -651,12 +658,34 @@ def _dfim_family(env, R, action_mode, randomize=None):
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
         _wrap_mech_time(mload, tau, physics_step, advance_bridges,
                         n_bridge, has_cs=True, k_int=k_int)
+    dt_convert = None
+    if dq_dead:
+        def dt_convert(acts, cur, aux):
+            # family kernels pass (c, s); the generic record/policy
+            # kernels pass the full pre_step aux (cs, c, s)
+            c, s = aux if len(aux) == 2 else (aux[1], aux[2])
+            psi_obs = cur[n_core + n_sup + n_param:]
+            w_now = cur[0] if mech else omega_fixed
+            delta = np.float32(adv_k * tau * p) * w_now
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            ca, sa = c * cd - s * sd, s * cd + c * sd
+            s_al = ca * acts[0] - sa * acts[1]
+            s_be = sa * acts[0] + ca * acts[1]
+            fc, fsn = flux_dir((None, None, psi_obs[0], psi_obs[1]))
+            cr = fc * ca + fsn * sa
+            sr = fsn * ca - fc * sa
+            r_al = cr * acts[2] - sr * acts[3]
+            r_be = sr * acts[2] + cr * acts[3]
+            return (alphabeta_to_abc(s_al, s_be)
+                    + alphabeta_to_abc(r_al, r_be))
+
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
         _wrap_dead_time(ps,
                         (jnp.int32,) * 2 if finite
-                        else (jnp.float32,) * n_ach,
+                        else (jnp.float32,) * (6 if dq_dead else n_ach),
                         physics_step, advance_bridges, n_bridge,
-                        has_cs=True, base_dtypes=bridge_dtypes)
+                        has_cs=True, base_dtypes=bridge_dtypes,
+                        convert=dt_convert)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
@@ -704,7 +733,12 @@ def _dfim_family(env, R, action_mode, randomize=None):
             eps * np.float32(1.0 / TWO_PI))
         return state[:i_eps] + (eps,) + state[i_eps + 1:]
 
+    no_cons = _fused_constraint_mode(
+        env, (("squared", ("i_sq", "i_sd")),)) == "none"
+
     def violated(state):
+        if no_cons:  # constraints=(): the env never terminates
+            return jnp.zeros(shape, jnp.bool_)
         el = state[1:5] if mech else state[0:4]
         # |i_dq| == |i_alphabeta| (rotation-invariant)
         return (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
@@ -743,7 +777,7 @@ def _dfim_family(env, R, action_mode, randomize=None):
         param_names=param_names, param_ranges=param_ranges,
         n_param=n_param, n_obspsi=n_obspsi, observe=observe,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
-        advance_bridges=advance_bridges,
+        advance_bridges=_norm_advance(advance_bridges),
     )
 
 
@@ -832,9 +866,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
             sobs = fs.observe(state, bits) if fs.observe else state
-            el = sobs[1:5] if mech else sobs[0:4]
-            # |i_dq| == |i_alphabeta| (rotation-invariant)
-            violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
+            violated = fs.violated(sobs)
             qs = ref_quantities(sobs, cs)
             refs_now = rv_ref[:]
             wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
@@ -859,7 +891,8 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
             if not n_bs:
                 return 0
             return tuple(jnp.where(violated, 0, b)
-                         for b in fs.advance_bridges(bs, action))
+                         for b in fs.advance_bridges(bs, action, cur,
+                                                     (c, s)))
 
         init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
@@ -894,7 +927,7 @@ def make_fused_dfim_family_rollout(env, n_steps, n_envs,
                 o[:] = s2
             if not n_bs:
                 return 0
-            return fs.advance_bridges(bs, action)
+            return fs.advance_bridges(bs, action, cur, (c, s))
 
         init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)

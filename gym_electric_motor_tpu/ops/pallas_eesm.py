@@ -27,6 +27,9 @@ from .pallas_common import (
     _fused_control_space,
     _fused_dq_wrapper,
     _fused_state_noise,
+    _fused_constraint_mode,
+    _require_default_constraints,
+    _norm_advance,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -65,6 +68,7 @@ def make_fused_eesm_rollout(env, n_steps, n_envs, action_mode="random",
     with ``(n_steps, 2, n_envs//128, 128)`` int32 actions (B6, 4QC),
     deterministic physics only.
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
@@ -331,11 +335,11 @@ def _eesm_family(env, R, action_mode, randomize=None):
             raise NotImplementedError(
                 "EESM DqToAbc wrapper over a dq/finite base is not fused "
                 "— use the general XLA path")
-        if _fused_dead_time_steps(ps):
-            raise NotImplementedError(
-                "DqToAbc wrapper + DeadTimeProcessor is not fused — use "
-                "the general XLA path")
     dq_mode = cs_dq or dqw is not None
+    # DqToAbc wrapper + DeadTimeProcessor: fused via _wrap_dead_time's
+    # convert hook — the stored planes are the CONVERTED (abc + exciter)
+    # duties rotated at the push-time advanced angle (see _sync_family)
+    dq_dead = dqw is not None and _fused_dead_time_steps(ps) > 0
     n_ach = 3 if dq_mode else 4
 
     def resolve(pp):
@@ -503,13 +507,15 @@ def _eesm_family(env, R, action_mode, randomize=None):
         pc = resolve(pp)
         if cs_dq:
             action = dq_to_abc(action[0], action[1], c, s) + (action[2],)
-        elif dqw is not None:
+        elif dqw is not None and not dq_dead:
             w_now = core[0] if mech else omega_fixed
             delta = np.float32(float(dqw._angle_advance) * tau * p) * w_now
             cd, sd = jnp.cos(delta), jnp.sin(delta)
             c_a, s_a = c * cd - s * sd, s * cd + c * sd
             action = (dq_to_abc(action[0], action[1], c_a, s_a)
                       + (action[2],))
+        # dq_dead: action arrives PRE-CONVERTED (abc + exciter) from the
+        # dead-time deque (converted at push time by dt_convert)
         finite_il = finite and k_int > 0.0
         i_abc = i_e = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -598,12 +604,23 @@ def _eesm_family(env, R, action_mode, randomize=None):
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
         _wrap_mech_time(mload, tau, physics_step, advance_bridges,
                         n_bridge, has_cs=True, k_int=k_int)
+    dt_convert = None
+    if dq_dead:
+        def dt_convert(acts, cur, aux):
+            c, s = aux
+            w_now = cur[0] if mech else omega_fixed
+            delta = np.float32(float(dqw._angle_advance) * tau * p) * w_now
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            c_a, s_a = c * cd - s * sd, s * cd + c * sd
+            return dq_to_abc(acts[0], acts[1], c_a, s_a) + (acts[2],)
+
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
         _wrap_dead_time(ps,
                         (jnp.int32,) * 2 if finite
-                        else (jnp.float32,) * n_ach,
+                        else (jnp.float32,) * (4 if dq_dead else n_ach),
                         physics_step, advance_bridges, n_bridge,
-                        has_cs=True, base_dtypes=bridge_dtypes)
+                        has_cs=True, base_dtypes=bridge_dtypes,
+                        convert=dt_convert)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
@@ -644,7 +661,12 @@ def _eesm_family(env, R, action_mode, randomize=None):
             eps * np.float32(1.0 / TWO_PI))
         return state[:i_eps] + (eps,) + state[i_eps + 1:]
 
+    no_cons = _fused_constraint_mode(
+        env, (("squared", ("i_sq", "i_sd")), ("limit", ("i_e",)))) == "none"
+
     def violated(state):
+        if no_cons:  # constraints=(): the env never terminates
+            return jnp.zeros(shape, jnp.bool_)
         i_sd, i_sq, i_e = (state[1:4] if mech else state[0:3])
         isd_n, isq_n = i_sd * inv_ilim, i_sq * inv_ilim
         ie_n = i_e * inv_ielim
@@ -681,7 +703,7 @@ def _eesm_family(env, R, action_mode, randomize=None):
         param_names=param_names, param_ranges=param_ranges,
         n_param=n_param, observe=observe,
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
-        advance_bridges=advance_bridges,
+        advance_bridges=_norm_advance(advance_bridges),
     )
 
 
@@ -770,11 +792,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
             sobs = fs.observe(state, bits) if fs.observe else state
-            i_sd, i_sq, i_e = (sobs[1:4] if mech else sobs[0:3])
-            isd_n, isq_n = i_sd * inv_ilim, i_sq * inv_ilim
-            ie_n = i_e * inv_ielim
-            violated = (((isd_n * isd_n + isq_n * isq_n) > 1.0)
-                        | (jnp.abs(ie_n) > 1.0))
+            violated = fs.violated(sobs)
 
             refs_now = rv_ref[:]
             wse = bias - _wse_err(ref_cfg[0], ref_quantity(sobs, 0),
@@ -801,7 +819,8 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
             if not n_bs:
                 return 0
             return tuple(jnp.where(violated, 0, b)
-                         for b in fs.advance_bridges(bs, action))
+                         for b in fs.advance_bridges(bs, action, cur,
+                                                     (c, s)))
 
         init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
@@ -836,7 +855,7 @@ def make_fused_eesm_family_rollout(env, n_steps, n_envs,
                 o[:] = s2
             if not n_bs:
                 return 0
-            return fs.advance_bridges(bs, action)
+            return fs.advance_bridges(bs, action, cur, (c, s))
 
         init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)

@@ -25,6 +25,9 @@ from .pallas_common import (
     _fused_control_space,
     _fused_dq_wrapper,
     _fused_state_noise,
+    _fused_constraint_mode,
+    _require_default_constraints,
+    _norm_advance,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -57,6 +60,7 @@ def make_fused_scim_rollout(env, n_steps, n_envs, action_mode="random",
     ``action_mode='buffer'``: ``rollout(isa0, isb0, psa0, psb0, actions)``
     with a ``(n_steps, 3, n_envs//128, 128)`` float32 abc duty buffer in
     [-1, 1], deterministic physics only — the bit-level validation path."""
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ps = env.physical_system
@@ -263,6 +267,12 @@ def _induction_family(env, R, action_mode, randomize=None):
     names = list(ps.state_names)
     lim = np.asarray(ps.limits)
     conv = ps.converter
+    # NoConverter (converters.py:114-127): no agent in the loop — the
+    # supply feeds the stator terminals directly (the ideal-grid
+    # simulation, voltage_supplies.py:169-213 + physical_systems
+    # _u_terminal's polyphase branch).  u_abc = u_sup per phase; the AC3
+    # supply provides the three phase-shifted sines as supply planes.
+    conv_none = conv.action_type == "none"
     finite = conv.action_type == "finite"
     k_int = _fused_interlock(conv, float(ps.tau), finite)
     t_int = k_int * float(ps.tau)
@@ -304,17 +314,20 @@ def _induction_family(env, R, action_mode, randomize=None):
         if getattr(dqw, "_angle_name", "psi_angle") != "psi_angle":
             raise NotImplementedError(
                 "the SCIM DqToAbc wrapper variant rotates at psi_angle")
-        if _fused_dead_time_steps(ps):
-            raise NotImplementedError(
-                "DqToAbc wrapper + DeadTimeProcessor is not fused (the "
-                "reference delays the CONVERTED abc duty) — use the "
-                "general XLA path")
+    assert not (conv_none and (cs_dq or dqw is not None)), (
+        "NoConverter has no action to convert")
     dq_mode = cs_dq or dqw is not None
+    # DqToAbc wrapper + DeadTimeProcessor: the reference delays the
+    # CONVERTED abc duty — fused via _wrap_dead_time's convert hook (the
+    # push-time observer psi_angle + advance rotation produces the stored
+    # planes); see _sync_family.  The wrapper's advance already includes
+    # the dead_time term (wrappers.py DqToAbcActionProcessor).
+    dq_dead = dqw is not None and _fused_dead_time_steps(ps) > 0
     n_obspsi = 2 if dqw is not None else 0
     adv_k = float(dqw._angle_advance) if dqw is not None else 0.0
     _obs_c = r_r * l_m / l_r          # flux_observer.py:93-99
     _obs_a = r_r / l_r
-    n_ach = 2 if dq_mode else 3
+    n_ach = 0 if conv_none else (2 if dq_mode else 3)
 
     def getp(nm, pp):
         return pp[p_idx[nm]] if nm in p_idx else float(mp[nm])
@@ -339,7 +352,11 @@ def _induction_family(env, R, action_mode, randomize=None):
     mech_mode, mech = mload.mode, mload.mech
     needs_step_noise = mload.needs_step_noise
     omega_fixed = mload.omega_fixed
-    sup = _make_fused_supply(ps, shape, tau)
+    sup = _make_fused_supply(ps, shape, tau, allow_polyphase=conv_none)
+    if conv_none and sup.needs_i_sup:
+        raise NotImplementedError(
+            "NoConverter + RCVoltageSupply is not fused — use the "
+            "general XLA path")
     _u_idx = _u_sup_plane_idx(p_idx, sup)
     n_sup = sup.n_sup
 
@@ -455,7 +472,7 @@ def _induction_family(env, R, action_mode, randomize=None):
             al = fc * action[0] - fsn * action[1]
             be = fsn * action[0] + fc * action[1]
             action = _clarke_inv(al, be)
-        elif dqw is not None:
+        elif dqw is not None and not dq_dead:
             # observer psi_angle (pre-step planes) + advance rotation
             fc, fsn = flux_dir((None, None, psi_obs[0], psi_obs[1]))
             w_now = core[0] if mech else omega_fixed
@@ -465,6 +482,7 @@ def _induction_family(env, R, action_mode, randomize=None):
             al = ca * action[0] - sa * action[1]
             be = sa * action[0] + ca * action[1]
             action = _clarke_inv(al, be)
+        # dq_dead: action arrives PRE-CONVERTED (abc) from the deque
         finite_il = finite and k_int > 0.0
         i_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -479,6 +497,14 @@ def _induction_family(env, R, action_mode, randomize=None):
         u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
         if _u_idx is not None:
             u_sup_val = pp[_u_idx]
+
+        if conv_none:
+            # grid feed-through: u_abc = 1 * u_sup (per phase)
+            u_abc = (u_sup_val if isinstance(u_sup_val, tuple)
+                     else (u_sup_val,) * 3)
+            new_core = rk4(core, *_uab(u_abc), z, tau, pc, t0)
+            return (new_core + sup_new + pp
+                    + _obs_advance(new_core, psi_obs))
 
         if finite_il:
             # 2-sub-interval interlock schedule (see _sync_family): the
@@ -559,19 +585,35 @@ def _induction_family(env, R, action_mode, randomize=None):
         if finite:
             return (bits(shape) & jnp.uint32(7)).astype(jnp.int32)
         return tuple(2.0 * _uniform_from_bits(bits(shape)) - 1.0
-                     for _ in range(n_ach))
+                     for _ in range(n_ach))  # () for NoConverter
 
     # --- DeadTimeProcessor fused as carried action planes (see
     #     pallas_common._wrap_dead_time) ---
     step_physics, advance_bridges, n_bridge, bridge_dtypes = \
         _wrap_mech_time(mload, tau, step_physics, advance_bridges,
                         n_bridge, has_cs=False, k_int=k_int)
+    dt_convert = None
+    if dq_dead:
+        # push-time conversion at the observer psi_angle of the PUSH
+        # cycle (observer planes live at the tail of the state)
+        def dt_convert(acts, cur, aux):
+            psi_obs = cur[n_core + n_sup + n_param:]
+            fc, fsn = flux_dir((None, None, psi_obs[0], psi_obs[1]))
+            w_now = cur[0] if mech else omega_fixed
+            delta = np.float32(adv_k * tau * p) * w_now
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            ca, sa = fc * cd - fsn * sd, fsn * cd + fc * sd
+            al = ca * acts[0] - sa * acts[1]
+            be = sa * acts[0] + ca * acts[1]
+            return _clarke_inv(al, be)
+
     step_physics, advance_bridges, n_bridge, bridge_dtypes = \
         _wrap_dead_time(ps,
                         (jnp.int32,) if finite
-                        else (jnp.float32,) * n_ach,
+                        else (jnp.float32,) * (3 if dq_dead else n_ach),
                         step_physics, advance_bridges, n_bridge,
-                        has_cs=False, base_dtypes=bridge_dtypes)
+                        has_cs=False, base_dtypes=bridge_dtypes,
+                        convert=dt_convert)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ())
@@ -582,9 +624,10 @@ def _induction_family(env, R, action_mode, randomize=None):
     observe = _fused_state_noise(
         ps, state_names, lambda nm: float(lim[names.index(nm)]),
         allowed=(("omega",) if mech else ()))
-    act_names = (("action",) if finite
-                 else (("action_d", "action_q") if dq_mode
-                       else ("action_a", "action_b", "action_c")))
+    act_names = (() if conv_none
+                 else (("action",) if finite
+                       else (("action_d", "action_q") if dq_mode
+                             else ("action_a", "action_b", "action_c"))))
     act_dtype = jnp.int32 if finite else jnp.float32
     inv_ilim2 = np.float32(1.0 / (i_lim * i_lim))
 
@@ -606,7 +649,12 @@ def _induction_family(env, R, action_mode, randomize=None):
         a = acts[0] if finite else acts
         return step_physics(cur, a, z, bs)
 
+    no_cons = _fused_constraint_mode(
+        env, (("squared", ("i_sq", "i_sd")),)) == "none"
+
     def violated(state):
+        if no_cons:  # constraints=(): the env never terminates
+            return jnp.zeros(shape, jnp.bool_)
         el = core_el(state)
         # |i_dq| == |i_alphabeta| (rotation-invariant)
         return (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
@@ -641,7 +689,8 @@ def _induction_family(env, R, action_mode, randomize=None):
         needs_step_noise=needs_step_noise, reset_state=reset_state,
         param_names=param_names, param_ranges=param_ranges,
         n_param=n_param, n_obspsi=n_obspsi, observe=observe,
-        n_bridge=n_bridge, bridge_dtypes=bridge_dtypes, advance_bridges=advance_bridges,
+        n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
+        advance_bridges=_norm_advance(advance_bridges),
     )
 
 
@@ -671,6 +720,10 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _induction_family(env, R, action_mode, randomize)
+    if action_mode == "buffer" and not fs.act_names:
+        raise NotImplementedError(
+            "NoConverter has no actions to buffer — random mode is "
+            "already deterministic for the grid-simulation env")
     n_state, finite, mech, shape, shape_r = (
         fs.n_state, fs.finite, fs.mech, fs.shape, fs.shape_r)
     n_ref, ref_cfg = fs.n_ref, fs.ref_cfg
@@ -715,9 +768,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
                                   bs if n_bs else None)
 
             sobs = fs.observe(state, bits) if fs.observe else state
-            el = core_el(sobs)
-            # |i_dq| == |i_alphabeta| (rotation-invariant)
-            violated = (el[0] * el[0] + el[1] * el[1]) * inv_ilim2 > 1.0
+            violated = fs.violated(sobs)
             qs = ref_quantities(sobs, cs)
             refs_now = rv_ref[:]
             wse = bias - _wse_err(ref_cfg[0], qs[0], refs_now[:R])
@@ -733,7 +784,7 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
             if not n_bs:
                 return 0
             return tuple(jnp.where(violated, 0, b)
-                         for b in fs.advance_bridges(bs, action))
+                         for b in fs.advance_bridges(bs, action, cur))
 
         init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
@@ -755,13 +806,14 @@ def make_fused_induction_rollout(env, n_steps, n_envs, action_mode="random",
                 action = actions_ref[t]
             else:
                 action = fs.read_actions(actions_ref, t)
-            state = _step_physics(tuple(o[:] for o in out_state), action,
+            cur = tuple(o[:] for o in out_state)
+            state = _step_physics(cur, action,
                                   None, bs if n_bs else None)
             for o, s in zip(out_state, state):
                 o[:] = s
             if not n_bs:
                 return 0
-            return fs.advance_bridges(bs, action)
+            return fs.advance_bridges(bs, action, cur)
 
         init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)

@@ -14,6 +14,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_common import (
+    _require_default_constraints,
     LANE,
     TWO_PI,
     _fused_check_system,
@@ -106,6 +107,7 @@ def make_fused_policy_rollout(env, n_steps, n_envs, hidden=16,
     training dict).  ``sample='greedy'`` takes argmax actions — fully
     deterministic, used for step-for-step validation vs the XLA env.
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     assert tuple(env.state_names[i] for i in
                  np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
@@ -314,6 +316,7 @@ def make_fused_policy_record_rollout(env, n_steps, n_envs, hidden=16,
     matrix.  ``env`` must use
     ``state_filter=('omega', 'i_sd', 'i_sq', 'epsilon')``.
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     assert tuple(env.state_names[i] for i in
                  np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
@@ -545,6 +548,7 @@ def make_fused_reinforce_rollout(env, n_steps, n_envs, hidden=16, gamma=0.99,
     ``[w1 (f*H+j) | b1 | w2 (j*A+a) | b2]`` — ``unflatten_policy_grads``
     converts it back to the params dict layout.
     """
+    _require_default_constraints(env)
     assert n_envs % (block_rows * LANE) == 0
     assert tuple(env.state_names[i] for i in
                  np.asarray(env._state_filter)) == ("omega", "i_sd", "i_sq",
@@ -1174,7 +1178,7 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
             if n_prev:
                 a_in = acts[0] if len(acts) == 1 else acts
                 for pa, b in zip(bs_refs,
-                                 fs.advance_bridges(bs, a_in)):
+                                 fs.advance_bridges(bs, a_in, cur, aux)):
                     pa[:] = jnp.where(violated, 0, b)
             for jr in range(n_ref):
                 out_ref[jr][k] = refs_now[jr * R:(jr + 1) * R]

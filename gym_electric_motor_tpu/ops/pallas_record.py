@@ -129,7 +129,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                 if n_prev_b:
                     a_in = acts[0] if len(acts) == 1 else acts
                     for pa, b in zip(pa_refs,
-                                     fs.advance_bridges(bs, a_in)):
+                                     fs.advance_bridges(bs, a_in, cur, aux)):
                         pa[:] = b
                 return 0
 
@@ -259,7 +259,7 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
                 # converter.reset() on violation: all-off switching states
                 a_in = acts[0] if len(acts) == 1 else acts
                 for pa, b in zip(bs_refs,
-                                 fs.advance_bridges(bs, a_in)):
+                                 fs.advance_bridges(bs, a_in, cur, aux)):
                     pa[:] = jnp.where(violated, 0, b)
             for j in range(n_ref):
                 out_ref[j][k] = refs_now[j * R:(j + 1) * R]

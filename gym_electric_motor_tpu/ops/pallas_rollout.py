@@ -137,7 +137,8 @@ def fused_state_arity(env, randomize=None):
     mech = 1 if ps.load.omega_fixed is None else 0
     base = {"PermExDc": 1, "SeriesDc": 1, "ShuntDc": 2, "ExtExDc": 2,
             "PMSM": 3, "SynRM": 3, "SCIM": 4, "EESM": 4, "DFIM": 5}[kind]
-    sup = 2 if ps.supply.kind in ("AC1PhaseSupply", "RCVoltageSupply") else 0
+    sup = (2 if ps.supply.kind in ("AC1PhaseSupply", "AC3PhaseSupply",
+                                   "RCVoltageSupply") else 0)
     # SCIM/DFIM psi_angle dq wrappers carry the flux observer as 2 planes
     obspsi, cur = 0, ps
     while hasattr(cur, "inner"):

@@ -26,7 +26,10 @@ from .pallas_common import (
     _fused_dead_time_steps,
     _fused_control_space,
     _fused_dq_wrapper,
+    _fused_constraint_mode,
+    _require_default_constraints,
     _fused_state_noise,
+    _norm_advance,
     _wrap_dead_time,
     _wrap_mech_time,
     _fused_interlock,
@@ -137,6 +140,7 @@ def make_fused_pmsm_rollout(env, n_steps, n_envs, action_mode="random",
     array and disables the stochastic parts (no reference noise, no reset) —
     the configuration used for bit-level physics validation.
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     R = n_envs // LANE
     ctx = _PmsmCtx(env)
@@ -330,6 +334,7 @@ def make_fused_pmsm_record_rollout(env, n_steps, n_envs, chunk=None,
     8 signals x chunk x (R x 128) x 4 B must fit alongside the scratch
     state; the default targets ~4 MB (chunk=8 at 16k envs).
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     R = n_envs // LANE
     if chunk is None:
@@ -554,12 +559,14 @@ def _sync_family(env, R, action_mode, randomize=None):
                 "only the rotor-angle ('epsilon') DqToAbc wrapper is "
                 "fused; the psi_angle variant needs the FluxObserver "
                 "state — use the general XLA path")
-        if _fused_dead_time_steps(ps):
-            raise NotImplementedError(
-                "DqToAbc wrapper + DeadTimeProcessor is not fused (the "
-                "reference delays the CONVERTED abc duty, rotated at an "
-                "older angle) — use the general XLA path")
     dq_mode = cs_dq or dqw is not None
+    # DqToAbc wrapper + DeadTimeProcessor: the reference delays the
+    # CONVERTED abc duty (the dq action rotates at the PUSH-time angle
+    # and the result sits in the deque) — fused by storing the converted
+    # duty in the dead-time planes via _wrap_dead_time's convert hook.
+    # The wrapper itself already advances by (0.5 + dead_time) *
+    # tau * omega * p (dq_to_abc_action_processor.py:72-73).
+    dq_dead = dqw is not None and _fused_dead_time_steps(ps) > 0
     adv_k = float(dqw._angle_advance) if dqw is not None else 0.0
     n_ach = 2 if dq_mode else 3
 
@@ -690,12 +697,14 @@ def _sync_family(env, R, action_mode, randomize=None):
         pc = resolve(pp)
         if cs_dq:
             action = dq_to_abc(action[0], action[1], c, s)
-        elif dqw is not None:
+        elif dqw is not None and not dq_dead:
             w_now = core[0] if mech else omega_fixed
             delta = np.float32(adv_k * tau * p) * w_now
             cd, sd = jnp.cos(delta), jnp.sin(delta)
             c_a, s_a = c * cd - s * sd, s * cd + c * sd
             action = dq_to_abc(action[0], action[1], c_a, s_a)
+        # dq_dead: the action arrives PRE-CONVERTED (3-tuple abc) from the
+        # dead-time deque — conversion happened at push time (dt_convert)
         finite_il = finite and k_int > 0.0
         i_abc = None
         if sup.needs_i_sup or k_int != 0.0:
@@ -771,6 +780,8 @@ def _sync_family(env, R, action_mode, randomize=None):
     rw = env.reward_function
     bias = np.float32(rw._bias_value)
     violation_reward = np.float32(rw._violation_value)
+    no_cons = _fused_constraint_mode(
+        env, (("squared", ("i_sq", "i_sd")),)) == "none"
 
     def ref_quantity(state, j):
         nm = ref_cfg[j]["name"]
@@ -794,11 +805,25 @@ def _sync_family(env, R, action_mode, randomize=None):
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
         _wrap_mech_time(mload, tau, physics_step, advance_bridges,
                         n_bridge, has_cs=True, k_int=k_int)
+    dt_convert = None
+    if dq_dead:
+        # push-time conversion: the stored planes are the abc duty rotated
+        # at the pre-step angle + the wrapper's advance term
+        def dt_convert(acts, cur, aux):
+            c, s = aux
+            w_now = cur[0] if mech else omega_fixed
+            delta = np.float32(adv_k * tau * p) * w_now
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            c_a, s_a = c * cd - s * sd, s * cd + c * sd
+            return dq_to_abc(acts[0], acts[1], c_a, s_a)
+
     physics_step, advance_bridges, n_bridge, bridge_dtypes = \
         _wrap_dead_time(ps,
-                        (jnp.int32,) if finite else (jnp.float32,) * n_ach,
+                        (jnp.int32,) if finite
+                        else (jnp.float32,) * (3 if dq_dead else n_ach),
                         physics_step, advance_bridges, n_bridge,
-                        has_cs=True, base_dtypes=bridge_dtypes)
+                        has_cs=True, base_dtypes=bridge_dtypes,
+                        convert=dt_convert)
 
     # --- generic record-adapter surface (see ops/pallas_record.py) ---
     state_names = ((("omega",) if mech else ()) + ("i_sd", "i_sq", "eps")
@@ -842,6 +867,8 @@ def _sync_family(env, R, action_mode, randomize=None):
         return state[:i_eps] + (eps,) + state[i_eps + 1:]
 
     def violated(state):
+        if no_cons:  # constraints=(): the env never terminates
+            return jnp.zeros(shape, jnp.bool_)
         i_sd, i_sq = (state[1], state[2]) if mech else (state[0], state[1])
         i_sd_n = i_sd * np.float32(1.0 / i_lim)
         i_sq_n = i_sq * np.float32(1.0 / i_lim)
@@ -879,10 +906,14 @@ def _sync_family(env, R, action_mode, randomize=None):
         reset_state=reset_state, n_bridge=n_bridge, bridge_dtypes=bridge_dtypes,
         # single-head finite callers pass (action,) — unwrap to the plane
         # form advance_bridges expects; cont multi-channel tuples (which
-        # only reach here through the dead-time pipeline) pass through
-        advance_bridges=lambda bs, acts: advance_bridges(
-            bs, acts[0] if (isinstance(acts, tuple) and len(acts) == 1)
-            else acts),
+        # only reach here through the dead-time pipeline) pass through.
+        # cur/aux feed the dead-time convert hook (dq_dead) — see
+        # pallas_common._norm_advance.
+        advance_bridges=(lambda _adv=_norm_advance(advance_bridges):
+                         lambda bs, acts, cur=None, aux=None: _adv(
+                             bs, acts[0]
+                             if (isinstance(acts, tuple) and len(acts) == 1)
+                             else acts, cur, aux))(),
     )
 
 
@@ -972,10 +1003,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
             state = state[:i_eps] + (eps,) + state[i_eps + 1:]
 
             sobs = fs.observe(state, bits) if fs.observe else state
-            i_sd, i_sq = (sobs[1], sobs[2]) if mech else (sobs[0], sobs[1])
-            i_sd_n = i_sd * np.float32(1.0 / i_lim)
-            i_sq_n = i_sq * np.float32(1.0 / i_lim)
-            violated = (i_sd_n * i_sd_n + i_sq_n * i_sq_n) > 1.0
+            violated = fs.violated(sobs)
 
             refs_now = rv_ref[:]
             wse = bias - _wse_err(ref_cfg[0], ref_quantity(sobs, 0),
@@ -1002,7 +1030,8 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
                 return 0
             # converter.reset() on violation: all-off switching states
             return tuple(jnp.where(violated, 0, b)
-                         for b in fs.advance_bridges(bs, action))
+                         for b in fs.advance_bridges(bs, action, cur,
+                                                     (c, s)))
 
         init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
@@ -1036,7 +1065,7 @@ def make_fused_sync_rollout(env, n_steps, n_envs, action_mode="random",
                 o[:] = s2
             if not n_bs:
                 return 0
-            return fs.advance_bridges(bs, action)
+            return fs.advance_bridges(bs, action, cur, (c, s))
 
         init = (tuple(jnp.zeros(shape, dt) for dt in fs.bridge_dtypes)
                 if n_bs else 0)
@@ -1109,6 +1138,7 @@ def make_fused_foc_rollout(env, ctrl, n_steps, n_envs, ref_mode="wiener",
     closed loop is then deterministic and is compared step-for-step against
     ``ctrl.control_environment`` in tests/test_pallas_rollout.py.
     """
+    _require_default_constraints(env)
     assert n_envs % LANE == 0
     assert ctrl.control_task == "CC" and ctrl.output_kind == "cont"
     R = n_envs // LANE

@@ -165,7 +165,7 @@ class SCMLSystem:
             + ["torque"]
             + list(self.motor.currents)
             + list(self.motor.voltages)
-            + ["u_sup"]
+            + self._u_sup_names()
         )
 
     def _set_limits(self):
@@ -185,8 +185,19 @@ class SCMLSystem:
         self.limits = limits
         self.nominal_state = nominal
 
+    def _u_sup_names(self):
+        """One state slot per supply phase.  The reference names a single
+        'u_sup' but sizes U_SUP_IDX by voltage_len, which crashes its own
+        state bookkeeping for polyphase supplies (physical_systems.py:
+        715 IndexError on AC3PhaseSupply — verified live); naming the
+        slots u_sup_a/b/c makes the AC3 grid configuration actually
+        WORK here (documented extension)."""
+        if self.supply.voltage_len == 1:
+            return ["u_sup"]
+        return [f"u_sup_{ph}" for ph in "abc"[: self.supply.voltage_len]]
+
     def _u_sup_indices(self):
-        base = self.state_positions["u_sup"]
+        base = self.state_positions[self._u_sup_names()[0]]
         return range(base, base + self.supply.voltage_len)
 
     def _build_state_space(self):
@@ -437,8 +448,8 @@ class SynchronousMotorSystem(SCMLSystem):
             "torque",
             "i_a", "i_b", "i_c", "i_sd", "i_sq",
             "u_a", "u_b", "u_c", "u_sd", "u_sq",
-            "epsilon", "u_sup",
-        ]
+            "epsilon",
+        ] + self._u_sup_names()
 
     def _build_state_space(self):
         low = -np.ones(len(self.state_names))
@@ -554,8 +565,8 @@ class EESMSystem(SynchronousMotorSystem):
             "torque",
             "i_a", "i_b", "i_c", "i_sd", "i_sq", "i_e",
             "u_a", "u_b", "u_c", "u_sd", "u_sq", "u_e",
-            "epsilon", "u_sup",
-        ]
+            "epsilon",
+        ] + self._u_sup_names()
 
     @property
     def action_space(self):
@@ -671,8 +682,8 @@ class SCIMSystem(SCMLSystem):
             "torque",
             "i_sa", "i_sb", "i_sc", "i_sd", "i_sq",
             "u_sa", "u_sb", "u_sc", "u_sd", "u_sq",
-            "epsilon", "u_sup",
-        ]
+            "epsilon",
+        ] + self._u_sup_names()
 
     def _build_state_space(self):
         low = -np.ones(len(self.state_names))
@@ -863,8 +874,8 @@ class DFIMSystem(SCIMSystem):
             "i_ra", "i_rb", "i_rc", "i_rd", "i_rq",
             "u_sa", "u_sb", "u_sc", "u_sd", "u_sq",
             "u_ra", "u_rb", "u_rc", "u_rd", "u_rq",
-            "epsilon", "u_sup",
-        ]
+            "epsilon",
+        ] + self._u_sup_names()
 
     def _rotor_current(self, mp, ode):
         """physical_systems.py:954-966."""

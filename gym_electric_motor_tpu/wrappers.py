@@ -388,8 +388,20 @@ class DqToAbcActionProcessor(PhysicalSystemWrapper):
         self._angle_idx = physical_system.state_positions[self._angle_name]
         self._pole_pairs = float(physical_system.motor.parameter["p"])
         self._angle_advance = 0.5
-        if hasattr(physical_system, "dead_time"):
-            self._angle_advance += physical_system.dead_time
+        # The reference's ``hasattr(physical_system, 'dead_time')`` finds
+        # the delay through ANY intermediate wrapper because its base
+        # wrapper delegates __getattr__ down the chain
+        # (physical_system_wrapper.py:113-114) — e.g. the SCIM stack
+        # DqToAbc(FluxObserver(DeadTime(sys))) still advances by
+        # 0.5 + dead_time.  Our wrappers don't delegate attributes, so
+        # walk the chain for the first dead_time explicitly (first match
+        # only, exactly like attribute delegation would resolve it).
+        cur = physical_system
+        while cur is not None:
+            if hasattr(cur, "dead_time"):
+                self._angle_advance += cur.dead_time
+                break
+            cur = getattr(cur, "inner", None)
         return self
 
     @property

@@ -155,17 +155,46 @@ def test_dq_wrapper_eesm_parity():
                                    ode[:, c], rtol=1e-4, atol=2e-3)
 
 
-def test_dq_wrapper_rejections():
+@pytest.mark.parametrize("eid,kind,pre,n_state,n_ch,cols", [
+    ("Cont-CC-PMSM-v0", "PMSM", (), 3, 2, ((0, 1), (1, 2))),
+    ("Cont-SC-PMSM-v0", "PMSM", (), 4, 2, ((0, 0), (1, 1), (2, 2))),
+    ("Cont-CC-EESM-v0", "EESM", (), 4, 3, ((0, 1), (1, 2), (2, 3))),
+    ("Cont-SC-SCIM-v0", "SCIM", ("flux",), 7, 2,
+     ((0, 0), (1, 1), (2, 2), (3, 3), (4, 4))),
+    ("Cont-SC-DFIM-v0", "DFIM", ("flux",), 8, 4,
+     ((0, 0), (1, 1), (2, 2), (3, 3), (4, 4))),
+], ids=["PMSM-CC", "PMSM-SC", "EESM", "SCIM", "DFIM"])
+def test_dq_wrapper_dead_time_composition_parity(eid, kind, pre, n_state,
+                                                 n_ch, cols):
+    """DqToAbc wrapper + DeadTimeProcessor COMPOSED runs in-kernel: the
+    reference delays the CONVERTED duty (the dq action rotates at the
+    PUSH-time angle — with the wrapper's advance bumped to
+    0.5 + dead_time — and the result sits in the deque for `steps`
+    cycles).  Fused by _wrap_dead_time's convert hook: the dead-time
+    planes store the converted duties; states (and observer planes,
+    flux-angle variants) match the XLA wrapper chain step-for-step."""
     from gym_electric_motor_tpu import wrappers as wr
     from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
 
-    # wrapper + DeadTime: the reference delays the CONVERTED abc duty
+    wrappers = ((wr.DeadTimeProcessor(steps=1),)
+                + ((wr.FluxObserver(),) if "flux" in pre else ())
+                + (wr.DqToAbcActionProcessor.make(kind),))
+    ref = ("omega" if "SC" in eid else "i_sd")
     env = gemx.make_functional(
-        "Cont-CC-PMSM-v0",
-        physical_system_wrappers=(wr.DeadTimeProcessor(),
-                                  wr.DqToAbcActionProcessor.make("PMSM")))
-    with pytest.raises(NotImplementedError, match="DeadTime"):
-        make_fused_rollout(env, 8, N, interpret=True)
+        eid, physical_system_wrappers=wrappers,
+        reference_generator=rg.ConstReference(ref, 0.2))
+    assert env.physical_system._angle_advance == 1.5  # 0.5 + dead_time
+    rng = np.random.default_rng(5)
+    acts = rng.uniform(-0.3, 0.3, size=(T, n_ch, 1, 128)).astype(np.float32)
+    roll = make_fused_rollout(env, T, N, action_mode="buffer",
+                              interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(*([z] * n_state), jnp.asarray(acts))
+    ode = _ode_of_final(env, acts)
+    for k, c in cols:
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, c], rtol=1e-4, atol=2e-3,
+                                   err_msg=f"{eid} state {k}")
 
 
 def _obs_psi_of(state):

@@ -492,6 +492,47 @@ def round4_corners_compile():
     out = make_fused_rollout(env, 16384, 2048)(7, *([z16] * n_pl))
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
+    # round 5: DqToAbc wrapper + DeadTime COMPOSED (the deque stores the
+    # converted duty, rotated at the push-time angle) — PMSM and the
+    # flux-observer SCIM variant
+    env = gemx.make_functional(
+        "Cont-CC-PMSM-v0",
+        physical_system_wrappers=(wr.DeadTimeProcessor(steps=1),
+                                  wr.DqToAbcActionProcessor.make("PMSM")))
+    assert env.physical_system._angle_advance == 1.5
+    out = make_fused_rollout(env, 16384, 2048)(7, z16, z16, z16)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+    env = gemx.make_functional(
+        "Cont-SC-SCIM-v0",
+        physical_system_wrappers=(wr.DeadTimeProcessor(steps=1),
+                                  wr.FluxObserver(),
+                                  wr.DqToAbcActionProcessor.make("SCIM")))
+    n_pl = fused_state_arity(env)
+    out = make_fused_rollout(env, 16384, 2048)(7, *([z16] * n_pl))
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+    # round 5: AC3PhaseSupply + NoConverter grid simulation (upstream
+    # crashes constructing this env; here it runs fused — the AC3 phases
+    # ride the TwoSum supply planes, zero action channels)
+    from gym_electric_motor_tpu.models import loads as ld
+    from gym_electric_motor_tpu.models.converters import no_converter
+    from gym_electric_motor_tpu.models.supplies import ac_3_phase_supply
+
+    env = gemx.make_functional(
+        "Cont-CC-SCIM-v0", converter=no_converter(tau=1e-5),
+        supply=ac_3_phase_supply(
+            u_nominal=400.0,
+            supply_parameter=dict(frequency=50.0, phase=1.0)),
+        load=ld.polynomial_static_load(dict(a=0.0, b=0.0, c=0.0,
+                                            j_load=1e-6)),
+        constraints=(), tau=1e-5)
+    out = make_fused_rollout(env, 16384, 2048)(7, *([z16] * 7))
+    vals = [np.asarray(o) for o in out]
+    assert all(np.isfinite(v).all() for v in vals)
+    # outputs: 7 states, reward_sum, term_count, ...
+    assert vals[8].sum() == 0.0  # constraints=(): no terminations
+
 
 def fused_sac_improves():
     """Entropy-regularized off-policy learning on-chip: SAC takes
