@@ -691,7 +691,8 @@ def main():
         ids = (spec.split(",") if "-v0" in spec
                else ("Finite-SC-PMSM-v0", "Cont-CC-ExtExDc-v0",
                      "Finite-TC-SeriesDc-v0", "Cont-SC-SCIM-v0",
-                     "Finite-SC-EESM-v0", "Finite-CC-DFIM-v0"))
+                     "Finite-SC-EESM-v0", "Finite-CC-DFIM-v0",
+                     "Finite-CC-SRM-v0", "Cont-SC-SRM-v0"))
         best_u = 0.0
         for env_id in ids:
             e = gemx.make_functional(env_id)

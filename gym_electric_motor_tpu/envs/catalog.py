@@ -22,11 +22,16 @@ from ..physical_systems import (
     DFIMSystem,
     EESMSystem,
     SCIMSystem,
+    SRMSystem,
     SynchronousMotorSystem,
 )
 from ..rewards import WeightedSumOfErrors
 
-_MOTORS = ["PermExDc", "ExtExDc", "SeriesDc", "ShuntDc", "PMSM", "EESM", "SynRM", "SCIM", "DFIM"]
+# The reference's 9 motor families + the SRM EXTENSION (the reference only
+# stubs switched-reluctance envs — envs/gym_srm/*.py raise
+# NotImplementedError; here the 6 SRM ids are fully functional).
+_MOTORS = ["PermExDc", "ExtExDc", "SeriesDc", "ShuntDc", "PMSM", "EESM", "SynRM", "SCIM", "DFIM", "SRM"]
+REFERENCE_MOTORS = _MOTORS[:-1]
 _TASKS = ["CC", "TC", "SC"]
 _ACTIONS = ["Finite", "Cont"]
 
@@ -50,6 +55,8 @@ def _supply_u(a, t, m):
         return _SUPPLY_U[(a, t, m)]
     if m in ("PermExDc", "ExtExDc", "SeriesDc", "ShuntDc"):
         return 60.0
+    if m == "SRM":
+        return 400.0
     return 420.0
 
 
@@ -114,6 +121,9 @@ def _default_converter(action, motor, tau):
             return cv.finite_multi_converter(subs, tau)
         subs = [cv.cont_b6_bridge_converter(tau), cv.cont_b6_bridge_converter(tau)]
         return cv.cont_multi_converter(subs, tau)
+    if motor == "SRM":
+        return (cv.finite_asymmetric_bridge_converter(tau) if action == "Finite"
+                else cv.cont_asymmetric_bridge_converter(tau))
     raise KeyError(motor)
 
 
@@ -143,6 +153,13 @@ def _default_references(task, motor, action):
             rg.WienerProcessReference("i_sq"),
             rg.WienerProcessReference("i_e", limit_margin=(0, 1)),
         ])
+    if motor == "SRM":
+        # unipolar phase currents -> references live in [0, 1]
+        return rg.ReferenceSpec([
+            rg.WienerProcessReference("i_a", sigma_range=sig, limit_margin=(0, 1)),
+            rg.WienerProcessReference("i_b", sigma_range=sig, limit_margin=(0, 1)),
+            rg.WienerProcessReference("i_c", sigma_range=sig, limit_margin=(0, 1)),
+        ])
     return rg.ReferenceSpec([
         rg.WienerProcessReference("i_sd"),
         rg.WienerProcessReference("i_sq"),
@@ -162,6 +179,8 @@ def _default_reward(task, motor):
         return WeightedSumOfErrors(reward_weights=dict(i_a=0.5, i_e=0.5))
     if motor == "EESM":
         return WeightedSumOfErrors(reward_weights=dict(i_sd=1 / 3, i_sq=1 / 3, i_e=1 / 3))
+    if motor == "SRM":
+        return WeightedSumOfErrors(reward_weights=dict(i_a=1 / 3, i_b=1 / 3, i_c=1 / 3))
     return WeightedSumOfErrors(reward_weights=dict(i_sd=0.5, i_sq=0.5))
 
 
@@ -172,6 +191,8 @@ def _default_constraints(motor):
         return (LimitConstraint(("i_a",)), LimitConstraint(("i_e",)))
     if motor == "EESM":
         return (SquaredConstraint(("i_sq", "i_sd")), LimitConstraint(("i_e",)))
+    if motor == "SRM":
+        return (LimitConstraint(("i_a", "i_b", "i_c")),)
     return (SquaredConstraint(("i_sq", "i_sd")),)
 
 
@@ -185,6 +206,7 @@ _SYSTEM_CLASSES = {
     "EESM": EESMSystem,
     "SCIM": SCIMSystem,
     "DFIM": DFIMSystem,
+    "SRM": SRMSystem,
 }
 
 

@@ -553,6 +553,82 @@ def cont_multi_converter(subconverters, tau=1e-4, interlocking_time=0.0) -> Conv
     return _multi(list(subconverters), False, tau, interlocking_time)
 
 
+
+
+def finite_asymmetric_bridge_converter(tau=1e-5, n_phases=3,
+                                       interlocking_time=0.0) -> ConverterSpec:
+    """Per-phase asymmetric half-bridge for the SRM (EXTENSION — the
+    reference stubs the SRM entirely).  Action per phase:
+    0 = freewheel (both switches off through one switch + one diode,
+    u = 0), 1 = magnetize (+u_sup), 2 = demagnetize (both switches off,
+    both diodes conduct, -u_sup back to the link).  Demagnetizing
+    RETURNS current to the DC link (i_sup contribution -i); the motor
+    clamps phase currents at zero (ideal diodes stop conducting)."""
+    assert interlocking_time == 0.0, (
+        "the asymmetric bridge has no shoot-through path — interlocking "
+        "dead time does not apply")
+
+    def u_frac(bridge_states, action, i_out):
+        mag = (action == 1).astype(i_out.dtype)
+        dem = (action == 2).astype(i_out.dtype)
+        return mag - dem
+
+    def i_sup(bridge_states, action, i_out):
+        mag = (action == 1).astype(i_out.dtype)
+        dem = (action == 2).astype(i_out.dtype)
+        return jnp.sum((mag - dem) * i_out)
+
+    return ConverterSpec(
+        kind="Finite-ASYM",
+        action_type="finite",
+        action_space=("multidiscrete", [3] * n_phases),
+        n_state=0,
+        n_out=n_phases,
+        n_in=n_phases,
+        voltages=(-np.ones(n_phases), np.ones(n_phases)),
+        currents=(np.zeros(n_phases), np.ones(n_phases)),
+        interlocking_time=0.0,
+        tau=tau,
+        u_frac=u_frac,
+        i_sup=i_sup,
+        u_reset=np.zeros(n_phases),
+        default_action=np.zeros(n_phases, dtype=int),
+    )
+
+
+def cont_asymmetric_bridge_converter(tau=1e-4, n_phases=3,
+                                     interlocking_time=0.0) -> ConverterSpec:
+    """Dynamically-averaged asymmetric bridge: duty d in [-1, 1] per phase
+    gives u = d * u_sup; i_sup = sum(d_k i_k) (magnetizing duty draws,
+    demagnetizing returns)."""
+    assert interlocking_time == 0.0, (
+        "the asymmetric bridge has no shoot-through path — interlocking "
+        "dead time does not apply")
+
+    def u_frac(bridge_states, action, i_out):
+        return jnp.clip(action, -1.0, 1.0)
+
+    def i_sup(bridge_states, action, i_out):
+        return jnp.sum(jnp.clip(action, -1.0, 1.0) * i_out)
+
+    return ConverterSpec(
+        kind="Cont-ASYM",
+        action_type="cont",
+        action_space=("box", -np.ones(n_phases), np.ones(n_phases)),
+        n_state=0,
+        n_out=n_phases,
+        n_in=n_phases,
+        voltages=(-np.ones(n_phases), np.ones(n_phases)),
+        currents=(np.zeros(n_phases), np.ones(n_phases)),
+        interlocking_time=0.0,
+        tau=tau,
+        u_frac=u_frac,
+        i_sup=i_sup,
+        u_reset=np.zeros(n_phases),
+        default_action=np.zeros(n_phases),
+    )
+
+
 CONVERTER_FACTORIES = {
     "Finite-1QC": finite_one_quadrant_converter,
     "Finite-2QC": finite_two_quadrant_converter,
@@ -565,4 +641,6 @@ CONVERTER_FACTORIES = {
     "Finite-Multi": finite_multi_converter,
     "Cont-Multi": cont_multi_converter,
     "NoConverter": no_converter,
+    "Finite-ASYM": finite_asymmetric_bridge_converter,
+    "Cont-ASYM": cont_asymmetric_bridge_converter,
 }

@@ -674,6 +674,96 @@ def dfim(**kwargs) -> MotorSpec:
     )
 
 
+# ---------------------------------------------------------------------------
+# Switched reluctance motor — EXTENSION.  The reference only STUBS the SRM
+# (envs/gym_srm/srm_finite_control_env.py raises NotImplementedError on
+# every method); this is a working 3-phase SRM with the standard
+# sinusoidal-inductance (unsaturated) model:
+#
+#   L_k(eps)   = l0 - l1 cos(eps - k 2pi/3),  eps = p * theta_mech
+#   dL_k/dth   = p l1 sin(eps - k 2pi/3)
+#   u_k        = r_s i_k + L_k di_k/dt + i_k dL_k/dth * omega
+#   T          = sum_k 1/2 i_k^2 dL_k/dth      (reluctance torque)
+#
+# Phase currents are UNIPOLAR (the asymmetric half-bridge conducts one
+# direction; the system clamps i >= 0 after each step — ideal diodes).
+# ---------------------------------------------------------------------------
+
+_SRM_PHI = (0.0, 2.0 * math.pi / 3.0, 4.0 * math.pi / 3.0)
+
+
+def srm_ode(mp, state, u_in, omega):
+    eps = state[3]
+    phi = jnp.asarray(_SRM_PHI, dtype=state.dtype)
+    s_k = jnp.sin(eps - phi)
+    l_k = mp["l0"] - mp["l1"] * jnp.cos(eps - phi)
+    dl_dth = mp["p"] * mp["l1"] * s_k
+    i = state[:3]
+    di = (u_in - mp["r_s"] * i - i * dl_dth * omega) / l_k
+    return jnp.concatenate([di, jnp.stack([mp["p"] * omega])])
+
+
+def srm_torque(mp, state):
+    eps = state[3]
+    phi = jnp.asarray(_SRM_PHI, dtype=state.dtype)
+    dl_dth = mp["p"] * mp["l1"] * jnp.sin(eps - phi)
+    i = state[:3]
+    return jnp.sum(0.5 * i * i * dl_dth)
+
+
+def switched_reluctance_motor(motor_parameter=None, nominal_values=None,
+                              limit_values=None, motor_initializer=None
+                              ) -> MotorSpec:
+    """3-phase switched reluctance motor (extension — upstream stub only).
+
+    Parameters: ``r_s`` phase resistance, ``l_min``/``l_max`` unaligned/
+    aligned phase inductance (the sinusoidal profile interpolates),
+    ``p`` rotor pole count (the electrical angle advances at p * omega),
+    ``j_rotor``.  Torque limit = the single-phase maximum
+    0.5 i_lim^2 p l1."""
+    defaults = {"p": 4.0, "r_s": 0.5, "l_min": 12e-3, "l_max": 60e-3,
+                "j_rotor": 5e-3}
+    parameter = update_parameter_dict(defaults, motor_parameter or {})
+    parameter["l0"] = 0.5 * (parameter["l_max"] + parameter["l_min"])
+    parameter["l1"] = 0.5 * (parameter["l_max"] - parameter["l_min"])
+    limits = dict(omega=500.0, torque=0.0, i=20.0, epsilon=math.pi, u=400.0)
+    limits.update(limit_values or {})
+    nominal = dict(omega=300.0, torque=0.0, i=16.0, epsilon=math.pi,
+                   u=400.0)
+    nominal.update(nominal_values or {})
+    limits_agenda, nominal_agenda = {}, {}
+    for k in "abc":
+        limits_agenda[f"u_{k}"] = limits["u"]    # full DC link per phase
+        nominal_agenda[f"u_{k}"] = nominal["u"]
+        limits_agenda[f"i_{k}"] = limits["i"]
+        nominal_agenda[f"i_{k}"] = nominal["i"]
+    limits, nominal = _complete(limits, nominal, limits_agenda,
+                                nominal_agenda)
+    tl = 0.5 * limits["i"] ** 2 * parameter["p"] * parameter["l1"]
+    limits, nominal = _complete(limits, nominal, {"torque": tl})
+    initializer = {"states": {"i_a": 0.0, "i_b": 0.0, "i_c": 0.0,
+                              "epsilon": 0.0},
+                   "interval": None, "random_init": None,
+                   "random_params": (None, None)}
+    initializer.update(motor_initializer or {})
+    return MotorSpec(
+        kind="SRM",
+        ode_states=("i_a", "i_b", "i_c", "epsilon"),
+        currents=("i_a", "i_b", "i_c"),
+        voltages=("u_a", "u_b", "u_c"),
+        parameter=parameter,
+        limits=limits,
+        nominal=nominal,
+        initializer=initializer,
+        initial_limits=dict(nominal),
+        ode=srm_ode,
+        torque=srm_torque,
+        i_in=lambda mp, s: s[:3],
+        jacobian=None,
+        has_jacobian=False,
+    )
+
+
 MOTOR_FACTORIES = {
     "PermExDc": permex_dc,
     "SeriesDc": series_dc,
@@ -684,4 +774,5 @@ MOTOR_FACTORIES = {
     "EESM": eesm,
     "SCIM": scim,
     "DFIM": dfim,
+    "SRM": switched_reluctance_motor,
 }

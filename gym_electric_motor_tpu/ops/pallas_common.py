@@ -161,6 +161,7 @@ _DEFAULT_CONSTRAINT_DESC = {
     "ShuntDc": (("limit", ("i_a",)), ("limit", ("i_e",))),
     "ExtExDc": (("limit", ("i_a",)), ("limit", ("i_e",))),
     "EESM": (("squared", ("i_sq", "i_sd")), ("limit", ("i_e",))),
+    "SRM": (("limit", ("i_a", "i_b", "i_c")),),
 }
 
 

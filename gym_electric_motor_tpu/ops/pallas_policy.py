@@ -856,6 +856,7 @@ def _policy_family(env, R, action_mode="random", randomize=None):
         from .pallas_dfim import _dfim_family
         from .pallas_eesm import _eesm_family
         from .pallas_induction import _induction_family
+        from .pallas_srm import _srm_family
         from .pallas_sync import _sync_family
         _POLICY_FAMILY_NAMESPACES = {
             "PermExDc": _dc_family, "SeriesDc": _dc_family,
@@ -863,6 +864,7 @@ def _policy_family(env, R, action_mode="random", randomize=None):
             "PMSM": _sync_family, "SynRM": _sync_family,
             "SCIM": _induction_family,
             "EESM": _eesm_family, "DFIM": _dfim_family,
+            "SRM": _srm_family,
         }
     kind = env.physical_system.motor.kind
     if randomize:

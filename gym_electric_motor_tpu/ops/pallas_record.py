@@ -57,6 +57,7 @@ from .pallas_rollout import (
     _step_noise,
     _sync_family,
 )
+from .pallas_srm import _srm_family
 
 _FAMILY_NAMESPACES = {
     "dc": _dc_family,
@@ -64,6 +65,7 @@ _FAMILY_NAMESPACES = {
     "induction": _induction_family,
     "eesm": _eesm_family,
     "dfim": _dfim_family,
+    "srm": _srm_family,
 }
 
 
@@ -72,9 +74,9 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     """Build the trajectory-recording rollout for any catalog env.
 
     See the module docstring for semantics.  Every scalar reference kind
-    records in-kernel (wiener/laplace/const/waveforms).  Raises
-    ``KeyError`` for motor kinds without a fused family (the SRM stubs)
-    and ``AssertionError`` for non-fused configurations (nested switched
+    records in-kernel (wiener/laplace/const/waveforms); all TEN motor
+    families are covered (incl. the SRM extension).  Raises
+    ``AssertionError`` for non-fused configurations (nested switched
     generators): those run on the general XLA path.
     """
     assert n_envs % LANE == 0

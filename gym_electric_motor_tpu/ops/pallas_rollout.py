@@ -70,6 +70,10 @@ from .pallas_common import (  # noqa: F401
     _uniform_from_bits,
     _wse_err,
 )
+from .pallas_srm import (  # noqa: F401
+    _srm_family,
+    make_fused_srm_rollout,
+)
 from .pallas_sync import (  # noqa: F401
     _PmsmCtx,
     _sync_family,
@@ -123,6 +127,7 @@ FUSED_FAMILY_BUILDERS = {
     "PMSM": "sync", "SynRM": "sync",
     "SCIM": "induction",
     "EESM": "eesm", "DFIM": "dfim",
+    "SRM": "srm",
 }
 
 
@@ -136,7 +141,8 @@ def fused_state_arity(env, randomize=None):
     kind = ps.motor.kind
     mech = 1 if ps.load.omega_fixed is None else 0
     base = {"PermExDc": 1, "SeriesDc": 1, "ShuntDc": 2, "ExtExDc": 2,
-            "PMSM": 3, "SynRM": 3, "SCIM": 4, "EESM": 4, "DFIM": 5}[kind]
+            "PMSM": 3, "SynRM": 3, "SCIM": 4, "EESM": 4, "DFIM": 5,
+            "SRM": 4}[kind]
     sup = (2 if ps.supply.kind in ("AC1PhaseSupply", "AC3PhaseSupply",
                                    "RCVoltageSupply") else 0)
     # SCIM/DFIM psi_angle dq wrappers carry the flux observer as 2 planes
@@ -163,12 +169,11 @@ def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
     sinusoidal / step / triangle / sawtooth — AND switched compositions),
     as do interlocking dead time, AC1/RC supplies, the OU and
     ExternalSpeedLoad speed loads and the DeadTimeProcessor action delay.
-    Raises ``KeyError`` for motor kinds without a fused family (the SRM
-    stubs — NotImplementedError upstream too) and
+    All TEN motor families are fused — including the SRM extension
+    (upstream stubs it with NotImplementedError).  Raises
     ``NotImplementedError``/``AssertionError`` for the remaining
-    non-fused configurations (AC3 supplies, StateNoise/dq wrappers,
-    reward_power != 1, >3 referenced states): those run on the general
-    XLA path.
+    non-fused configurations (reward_power != 1, >3 referenced states,
+    non-catalog constraint sets): those run on the general XLA path.
     """
     family = FUSED_FAMILY_BUILDERS[env.physical_system.motor.kind]
     build = {
@@ -177,6 +182,7 @@ def make_fused_rollout(env, n_steps, n_envs, action_mode="random",
         "induction": make_fused_induction_rollout,
         "eesm": make_fused_eesm_family_rollout,
         "dfim": make_fused_dfim_family_rollout,
+        "srm": make_fused_srm_rollout,
     }[family]
     if randomize:
         return build(env, n_steps, n_envs, action_mode=action_mode,
@@ -216,7 +222,8 @@ def make_sharded_fused_rollout(env, n_steps, n_envs, mesh, kernel="pmsm",
         "scim": (make_fused_scim_rollout, 4),
         "eesm": (make_fused_eesm_rollout, 4),
         "dfim": (make_fused_dfim_rollout, 5),
-        # the universal dispatch — any of the 54 catalog ids
+        "srm": (make_fused_srm_rollout, fused_state_arity(env)),
+        # the universal dispatch — any of the catalog ids (incl. SRM)
         "auto": (make_fused_rollout, fused_state_arity(env)),
     }
     build, n_state = builders[kernel]

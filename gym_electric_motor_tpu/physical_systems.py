@@ -436,6 +436,96 @@ class DcMotorSystem(SCMLSystem):
 # ---------------------------------------------------------------------------
 
 
+
+@dataclasses.dataclass
+class SRMSystem(SCMLSystem):
+    """Switched-reluctance drive train — EXTENSION (the reference stubs the
+    SRM: envs/gym_srm/*.py raise NotImplementedError on every method).
+
+    ODE state (i_a, i_b, i_c, epsilon) with the sinusoidal-inductance
+    model (models/motors.py:srm_ode); the asymmetric half-bridge applies
+    per-phase {0, +u_sup, -u_sup}.  Two idealizations, both documented:
+    phase currents clamp at zero after each control period (ideal
+    freewheel diodes stop conducting — a demagnetizing voltage cannot
+    drive a phase negative), and the clamp is applied per cycle, not
+    inside the RK4 stages (at tau <= 1e-4 the intra-step undershoot is
+    sub-milliampere)."""
+
+    def _build_state_names(self):
+        return list(self.load.state_names) + [
+            "torque", "i_a", "i_b", "i_c", "u_a", "u_b", "u_c",
+            "epsilon",
+        ] + self._u_sup_names()
+
+    def _build_state_space(self):
+        low = -np.ones(len(self.state_names))
+        high = np.ones(len(self.state_names))
+        for nm in ("i_a", "i_b", "i_c"):      # unipolar phase currents
+            low[self.state_positions[nm]] = 0.0
+        for j in self._u_sup_indices():
+            low[j] = 0.0
+        self.state_space_low = low
+        self.state_space_high = high
+
+    @property
+    def eps_idx(self):
+        return self.n_mech + 3
+
+    def _assemble_reset(self, mech_state, torque, motor_state, u_in, u_sup):
+        return jnp.concatenate([
+            mech_state, jnp.stack([torque]), motor_state[:3], u_in,
+            motor_state[3:4], u_sup,
+        ])
+
+    def simulate(self, ps: PhysicsState, action, noise=None):
+        """Base simulate + the SRM specifics: unipolar current clamp after
+        the period, epsilon wrap, epsilon in the system state."""
+        ode = ps.ode_state
+        mp = ps.mp if ps.mp is not None else self.mp
+        rhs = partial(self._rhs, mp)
+        i_in = self.motor.i_in(mp, ode[self.motor_slice])
+        intervals = self.converter.interval_states(ps.conv_state, action)
+        durations = self.converter.interval_durations()
+        cur = ps.conv_state
+        sup_state = ps.sup_state
+        t = ps.t
+        u_in = None
+        u_sup = None
+        for j, dur in enumerate(durations):
+            if j > 0:
+                i_in = self.motor.i_in(mp, ode[self.motor_slice])
+            i_sup = self.converter.i_sup(cur, action, i_in)
+            u_sup, sup_state = self.supply.get_voltage(self.sp, sup_state,
+                                                       ps.t, i_sup)
+            u_sup = u_sup.astype(self.dtype)
+            u_in = self._u_terminal(intervals[j], action, i_in, u_sup)
+            ode = self.integrate(rhs, ode, t, dur, u_in, noise)
+            cur = intervals[j]
+            t = t + dur
+        # ideal diodes: clamp the phase currents at zero, wrap epsilon
+        i_clamped = jnp.maximum(ode[self.motor_slice][:3], 0.0)
+        eps = ode[self.eps_idx]
+        eps = eps - 2.0 * jnp.pi * jnp.floor((eps + jnp.pi)
+                                             / (2.0 * jnp.pi))
+        ode = jnp.concatenate([ode[: self.n_mech], i_clamped,
+                               jnp.stack([eps])])
+        torque = self.motor.torque(mp, ode[self.motor_slice])
+        system_state = jnp.concatenate([
+            ode[: self.n_mech], jnp.stack([torque]), i_clamped, u_in,
+            jnp.stack([eps]), u_sup,
+        ])
+        new_ps = PhysicsState(
+            ode_state=ode,
+            mp=ps.mp,
+            conv_state=cur,
+            sup_state=sup_state,
+            t=ps.t + self.tau,
+            k=ps.k + 1,
+        )
+        return new_ps, system_state / jnp.asarray(self.limits,
+                                                  dtype=self.dtype)
+
+
 @dataclasses.dataclass
 class SynchronousMotorSystem(SCMLSystem):
     """physical_systems.py:418-561.  ODE in the dq frame; converter voltages
