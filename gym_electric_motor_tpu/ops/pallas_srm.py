@@ -115,14 +115,17 @@ def _srm_family(env, R, action_mode, randomize=None):
 
     PL1 = np.float32(p * l1)
 
-    def _trig(eps):
-        """per-phase sin/cos(eps - phi_k) from ONE sincos(eps)"""
-        ce, se = jnp.cos(eps), jnp.sin(eps)
+    def _trig_cs(ce, se):
+        """per-phase sin/cos(eps - phi_k) from a given (cos eps, sin eps)"""
         s_k = tuple(se * np.float32(cp) - ce * np.float32(sp)
                     for cp, sp in zip(_COS_PHI, _SIN_PHI))
         c_k = tuple(ce * np.float32(cp) + se * np.float32(sp)
                     for cp, sp in zip(_COS_PHI, _SIN_PHI))
         return s_k, c_k
+
+    def _trig(eps):
+        """per-phase sin/cos(eps - phi_k) from ONE sincos(eps)"""
+        return _trig_cs(jnp.cos(eps), jnp.sin(eps))
 
     def torque_of(i3, eps):
         s_k, _c_k = _trig(eps)
@@ -130,14 +133,23 @@ def _srm_family(env, R, action_mode, randomize=None):
                              + i3[1] * i3[1] * s_k[1]
                              + i3[2] * i3[2] * s_k[2]))
 
-    def rhs(core, u3, z, ts, pc):
+    def rhs(core, u3, z, ts, pc, cs=None):
+        """``cs``: optional precomputed (cos eps, sin eps) for this RK4
+        stage — the fixed-speed envs derive it from the carried rotation
+        by COMPILE-TIME stage constants, eliminating all per-stage
+        transcendentals (the mech envs must evaluate sincos of the
+        integrated eps: the inductance profile depends on eps INSIDE the
+        step, there is no rotating-frame trick)."""
         if mech:
             w, ia, ib, ic, eps = core
         else:
             ia, ib, ic, eps = core
             w = omega_fixed
         r_s_v = pc[0]
-        s_k, c_k = _trig(eps)
+        if cs is None:
+            s_k, c_k = _trig(eps)
+        else:
+            s_k, c_k = _trig_cs(cs[0], cs[1])
         i3 = (ia, ib, ic)
         di = tuple(
             (u3[k] - r_s_v * i3[k] - i3[k] * (PL1 * s_k[k]) * w)
@@ -171,17 +183,34 @@ def _srm_family(env, R, action_mode, randomize=None):
     def advance_bridges(bs, action):
         return ()
 
-    def rk4(core, u3, z, dt, pc, t0=None):
+    # fixed-speed stage rotations: eps advances EXACTLY linearly (deps/dt
+    # = p*omega_fixed is state-independent), so the mid/full-stage
+    # (cos, sin)(eps) are the cycle-start rotation rotated by compile-time
+    # constants — zero transcendentals per step on the CC/TC configs
+    CH = SH = CF = SF = None
+    if not mech:
+        CH = np.float32(np.cos(0.5 * tau * p * omega_fixed))
+        SH = np.float32(np.sin(0.5 * tau * p * omega_fixed))
+        CF = np.float32(np.cos(tau * p * omega_fixed))
+        SF = np.float32(np.sin(tau * p * omega_fixed))
+
+    def rk4(core, u3, z, dt, pc, t0=None, cs0=None):
         def axpy(st, k, cc):
             return tuple(si + cc * ki for si, ki in zip(st, k))
 
         tm = te = None
         if t0 is not None:
             tm, te = t0 + 0.5 * dt, t0 + dt
-        k1 = rhs(core, u3, z, t0, pc)
-        k2 = rhs(axpy(core, k1, 0.5 * dt), u3, z, tm, pc)
-        k3 = rhs(axpy(core, k2, 0.5 * dt), u3, z, tm, pc)
-        k4 = rhs(axpy(core, k3, dt), u3, z, te, pc)
+        cs1 = cs2 = cs3 = None
+        if cs0 is not None:
+            c0, s0 = cs0
+            cs1 = (c0 * CH - s0 * SH, s0 * CH + c0 * SH)
+            cs3 = (c0 * CF - s0 * SF, s0 * CF + c0 * SF)
+            cs2 = cs1
+        k1 = rhs(core, u3, z, t0, pc, cs0)
+        k2 = rhs(axpy(core, k1, 0.5 * dt), u3, z, tm, pc, cs1)
+        k3 = rhs(axpy(core, k2, 0.5 * dt), u3, z, tm, pc, cs2)
+        k4 = rhs(axpy(core, k3, dt), u3, z, te, pc, cs3)
         return tuple(
             si + (dt / 6.0) * (a1 + 2.0 * (a2 + a3) + a4)
             for si, a1, a2, a3, a4 in zip(core, k1, k2, k3, k4)
@@ -202,7 +231,10 @@ def _srm_family(env, R, action_mode, randomize=None):
         if _u_idx is not None:
             u_sup_val = pp[_u_idx]
         u3 = tuple(f * u_sup_val for f in fr)
-        new_core = rk4(core, u3, z, np.float32(tau), pc, t0)
+        # fixed-speed: (c, s) IS cos/sin(eps) at cycle start (the carried
+        # rotation in the reducing kernel; fresh sincos elsewhere)
+        cs0 = None if mech else (c, s)
+        new_core = rk4(core, u3, z, np.float32(tau), pc, t0, cs0)
         # ideal-diode clamp: phase currents stay >= 0 (SRMSystem.simulate)
         off = 1 if mech else 0
         clamped = tuple(jnp.maximum(new_core[off + k], 0.0)

@@ -695,7 +695,7 @@ def tc_textbook_ppo():
 def srm_family_on_chip():
     """The SRM EXTENSION family (upstream only stubs switched-reluctance
     envs) Mosaic-compiles and learns on the chip: the fused kernel runs
-    the sinusoidal-inductance physics at ~3.3B env-steps/s (16k envs,
+    the sinusoidal-inductance physics at ~6.8B env-steps/s (16k envs,
     1M-step launch), and the fused DQN (3x3x3 factorized Boltzmann
     heads) takes Finite-CC-SRM tracking from -0.39 to better than -0.18
     within 2400 iterations (~10 s; measured -0.153, PPO reaches -0.095
