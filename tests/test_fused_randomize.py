@@ -466,3 +466,44 @@ def test_fused_randomize_u_sup_needs_ideal_supply():
     with pytest.raises(NotImplementedError, match="Ideal"):
         make_fused_dc_rollout(env, 8, N,
                               randomize={"u_sup": (500.0, 600.0)})
+
+
+def test_fused_randomize_srm_buffer_parity():
+    """SRM (extension family): per-env r_s planes — the winding
+    temperature-drift axis — match the XLA dynamic-params env, incl.
+    through the unipolar diode clamp."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_srm_rollout)
+
+    env = gemx.make_functional(
+        "Cont-CC-SRM-v0",
+        reference_generator=rg.ConstReference("i_a", 0.1))
+    envd = gemx.make_functional(
+        "Cont-CC-SRM-v0", dynamic_params=True,
+        reference_generator=rg.ConstReference("i_a", 0.1))
+    mp = env.physical_system.motor.parameter
+    rng = np.random.default_rng(13)
+    r_s = (mp["r_s"] * rng.uniform(0.7, 1.4, N)).astype(np.float32)
+    actions = rng.uniform(-0.4, 0.4, size=(T, 3, 1, 128)).astype(np.float32)
+
+    roll = make_fused_srm_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"r_s": (float(r_s.min()), float(r_s.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    # state planes: (i_a, i_b, i_c, eps, r_s)
+    out = roll(zero, zero, zero, zero,
+               jnp.asarray(r_s.reshape(1, 128)), jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(envd.reset))(keys)
+    state = _with_params(state, r_s=r_s)
+    step = jax.jit(jax.vmap(envd.step))
+    for t in range(T):
+        state, _o, _r, _term = step(
+            state, jnp.asarray(actions[t].reshape(3, N).T))
+    ode = np.asarray(state.phys.ode_state)
+    # ode rows (const-speed load): [omega, i_a, i_b, i_c, eps]
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, 1 + k], rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out[4]).reshape(N), r_s)

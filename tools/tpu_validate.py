@@ -726,6 +726,25 @@ def srm_family_on_chip():
     assert last > -0.18, (first, last)
     assert last > first + 0.12, (first, last)
 
+    # continuous SRM: SAC with the default recipe reaches -0.089 in 1200
+    # iterations (TD3's default pacing COLLAPSES into the violation basin
+    # after improving to -0.32; actor_lr=5e-5 is stable at -0.23 — SAC's
+    # stochastic collection is the right tool on this env)
+    from gym_electric_motor_tpu.parallel.sharded import (
+        make_fused_sac_trainer)
+
+    env_c = gemx.make_functional("Cont-CC-SRM-v0")
+    init_s, train_s = make_fused_sac_trainer(
+        env_c, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
+        n_updates=16, mb_envs=64)
+    carry = init_s(jax.random.PRNGKey(1))
+    carry, rs0, _ = train_s(carry, 3, 50)
+    first = float(np.asarray(rs0)[:5].mean())
+    carry, rs, _ = train_s(carry, 53, 1150)
+    last = float(np.asarray(rs)[-10:].mean())
+    assert last > -0.14, ("sac", first, last)
+    assert last > first + 0.25, ("sac", first, last)
+
 
 def auto_segmentation_600x16k():
     """A single ``train(carry, seed, 600)`` call at 16384 envs completes
