@@ -590,7 +590,8 @@ def main():
         ids = (spec.split(",") if "-v0" in spec
                else ("Finite-CC-PermExDc-v0", "Cont-SC-ShuntDc-v0",
                      "Finite-TC-PMSM-v0", "Finite-CC-SCIM-v0",
-                     "Cont-CC-EESM-v0", "Finite-TC-DFIM-v0"))
+                     "Cont-CC-EESM-v0", "Finite-TC-DFIM-v0",
+                     "Finite-CC-SRM-v0"))
         budget = float(os.environ.get("BENCH_RECORD_GIB", 7.0)) * 2**30
         best_r = 0.0
         for env_id in ids:
