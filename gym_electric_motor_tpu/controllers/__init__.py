@@ -9,7 +9,8 @@ env batches and scanned over time on device.
 """
 
 from . import readers
+from .srm import SRMCommutationController  # noqa: F401
 from .controller import GemController
 from .reference_plotter import ReferencePlotter
 
-__all__ = ["GemController", "ReferencePlotter", "readers"]
+__all__ = ["GemController", "SRMCommutationController", "ReferencePlotter", "readers"]

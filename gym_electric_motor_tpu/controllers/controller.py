@@ -144,6 +144,15 @@ class GemController:
         if env_id is None:
             env_id = _detect_env_id(env)
         action_type, control_task, motor_type = readers.split_env_id(env_id)
+        if motor_type == "SRM":
+            # the dq cascade does not apply to a switched-reluctance
+            # machine — route to the commutation controller (EXTENSION;
+            # the reference has no SRM controller because it stubs the
+            # whole family)
+            from .srm import SRMCommutationController
+
+            return SRMCommutationController.make(
+                env, env_id, current_safety_margin=current_safety_margin)
         # DFIM is an extension beyond the reference (upstream KeyError at
         # parameter_reader.voltages["DFIM"]): the cascade drives the stator
         # like a SCIM while the rotor converter is held at zero differential
