@@ -285,3 +285,27 @@ def test_psi_wrapper_arity_planes_and_trainer():
                                         randomize=rnd)
     out = roll(5, *planes)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_dq_wrapper_dead_time_two_steps():
+    """steps=2 composition: the deque carries TWO converted-duty
+    generations (advance bumps to 2.5) — parity vs the XLA chain."""
+    from gym_electric_motor_tpu import wrappers as wr
+    from gym_electric_motor_tpu.ops.pallas_rollout import make_fused_rollout
+
+    env = gemx.make_functional(
+        "Cont-CC-PMSM-v0",
+        physical_system_wrappers=(wr.DeadTimeProcessor(steps=2),
+                                  wr.DqToAbcActionProcessor.make("PMSM")),
+        reference_generator=rg.ConstReference("i_sd", 0.2))
+    assert env.physical_system._angle_advance == 2.5
+    rng = np.random.default_rng(5)
+    acts = rng.uniform(-0.3, 0.3, size=(T, 2, 1, 128)).astype(np.float32)
+    roll = make_fused_rollout(env, T, N, action_mode="buffer",
+                              interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(z, z, z, jnp.asarray(acts))
+    ode = _ode_of_final(env, acts)
+    for k, c in ((0, 1), (1, 2)):
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, c], rtol=1e-4, atol=2e-3)

@@ -659,7 +659,16 @@ def tc_textbook_ppo():
     vf_coef=1e-4 learns (no value function), while variance-normalized
     and relative (mse/stop_grad(mse)) value losses still collapse at
     vf_coef=0.5.  gamma=0.9 recipes survive sharing only because their
-    return offsets are ~10x smaller."""
+    return offsets are ~10x smaller.
+
+    Scope: the fix covers the DC + synchronous families (SeriesDc-TC
+    reaches -0.044, Cont-TC-PMSM -0.136 at the same settings).
+    Induction-family TC is limited by ENV STRUCTURE, not the trainer:
+    the rotor-flux time constant (~100 ms = 10k steps at tau=1e-5) puts
+    flux-buildup credit beyond any practical discount horizon —
+    Finite-TC-SCIM is flat at every recipe probed (docs/parallel.md).
+    The reference's own RL notebooks never attempt ANY torque task
+    (both are CurrentControl configs)."""
     from gym_electric_motor_tpu.parallel.sharded import (
         init_actor_critic_params, make_fused_ppo_trainer)
     from gym_electric_motor_tpu.ops.pallas_policy import (
