@@ -816,6 +816,28 @@ def main():
         _log(f"Cont-SC-PermExDc-v0 speed-cascade-in-the-loop (fused "
              f"Pallas): {v / 1e6:.1f}M controlled env-steps/s")
 
+        # fused SRM COMMUTATION-CASCADE-in-the-loop (PI speed ->
+        # single-pulse commutation -> hysteresis current regulation;
+        # the SRM family + controller are extensions, upstream stubs both)
+        from gym_electric_motor_tpu.ops.pallas_rollout import (
+            fused_state_arity as _fsa,
+            make_fused_srm_cascade_rollout,
+        )
+
+        esrm = gemx.make_functional("Finite-SC-SRM-v0")
+        ctrl_s = GemController.make(esrm, "Finite-SC-SRM-v0")
+        _n_srm = _fsa(esrm)
+        v = _measure_fused_kernel(
+            "Finite-SC-SRM-v0/closed-loop",
+            lambda: make_fused_srm_cascade_rollout(esrm, ctrl_s, n_steps,
+                                                   N_ENVS),
+            lambda r, seed, _n=_n_srm: float(
+                r(seed, *([z] * _n))[_n].sum()),
+            n_steps,
+        )
+        _log(f"Finite-SC-SRM-v0 commutation-cascade-in-the-loop (fused "
+             f"Pallas): {v / 1e6:.1f}M controlled env-steps/s")
+
         # fused policy-network-in-the-loop (RL evaluation / data collection)
         from gym_electric_motor_tpu.parallel.sharded import init_policy_params
         from gym_electric_motor_tpu.ops.pallas_rollout import (

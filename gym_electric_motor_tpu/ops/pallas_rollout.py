@@ -72,6 +72,7 @@ from .pallas_common import (  # noqa: F401
 )
 from .pallas_srm import (  # noqa: F401
     _srm_family,
+    make_fused_srm_cascade_rollout,
     make_fused_srm_rollout,
 )
 from .pallas_sync import (  # noqa: F401

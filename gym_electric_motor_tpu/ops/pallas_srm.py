@@ -563,3 +563,176 @@ def make_fused_srm_rollout(env, n_steps, n_envs, action_mode="random",
         )(jnp.asarray([seed], jnp.int32), *state0)
 
     return rollout
+
+
+def make_fused_srm_cascade_rollout(env, ctrl, n_steps, n_envs,
+                                   interpret=False):
+    """Fused closed-loop SPEED-CONTROL commutation cascade for the SRM:
+    the whole :class:`controllers.srm.SRMCommutationController` SC chain —
+    anti-windup PI speed loop, single-pulse commutation with the sqrt
+    torque linearization, per-phase hysteresis current regulation on the
+    asymmetric bridge — runs in-kernel against the family physics, with
+    the env's reference process, WSE reward, limit constraint and
+    in-kernel auto-reset.  The speed integrator persists across episode
+    resets, exactly as ``control_environment`` carries ``cs``.
+
+    ``ctrl`` must be ``GemController.make(env, "Finite-SC-SRM-v0")``
+    (routed to the commutation controller).  Build the env with a
+    ``ConstReference('omega', v)`` for the deterministic validation path.
+
+    ``rollout(seed, *state0) -> (*states, reward_sum, term_count, rv,
+    rk, rl, rs, integ)``; states = (omega, i_a, i_b, i_c, eps, ...).
+    """
+    from ..controllers.srm import SRMCommutationController
+
+    assert isinstance(ctrl, SRMCommutationController)
+    assert ctrl.control_task == "SC" and ctrl.action_type == "Finite"
+    assert n_envs % LANE == 0
+    R = n_envs // LANE
+    fs = _srm_family(env, R, "random")
+    assert fs.observe is None, (
+        "the in-kernel cascade rejects StateNoiseProcessor — use the XLA "
+        "control_environment")
+    assert fs.mech and fs.finite and fs.n_ref == 1
+    assert fs.ref_cfg[0]["name"] == "omega"
+    n_state, shape, shape_r = fs.n_state, fs.shape, fs.shape_r
+    n_rows, ref_cfg = fs.n_rows, fs.ref_cfg
+    bias, violation_reward = fs.bias, fs.violation_reward
+    i_eps = fs.i_eps
+    n_bs = fs.n_bridge
+    assert n_bs == 0, "wrapper planes are not supported in the cascade"
+    physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
+    has_wf = _ref_needs_wf(ref_cfg)
+    PI_F = np.float32(np.pi)
+
+    # controller constants (host floats -> compile-time)
+    KP_W, KI_W = np.float32(ctrl.kp_w), np.float32(ctrl.ki_w)
+    T_MAX = np.float32(ctrl.t_max)
+    W_LIM = np.float32(ctrl.w_lim)
+    I_LIM = np.float32(ctrl.i_lim)
+    TAU_C = np.float32(ctrl.tau)
+    PL1 = np.float32(ctrl.p * ctrl.l1)
+    THETA_ON = np.float32(ctrl.theta_on)
+    HYST = np.float32(ctrl.hysteresis)
+    I_MAX = np.float32((1.0 - ctrl.current_margin) * ctrl.i_lim)
+    CPH = tuple(np.float32(v) for v in _COS_PHI)
+    SPH = tuple(np.float32(v) for v in _SIN_PHI)
+
+    def control(cur, integ, w_ref_n):
+        """the SC commutation law on raw state planes -> (integ', action
+        tuple) — branch-free port of SRMCommutationController.control"""
+        w = cur[0]
+        w_err = (w_ref_n - w * (1.0 / W_LIM)) * W_LIM
+        t_raw = KP_W * w_err + integ
+        t_ref = jnp.clip(t_raw, -T_MAX, T_MAX)
+        integ = integ + jnp.where(t_raw == t_ref, KI_W * w_err * TAU_C,
+                                  0.0)
+        eps = cur[i_eps]
+        ce, se = jnp.cos(eps), jnp.sin(eps)
+        sign = jnp.sign(t_ref)
+        s_k = tuple(se * cp - ce * sp for cp, sp in zip(CPH, SPH))
+        gain = tuple(sk * sign for sk in s_k)
+        gmax = jnp.maximum(gain[0], jnp.maximum(gain[1], gain[2]))
+        acts = []
+        for k in range(3):
+            fire = (gain[k] > THETA_ON) & (gain[k] >= gmax)
+            i_cmd = jnp.sqrt(2.0 * jnp.abs(t_ref)
+                             / (PL1 * jnp.maximum(jnp.abs(s_k[k]),
+                                                  np.float32(0.05))))
+            i_star_n = jnp.where(fire, jnp.minimum(i_cmd, I_MAX),
+                                 0.0) * (1.0 / I_LIM)
+            i_n = cur[1 + k] * (1.0 / I_LIM)
+            mag = i_n < i_star_n - HYST
+            dem = i_n > i_star_n + HYST
+            hold = jnp.where(i_star_n > np.float32(1e-6), 0, 2)
+            acts.append(jnp.where(mag, 1,
+                                  jnp.where(dem, 2, hold)).astype(
+                jnp.int32))
+        return integ, tuple(acts)
+
+    def kernel(seed_ref, *refs):
+        state0 = refs[:n_state]
+        out_state = refs[n_state: 2 * n_state]
+        (out_reward, out_terms, out_rv, out_rk, out_rl, out_rs,
+         out_integ) = refs[2 * n_state: 2 * n_state + 7]
+        scratch = refs[2 * n_state + 7:]
+        rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
+        j = 5
+        za_ref = zb_ref = None
+        if n_rows == 1:
+            za_ref, zb_ref = scratch[j], scratch[j + 1]
+            j += 2
+        wf_ref = scratch[-1] if has_wf else None
+        seed, bits = _make_rng(interpret, rng_ref)
+        seed(seed_ref[0])
+        for o, s in zip(out_state, state0):
+            o[:] = s[:]
+        out_reward[:] = jnp.zeros(shape, jnp.float32)
+        out_terms[:] = jnp.zeros(shape, jnp.float32)
+
+        w_init, w_advance = _make_wiener(bits, ref_cfg, R, shape, shape_r,
+                                         rv_ref, rk_ref, rl_ref, rs_ref,
+                                         za_ref, zb_ref, wf_ref)
+        w_init()
+
+        def body(t, integ):
+            cur = tuple(o[:] for o in out_state)
+            w_ref_n = rv_ref[:][:R]
+            integ, action = control(cur, integ, w_ref_n)
+            z = _step_noise(fs.needs_step_noise, bits, shape)
+            c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
+            state = physics_step(cur, action, c, s, z, None)
+            eps = state[i_eps]
+            eps = eps - np.float32(TWO_PI) * jnp.floor(
+                (eps + PI_F) * np.float32(1.0 / TWO_PI))
+            state = state[:i_eps] + (eps,) + state[i_eps + 1:]
+
+            violated = fs.violated(state)
+            wse = bias - _wse_err(ref_cfg[0], ref_quantity(state, 0),
+                                  rv_ref[:][:R])
+            reward = jnp.where(violated, violation_reward, wse)
+            out_reward[:] = out_reward[:] + reward
+            out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            for o, s2, r0 in zip(out_state, state, fs.reset_state(bits)):
+                o[:] = jnp.where(violated, r0, s2)
+            w_advance(t, violated)
+            # the integrator persists across resets (control_environment
+            # carries cs through autoreset)
+            return integ
+
+        integ = jax.lax.fori_loop(0, n_steps, body,
+                                  jnp.zeros(shape, jnp.float32))
+        out_integ[:] = integ
+        out_rv[:] = rv_ref[:]
+        out_rk[:] = rk_ref[:]
+        out_rl[:] = rl_ref[:]
+        out_rs[:] = rs_ref[:]
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(n_state + 2))
+                  + tuple(jax.ShapeDtypeStruct(shape_r, jnp.float32)
+                          for _ in range(4))
+                  + (jax.ShapeDtypeStruct(shape, jnp.float32),))
+    scratch_shapes = (
+        [pltpu.VMEM(shape_r, jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM(shape_r, jnp.uint32)]
+        + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
+           if n_rows == 1 else [])
+        + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
+           if has_wf else [])
+    )
+
+    @jax.jit
+    def rollout(seed, *state0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [vmem] * n_state),
+            out_specs=tuple(vmem for _ in range(len(out_shapes))),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), *state0)
+
+    return rollout

@@ -189,3 +189,32 @@ def test_srm_fused_random_and_trainer():
     assert np.isfinite(np.asarray(ls)).all()
     # three int8 action columns (one per phase) land in the replay ring
     assert carry[4][2].shape[-1] == 3
+
+
+def test_srm_fused_cascade_matches_control_environment():
+    """The in-kernel SC commutation cascade (PI speed loop + single-pulse
+    commutation + hysteresis regulation) matches control_environment on
+    the mean reward EXACTLY with a const reference (zero violations,
+    identical final omega)."""
+    from gym_electric_motor_tpu.controllers import GemController
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        fused_state_arity, make_fused_srm_cascade_rollout)
+
+    env = gemx.make_functional(
+        "Finite-SC-SRM-v0",
+        reference_generator=rg.ConstReference("omega", 0.4))
+    ctrl = GemController.make(env, "Finite-SC-SRM-v0")
+    n_state = fused_state_arity(env)
+    T2 = 3000
+    roll = make_fused_srm_cascade_rollout(env, ctrl, T2, N, interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(5, *([z] * n_state))
+    r_mean = float(np.asarray(out[n_state]).mean()) / T2
+    assert float(np.asarray(out[n_state + 1]).sum()) == 0.0
+    oc = ctrl.control_environment(env, T2)
+    np.testing.assert_allclose(r_mean,
+                               float(np.asarray(oc["rewards"]).mean()),
+                               atol=2e-5)
+    om_kernel = float(np.asarray(out[0]).reshape(N)[0])
+    om_xla = float(np.asarray(oc["states"])[-1, 0] * ctrl.w_lim)
+    np.testing.assert_allclose(om_kernel, om_xla, rtol=1e-4)

@@ -742,6 +742,21 @@ def srm_family_on_chip():
     from gym_electric_motor_tpu.parallel.sharded import (
         make_fused_sac_trainer)
 
+    # closed-loop commutation cascade in-kernel: 3.7B controlled
+    # env-steps/s; tracks a Wiener speed reference at ~-0.04 mean reward
+    from gym_electric_motor_tpu.controllers import GemController
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_srm_cascade_rollout)
+
+    env_sc = gemx.make_functional("Finite-SC-SRM-v0")
+    ctrl = GemController.make(env_sc, "Finite-SC-SRM-v0")
+    n_sc = fused_state_arity(env_sc)
+    roll_c = make_fused_srm_cascade_rollout(env_sc, ctrl, 16384, 2048)
+    out = roll_c(7, *([z16] * n_sc))
+    r_mean = float(np.asarray(out[n_sc]).mean()) / 16384
+    assert -0.2 < r_mean < 0.0, r_mean  # tracks omega incl. the spin-up
+    # transient from standstill (16k steps = 164 ms; steady state ~-0.04)
+
     env_c = gemx.make_functional("Cont-CC-SRM-v0")
     init_s, train_s = make_fused_sac_trainer(
         env_c, hidden=32, horizon=256, n_envs=2048, replay_slots=4,
