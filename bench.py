@@ -56,14 +56,22 @@ if _MESH_N:
     # that were really one TPU with 8x the batch).
     import subprocess
 
+    _probe_failed = False
     try:
         _probe = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(len(jax.devices()))"],
-            capture_output=True, text=True, timeout=180)
+            capture_output=True, text=True, timeout=300)
         _n_real = int(_probe.stdout.strip().splitlines()[-1])
-    except Exception:
-        _n_real = 1
+    except Exception as _e:
+        # A failed probe must NOT silently masquerade CPU numbers as
+        # real-mesh rows (the exact artifact this probe exists to
+        # prevent): fall back to CPU but say so loudly, and
+        # measure_mesh persists mesh/is_virtual_cpu either way.
+        print(f"[mesh] device probe FAILED ({_e!r}); assuming 1 real "
+              "device and benchmarking the VIRTUAL CPU mesh",
+              file=sys.stderr)
+        _n_real, _probe_failed = 1, True
     if _n_real < _MESH_N:
         # the axon sitecustomize ignores JAX_PLATFORMS; the config update
         # works because no device query has happened yet in THIS process
@@ -289,6 +297,10 @@ def measure_mesh(n_devices):
         return best
 
     RESULTS["mesh/host_cores"] = float(os.cpu_count() or 0)
+    # 1.0 = virtual CPU mesh (the CI fallback); 0.0 = real devices.  Keys
+    # like mesh/8dev are meaningless without this tag (round-5 finding:
+    # a silent fallback once recorded one-chip numbers as mesh rows).
+    RESULTS["mesh/is_virtual_cpu"] = float(jax.default_backend() == "cpu")
 
     # ---- XLA ShardedVectorEnv tier -------------------------------------
     dev_counts = sorted({d for d in (1, 2, 4, n_devices) if d <= n_devices})

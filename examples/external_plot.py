@@ -71,6 +71,12 @@ def main():
     # current error produces the duty command.
     (state, ref), _ = env.reset(seed=0)
     integ = 0.0
+    # A HOST loop is the point here (exception to the repo's scan-your-
+    # example-loops rule): the dashboard's live path is the per-step
+    # callback bus, and ExternalPlot.add_data feeds host ring buffers a
+    # lax.scan cannot write to.  The script pins the CPU backend above,
+    # so 6000 eager steps take ~2 s (per-step dispatch through the
+    # remote TPU tunnel would take minutes).
     for t in range(args.steps):
         omega, cur = float(state[i_omega]), float(state[i_i])
         err = 0.4 - omega

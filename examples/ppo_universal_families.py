@@ -70,12 +70,15 @@ def main(env_id="Finite-CC-PermExDc-v0", n_iters=600):
     seed, t0 = 3, time.time()
     # chunked host loop only for progress prints (train() itself
     # auto-segments the compiled scan for axon worker stability)
-    for seg in range(max(1, n_iters // 50)):
+    done_iters = 0
+    while done_iters < n_iters:
+        n = min(50, n_iters - done_iters)
         params, opt_state, planes, rs = train(params, opt_state, planes,
-                                              seed, min(50, n_iters))
-        seed += 50
+                                              seed, n)
+        seed += n
+        done_iters += n
         rs = np.asarray(rs)
-        print(f"  iters {seg * 50:4d}+: mean tracking reward "
+        print(f"  iters {done_iters - n:4d}+: mean tracking reward "
               f"{rs[:5].mean():+.4f} -> {rs[-5:].mean():+.4f}")
     dt = time.time() - t0
     total = n_iters * n_envs * horizon

@@ -151,8 +151,12 @@ class GemController:
             # whole family)
             from .srm import SRMCommutationController
 
+            # `a` maps to the same symmetric-optimum damping as the dq
+            # cascade's speed stage; decoupling/base_current_controller
+            # have no commutation-control counterpart and are ignored.
             return SRMCommutationController.make(
-                env, env_id, current_safety_margin=current_safety_margin)
+                env, env_id, current_safety_margin=current_safety_margin,
+                a=a)
         # DFIM is an extension beyond the reference (upstream KeyError at
         # parameter_reader.voltages["DFIM"]): the cascade drives the stator
         # like a SCIM while the rotor converter is held at zero differential

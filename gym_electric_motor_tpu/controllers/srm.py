@@ -72,7 +72,7 @@ class SRMCommutationController:
     ki_t: float = 400.0
 
     @classmethod
-    def make(cls, env, env_id, current_safety_margin=0.2):
+    def make(cls, env, env_id, current_safety_margin=0.2, a=4):
         action_type, control_task, motor_type = readers.split_env_id(env_id)
         assert motor_type == "SRM"
         names = list(env.state_names)
@@ -85,7 +85,7 @@ class SRMCommutationController:
         # speed PI by the symmetric optimum on the mechanical integrator
         # (same tuning rule as the dq cascade's speed stage): bandwidth
         # well under the commutation frequency
-        a, tau_w = 4.0, 50.0 * tau
+        a, tau_w = float(a), 50.0 * tau
         kp_w = j_total / (a * tau_w)
         ki_w = kp_w / (a**2 * tau_w)
         return cls(

@@ -127,11 +127,17 @@ def _srm_family(env, R, action_mode, randomize=None):
         """per-phase sin/cos(eps - phi_k) from ONE sincos(eps)"""
         return _trig_cs(jnp.cos(eps), jnp.sin(eps))
 
-    def torque_of(i3, eps):
-        s_k, _c_k = _trig(eps)
+    def _tq(i3, s_k):
+        """reluctance torque from the per-phase slope sines — the ONE
+        torque expression shared by the integrator rhs, the reward path
+        and any future saturation term"""
         return PL1 * (0.5 * (i3[0] * i3[0] * s_k[0]
                              + i3[1] * i3[1] * s_k[1]
                              + i3[2] * i3[2] * s_k[2]))
+
+    def torque_of(i3, eps):
+        s_k, _c_k = _trig(eps)
+        return _tq(i3, s_k)
 
     def rhs(core, u3, z, ts, pc, cs=None):
         """``cs``: optional precomputed (cos eps, sin eps) for this RK4
@@ -158,8 +164,7 @@ def _srm_family(env, R, action_mode, randomize=None):
         deps = np.float32(p) * w if mech else np.float32(p * omega_fixed) + 0.0 * eps
         if not mech:
             return di + (deps,)
-        tq = PL1 * (0.5 * (ia * ia * s_k[0] + ib * ib * s_k[1]
-                           + ic * ic * s_k[2]))
+        tq = _tq(i3, s_k)
         if j_rand:
             dw = mload.mech_rhs_j(w, tq, z, pc[-1])
         elif mload.needs_time:
@@ -191,8 +196,7 @@ def _srm_family(env, R, action_mode, randomize=None):
     if not mech:
         CH = np.float32(np.cos(0.5 * tau * p * omega_fixed))
         SH = np.float32(np.sin(0.5 * tau * p * omega_fixed))
-        CF = np.float32(np.cos(tau * p * omega_fixed))
-        SF = np.float32(np.sin(tau * p * omega_fixed))
+        CF, SF = COS_D, SIN_D    # full-stage rotation == the per-cycle one
 
     def rk4(core, u3, z, dt, pc, t0=None, cs0=None):
         def axpy(st, k, cc):

@@ -303,9 +303,9 @@ class ExternalPlot(TimePlot):
             self.add_labels = list(labels["add_label"])
 
     def add_data(self, data):
-        """Push one sample: ``[state]``, ``[state, ref]`` (referenced) or
-        ``[state, (ref,), add_1, ..., add_n]`` — the reference's calling
-        convention (external_plot.py:121-141)."""
+        """Push one FLAT sample: ``[state]``, ``[state, ref]``
+        (referenced) or ``[state, ref, add_1, ..., add_n]`` — the
+        reference's calling convention (external_plot.py:121-141)."""
         data = list(np.atleast_1d(np.asarray(data, dtype=float)))
         expected = 1 + int(self._referenced) + self._n_add
         assert len(data) == expected, (
@@ -315,8 +315,8 @@ class ExternalPlot(TimePlot):
         self._pending = data
 
     def on_step_end(self, k, state, reference, reward, terminated):
+        i = self._k % self._x_width
         if self._pending is not None:
-            i = self._k % self._x_width
             vals = self._pending
             self._values[i] = vals[0]
             if self._referenced:
@@ -324,6 +324,12 @@ class ExternalPlot(TimePlot):
             for j in range(self._n_add):
                 self._adds[j, i] = vals[1 + int(self._referenced) + j]
             self._pending = None
+        else:
+            # no sample pushed this step: blank the ring slot so the
+            # plot shows a gap instead of a value from one window ago
+            self._values[i] = np.nan
+            self._refs[i] = np.nan
+            self._adds[:, i] = np.nan
         super().on_step_end(k, state, reference, reward, terminated)
 
     def render(self):

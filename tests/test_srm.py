@@ -19,6 +19,19 @@ from gym_electric_motor_tpu import references as rg
 T, N = 40, 128
 
 
+def test_reference_id_partition():
+    """The catalog keeps the reference's 54 ids separable from the 6 SRM
+    extension ids (REFERENCE_MOTORS is the contract the interop and
+    parity layers rely on)."""
+    from gym_electric_motor_tpu.envs.catalog import (
+        ENV_IDS, REFERENCE_MOTORS)
+
+    ref_ids = [i for i in ENV_IDS if i.split("-")[2] in REFERENCE_MOTORS]
+    assert len(ENV_IDS) == 60 and len(ref_ids) == 54
+    assert all("SRM" not in i for i in ref_ids)
+    assert sum("SRM" in i for i in ENV_IDS) == 6
+
+
 def test_reference_stubs_srm():
     """Upstream SRM envs are unusable: every method raises."""
     import os
