@@ -687,9 +687,28 @@ def dfim(**kwargs) -> MotorSpec:
 #
 # Phase currents are UNIPOLAR (the asymmetric half-bridge conducts one
 # direction; the system clamps i >= 0 after each step — ideal diodes).
+#
+# MAGNETIC SATURATION (opt-in, ``motor_parameter={"psi_s": ...}``): the
+# exponential flux model (Torrey/Lang-style analytic saturating SRM)
+#
+#   psi_k(eps, i) = psi_s (1 - exp(-i L_k / psi_s))
+#   u = R i + (dpsi/di) di/dt + (dpsi/deps_mech) omega
+#     => di/dt = (u - R i - i L'_k omega e^{-x}) / (L_k e^{-x}),
+#        x = i L_k / psi_s
+#   T = sum_k dW'_k/dth = sum_k (L'_k psi_s^2 / L_k^2)
+#                              [(1 - e^{-x}) - x e^{-x}]
+#     (coenergy W' = psi_s i + (psi_s^2/L)(e^{-x} - 1); the small-x limit
+#      recovers the linear 1/2 i^2 L' exactly).
+#
+# psi_s absent/None selects the linear model (bit-identical behavior).
 # ---------------------------------------------------------------------------
 
 _SRM_PHI = (0.0, 2.0 * math.pi / 3.0, 4.0 * math.pi / 3.0)
+
+
+def _srm_sat(mp):
+    v = mp.get("psi_s", None)
+    return None if v is None or float(v) <= 0.0 else v
 
 
 def srm_ode(mp, state, u_in, omega):
@@ -699,7 +718,12 @@ def srm_ode(mp, state, u_in, omega):
     l_k = mp["l0"] - mp["l1"] * jnp.cos(eps - phi)
     dl_dth = mp["p"] * mp["l1"] * s_k
     i = state[:3]
-    di = (u_in - mp["r_s"] * i - i * dl_dth * omega) / l_k
+    psi_s = _srm_sat(mp)
+    if psi_s is None:
+        di = (u_in - mp["r_s"] * i - i * dl_dth * omega) / l_k
+    else:
+        e = jnp.exp(-i * l_k / psi_s)      # incremental-saturation factor
+        di = (u_in - mp["r_s"] * i - i * dl_dth * omega * e) / (l_k * e)
     return jnp.concatenate([di, jnp.stack([mp["p"] * omega])])
 
 
@@ -708,7 +732,14 @@ def srm_torque(mp, state):
     phi = jnp.asarray(_SRM_PHI, dtype=state.dtype)
     dl_dth = mp["p"] * mp["l1"] * jnp.sin(eps - phi)
     i = state[:3]
-    return jnp.sum(0.5 * i * i * dl_dth)
+    psi_s = _srm_sat(mp)
+    if psi_s is None:
+        return jnp.sum(0.5 * i * i * dl_dth)
+    l_k = mp["l0"] - mp["l1"] * jnp.cos(eps - phi)
+    x = i * l_k / psi_s
+    e = jnp.exp(-x)
+    return jnp.sum((dl_dth * psi_s**2 / (l_k * l_k))
+                   * ((1.0 - e) - x * e))
 
 
 def switched_reluctance_motor(motor_parameter=None, nominal_values=None,
@@ -722,8 +753,12 @@ def switched_reluctance_motor(motor_parameter=None, nominal_values=None,
     ``j_rotor``.  Torque limit = the single-phase maximum
     0.5 i_lim^2 p l1."""
     defaults = {"p": 4.0, "r_s": 0.5, "l_min": 12e-3, "l_max": 60e-3,
-                "j_rotor": 5e-3}
+                "j_rotor": 5e-3, "psi_s": None}
     parameter = update_parameter_dict(defaults, motor_parameter or {})
+    if parameter.get("psi_s") is None:
+        # absent key selects the linear model (mp() would turn None into
+        # nan and silently poison the ODE)
+        parameter.pop("psi_s", None)
     parameter["l0"] = 0.5 * (parameter["l_max"] + parameter["l_min"])
     parameter["l1"] = 0.5 * (parameter["l_max"] - parameter["l_min"])
     limits = dict(omega=500.0, torque=0.0, i=20.0, epsilon=math.pi, u=400.0)

@@ -114,6 +114,12 @@ def _srm_family(env, R, action_mode, randomize=None):
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
 
     PL1 = np.float32(p * l1)
+    # magnetic saturation (opt-in psi_s — see models/motors.py): the
+    # exponential flux model's incremental factor e = exp(-i L / psi_s)
+    # scales both the back-EMF term and the incremental inductance; the
+    # torque uses the coenergy form.  psi_s absent = linear model.
+    PSI_S = mp.get("psi_s", None)
+    INV_PSI_S = None if PSI_S is None else np.float32(1.0 / PSI_S)
 
     def _trig_cs(ce, se):
         """per-phase sin/cos(eps - phi_k) from a given (cos eps, sin eps)"""
@@ -127,17 +133,26 @@ def _srm_family(env, R, action_mode, randomize=None):
         """per-phase sin/cos(eps - phi_k) from ONE sincos(eps)"""
         return _trig_cs(jnp.cos(eps), jnp.sin(eps))
 
-    def _tq(i3, s_k):
+    def _tq(i3, s_k, c_k):
         """reluctance torque from the per-phase slope sines — the ONE
-        torque expression shared by the integrator rhs, the reward path
-        and any future saturation term"""
-        return PL1 * (0.5 * (i3[0] * i3[0] * s_k[0]
-                             + i3[1] * i3[1] * s_k[1]
-                             + i3[2] * i3[2] * s_k[2]))
+        torque expression shared by the integrator rhs and the reward
+        path (coenergy form when saturating)"""
+        if INV_PSI_S is None:
+            return PL1 * (0.5 * (i3[0] * i3[0] * s_k[0]
+                                 + i3[1] * i3[1] * s_k[1]
+                                 + i3[2] * i3[2] * s_k[2]))
+        tq = 0.0
+        for k in range(3):
+            l_k = np.float32(l0) - np.float32(l1) * c_k[k]
+            x = i3[k] * l_k * INV_PSI_S
+            e = jnp.exp(-x)
+            tq = tq + (PL1 * s_k[k] * np.float32(PSI_S**2)
+                       / (l_k * l_k)) * ((1.0 - e) - x * e)
+        return tq
 
     def torque_of(i3, eps):
-        s_k, _c_k = _trig(eps)
-        return _tq(i3, s_k)
+        s_k, c_k = _trig(eps)
+        return _tq(i3, s_k, c_k)
 
     def rhs(core, u3, z, ts, pc, cs=None):
         """``cs``: optional precomputed (cos eps, sin eps) for this RK4
@@ -157,14 +172,23 @@ def _srm_family(env, R, action_mode, randomize=None):
         else:
             s_k, c_k = _trig_cs(cs[0], cs[1])
         i3 = (ia, ib, ic)
-        di = tuple(
-            (u3[k] - r_s_v * i3[k] - i3[k] * (PL1 * s_k[k]) * w)
-            / (np.float32(l0) - np.float32(l1) * c_k[k])
-            for k in range(3))
+        if INV_PSI_S is None:
+            di = tuple(
+                (u3[k] - r_s_v * i3[k] - i3[k] * (PL1 * s_k[k]) * w)
+                / (np.float32(l0) - np.float32(l1) * c_k[k])
+                for k in range(3))
+        else:
+            di = []
+            for k in range(3):
+                l_k = np.float32(l0) - np.float32(l1) * c_k[k]
+                e = jnp.exp(-i3[k] * l_k * INV_PSI_S)
+                di.append((u3[k] - r_s_v * i3[k]
+                           - i3[k] * (PL1 * s_k[k]) * w * e) / (l_k * e))
+            di = tuple(di)
         deps = np.float32(p) * w if mech else np.float32(p * omega_fixed) + 0.0 * eps
         if not mech:
             return di + (deps,)
-        tq = _tq(i3, s_k)
+        tq = _tq(i3, s_k, c_k)
         if j_rand:
             dw = mload.mech_rhs_j(w, tq, z, pc[-1])
         elif mload.needs_time:

@@ -231,3 +231,72 @@ def test_srm_fused_cascade_matches_control_environment():
     om_kernel = float(np.asarray(out[0]).reshape(N)[0])
     om_xla = float(np.asarray(oc["states"])[-1, 0] * ctrl.w_lim)
     np.testing.assert_allclose(om_kernel, om_xla, rtol=1e-4)
+
+
+def test_srm_saturation_model():
+    """Opt-in magnetic saturation (motor_parameter={'psi_s': ...}): the
+    exponential flux model's coenergy torque saturates with current
+    (T(2i) < 4 T(i)), recovers the linear model exactly as i -> 0, and
+    the default (psi_s absent) stays bit-identical linear."""
+    from gym_electric_motor_tpu.models.motors import (
+        srm_torque, switched_reluctance_motor)
+
+    m_lin = switched_reluctance_motor()
+    assert "psi_s" not in m_lin.parameter
+    m_sat = switched_reluctance_motor(motor_parameter={"psi_s": 1.2})
+    mpl, mps = m_lin.mp(), m_sat.mp()
+
+    def tq(mp, i):
+        return float(srm_torque(mp, jnp.array([i, 0.0, 0.0,
+                                               0.5 * np.pi])))
+
+    # quadratic below saturation, sub-quadratic within
+    assert tq(mps, 10.0) < 4.0 * tq(mps, 5.0) < 4.0 * tq(mpl, 5.0)
+    # small-current limit recovers the linear torque (i = 0.5 A keeps
+    # the float32 coenergy cancellation (1-e) - x e well above eps;
+    # below ~0.1 A the torque itself is physically negligible ~1e-5 Nm)
+    np.testing.assert_allclose(tq(mps, 0.5), tq(mpl, 0.5), rtol=2e-2)
+    # deep saturation (psi_s = 0.4): torque grows far sub-quadratically
+    mpd = switched_reluctance_motor(
+        motor_parameter={"psi_s": 0.4}).mp()
+    assert tq(mpd, 20.0) / tq(mpd, 10.0) < 2.6
+
+
+def test_srm_saturation_fused_parity():
+    """The saturating flux model runs in the fused kernel too —
+    buffer-mode parity vs the XLA env (both the fixed-speed stage-
+    rotation path and the mech per-stage-sincos path exercise the
+    exp(-i L / psi_s) incremental factor)."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        fused_state_arity, make_fused_rollout)
+
+    for eid, finite in (("Finite-TC-SRM-v0", True),
+                        ("Cont-SC-SRM-v0", False)):
+        ref = "torque" if "TC" in eid else "omega"
+        env = gemx.make_functional(
+            eid, motor={"motor_parameter": {"psi_s": 1.2}},
+            reference_generator=rg.ConstReference(ref, 0.1))
+        n_state = fused_state_arity(env)
+        rng = np.random.default_rng(5)
+        if finite:
+            acts = rng.integers(0, 3, size=(T, 3, 1, 128)).astype(np.int32)
+        else:
+            acts = rng.uniform(-0.5, 0.5,
+                               size=(T, 3, 1, 128)).astype(np.float32)
+        roll = make_fused_rollout(env, T, N, action_mode="buffer",
+                                  interpret=True)
+        z = jnp.zeros((1, 128), jnp.float32)
+        out = roll(*([z] * n_state), jnp.asarray(acts))
+        keys = jax.random.split(jax.random.PRNGKey(0), N)
+        state, _ = jax.jit(jax.vmap(env.reset))(keys)
+        step = jax.jit(jax.vmap(env.step_autoreset))
+        for t in range(T):
+            state, _o, _r, _te = step(
+                state, jnp.asarray(acts[t].reshape(3, N).T))
+        ode = np.asarray(state.phys.ode_state)
+        off = 0 if env.physical_system.load.omega_fixed is None else 1
+        for k in range(n_state):
+            np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                       ode[:, k + off], rtol=1e-4,
+                                       atol=2e-3,
+                                       err_msg=f"{eid} state {k}")
