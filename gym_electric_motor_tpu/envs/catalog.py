@@ -1,4 +1,4 @@
-"""Environment catalog: the 54 reference environment ids.
+"""Environment catalog: the 54 reference environment ids + 6 SRM extension ids.
 
 The reference implements 54 near-identical ~190-LoC classes
 (``/root/reference/src/gym_electric_motor/envs/``); here the catalog is a
