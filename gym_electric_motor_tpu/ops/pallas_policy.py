@@ -938,7 +938,7 @@ def policy_obs_host(roll, prev_states, refs):
 
 def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
                                        chunk=None, interpret=False,
-                                       randomize=None):
+                                       randomize=None, joint_heads=False):
     """Fused POLICY-in-the-loop trajectory recorder for ANY catalog env
     (all 54 ids) — the generalization of the PMSM-specific
     ``make_fused_policy_record_rollout`` to all five motor families and
@@ -987,6 +987,16 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
             "draws recorded) — use the XLA trainers")
     cont = fs.act_ns is None
     act_ns, obs_spec, aux_cs = fs.act_ns, fs.obs_spec, fs.aux_cs
+    # joint_heads (finite multi-converter only): ONE softmax over the
+    # CARTESIAN action space instead of independent per-converter heads —
+    # the expressive alternative when the branches couple strongly
+    # (e.g. the DFIM's stator+rotor B6 pair sharing the dq voltage; the
+    # factorized double-DQN plateaus there, docs/parallel.md).  The
+    # joint sample decodes to the family's sub-actions by radix
+    # arithmetic in-kernel; the RECORDED action columns stay per-head.
+    if joint_heads:
+        assert not cont and len(act_ns) > 1, (
+            "joint_heads needs a multi-head finite action space")
     n_state, n_ref = fs.n_state, fs.n_ref
     n_rows = getattr(fs, "n_rows", n_ref)
     n_act = len(fs.act_names)
@@ -1001,7 +1011,9 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     # cardinalities).  cont: one squashed-Gaussian MEAN per duty channel
     # (A = n_act); per-channel log-stds ride a separate SMEM parameter
     # vector so the policy stays exactly recomputable host-side.
-    A = n_act if cont else int(sum(act_ns))
+    A = (n_act if cont
+         else int(np.prod(act_ns)) if joint_heads
+         else int(sum(act_ns)))
     if cont:
         a_mid = 0.5 * (fs.act_range[0] + fs.act_range[1])
         a_half = 0.5 * (fs.act_range[1] - fs.act_range[0])
@@ -1140,12 +1152,15 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
                                 + np.float32(a_half[c]) * jnp.tanh(raw))
                 acts = tuple(acts)
             else:
-                # ---- one inverse-CDF categorical sample per head
+                # ---- inverse-CDF categorical sampling: one draw per
+                #      head, or ONE joint draw decoded by radix
                 acts = []
-                off = 0
-                for n in act_ns:
+                groups = ([(0, A)] if joint_heads
+                          else [(off, n) for off, n in
+                                zip(np.cumsum((0,) + tuple(act_ns[:-1])),
+                                    act_ns)])
+                for off, n in groups:
                     ls = logits[off:off + n]
-                    off += n
                     m = ls[0]
                     for a in range(1, n):
                         m = jnp.maximum(m, ls[a])
@@ -1160,6 +1175,15 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
                         action = jnp.where(uu >= cum, a, action)
                         cum = cum + es[a]
                     acts.append(action)
+                if joint_heads:
+                    # radix-decode the joint sample into the family's
+                    # sub-actions (last head varies fastest)
+                    a_joint = acts[0]
+                    decoded = []
+                    for n in reversed(act_ns):
+                        decoded.append(a_joint % np.int32(n))
+                        a_joint = a_joint // np.int32(n)
+                    acts = list(reversed(decoded))
                 acts = tuple(acts)
 
             # ---- physics / reward / reset: identical to the universal
@@ -1249,6 +1273,8 @@ def make_fused_policy_record_universal(env, n_steps, n_envs, hidden=16,
     rollout.act_names = tuple(fs.act_names)
     rollout.obs_spec = obs_spec
     rollout.act_ns = act_ns
+    rollout.joint_heads = joint_heads
+    rollout.n_out = A
     rollout.cont = cont
     rollout.act_range = fs.act_range
     rollout.obs_dim = F

@@ -830,7 +830,8 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
                            replay_slots=4, n_updates=16, mb_envs=64,
                            lr=1e-3, gamma=0.9, temp0=1.0, temp_min=0.05,
                            temp_half_life=150.0, polyak=0.02, mesh=None,
-                           interpret=False, randomize=None):
+                           interpret=False, randomize=None,
+                           joint_heads=False):
     """Double-DQN with FUSED off-policy collection and a device-resident
     replay ring, for any finite-action catalog env.
 
@@ -900,7 +901,7 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
     assert mb_envs <= replay_slots * local_envs
     roll = make_fused_policy_record_universal(
         env, horizon, local_envs, hidden=hidden, interpret=interpret,
-        randomize=randomize)
+        randomize=randomize, joint_heads=joint_heads)
     act_ns = tuple(policy_act_ns(env))
     n_heads = len(act_ns)
     n_state = len(roll.state_names)
@@ -911,26 +912,53 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
         h = jnp.tanh(obs @ params["w1"] + params["b1"])
         return h @ params["w2"] + params["b2"]
 
-    def q_taken(qvals, acts):
-        """mean over heads of Q_h(s, a_h) — one-hot contraction."""
-        tot, off = 0.0, 0
-        for h, n in enumerate(act_ns):
-            sl = qvals[..., off:off + n]
-            oh = jax.nn.one_hot(acts[..., h], n, dtype=sl.dtype)
-            tot = tot + jnp.sum(sl * oh, axis=-1)
-            off += n
-        return tot / n_heads
+    # joint_heads: ONE Q value per Cartesian action combination (the
+    # kernel samples Boltzmann over the joint softmax and radix-decodes;
+    # the ring still stores per-head columns, recomposed here).  The
+    # expressive alternative for strongly-coupled converters — the
+    # factorized branch-mean Q plateaus on the dual-B6 DFIM
+    # (docs/parallel.md).
+    if joint_heads:
+        n_joint = int(np.prod(act_ns))
 
-    def q_double_next(q_online, q_target):
-        """mean over heads of Q_h^target(s', argmax_a Q_h^online)."""
-        tot, off = 0.0, 0
-        for n in act_ns:
-            so = q_online[..., off:off + n]
-            st = q_target[..., off:off + n]
-            oh = jax.nn.one_hot(jnp.argmax(so, axis=-1), n, dtype=st.dtype)
-            tot = tot + jnp.sum(st * oh, axis=-1)
-            off += n
-        return tot / n_heads
+        def _joint_idx(acts):
+            idx = acts[..., 0].astype(jnp.int32)
+            for h in range(1, n_heads):
+                idx = idx * np.int32(act_ns[h]) + acts[..., h].astype(
+                    jnp.int32)
+            return idx
+
+        def q_taken(qvals, acts):
+            oh = jax.nn.one_hot(_joint_idx(acts), n_joint,
+                                dtype=qvals.dtype)
+            return jnp.sum(qvals * oh, axis=-1)
+
+        def q_double_next(q_online, q_target):
+            oh = jax.nn.one_hot(jnp.argmax(q_online, axis=-1), n_joint,
+                                dtype=q_target.dtype)
+            return jnp.sum(q_target * oh, axis=-1)
+    else:
+        def q_taken(qvals, acts):
+            """mean over heads of Q_h(s, a_h) — one-hot contraction."""
+            tot, off = 0.0, 0
+            for h, n in enumerate(act_ns):
+                sl = qvals[..., off:off + n]
+                oh = jax.nn.one_hot(acts[..., h], n, dtype=sl.dtype)
+                tot = tot + jnp.sum(sl * oh, axis=-1)
+                off += n
+            return tot / n_heads
+
+        def q_double_next(q_online, q_target):
+            """mean over heads of Q_h^target(s', argmax_a Q_h^online)."""
+            tot, off = 0.0, 0
+            for n in act_ns:
+                so = q_online[..., off:off + n]
+                st = q_target[..., off:off + n]
+                oh = jax.nn.one_hot(jnp.argmax(so, axis=-1), n,
+                                    dtype=st.dtype)
+                tot = tot + jnp.sum(st * oh, axis=-1)
+                off += n
+            return tot / n_heads
 
     def _local_iteration(carry, axis=None):
         params, tparams, opt_state, planes, ring, seed, it = carry
@@ -1002,7 +1030,7 @@ def make_fused_dqn_trainer(env, hidden=32, horizon=256, n_envs=2048,
             return carry, (mean_r, loss)
 
     def init_state(key):
-        params = init_policy_params(key, F, int(sum(act_ns)), hidden)
+        params = init_policy_params(key, F, roll.n_out, hidden)
         tparams = jax.tree.map(jnp.copy, params)
         rows = replay_slots * n_envs
         ring = (jnp.zeros((rows, horizon, F), jnp.float32),

@@ -89,3 +89,22 @@ def test_fused_dqn_rejects_continuous():
     env = gemx.make_functional("Cont-CC-PermExDc-v0")
     with pytest.raises(NotImplementedError):
         make_fused_dqn_trainer(env, n_envs=256)
+
+
+def test_fused_dqn_joint_heads():
+    """joint_heads=True: ONE Boltzmann softmax over the Cartesian action
+    space (the kernel radix-decodes the joint sample into the converter
+    sub-actions), and the TD update uses a joint 64-way double-DQN.  The
+    ring still stores per-head action columns; param sizing follows
+    roll.n_out."""
+    env = gemx.make_functional("Finite-CC-DFIM-v0")
+    init_state, train = make_fused_dqn_trainer(
+        env, hidden=16, horizon=16, n_envs=128, replay_slots=2,
+        n_updates=2, mb_envs=8, interpret=True, joint_heads=True)
+    carry = init_state(jax.random.PRNGKey(1))
+    assert carry[0]["w2"].shape == (16, 64)          # 8 x 8 joint head
+    carry, rs, ls = train(carry, 3, 2)
+    assert np.isfinite(np.asarray(rs)).all()
+    assert np.isfinite(np.asarray(ls)).all()
+    a = np.asarray(carry[4][2])
+    assert a.shape[-1] == 2 and a.min() >= 0 and a.max() <= 7
