@@ -47,6 +47,28 @@ if _MESH_N:
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+if not _MESH_N:
+    # TUNNEL WATCHDOG: a wedged axon tunnel hangs inside jax.devices()
+    # itself (observed live), which would hang this whole bench with no
+    # output for the driver to capture.  Probe device init in a child
+    # with a hard timeout; on failure fall back to the CPU backend with
+    # a loud note — a genuine (slow) number beats an eternal hang.
+    import subprocess as _sp
+
+    try:
+        _p = _sp.run([sys.executable, "-c",
+                      "import jax; print(jax.default_backend())"],
+                     capture_output=True, text=True, timeout=300)
+        _bk = (_p.stdout.strip().splitlines()[-1] if _p.stdout else "")
+    except Exception as _e:
+        _bk = f"UNREACHABLE ({_e!r})"
+    if _bk != "tpu":
+        print(f"[bench] TPU backend not reachable (probe: {_bk}); "
+              "falling back to the CPU backend — numbers below are NOT "
+              "chip numbers and are NOT persisted", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["_BENCH_CPU_FALLBACK"] = "1"
+
 if _MESH_N:
     # Not enough real chips -> fall back to the virtual CPU mesh (the CI
     # path).  The real-device count MUST be probed in a subprocess: backend
@@ -342,7 +364,11 @@ def measure_mesh(n_devices):
 
 def _persist():
     """Merge this run's numbers into BENCH_RESULTS.json (a headline-only run
-    must not clobber the fuller BENCH_ALL record)."""
+    must not clobber the fuller BENCH_ALL record).  CPU-fallback runs
+    (wedged-tunnel watchdog) never persist — their numbers are not chip
+    numbers."""
+    if os.environ.get("_BENCH_CPU_FALLBACK"):
+        return
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_RESULTS.json")
     merged = {}
