@@ -19,6 +19,24 @@ Exit code 0 iff everything passes.
 
 import sys
 
+# Tunnel watchdog BEFORE the heavy imports (importing the package can
+# initialize the backend, and a wedged axon tunnel hangs inside device
+# init itself — observed live): probe in a child and abort fast.
+if __name__ == "__main__":
+    import subprocess as _sp
+
+    try:
+        _p = _sp.run([sys.executable, "-c",
+                      "import jax; print(jax.default_backend())"],
+                     capture_output=True, text=True, timeout=300)
+        _bk = _p.stdout.strip().splitlines()[-1] if _p.stdout else ""
+    except Exception as _e:  # noqa: BLE001
+        _bk = f"UNREACHABLE ({_e!r})"
+    if _bk != "tpu":
+        print(f"TPU backend not reachable (probe: {_bk}); the on-hardware "
+              "validation needs the chip — aborting instead of hanging")
+        raise SystemExit(2)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
