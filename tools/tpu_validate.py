@@ -753,12 +753,30 @@ def srm_family_on_chip():
     assert last > -0.18, (first, last)
     assert last > first + 0.12, (first, last)
 
+    # joint-head DQN (one Boltzmann softmax over the 27-way Cartesian
+    # space, radix-decoded in-kernel): compiles and runs on the SRM too
+    init_j, train_j = make_fused_dqn_trainer(
+        env, hidden=32, horizon=256, n_envs=2048, replay_slots=2,
+        n_updates=4, mb_envs=64, joint_heads=True)
+    carry_j, rs_j, ls_j = train_j(init_j(jax.random.PRNGKey(1)), 3, 20)
+    assert np.isfinite(np.asarray(rs_j)).all()
+    assert np.isfinite(np.asarray(ls_j)).all()
+
     # continuous SRM: SAC with the default recipe reaches -0.089 in 1200
     # iterations (TD3's default pacing COLLAPSES into the violation basin
     # after improving to -0.32; actor_lr=5e-5 is stable at -0.23 — SAC's
     # stochastic collection is the right tool on this env)
     from gym_electric_motor_tpu.parallel.sharded import (
         make_fused_sac_trainer)
+
+    # magnetic saturation (opt-in psi_s): the exponential-flux kernel
+    # Mosaic-compiles and runs (parity vs the XLA env is pinned in
+    # tests/test_srm.py::test_srm_saturation_fused_parity)
+    env_sat = gemx.make_functional(
+        "Finite-CC-SRM-v0", motor={"motor_parameter": {"psi_s": 1.2}})
+    out = make_fused_rollout(env_sat, 16384, 2048)(
+        7, *([z16] * fused_state_arity(env_sat)))
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
     # closed-loop commutation cascade in-kernel: 3.7B controlled
     # env-steps/s; tracks a Wiener speed reference at ~-0.04 mean reward
