@@ -595,88 +595,141 @@ def make_fused_srm_rollout(env, n_steps, n_envs, action_mode="random",
 
 def make_fused_srm_cascade_rollout(env, ctrl, n_steps, n_envs,
                                    interpret=False):
-    """Fused closed-loop SPEED-CONTROL commutation cascade for the SRM:
-    the whole :class:`controllers.srm.SRMCommutationController` SC chain —
-    anti-windup PI speed loop, single-pulse commutation with the sqrt
-    torque linearization, per-phase hysteresis current regulation on the
-    asymmetric bridge — runs in-kernel against the family physics, with
-    the env's reference process, WSE reward, limit constraint and
-    in-kernel auto-reset.  The speed integrator persists across episode
-    resets, exactly as ``control_environment`` carries ``cs``.
+    """Fused closed-loop commutation cascade for the SRM — ALL THREE
+    control tasks of :class:`controllers.srm.SRMCommutationController`
+    run in-kernel against the family physics:
 
-    ``ctrl`` must be ``GemController.make(env, "Finite-SC-SRM-v0")``
-    (routed to the commutation controller).  Build the env with a
-    ``ConstReference('omega', v)`` for the deterministic validation path.
+    * **SC** — anti-windup PI speed loop -> single-pulse commutation with
+      the sqrt torque linearization -> per-phase regulation;
+    * **TC** — integral trim on the MEASURED (coenergy) torque ->
+      commutation -> regulation; the trim integrator is the carried
+      controller state;
+    * **CC** — per-phase regulation straight toward the referenced
+      ``i_a/i_b/i_c`` setpoints (no carried state).
+
+    Both converter types are supported: Finite = hysteresis band on the
+    asymmetric bridge, Cont = P duty on the current error + resistive
+    feed-forward — exactly ``SRMCommutationController._regulate``.  The
+    env's reference process, WSE reward, limit constraint and in-kernel
+    auto-reset all ride along; the controller integrator persists across
+    episode resets, exactly as ``control_environment`` carries ``cs``.
+
+    ``ctrl`` must be ``GemController.make(env, env_id)`` (routed to the
+    commutation controller).  Build the env with ``ConstReference`` for
+    the deterministic validation path.
 
     ``rollout(seed, *state0) -> (*states, reward_sum, term_count, rv,
-    rk, rl, rs, integ)``; states = (omega, i_a, i_b, i_c, eps, ...).
+    rk, rl, rs, integ)``; states = (omega?, i_a, i_b, i_c, eps, ...).
     """
     from ..controllers.srm import SRMCommutationController
 
     assert isinstance(ctrl, SRMCommutationController)
-    assert ctrl.control_task == "SC" and ctrl.action_type == "Finite"
+    task = ctrl.control_task
+    finite_ctrl = ctrl.action_type == "Finite"
+    assert task in ("SC", "TC", "CC")
     assert n_envs % LANE == 0
     R = n_envs // LANE
     fs = _srm_family(env, R, "random")
     assert fs.observe is None, (
         "the in-kernel cascade rejects StateNoiseProcessor — use the XLA "
         "control_environment")
-    assert fs.mech and fs.finite and fs.n_ref == 1
-    assert fs.ref_cfg[0]["name"] == "omega"
+    assert fs.finite == finite_ctrl
+    if task == "SC":
+        assert fs.mech and fs.n_ref == 1
+        assert fs.ref_cfg[0]["name"] == "omega"
+    elif task == "TC":
+        assert fs.n_ref == 1 and fs.ref_cfg[0]["name"] == "torque"
+    else:
+        assert fs.n_ref == 3
+        assert [c["name"] for c in fs.ref_cfg] == ["i_a", "i_b", "i_c"]
+    mech = fs.mech
     n_state, shape, shape_r = fs.n_state, fs.shape, fs.shape_r
     n_rows, ref_cfg = fs.n_rows, fs.ref_cfg
+    n_ref = fs.n_ref
     bias, violation_reward = fs.bias, fs.violation_reward
     i_eps = fs.i_eps
+    COS_D, SIN_D = fs.COS_D, fs.SIN_D
     n_bs = fs.n_bridge
     assert n_bs == 0, "wrapper planes are not supported in the cascade"
     physics_step, ref_quantity = fs.physics_step, fs.ref_quantity
     has_wf = _ref_needs_wf(ref_cfg)
     PI_F = np.float32(np.pi)
+    off = 1 if mech else 0
 
     # controller constants (host floats -> compile-time)
     KP_W, KI_W = np.float32(ctrl.kp_w), np.float32(ctrl.ki_w)
     T_MAX = np.float32(ctrl.t_max)
     W_LIM = np.float32(ctrl.w_lim)
     I_LIM = np.float32(ctrl.i_lim)
+    T_LIM = np.float32(ctrl.t_lim)
+    KI_T = np.float32(ctrl.ki_t)
     TAU_C = np.float32(ctrl.tau)
     PL1 = np.float32(ctrl.p * ctrl.l1)
     THETA_ON = np.float32(ctrl.theta_on)
     HYST = np.float32(ctrl.hysteresis)
+    KP_I = np.float32(ctrl.kp_i)
+    # cont resistive feed-forward duty per normalized setpoint
+    FF_I = np.float32(ctrl.r_s * ctrl.i_lim / ctrl.u_lim)
     I_MAX = np.float32((1.0 - ctrl.current_margin) * ctrl.i_lim)
     CPH = tuple(np.float32(v) for v in _COS_PHI)
     SPH = tuple(np.float32(v) for v in _SIN_PHI)
 
-    def control(cur, integ, w_ref_n):
-        """the SC commutation law on raw state planes -> (integ', action
-        tuple) — branch-free port of SRMCommutationController.control"""
-        w = cur[0]
-        w_err = (w_ref_n - w * (1.0 / W_LIM)) * W_LIM
-        t_raw = KP_W * w_err + integ
-        t_ref = jnp.clip(t_raw, -T_MAX, T_MAX)
-        integ = integ + jnp.where(t_raw == t_ref, KI_W * w_err * TAU_C,
-                                  0.0)
-        eps = cur[i_eps]
-        ce, se = jnp.cos(eps), jnp.sin(eps)
+    def _regulate(cur, i_star_n):
+        """normalized per-phase setpoints -> converter action
+        (SRMCommutationController._regulate, branch-free)"""
+        acts = []
+        for k in range(3):
+            i_n = cur[off + k] * (1.0 / I_LIM)
+            if finite_ctrl:
+                mag = i_n < i_star_n[k] - HYST
+                dem = i_n > i_star_n[k] + HYST
+                hold = jnp.where(i_star_n[k] > np.float32(1e-6), 0, 2)
+                acts.append(jnp.where(mag, 1,
+                                      jnp.where(dem, 2, hold)).astype(
+                    jnp.int32))
+            else:
+                duty = (KP_I * (i_star_n[k] - i_n) + FF_I * i_star_n[k])
+                acts.append(jnp.clip(duty, -1.0, 1.0))
+        return tuple(acts)
+
+    def _commutate(t_ref, ce, se):
+        """single-pulse commutation + sqrt linearization -> normalized
+        per-phase setpoints (``_current_setpoints``); (ce, se) is the
+        cycle-start cos/sin(eps)"""
         sign = jnp.sign(t_ref)
         s_k = tuple(se * cp - ce * sp for cp, sp in zip(CPH, SPH))
         gain = tuple(sk * sign for sk in s_k)
         gmax = jnp.maximum(gain[0], jnp.maximum(gain[1], gain[2]))
-        acts = []
+        i_star = []
         for k in range(3):
             fire = (gain[k] > THETA_ON) & (gain[k] >= gmax)
             i_cmd = jnp.sqrt(2.0 * jnp.abs(t_ref)
                              / (PL1 * jnp.maximum(jnp.abs(s_k[k]),
                                                   np.float32(0.05))))
-            i_star_n = jnp.where(fire, jnp.minimum(i_cmd, I_MAX),
-                                 0.0) * (1.0 / I_LIM)
-            i_n = cur[1 + k] * (1.0 / I_LIM)
-            mag = i_n < i_star_n - HYST
-            dem = i_n > i_star_n + HYST
-            hold = jnp.where(i_star_n > np.float32(1e-6), 0, 2)
-            acts.append(jnp.where(mag, 1,
-                                  jnp.where(dem, 2, hold)).astype(
-                jnp.int32))
-        return integ, tuple(acts)
+            i_star.append(jnp.where(fire, jnp.minimum(i_cmd, I_MAX),
+                                    0.0) * (1.0 / I_LIM))
+        return tuple(i_star)
+
+    def control(cur, integ, refs_now, ce, se):
+        """the full task law -> (integ', action tuple) — branch-free port
+        of SRMCommutationController.control"""
+        if task == "CC":
+            i_star_n = tuple(refs_now[k * R:(k + 1) * R]
+                             for k in range(3))
+            return integ, _regulate(cur, i_star_n)
+        if task == "TC":
+            t_star = refs_now[:R] * T_LIM
+            t_meas = ref_quantity(cur, 0) * T_LIM
+            integ = jnp.clip(integ + KI_T * (t_star - t_meas) * TAU_C,
+                             -0.3 * T_LIM, 0.3 * T_LIM)
+            t_ref = t_star + integ
+        else:  # SC
+            w_err = (refs_now[:R] - cur[0] * (1.0 / W_LIM)) * W_LIM
+            t_raw = KP_W * w_err + integ
+            t_ref = jnp.clip(t_raw, -T_MAX, T_MAX)
+            integ = integ + jnp.where(t_raw == t_ref,
+                                      KI_W * w_err * TAU_C, 0.0)
+        return integ, _regulate(cur, _commutate(t_ref, ce, se))
 
     def kernel(seed_ref, *refs):
         state0 = refs[:n_state]
@@ -686,15 +739,21 @@ def make_fused_srm_cascade_rollout(env, ctrl, n_steps, n_envs,
         scratch = refs[2 * n_state + 7:]
         rv_ref, rk_ref, rl_ref, rs_ref, rng_ref = scratch[:5]
         j = 5
-        za_ref = zb_ref = None
+        za_ref = zb_ref = c_ref = s_ref = None
         if n_rows == 1:
             za_ref, zb_ref = scratch[j], scratch[j + 1]
+            j += 2
+        if not mech:
+            c_ref, s_ref = scratch[j], scratch[j + 1]
             j += 2
         wf_ref = scratch[-1] if has_wf else None
         seed, bits = _make_rng(interpret, rng_ref)
         seed(seed_ref[0])
         for o, s in zip(out_state, state0):
             o[:] = s[:]
+        if not mech:
+            c_ref[:] = jnp.cos(state0[i_eps][:])
+            s_ref[:] = jnp.sin(state0[i_eps][:])
         out_reward[:] = jnp.zeros(shape, jnp.float32)
         out_terms[:] = jnp.zeros(shape, jnp.float32)
 
@@ -705,10 +764,13 @@ def make_fused_srm_cascade_rollout(env, ctrl, n_steps, n_envs,
 
         def body(t, integ):
             cur = tuple(o[:] for o in out_state)
-            w_ref_n = rv_ref[:][:R]
-            integ, action = control(cur, integ, w_ref_n)
+            refs_now = rv_ref[:]
+            if mech:
+                c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
+            else:
+                c, s = c_ref[:], s_ref[:]
+            integ, action = control(cur, integ, refs_now, c, s)
             z = _step_noise(fs.needs_step_noise, bits, shape)
-            c, s = jnp.cos(cur[i_eps]), jnp.sin(cur[i_eps])
             state = physics_step(cur, action, c, s, z, None)
             eps = state[i_eps]
             eps = eps - np.float32(TWO_PI) * jnp.floor(
@@ -717,12 +779,25 @@ def make_fused_srm_cascade_rollout(env, ctrl, n_steps, n_envs,
 
             violated = fs.violated(state)
             wse = bias - _wse_err(ref_cfg[0], ref_quantity(state, 0),
-                                  rv_ref[:][:R])
+                                  refs_now[:R])
+            for jj in range(1, n_ref):
+                wse = wse - _wse_err(ref_cfg[jj],
+                                     ref_quantity(state, jj),
+                                     refs_now[jj * R:(jj + 1) * R])
             reward = jnp.where(violated, violation_reward, wse)
             out_reward[:] = out_reward[:] + reward
             out_terms[:] = out_terms[:] + violated.astype(jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
             for o, s2, r0 in zip(out_state, state, fs.reset_state(bits)):
                 o[:] = jnp.where(violated, r0, s2)
+            if not mech:
+                c_new = c * COS_D - s * SIN_D
+                s_new = s * COS_D + c * SIN_D
+                inv = jax.lax.rsqrt(c_new * c_new + s_new * s_new)
+                c_ref[:] = jnp.where(violated,
+                                     jnp.ones(shape, jnp.float32),
+                                     c_new * inv)
+                s_ref[:] = jnp.where(violated, zero, s_new * inv)
             w_advance(t, violated)
             # the integrator persists across resets (control_environment
             # carries cs through autoreset)
@@ -747,6 +822,8 @@ def make_fused_srm_cascade_rollout(env, ctrl, n_steps, n_envs,
         + [pltpu.VMEM(shape_r, jnp.uint32)]
         + ([pltpu.VMEM(shape, jnp.float32) for _ in range(2)]
            if n_rows == 1 else [])
+        + ([] if mech
+           else [pltpu.VMEM(shape, jnp.float32) for _ in range(2)])
         + ([pltpu.VMEM((4 * n_rows * R, LANE), jnp.float32)]
            if has_wf else [])
     )

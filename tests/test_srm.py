@@ -300,3 +300,63 @@ def test_srm_saturation_fused_parity():
                                        ode[:, k + off], rtol=1e-4,
                                        atol=2e-3,
                                        err_msg=f"{eid} state {k}")
+
+@pytest.mark.parametrize("env_id,ref", [
+    ("Finite-TC-SRM-v0", ("torque", 0.3)),
+    ("Cont-TC-SRM-v0", ("torque", 0.3)),
+    ("Cont-SC-SRM-v0", ("omega", 0.4)),
+])
+def test_srm_fused_cascade_tc_cont_matches_control_environment(env_id,
+                                                               ref):
+    """The TC (integral trim on the measured coenergy torque) and Cont
+    (P duty + resistive feed-forward regulation) cascade variants run
+    in-kernel and match control_environment on the mean reward with a
+    const reference."""
+    from gym_electric_motor_tpu.controllers import GemController
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        fused_state_arity, make_fused_srm_cascade_rollout)
+
+    env = gemx.make_functional(
+        env_id, reference_generator=rg.ConstReference(*ref))
+    ctrl = GemController.make(env, env_id)
+    n_state = fused_state_arity(env)
+    T2 = 2000
+    roll = make_fused_srm_cascade_rollout(env, ctrl, T2, N,
+                                          interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(5, *([z] * n_state))
+    r_mean = float(np.asarray(out[n_state]).mean()) / T2
+    assert float(np.asarray(out[n_state + 1]).sum()) == 0.0
+    oc = ctrl.control_environment(env, T2)
+    np.testing.assert_allclose(r_mean,
+                               float(np.asarray(oc["rewards"]).mean()),
+                               atol=5e-5)
+
+
+def test_srm_fused_cascade_cc_matches_control_environment():
+    """The CC variant (straight per-phase hysteresis regulation toward
+    the three referenced currents) matches control_environment exactly
+    with const references on all three phases."""
+    from gym_electric_motor_tpu.controllers import GemController
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        fused_state_arity, make_fused_srm_cascade_rollout)
+
+    env = gemx.make_functional(
+        "Finite-CC-SRM-v0",
+        reference_generator=rg.ReferenceSpec([
+            rg.ConstReference("i_a", 0.3),
+            rg.ConstReference("i_b", 0.15),
+            rg.ConstReference("i_c", 0.0)]))
+    ctrl = GemController.make(env, "Finite-CC-SRM-v0")
+    n_state = fused_state_arity(env)
+    T2 = 2000
+    roll = make_fused_srm_cascade_rollout(env, ctrl, T2, N,
+                                          interpret=True)
+    z = jnp.zeros((1, 128), jnp.float32)
+    out = roll(5, *([z] * n_state))
+    r_mean = float(np.asarray(out[n_state]).mean()) / T2
+    assert float(np.asarray(out[n_state + 1]).sum()) == 0.0
+    oc = ctrl.control_environment(env, T2)
+    np.testing.assert_allclose(r_mean,
+                               float(np.asarray(oc["rewards"]).mean()),
+                               atol=2e-5)
