@@ -924,16 +924,23 @@ def _expand_ref_rows(ref_cfg):
     and what the reward uses; a switched primary's rk/rl planes carry the
     super-episode counter/length and its rs plane the active sub index),
     then each switched reference's K sub-generators as independent static
-    SHADOW rows.  Returns ``(rows, infos)`` with
+    SHADOW rows.  NESTED switched sub-generators expand recursively: a
+    switched shadow row gets its own shadow block appended further down,
+    so a parent's info always precedes its children's in the returned
+    list (the selection pass runs children-first).  Returns
+    ``(rows, infos)`` with
     ``infos = [(primary_row, shadow_start_row, K, p), ...]``."""
     rows = list(ref_cfg)
     infos = []
-    for i, c in enumerate(ref_cfg):
+    i = 0
+    while i < len(rows):
+        c = rows[i]
         # buffer/validation-mode configs keep kind='switched' but carry no
         # sub rows (the reference machinery is never touched there)
         if c.get("kind") == "switched" and "subs" in c:
             infos.append((i, len(rows), len(c["subs"]), tuple(c["p"])))
             rows.extend(c["subs"])
+        i += 1
     return rows, infos
 
 
@@ -1020,39 +1027,45 @@ def _ref_configs(env, R, require_wiener=True):
                 )
         return cfg
 
+    def _switched_cfg(s):
+        """switched generator: primary row = selection machinery (rk/rl
+        carry the super-episode counter/length drawn from
+        super_episode_lengths, rs the active sub index), the K sub
+        generators become static shadow rows
+        (switched_reference_generator.py:8-95).  Switched SUB-generators
+        recurse — the nested row becomes a shadow with its own shadow
+        block (expanded by ``_expand_ref_rows``)."""
+        assert all(sub.kind in _FUSED_REF_KINDS or sub.kind == "switched"
+                   for sub in s.subs), (
+            f"switched sub-generators must be scalar fused kinds "
+            f"{_FUSED_REF_KINDS} or switched themselves; got "
+            f"{[sub.kind for sub in s.subs]!r}")
+        idx = names.index(s.reference_state)
+        n_pow = float(np.asarray(rw._n).ravel()[idx])
+        lo, hi = s.super_episode_lengths
+        return dict(
+            kind="switched",
+            tau=np.float32(ps.tau),
+            name=s.reference_state,
+            pow=n_pow,
+            coef=np.float32(rw._weights[idx]
+                            / rw._state_length[idx] ** n_pow),
+            inv_lim=np.float32(1.0 / lim[idx]),
+            mlo=np.float32(s.margin[0]), mhi=np.float32(s.margin[1]),
+            sig_base=np.float32(-30.0), sig_span=np.float32(0.0),
+            ep_lo=np.float32(lo), ep_span=np.float32(hi - lo),
+            amp_lo=np.float32(0.0), amp_hi=np.float32(0.0),
+            f_lo=np.float32(1.0), f_hi=np.float32(1.0),
+            off_lo=np.float32(0.0), off_hi=np.float32(0.0),
+            p=tuple(float(x) for x in s.p),
+            subs=[_switched_cfg(sub) if sub.kind == "switched"
+                  else _one(sub) for sub in s.subs],
+        )
+
     cfgs = []
     for s in env.reference_generator.subs:
         if s.kind == "switched" and require_wiener:
-            # switched generator: primary row = selection machinery
-            # (rk/rl carry the super-episode counter/length drawn from
-            # super_episode_lengths, rs the active sub index), the K sub
-            # generators become static shadow rows
-            # (switched_reference_generator.py:8-95)
-            assert all(sub.kind in _FUSED_REF_KINDS for sub in s.subs), (
-                f"switched sub-generators must be scalar fused kinds "
-                f"{_FUSED_REF_KINDS}; got "
-                f"{[sub.kind for sub in s.subs]!r}")
-            idx = names.index(s.reference_state)
-            n_pow = float(np.asarray(rw._n).ravel()[idx])
-            lo, hi = s.super_episode_lengths
-            cfg = dict(
-                kind="switched",
-                tau=np.float32(ps.tau),
-                name=s.reference_state,
-                pow=n_pow,
-                coef=np.float32(rw._weights[idx]
-                                / rw._state_length[idx] ** n_pow),
-                inv_lim=np.float32(1.0 / lim[idx]),
-                mlo=np.float32(s.margin[0]), mhi=np.float32(s.margin[1]),
-                sig_base=np.float32(-30.0), sig_span=np.float32(0.0),
-                ep_lo=np.float32(lo), ep_span=np.float32(hi - lo),
-                amp_lo=np.float32(0.0), amp_hi=np.float32(0.0),
-                f_lo=np.float32(1.0), f_hi=np.float32(1.0),
-                off_lo=np.float32(0.0), off_hi=np.float32(0.0),
-                p=tuple(float(x) for x in s.p),
-                subs=[_one(sub) for sub in s.subs],
-            )
-            cfgs.append(cfg)
+            cfgs.append(_switched_cfg(s))
             continue
         assert s.kind in _FUSED_REF_KINDS or not require_wiener, (
             f"fused kernels implement every scalar reference kind "
@@ -1253,42 +1266,73 @@ def _make_wiener(bits, ref_cfg, R, shape, shape_r, rv_ref, rk_ref, rl_ref,
         keep their own standard reset draw), and write the selected shadow
         value into the primary row.  All plane stores go through
         ``_put_rows`` (aligned full-plane writes) and the mask concat uses
-        float blocks — both Mosaic requirements below 8 sublanes."""
+        float blocks — both Mosaic requirements below 8 sublanes.
+
+        NESTED switched shadows cascade: when a parent's pure switch picks
+        a switched child, the child is FORCED to re-switch too, seeded
+        from the parent's value (the reference calls
+        ``child.reset(initial_reference=value)``, which redraws the
+        child's schedule/active and seeds its chosen leaf,
+        switched_reference_generator.py:66-69).  The switch pass runs
+        parents-first (infos order) so the forced mask/seed reach the
+        child's own iteration; the selection pass runs CHILDREN-FIRST so
+        a parent reads its child's freshly-selected value."""
+        new_actives = {}
+        forced = {}  # child primary row -> (mask, seed) from its parent
         for (pi, s0, K, p) in switched_infos:
             psl = slice(pi * R, (pi + 1) * R)
-            sw = switch_mask_rows[psl]
+            own = switch_mask_rows[psl]
+            f_m, f_seed = forced.pop(pi, (None, None))
+            sw = own if f_m is None else (own | f_m)
             prim_prev = rv_ref[psl]
+            seed_base = (prim_prev if f_m is None
+                         else jnp.where(f_m, f_seed, prim_prev))
             act = jnp.where(sw, _draw_active(K, p), rs_ref[psl])
             _put_rows(rs_ref, {pi: act})
-            if not is_init:
-                pure = sw if reset_rows is None else (
-                    sw & jnp.logical_not(reset_rows[psl]))
-                rv_up, rk_up, row_masks = {}, {}, []
-                for k in range(K):
-                    r = s0 + k
-                    m = pure & (act == np.float32(k))
-                    # clip the seed into the SUB's own margins: const subs
-                    # ignore initial_reference entirely and the
-                    # subepisoded kinds clip it (subepisoded_reference_
-                    # generator.py:102-117) — without this, a
-                    # wiener->const switch would leak the old wiener value
-                    # for one step
-                    sub = ref_cfg[r]
-                    seed_v = jnp.clip(prim_prev, np.float32(sub["mlo"]),
-                                      np.float32(sub["mhi"]))
+            new_actives[pi] = act
+            if is_init:
+                continue
+            pure = sw if reset_rows is None else (
+                sw & jnp.logical_not(reset_rows[psl]))
+            rv_up, rk_up, row_masks = {}, {}, []
+            for k in range(K):
+                r = s0 + k
+                m = pure & (act == np.float32(k))
+                # clip the seed into the SUB's own margins: const subs
+                # ignore initial_reference entirely and the
+                # subepisoded kinds clip it (subepisoded_reference_
+                # generator.py:102-117) — without this, a
+                # wiener->const switch would leak the old wiener value
+                # for one step
+                sub = ref_cfg[r]
+                seed_v = jnp.clip(seed_base, np.float32(sub["mlo"]),
+                                  np.float32(sub["mhi"]))
+                if sub.get("kind") == "switched":
+                    # nested child: its rv is overwritten by its own
+                    # selection — propagate the switch + seed instead
+                    cm, cseed = forced.get(r, (None, None))
+                    forced[r] = (m if cm is None else (cm | m),
+                                 seed_v if cseed is None
+                                 else jnp.where(m, seed_v, cseed))
+                else:
                     rv_up[r] = jnp.where(m, seed_v,
                                          rv_ref[r * R:(r + 1) * R])
-                    rk_up[r] = jnp.where(m, 0.0, rk_ref[r * R:(r + 1) * R])
-                    row_masks.append(m.astype(jnp.float32))
+                rk_up[r] = jnp.where(m, 0.0, rk_ref[r * R:(r + 1) * R])
+                row_masks.append((r, m.astype(jnp.float32)))
+            if rv_up:
                 _put_rows(rv_ref, rv_up)
-                _put_rows(rk_ref, rk_up)
-                # fresh sub-episode params for the re-initialized shadows
-                # (one combined draw — the per-k masks are disjoint; float
-                # concat: Mosaic rejects i1 vreg concats at sub-sublane R)
-                zero = jnp.zeros(shape, jnp.float32)
-                blocks = ([zero] * s0 + row_masks
-                          + [zero] * (n_ref - s0 - K))
-                _draw_params(jnp.concatenate(blocks, axis=0) > 0.5)
+            _put_rows(rk_ref, rk_up)
+            # fresh sub-episode params for the re-initialized shadows
+            # (one combined draw — the per-k masks are disjoint; float
+            # concat: Mosaic rejects i1 vreg concats at sub-sublane R)
+            zero = jnp.zeros(shape, jnp.float32)
+            blocks = [zero] * n_ref
+            for r, mf in row_masks:
+                blocks[r] = mf
+            _draw_params(jnp.concatenate(blocks, axis=0) > 0.5)
+        # selection pass, children before parents
+        for (pi, s0, K, p) in reversed(switched_infos):
+            act = new_actives[pi]
             sel = jnp.zeros(shape, jnp.float32)
             for k in range(K):
                 ssl = slice((s0 + k) * R, (s0 + k + 1) * R)

@@ -74,10 +74,9 @@ def make_fused_record_rollout(env, n_steps, n_envs, chunk=None,
     """Build the trajectory-recording rollout for any catalog env.
 
     See the module docstring for semantics.  Every scalar reference kind
-    records in-kernel (wiener/laplace/const/waveforms); all TEN motor
-    families are covered (incl. the SRM extension).  Raises
-    ``AssertionError`` for non-fused configurations (nested switched
-    generators): those run on the general XLA path.
+    records in-kernel (wiener/laplace/const/waveforms), including
+    switched compositions and NESTED switched generators; all TEN motor
+    families are covered (incl. the SRM extension).
     """
     assert n_envs % LANE == 0
     R = n_envs // LANE

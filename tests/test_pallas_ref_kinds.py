@@ -8,8 +8,9 @@ bit source): structural identities of each waveform on the recorded
 reference stream, reward recomputation, margin respect, and heavy tails
 for Laplace increments.  Switched generators run in-kernel too: the
 primary row carries the super-episode schedule and active index while the
-K sub-generators advance as static shadow rows; nested switched stays
-rejected.
+K sub-generators advance as static shadow rows; NESTED switched expands
+recursively (a switched shadow row gets its own shadow block, forced
+re-switches cascade parent-to-child, selection runs children-first).
 """
 
 import jax
@@ -247,15 +248,81 @@ def test_switched_wiener_sinusoid_statistics():
                                atol=1e-5)
 
 
-def test_nested_switched_rejected_loudly():
-    """Switched-of-switched has no in-kernel form — rejected at build."""
+def test_nested_switched_three_consts_selects_exactly():
+    """Switched-of-switched with CONST leaves is fully deterministic in
+    value space: only the three constants may ever be emitted, all three
+    appear, and the inner pair's combined share tracks the outer
+    probability (selection cascades through the nested primary)."""
+    inner = rg.SwitchedReference(
+        [rg.ConstReference("i", 0.4), rg.ConstReference("i", -0.2)],
+        super_episode_length=(15, 45))
+    sw = rg.SwitchedReference(
+        [inner, rg.ConstReference("i", 0.1)], p=(0.5, 0.5),
+        super_episode_length=(20, 60))
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    out = _record(env, 600, seed=9)
+    r = out["ref_i"]
+    is_a = np.abs(r - 0.4) < 1e-6
+    is_b = np.abs(r + 0.2) < 1e-6
+    is_c = np.abs(r - 0.1) < 1e-6
+    assert np.all(is_a | is_b | is_c)
+    # outer 50/50: the inner pair's combined share near half, and the
+    # inner schedule splits that share across BOTH leaves
+    assert 0.25 < (is_a | is_b).mean() < 0.75
+    assert is_a.mean() > 0.05 and is_b.mean() > 0.05
+    assert is_c.mean() > 0.2
+    # value changes happen but not every step (nested switch cadence)
+    flips = (np.abs(np.diff(r, axis=0)) > 1e-6).mean()
+    assert 1.0 / 100 < flips < 1.0 / 5, flips
+
+
+def test_nested_switched_wiener_statistics():
+    """Nested switched with a Wiener leaf: values finite, inside the
+    merged margins, reward recomputes from the recorded signals, and the
+    Wiener stream is alive (the nested machinery keeps the noise rows
+    advancing)."""
+    inner = rg.SwitchedReference(
+        [rg.WienerProcessReference("i"), rg.ConstReference("i", 0.2)],
+        super_episode_length=(30, 90))
+    sw = rg.SwitchedReference(
+        [inner, rg.ConstReference("i", 0.1)],
+        super_episode_length=(40, 120))
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    out = _record(env, 600, seed=11)
+    r, i, rew, done = (out["ref_i"], out["i"], out["reward"], out["done"])
+    assert np.all(np.isfinite(r))
+    mlo, mhi = env.reference_generator.subs[0].margin
+    assert np.all(r >= mlo - 1e-5) and np.all(r <= mhi + 1e-5)
+    assert np.std(r) > 1e-3
+    names = list(env.physical_system.state_names)
+    lim = np.asarray(env.physical_system.limits)
+    i_lim = float(lim[names.index("i")])
+    coef = float(env.reward_function._weights[names.index("i")]
+                 / env.reward_function._state_length[names.index("i")])
+    expect = -coef * np.abs(i / i_lim - r)
+    mask = done < 0.5
+    np.testing.assert_allclose(rew[mask], expect[mask], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_nested_switched_reducing_kernel_runs():
+    """The reducing (metric-sum) kernels run nested switched configs
+    too — margins respected on the final reference snapshot."""
     inner = rg.SwitchedReference([rg.WienerProcessReference("i"),
                                   rg.ConstReference("i", 0.2)])
     sw = rg.SwitchedReference([inner, rg.ConstReference("i", 0.1)])
     env = gemx.make_functional("Finite-CC-PermExDc-v0",
                                reference_generator=sw)
-    with pytest.raises(AssertionError, match="switched sub-generators"):
-        make_fused_rollout(env, 8, 128, interpret=True)
+    roll = make_fused_rollout(env, 200, 128, interpret=True)
+    out = roll(3, jnp.zeros((1, 128), jnp.float32))
+    r_sum = float(np.asarray(out[1]).sum())
+    assert np.isfinite(r_sum) and r_sum < 0.0
+    rv = np.asarray(out[3])
+    mlo, mhi = env.reference_generator.subs[0].margin
+    # primary row only (shadow rows live in the same plane below)
+    assert rv[:1].min() >= mlo - 1e-6 and rv[:1].max() <= mhi + 1e-6
 
 
 @pytest.mark.parametrize("power", [2, 0.5, 3.0])

@@ -237,6 +237,36 @@ def switched_consts_exact():
         assert 0.15 < is_a.mean() < 0.85, (n_envs, is_a.mean())
 
 
+def nested_switched_on_chip():
+    """Nested switched-of-switched with const leaves compiled on TPU:
+    only the three constants are ever emitted (plus violation-reset
+    strays), and all three appear — the recursive shadow expansion,
+    cascaded forced switches and children-first selection all
+    Mosaic-compile at sub-sublane R."""
+    from gym_electric_motor_tpu.ops.pallas_record import (
+        make_fused_record_rollout)
+
+    inner = rg.SwitchedReference(
+        [rg.ConstReference("i", 0.4), rg.ConstReference("i", -0.2)],
+        super_episode_length=(15, 45))
+    sw = rg.SwitchedReference(
+        [inner, rg.ConstReference("i", 0.1)],
+        super_episode_length=(20, 60))
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    zero = jnp.zeros((2, 128), jnp.float32)
+    roll = make_fused_record_rollout(env, 600, 256, chunk=8)
+    out = {k: np.asarray(v) for k, v in roll(9, zero).items()}
+    r, done = out["ref_i"], out["done"]
+    is_a = np.abs(r - 0.4) < 1e-6
+    is_b = np.abs(r + 0.2) < 1e-6
+    is_c = np.abs(r - 0.1) < 1e-6
+    stray = ~(is_a | is_b | is_c)
+    assert stray.mean() <= done.mean() + 1e-4, (stray.mean(), done.mean())
+    assert is_a.mean() > 0.03 and is_b.mean() > 0.03
+    assert is_c.mean() > 0.15, is_c.mean()
+
+
 def fused_ppo_improves():
     """PPO with fused collection LEARNS: mean tracking reward improves
     from the random-policy level (~-0.20 with the entropy-regularized
@@ -839,6 +869,7 @@ def main():
     check("refs:step-two-level", step_two_level)
     check("buffer:interlocked-PMSM", interlocked_buffer_parity)
     check("refs:switched-consts", switched_consts_exact)
+    check("refs:nested-switched", nested_switched_on_chip)
     check("rl:fused-ppo-improves", fused_ppo_improves)
     check("rl:universal-ppo-improves", universal_ppo_improves)
     check("rl:cont-ppo-improves", cont_ppo_improves)
