@@ -87,11 +87,18 @@ def _srm_family(env, R, action_mode, randomize=None):
 
     r_s, l0, l1, p = mp["r_s"], mp["l0"], mp["l1"], mp["p"]
     param_names, n_param, p_idx, param_ranges = _parse_randomize(
-        randomize, ("r_s", "j_rotor", "u_sup"), "SRM",
-        "the winding resistance + inertia + u_sup")
+        randomize, ("r_s", "l0", "l1", "j_rotor", "u_sup"), "SRM",
+        "the winding resistance, inductance profile + inertia + u_sup")
 
     def resolve(pp):
-        return (pp[p_idx["r_s"]] if "r_s" in p_idx else r_s,)
+        """(r_s, l0?, l1?) — None marks a non-randomized inductance so
+        ``_lparams`` keeps the compile-time float expressions (bit-exact
+        default path); the SRM obs norms never read l0/l1 (currents +
+        cos/sin eps only), so the inductance profile is a clean
+        randomization axis here, unlike the induction families"""
+        return (pp[p_idx["r_s"]] if "r_s" in p_idx else r_s,
+                pp[p_idx["l0"]] if "l0" in p_idx else None,
+                pp[p_idx["l1"]] if "l1" in p_idx else None)
 
     tau = float(ps.tau)
     i_lim = float(lim[names.index("i_a")])
@@ -114,6 +121,17 @@ def _srm_family(env, R, action_mode, randomize=None):
         SIN_D = np.float32(np.sin(tau * p * omega_fixed))
 
     PL1 = np.float32(p * l1)
+    L0C, L1C = np.float32(l0), np.float32(l1)
+
+    def _lparams(pc):
+        """(p*l1, l0, l1) — compile-time floats on the default path (the
+        exact expressions the non-randomized kernels used, so that path
+        stays bit-identical), per-env planes under randomize"""
+        l0_v = L0C if pc[1] is None else pc[1]
+        l1_v = L1C if pc[2] is None else pc[2]
+        pl1 = PL1 if pc[2] is None else np.float32(p) * pc[2]
+        return pl1, l0_v, l1_v
+
     # magnetic saturation (opt-in psi_s — see models/motors.py): the
     # exponential flux model's incremental factor e = exp(-i L / psi_s)
     # scales both the back-EMF term and the incremental inductance; the
@@ -133,26 +151,27 @@ def _srm_family(env, R, action_mode, randomize=None):
         """per-phase sin/cos(eps - phi_k) from ONE sincos(eps)"""
         return _trig_cs(jnp.cos(eps), jnp.sin(eps))
 
-    def _tq(i3, s_k, c_k):
+    def _tq(i3, s_k, c_k, lp):
         """reluctance torque from the per-phase slope sines — the ONE
         torque expression shared by the integrator rhs and the reward
-        path (coenergy form when saturating)"""
+        path (coenergy form when saturating); ``lp = _lparams(pc)``"""
+        pl1, l0_v, l1_v = lp
         if INV_PSI_S is None:
-            return PL1 * (0.5 * (i3[0] * i3[0] * s_k[0]
+            return pl1 * (0.5 * (i3[0] * i3[0] * s_k[0]
                                  + i3[1] * i3[1] * s_k[1]
                                  + i3[2] * i3[2] * s_k[2]))
         tq = 0.0
         for k in range(3):
-            l_k = np.float32(l0) - np.float32(l1) * c_k[k]
+            l_k = l0_v - l1_v * c_k[k]
             x = i3[k] * l_k * INV_PSI_S
             e = jnp.exp(-x)
-            tq = tq + (PL1 * s_k[k] * np.float32(PSI_S**2)
+            tq = tq + (pl1 * s_k[k] * np.float32(PSI_S**2)
                        / (l_k * l_k)) * ((1.0 - e) - x * e)
         return tq
 
-    def torque_of(i3, eps):
+    def torque_of(i3, eps, lp=(PL1, L0C, L1C)):
         s_k, c_k = _trig(eps)
-        return _tq(i3, s_k, c_k)
+        return _tq(i3, s_k, c_k, lp)
 
     def rhs(core, u3, z, ts, pc, cs=None):
         """``cs``: optional precomputed (cos eps, sin eps) for this RK4
@@ -167,6 +186,7 @@ def _srm_family(env, R, action_mode, randomize=None):
             ia, ib, ic, eps = core
             w = omega_fixed
         r_s_v = pc[0]
+        pl1, l0_v, l1_v = lp = _lparams(pc)
         if cs is None:
             s_k, c_k = _trig(eps)
         else:
@@ -174,21 +194,21 @@ def _srm_family(env, R, action_mode, randomize=None):
         i3 = (ia, ib, ic)
         if INV_PSI_S is None:
             di = tuple(
-                (u3[k] - r_s_v * i3[k] - i3[k] * (PL1 * s_k[k]) * w)
-                / (np.float32(l0) - np.float32(l1) * c_k[k])
+                (u3[k] - r_s_v * i3[k] - i3[k] * (pl1 * s_k[k]) * w)
+                / (l0_v - l1_v * c_k[k])
                 for k in range(3))
         else:
             di = []
             for k in range(3):
-                l_k = np.float32(l0) - np.float32(l1) * c_k[k]
+                l_k = l0_v - l1_v * c_k[k]
                 e = jnp.exp(-i3[k] * l_k * INV_PSI_S)
                 di.append((u3[k] - r_s_v * i3[k]
-                           - i3[k] * (PL1 * s_k[k]) * w * e) / (l_k * e))
+                           - i3[k] * (pl1 * s_k[k]) * w * e) / (l_k * e))
             di = tuple(di)
         deps = np.float32(p) * w if mech else np.float32(p * omega_fixed) + 0.0 * eps
         if not mech:
             return di + (deps,)
-        tq = _tq(i3, s_k, c_k)
+        tq = _tq(i3, s_k, c_k, lp)
         if j_rand:
             dw = mload.mech_rhs_j(w, tq, z, pc[-1])
         elif mload.needs_time:
@@ -293,7 +313,10 @@ def _srm_family(env, R, action_mode, randomize=None):
         if nm == "omega":
             return state[0] * np.float32(1.0 / w_lim)
         if nm == "torque":
-            return (torque_of(_i3(state), state[i_eps])
+            # per-env inductances under randomize (the torque NORM stays
+            # the static catalog limit, the XLA dynamic_params convention)
+            lp = _lparams(resolve(state[n_core + n_sup:]))
+            return (torque_of(_i3(state), state[i_eps], lp)
                     * np.float32(1.0 / t_lim))
         k = {"i_a": 0, "i_b": 1, "i_c": 2}[nm]
         return _i3(state)[k] * ref_cfg[j]["inv_lim"]

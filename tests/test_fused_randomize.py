@@ -507,3 +507,72 @@ def test_fused_randomize_srm_buffer_parity():
         np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
                                    ode[:, 1 + k], rtol=1e-4, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(out[4]).reshape(N), r_s)
+
+def test_fused_randomize_srm_inductance_buffer_parity():
+    """SRM l0/l1 randomization: per-env inductance-profile planes match
+    the XLA dynamic-params env step-for-step — the SRM obs norms never
+    read l0/l1 (currents + cos/sin eps only), so the inductance profile
+    is a clean randomization axis here, unlike the induction families."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_srm_rollout)
+
+    env = gemx.make_functional(
+        "Cont-CC-SRM-v0",
+        reference_generator=rg.ConstReference("i_a", 0.1))
+    envd = gemx.make_functional(
+        "Cont-CC-SRM-v0", dynamic_params=True,
+        reference_generator=rg.ConstReference("i_a", 0.1))
+    mp = env.physical_system.motor.parameter
+    rng = np.random.default_rng(17)
+    l0 = (mp["l0"] * rng.uniform(0.8, 1.3, N)).astype(np.float32)
+    l1 = (mp["l1"] * rng.uniform(0.6, 1.0, N)).astype(np.float32)
+    actions = rng.uniform(-0.4, 0.4, size=(T, 3, 1, 128)).astype(np.float32)
+
+    roll = make_fused_srm_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"l0": (float(l0.min()), float(l0.max())),
+                   "l1": (float(l1.min()), float(l1.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    # state planes: (i_a, i_b, i_c, eps, l0, l1) — params alphabetical
+    out = roll(zero, zero, zero, zero,
+               jnp.asarray(l0.reshape(1, 128)),
+               jnp.asarray(l1.reshape(1, 128)), jnp.asarray(actions))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    state, _ = jax.jit(jax.vmap(envd.reset))(keys)
+    state = _with_params(state, l0=l0, l1=l1)
+    step = jax.jit(jax.vmap(envd.step))
+    for t in range(T):
+        state, _o, _r, _term = step(
+            state, jnp.asarray(actions[t].reshape(3, N).T))
+    ode = np.asarray(state.phys.ode_state)
+    # ode rows (const-speed load): [omega, i_a, i_b, i_c, eps]
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(out[k]).reshape(N),
+                                   ode[:, 1 + k], rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out[4]).reshape(N), l0)
+    np.testing.assert_array_equal(np.asarray(out[5]).reshape(N), l1)
+
+
+def test_fused_randomize_srm_torque_reward_uses_planes():
+    """A TC-SRM random rollout with l1 randomized must read the PER-ENV
+    l1 in the torque reward path (ref_quantity resolves the planes)."""
+    from gym_electric_motor_tpu.ops.pallas_rollout import (
+        make_fused_srm_rollout)
+
+    env = gemx.make_functional(
+        "Finite-TC-SRM-v0",
+        reference_generator=rg.ConstReference("torque", 0.2))
+    roll = make_fused_srm_rollout(
+        env, 64, N, interpret=True, randomize={"l1": (0.02, 0.08)})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    # same seed (same actions/physics draws), two different l1 planes:
+    # the torque produced — and with it the reward — must differ
+    r_sums = []
+    for l1v in (0.02, 0.08):
+        l1p = jnp.full((1, 128), l1v, jnp.float32)
+        out = roll(11, zero, zero, zero, zero, l1p)
+        s = float(np.asarray(out[1]).sum())
+        assert np.isfinite(s)
+        r_sums.append(s)
+    assert abs(r_sums[0] - r_sums[1]) > 1.0, r_sums
