@@ -876,6 +876,22 @@ def main():
         _log(f"Finite-SC-SRM-v0 commutation-cascade-in-the-loop (fused "
              f"Pallas): {v / 1e6:.1f}M controlled env-steps/s")
 
+        # the TC variant (integral torque trim -> commutation) rides the
+        # fixed-speed physics with the carried rotation
+        esrm_tc = gemx.make_functional("Finite-TC-SRM-v0")
+        ctrl_tc = GemController.make(esrm_tc, "Finite-TC-SRM-v0")
+        _n_tc = _fsa(esrm_tc)
+        v = _measure_fused_kernel(
+            "Finite-TC-SRM-v0/closed-loop",
+            lambda: make_fused_srm_cascade_rollout(esrm_tc, ctrl_tc,
+                                                   n_steps, N_ENVS),
+            lambda r, seed, _n=_n_tc: float(
+                r(seed, *([z] * _n))[_n].sum()),
+            n_steps,
+        )
+        _log(f"Finite-TC-SRM-v0 commutation-cascade-in-the-loop (fused "
+             f"Pallas): {v / 1e6:.1f}M controlled env-steps/s")
+
         # fused policy-network-in-the-loop (RL evaluation / data collection)
         from gym_electric_motor_tpu.parallel.sharded import init_policy_params
         from gym_electric_motor_tpu.ops.pallas_rollout import (
