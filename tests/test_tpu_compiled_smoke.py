@@ -85,6 +85,20 @@ for name, make, eid, kw in (
     assert np.isfinite(np.asarray(ls)).all(), name
     print("OK", name)
 
+# SRM commutation-cascade kernels (SC carries mech planes, TC/CC the
+# fixed-speed rotation scratch; Cont uses the duty regulation branch)
+from gym_electric_motor_tpu.controllers import GemController
+from gym_electric_motor_tpu.ops.pallas_rollout import (
+    fused_state_arity, make_fused_srm_cascade_rollout)
+for eid in ("Finite-SC-SRM-v0", "Finite-TC-SRM-v0", "Cont-CC-SRM-v0"):
+    e = gemx.make_functional(eid)
+    ctrl = GemController.make(e, eid)
+    n = fused_state_arity(e)
+    roll = make_fused_srm_cascade_rollout(e, ctrl, 64, NE)
+    out = roll(3, *([z] * n))
+    assert np.isfinite(float(np.asarray(out[n]).sum())), eid
+    print("OK srm-cascade", eid)
+
 print("ALL_OK")
 """
 
