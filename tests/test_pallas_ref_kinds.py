@@ -387,3 +387,30 @@ def test_switched_wiener_to_const_no_one_step_leak():
     leak_rate = isolated_nonconst.mean()
     reset_rate = done.mean()
     assert leak_rate <= reset_rate + 1e-4, (leak_rate, reset_rate)
+
+
+def test_nested_switched_rides_the_policy_trainer():
+    """The in-kernel policy/PPO tier shares the reference machinery, so
+    nested switched configs train without any special casing (the obs
+    reads the primary rows; shadow blocks ride the shared scratch)."""
+    from gym_electric_motor_tpu.ops.pallas_policy import (
+        fused_policy_init_planes, policy_act_ns, policy_obs_dim)
+    from gym_electric_motor_tpu.parallel.sharded import (
+        init_actor_critic_params, make_fused_ppo_trainer)
+
+    inner = rg.SwitchedReference([rg.WienerProcessReference("i"),
+                                  rg.ConstReference("i", 0.2)],
+                                 super_episode_length=(30, 90))
+    sw = rg.SwitchedReference([inner, rg.ConstReference("i", 0.1)],
+                              super_episode_length=(40, 120))
+    env = gemx.make_functional("Finite-CC-PermExDc-v0",
+                               reference_generator=sw)
+    init_opt, train = make_fused_ppo_trainer(
+        env, hidden=8, horizon=8, n_envs=128, n_minibatches=2,
+        kernel="universal", interpret=True)
+    n_out = int(sum(policy_act_ns(env)))
+    p = init_actor_critic_params(jax.random.PRNGKey(1),
+                                 policy_obs_dim(env), n_out, 8)
+    pl = fused_policy_init_planes(env, 128)
+    *_, rs = train(p, init_opt(p), pl, 3, 2)
+    assert np.isfinite(np.asarray(rs)).all()
