@@ -242,17 +242,31 @@ def _wrap_j_resolve(resolve, mload, p_idx):
 
 
 def _u_sup_plane_idx(p_idx, sup):
-    """Index of the randomized DC-link voltage plane ('u_sup' in
-    ``randomize`` — battery/DC-link sag robustness), or None.  Only the
-    ideal supply is randomizable: AC1/RC supplies have their own carried
-    dynamics planes."""
+    """Index of the randomized supply voltage plane ('u_sup' in
+    ``randomize``), or None.  Ideal supply: per-env DC-link voltage
+    (battery/DC-link sag robustness).  RC supply: per-env SOURCE voltage
+    u_0 feeding the RC element (the cap plane integrates toward it; the
+    reset cap value is the drawn u_0, RCVoltageSupply semantics).  AC
+    supplies are waveform-parameterized, not randomizable here."""
     if "u_sup" not in p_idx:
         return None
-    if sup.mode != "ideal":
+    if sup.mode not in ("ideal", "rc"):
         raise NotImplementedError(
-            "randomize('u_sup') needs the IdealVoltageSupply — AC1/RC "
-            "supplies carry their own dynamics planes")
+            "randomize('u_sup') needs the IdealVoltageSupply (DC-link "
+            "value) or RCVoltageSupply (source u_0) — AC supplies have "
+            "waveform dynamics")
     return p_idx["u_sup"]
+
+
+def _sup_reset_planes(sup, bits, pdraws, u_idx):
+    """``sup_reset`` with the RC cap plane seeded at the PER-ENV
+    randomized source voltage (the reference's RCVoltageSupply
+    initializes ``_u_sup = u_0``); consumes the same bit stream as the
+    plain reset, so non-randomized paths are bit-identical."""
+    planes = sup.sup_reset(bits)
+    if u_idx is not None and sup.mode == "rc":
+        planes = (pdraws[u_idx],) + planes[1:]
+    return planes
 
 
 def _param_reset_draws(bits, shape, param_ranges):
@@ -520,8 +534,8 @@ def _make_fused_supply(ps, shape, tau, allow_polyphase=False):
         mode, n_sup, names, needs_i_sup = "ideal", 0, (), False
         u_sup_c = float(ps.supply.u_nominal)
 
-        def supply_u(sup, i_sup_val):
-            return u_sup_c, ()
+        def supply_u(sup, i_sup_val, u0=None):
+            return (u_sup_c if u0 is None else u0), ()
 
         def sup_reset(bits):
             return ()
@@ -569,7 +583,8 @@ def _make_fused_supply(ps, shape, tau, allow_polyphase=False):
         OFF1 = np.float32(2.0 / 3.0 * np.pi)
         OFF2 = np.float32(4.0 / 3.0 * np.pi)
 
-        def supply_u(sup, i_sup_val):
+        def supply_u(sup, i_sup_val, u0=None):
+            assert u0 is None  # _u_sup_plane_idx rejects AC supplies
             theta, lo = sup
             if ac3:
                 u = (amp_ac * jnp.sin(theta),
@@ -598,10 +613,11 @@ def _make_fused_supply(ps, shape, tau, allow_polyphase=False):
         u0_rc, r_rc, c_rc = (float(sp_par["u_0"]), float(sp_par["R"]),
                              float(sp_par["C"]))
 
-        def supply_u(sup, i_sup_val):
+        def supply_u(sup, i_sup_val, u0=None):
             u, t_c = sup
+            u0_v = u0_rc if u0 is None else u0
             dt = jnp.minimum(t_c, tau)
-            u_new = u + dt * ((u0_rc - u - r_rc * i_sup_val)
+            u_new = u + dt * ((u0_v - u - r_rc * i_sup_val)
                               * np.float32(1.0 / (r_rc * c_rc)))
             return u_new, (u_new, t_c + tau)
 

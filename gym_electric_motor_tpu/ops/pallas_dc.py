@@ -22,6 +22,7 @@ from .pallas_common import (
     _fused_check_system,
     _param_reset_draws,
     _parse_randomize,
+    _sup_reset_planes,
     _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_state_noise,
@@ -915,9 +916,9 @@ def _dc_family(env, R, action_mode, randomize=None):
         # reference queries both sub-intervals at the SAME timestamp
         # (physical_systems.py:171-203 passes self._t), so the AC sine
         # repeats and the RC element integrates dt=0 on the second call
-        u_sup_val, sup_new = supply_u(sup_planes, i_sup_val)
-        if _u_idx is not None:
-            u_sup_val = pp[_u_idx]
+        u_sup_val, sup_new = supply_u(
+            sup_planes, i_sup_val,
+            None if _u_idx is None else pp[_u_idx])
 
         if finite and k_int > 0.0:
             # 2-sub-interval interlock schedule (converters.py:99-111):
@@ -970,7 +971,7 @@ def _dc_family(env, R, action_mode, randomize=None):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * n_el
         pdraws = _param_reset_draws(bits, shape, param_ranges)
-        return core + sup_reset(bits) + pdraws
+        return core + _sup_reset_planes(sup, bits, pdraws, _u_idx) + pdraws
 
     # --- references / reward / constraints from the env spec ---
     rw = env.reward_function

@@ -19,6 +19,7 @@ from .pallas_common import (
     _fused_check_system,
     _param_reset_draws,
     _parse_randomize,
+    _sup_reset_planes,
     _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_dead_time_steps,
@@ -494,9 +495,9 @@ def _induction_family(env, R, action_mode, randomize=None):
             i_sup_val = b6_i_sup(action, i_abc, bs if finite else None)
         else:
             i_sup_val = None
-        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        if _u_idx is not None:
-            u_sup_val = pp[_u_idx]
+        u_sup_val, sup_new = sup.supply_u(
+            sup_planes, i_sup_val,
+            None if _u_idx is None else pp[_u_idx])
 
         if conv_none:
             # grid feed-through: u_abc = 1 * u_sup (per phase)
@@ -540,7 +541,7 @@ def _induction_family(env, R, action_mode, randomize=None):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 4
         pdraws = _param_reset_draws(bits, shape, param_ranges)
-        return (core + sup.sup_reset(bits) + pdraws
+        return (core + _sup_reset_planes(sup, bits, pdraws, _u_idx) + pdraws
                 + (zero,) * n_obspsi)
 
     ref_cfg = _ref_configs(env, R,

@@ -52,6 +52,7 @@ from .pallas_common import (
     _ref_needs_wf,
     _rotation_protocol,
     _step_noise,
+    _sup_reset_planes,
     _u_sup_plane_idx,
     _uniform_from_bits,
     _wrap_dead_time,
@@ -72,8 +73,10 @@ def _srm_family(env, R, action_mode, randomize=None):
     policy kernels.
 
     ``randomize``: optional ``{param: (lo, hi)}`` — ``r_s`` (winding
-    temperature drift) plus the generic ``j_rotor``/``u_sup`` axes as
-    per-env state planes (same design as ``_dc_family``)."""
+    temperature drift), the ``l0``/``l1`` inductance profile (the SRM
+    obs norms never read them, so the profile is a clean axis) plus the
+    generic ``j_rotor``/``u_sup`` axes as per-env state planes (same
+    design as ``_dc_family``)."""
     ps = env.physical_system
     _fused_check_system(ps, allow_dead_time=True, allow_state_noise=True)
     mp = {k: float(v) for k, v in ps.motor.parameter.items()}
@@ -275,9 +278,9 @@ def _srm_family(env, R, action_mode, randomize=None):
             i_sup_val = fr[0] * i3[0] + fr[1] * i3[1] + fr[2] * i3[2]
         else:
             i_sup_val = None
-        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        if _u_idx is not None:
-            u_sup_val = pp[_u_idx]
+        u_sup_val, sup_new = sup.supply_u(
+            sup_planes, i_sup_val,
+            None if _u_idx is None else pp[_u_idx])
         u3 = tuple(f * u_sup_val for f in fr)
         # fixed-speed: (c, s) IS cos/sin(eps) at cycle start (the carried
         # rotation in the reducing kernel; fresh sincos elsewhere)
@@ -294,7 +297,7 @@ def _srm_family(env, R, action_mode, randomize=None):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 4
         pdraws = _param_reset_draws(bits, shape, param_ranges)
-        return core + sup.sup_reset(bits) + pdraws
+        return core + _sup_reset_planes(sup, bits, pdraws, _u_idx) + pdraws
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")

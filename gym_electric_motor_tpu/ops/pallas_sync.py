@@ -21,6 +21,7 @@ from .pallas_common import (
     _fused_check_system,
     _param_reset_draws,
     _parse_randomize,
+    _sup_reset_planes,
     _u_sup_plane_idx,
     _wrap_j_resolve,
     _fused_dead_time_steps,
@@ -719,9 +720,9 @@ def _sync_family(env, R, action_mode, randomize=None):
             i_sup_val = None
         # one supply query per cycle (both reference sub-intervals query at
         # the same timestamp — see _dc_family.step_physics)
-        u_sup_val, sup_new = sup.supply_u(sup_planes, i_sup_val)
-        if _u_idx is not None:
-            u_sup_val = pp[_u_idx]
+        u_sup_val, sup_new = sup.supply_u(
+            sup_planes, i_sup_val,
+            None if _u_idx is None else pp[_u_idx])
 
         if finite_il:
             # 2-sub-interval interlock schedule: interlock pattern for the
@@ -770,7 +771,7 @@ def _sync_family(env, R, action_mode, randomize=None):
         zero = jnp.zeros(shape, jnp.float32)
         core = ((mload.omega_reset(bits),) if mech else ()) + (zero,) * 3
         pdraws = _param_reset_draws(bits, shape, param_ranges)
-        return core + sup.sup_reset(bits) + pdraws
+        return core + _sup_reset_planes(sup, bits, pdraws, _u_idx) + pdraws
 
     ref_cfg = _ref_configs(env, R,
                            require_wiener=action_mode == "random")

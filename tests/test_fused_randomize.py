@@ -458,12 +458,14 @@ def test_fused_randomize_u_sup_buffer_parity():
     assert abs(i_k[:32].mean() - i_k[96:].mean()) > 0.5  # sag matters
 
 
-def test_fused_randomize_u_sup_needs_ideal_supply():
-    from gym_electric_motor_tpu.models.supplies import rc_voltage_supply
+def test_fused_randomize_u_sup_rejects_ac_supply():
+    """u_sup randomization covers Ideal (DC-link value) and RC (source
+    u_0); AC supplies are waveform-parameterized and reject loudly."""
+    from gym_electric_motor_tpu.models.supplies import ac_1_phase_supply
 
     env = gemx.make_functional("Cont-CC-PermExDc-v0",
-                               supply=rc_voltage_supply())
-    with pytest.raises(NotImplementedError, match="Ideal"):
+                               supply=ac_1_phase_supply())
+    with pytest.raises(NotImplementedError, match="AC supplies"):
         make_fused_dc_rollout(env, 8, N,
                               randomize={"u_sup": (500.0, 600.0)})
 
@@ -576,3 +578,50 @@ def test_fused_randomize_srm_torque_reward_uses_planes():
         assert np.isfinite(s)
         r_sums.append(s)
     assert abs(r_sums[0] - r_sums[1]) > 1.0, r_sums
+
+def test_fused_randomize_u_sup_rc_buffer_parity():
+    """RC-supply source-voltage randomization: per-env u_0 planes feed
+    the in-kernel RC element (NOT an output override) and match
+    per-value REBUILT XLA envs; the reset cap voltage is the drawn u_0
+    (RCVoltageSupply initializes _u_sup = u_0)."""
+    from gym_electric_motor_tpu.models.supplies import rc_voltage_supply
+
+    env = gemx.make_functional(
+        "Cont-CC-PermExDc-v0", supply=rc_voltage_supply(),
+        reference_generator=rg.ConstReference("i", 0.0))
+    u_nom = float(env.physical_system.supply.u_nominal)
+    u_vals = [0.8 * u_nom, 0.95 * u_nom, 1.05 * u_nom, 1.15 * u_nom]
+    u_r = np.repeat(np.asarray(u_vals, np.float32), 32)
+    rng = np.random.default_rng(37)
+    actions = rng.uniform(-0.5, 0.5, size=(T, 1, 128)).astype(np.float32)
+
+    roll = make_fused_dc_rollout(
+        env, T, N, action_mode="buffer", interpret=True,
+        randomize={"u_sup": (float(u_r.min()), float(u_r.max()))})
+    zero = jnp.zeros((1, 128), jnp.float32)
+    u_plane = jnp.asarray(u_r.reshape(1, 128))
+    # state planes: (i, u_sup_cap, sup_t, u_sup_param)
+    out = roll(zero, u_plane, zero, u_plane, jnp.asarray(actions))
+    i_k = np.asarray(out[0]).reshape(N)
+    u_cap_k = np.asarray(out[1]).reshape(N)
+
+    for g, u in enumerate(u_vals):
+        envu = gemx.make_functional(
+            "Cont-CC-PermExDc-v0",
+            supply=rc_voltage_supply(u_nominal=float(u)),
+            reference_generator=rg.ConstReference("i", 0.0))
+        sl = slice(g * 32, (g + 1) * 32)
+        keys = jax.random.split(jax.random.PRNGKey(0), 32)
+        state, _ = jax.jit(jax.vmap(envu.reset))(keys)
+        step = jax.jit(jax.vmap(envu.step))
+        for t in range(T):
+            state, _o, _r, _te = step(
+                state, jnp.asarray(actions[t, 0, sl].reshape(32, 1)))
+        ode = np.asarray(state.phys.ode_state)
+        sup_state = np.asarray(state.phys.sup_state)
+        np.testing.assert_allclose(i_k[sl], ode[:, 1], rtol=1e-4,
+                                   atol=1e-3, err_msg=f"u group {g}")
+        np.testing.assert_allclose(u_cap_k[sl], sup_state[:, 0],
+                                   rtol=1e-4, atol=1e-2,
+                                   err_msg=f"u group {g}")
+    assert abs(i_k[:32].mean() - i_k[96:].mean()) > 0.1  # source matters
