@@ -466,15 +466,28 @@ def randomized_all_families_compile():
     from gym_electric_motor_tpu.ops.pallas_rollout import (
         fused_state_arity, make_fused_rollout)
 
-    cases = [("Finite-CC-PermExDc-v0", {"r_a": 0.3, "l_a": 0.3}),
-             ("Finite-CC-PMSM-v0", {"psi_p": 0.2, "l_q": 0.2}),
-             ("Cont-CC-SCIM-v0", {"r_r": 0.4}),
-             ("Finite-CC-EESM-v0", {"r_e": 0.4}),
-             ("Finite-CC-DFIM-v0", {"r_r": 0.4})]
+    from gym_electric_motor_tpu.models.supplies import rc_voltage_supply
+
+    cases = [("Finite-CC-PermExDc-v0", {"r_a": 0.3, "l_a": 0.3}, {}),
+             ("Finite-CC-PMSM-v0", {"psi_p": 0.2, "l_q": 0.2}, {}),
+             ("Cont-CC-SCIM-v0", {"r_r": 0.4}, {}),
+             ("Finite-CC-EESM-v0", {"r_e": 0.4}, {}),
+             ("Finite-CC-DFIM-v0", {"r_r": 0.4}, {}),
+             # SRM inductance profile + RC source-voltage axes
+             ("Finite-CC-SRM-v0", {"l0": 0.3, "l1": 0.3}, {}),
+             # the catalog's 60 V drive on an RC supply: random duties
+             # violate ~37% of steps (the RC cap overshoots u_0 during
+             # braking, R*i_sup < 0) — the XLA oracle gives the same
+             # -3.8/step, so the bound is the env's scale, not a bug
+             ("Cont-CC-PermExDc-v0", {"u_sup": 0.2},
+              {"supply": rc_voltage_supply(u_nominal=60.0), "_rlo": -6.0})]
     rng = np.random.default_rng(1)
-    for eid, spread in cases:
-        env = gemx.make_functional(eid)
-        mp = env.physical_system.motor.parameter
+    for eid, spread, env_kw in cases:
+        env_kw = dict(env_kw)
+        r_lo = env_kw.pop("_rlo", -1.0)
+        env = gemx.make_functional(eid, **env_kw)
+        mp = dict(env.physical_system.motor.parameter)
+        mp["u_sup"] = env.physical_system.supply.u_nominal
         rnd = {k: ((1 - sp) * float(mp[k]), (1 + sp) * float(mp[k]))
                for k, sp in spread.items()}
         n0 = fused_state_arity(env)
@@ -492,7 +505,7 @@ def randomized_all_families_compile():
             assert (pv >= lo - 1e-6).all() and (pv <= hi + 1e-6).all(), \
                 (eid, k)
         mean_r = out[n0 + len(rnd)].mean() / 4096
-        assert -1.0 < mean_r < 0.0, (eid, mean_r)
+        assert r_lo < mean_r < 0.0, (eid, mean_r)
 
 
 def round4_corners_compile():
